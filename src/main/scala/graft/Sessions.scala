@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for Verify/Bench/tests. Kept in one
+  * place so the oracle (UTC, nanos handling) and the scale posture (AQE,
+  * shuffle partitions sized to local cores — not the 200 default) are
+  * identical everywhere.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

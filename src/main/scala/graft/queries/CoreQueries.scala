@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.Upsert
+
+/** SURVEY.md §2 operator inventory re-expressed as Spark-first DataFrame
+  * plans over the driver fixtures, each with a DuckDB oracle.
+  *
+  * Numeric-parity rule used throughout: raw parquet columns pass through
+  * untouched (bit-identical on both sides); any *derived* arithmetic that
+  * feeds an aggregate is done in exact DECIMAL and cast to DOUBLE once at the
+  * end. Double sums are order-dependent across engines; decimal sums are not.
+  * Every query ends in a deterministic total ORDER BY so row order matches
+  * the oracle.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(18, 4)
+  private def month(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM")
+
+  // ---------------------------------------------------------------- queries
+
+  /** A1/A2 global counts (pyspark_script.py:168-169,345). */
+  private val q01: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** A3→J2 rewrite: per-partition counts as ONE grouped agg instead of the
+    * reference's per-partition filter+count loop (pyspark_script.py:199-223).
+    */
+  private val q02: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(month(col("l_shipdate")).as("l_month"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_month")
+
+  /** A4 distinct partition values (pyspark_script.py:231). */
+  private val q03: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(month(col("l_shipdate")).as("l_month"))
+      .distinct()
+      .orderBy("l_month")
+
+  /** J1 missing partitions as a broadcast left-anti join — replaces the
+    * reference's collected-set membership loop (pyspark_script.py:225-253).
+    */
+  private val q04: Q = (s, d) => {
+    val liM = Tables.lineitem(s, d).select(month(col("l_shipdate")).as("p")).distinct()
+    val ordM = Tables.orders(s, d).select(month(col("o_orderdate")).as("p")).distinct()
+    liM.join(broadcast(ordM), Seq("p"), "left_anti").orderBy("p")
+  }
+
+  /** J2 incomplete partitions: grouped counts both sides + inner join +
+    * mismatch filter (2 shuffles total vs the reference's O(#partitions)
+    * full-scan jobs).
+    */
+  private val q05: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val input = li.groupBy(month(col("l_shipdate")).as("p")).agg(count(lit(1)).as("input_cnt"))
+    val table = li.filter(col("l_linenumber") =!= 7)
+      .groupBy(month(col("l_shipdate")).as("p")).agg(count(lit(1)).as("table_cnt"))
+    input.join(table, Seq("p"))
+      .filter(col("input_cnt") =!= col("table_cnt"))
+      .orderBy("p")
+  }
+
+  /** P2 equality + P3 IN-list filters (pyspark_script.py:203,262) — both
+    * pushed to the parquet scan.
+    */
+  private val q06: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_linestatus").isin("F", "O"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1 projection + pushed range predicate; scan should read 4 columns only. */
+  private val q07: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P6/F11 struct projection + JSON payload (app.py:287-293 status payload). */
+  private val q09: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+      .orderBy("event_id")
+
+  /** J4/H7 upsert with precombine, including within-batch dedup — the core
+    * Hudi write semantic, exercised as a pure merge plan (see
+    * [[graft.ops.Upsert]]).
+    */
+  private val q10: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val base = ord.filter(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    val u1 = ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+        (col("o_totalprice").cast(dec) + lit(100)).cast(DoubleType).as("o_totalprice"),
+        col("o_orderdate"))
+    val u2 = ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("U2").as("o_orderstatus"),
+        (col("o_totalprice").cast(dec) + lit(200)).cast(DoubleType).as("o_totalprice"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate"))
+    Upsert.merge(base, u1.unionByName(u2), Seq("o_orderkey"), "o_orderdate")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"))
+      .orderBy("o_orderkey")
+  }
+
+  /** O6 precombine-aware dedup: latest lineitem per order key. */
+  private val q11: Q = (s, d) => {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy("l_orderkey")
+  }
+
+  /** §2.7 history search: LIKE (F1) ∧ date range (F2/F3) + ORDER BY DESC (O1)
+    * — the app.py:228-244 composable filter pipeline.
+    */
+  private val q12: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority").like("%URGENT%") &&
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < date_add(lit("1997-12-31").cast(DateType), 1))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_day").desc, col("o_orderkey").desc)
+
+  /** F4 runaway sweep: now−60min threshold + bulk status update projection
+    * (app.py:90-105), with max(ts) standing in for now.
+    */
+  private val q13: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("event_type") === "signup" &&
+        col("ts") <= col("max_ts") - expr("INTERVAL 60 MINUTES"))
+      .select(col("event_id"), lit("FAILED").as("status"),
+        lit("Transaction timed out.").as("error_log"))
+      .orderBy("event_id")
+  }
+
+  /** F5 regex count-mining (app.py:320-321) over the JSON props text. */
+  private val q14: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+
+  /** F7 substring classification chain (app.py:296-305 error taxonomy shape). */
+  private val q15: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("text").contains("slow"), "perf_slow")
+          .when(col("text").contains("fast"), "perf_fast")
+          .when(col("text").contains("merge"), "merge_op")
+          .otherwise("other").as("category"))
+      .orderBy("doc_id")
+
+  /** F12/F13 hive-style partition path build + parse round-trip
+    * (pyspark_script.py:239, app.py:450-451).
+    */
+  private val q16: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(month(col("l_shipdate")).as("m")).distinct()
+      .select(concat(lit("l_month="), col("m")).as("path"))
+      .select(col("path"),
+        element_at(split(col("path"), "="), 1).as("field"),
+        element_at(split(col("path"), "="), 2).as("value"))
+      .orderBy("path")
+
+  /** F11 JSON decode (get_json_object) + decimal-exact value aggregation. */
+  private val q17: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy("k")
+
+  /** Flagship: 5-way star join + decimal-exact revenue rollup. Dimensions are
+    * broadcast (region/nation/customer are tiny at any SF relative to the
+    * fact); lineitem⋈orders is the only real shuffle and AQE handles it.
+    */
+  private val q18: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("r_name", "o_year")
+  }
+
+  /** O3 pagination via row_number window (HistoryTable.js slice). */
+  private val q19: Q = (s, d) => {
+    val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn").between(101, 150))
+      .select(col("o_orderkey"), col("rn"))
+      .orderBy("rn")
+  }
+
+  /** O4/O5 set union/difference over partition-value sets as a full-outer
+    * membership join.
+    */
+  private val q20: Q = (s, d) => {
+    val liM = Tables.lineitem(s, d).select(month(col("l_shipdate")).as("p")).distinct()
+      .withColumn("in_li", lit(1))
+    val ordM = Tables.orders(s, d).select(month(col("o_orderdate")).as("p")).distinct()
+      .withColumn("in_ord", lit(1))
+    liM.join(ordM, Seq("p"), "full_outer")
+      .select(col("p"), coalesce(col("in_li"), lit(0)).as("in_li"),
+        coalesce(col("in_ord"), lit(0)).as("in_ord"))
+      .orderBy("p")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_global_counts" -> q01,
+    "q02_partition_counts" -> q02,
+    "q03_distinct_partitions" -> q03,
+    "q04_missing_partitions" -> q04,
+    "q05_incomplete_partitions" -> q05,
+    "q06_filter_in" -> q06,
+    "q07_projection_pushdown" -> q07,
+    "q09_payload_json" -> q09,
+    "q10_upsert_merge" -> q10,
+    "q11_dedup_latest" -> q11,
+    "q12_history_search" -> q12,
+    "q13_runaway_sweep" -> q13,
+    "q14_log_mining" -> q14,
+    "q15_error_classify" -> q15,
+    "q16_partition_paths" -> q16,
+    "q17_json_props" -> q17,
+    "q18_star_join" -> q18,
+    "q19_pagination" -> q19,
+    "q20_set_ops" -> q20,
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  val oracle: Map[String, String] = Map(
+    "q01_global_counts" ->
+      "SELECT count(*) AS total_rows, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "q02_partition_counts" ->
+      "SELECT strftime(l_shipdate, '%Y-%m') AS l_month, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q03_distinct_partitions" ->
+      "SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS l_month FROM lineitem ORDER BY 1",
+    "q04_missing_partitions" ->
+      """SELECT p FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS p FROM lineitem)
+        |WHERE p NOT IN (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders) ORDER BY p""".stripMargin,
+    "q05_incomplete_partitions" ->
+      """WITH input AS (SELECT strftime(l_shipdate, '%Y-%m') AS p, count(*) AS input_cnt FROM lineitem GROUP BY 1),
+        |tbl AS (SELECT strftime(l_shipdate, '%Y-%m') AS p, count(*) AS table_cnt FROM lineitem WHERE l_linenumber <> 7 GROUP BY 1)
+        |SELECT input.p, input_cnt, table_cnt FROM input JOIN tbl ON input.p = tbl.p
+        |WHERE input_cnt <> table_cnt ORDER BY input.p""".stripMargin,
+    "q06_filter_in" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus IN ('F','O') ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q07_projection_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q09_payload_json" ->
+      """SELECT event_id, '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q10_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders WHERE o_orderkey % 4 <> 0),
+        |u AS (
+        |  SELECT o_orderkey, 'U1' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE) AS o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U2',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 200 AS DOUBLE), o_orderdate + INTERVAL 1 DAY
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |latest AS (
+        |  SELECT * FROM (SELECT u.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC, o_orderstatus DESC, o_totalprice DESC) AS rn FROM u)
+        |  WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.* FROM base b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM latest)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
+    "q11_dedup_latest" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day FROM (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q12_history_search" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_day, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE o_orderpriority LIKE '%URGENT%'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < DATE '1997-12-31' + INTERVAL 1 DAY
+        |ORDER BY o_day DESC, o_orderkey DESC""".stripMargin,
+    "q13_runaway_sweep" ->
+      """SELECT event_id, 'FAILED' AS status, 'Transaction timed out.' AS error_log
+        |FROM events
+        |WHERE event_type = 'signup' AND ts <= (SELECT max(ts) FROM events) - INTERVAL 60 MINUTE
+        |ORDER BY event_id""".stripMargin,
+    "q14_log_mining" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_error_classify" ->
+      """SELECT doc_id,
+        |  CASE WHEN text LIKE '%slow%' THEN 'perf_slow'
+        |       WHEN text LIKE '%fast%' THEN 'perf_fast'
+        |       WHEN text LIKE '%merge%' THEN 'merge_op'
+        |       ELSE 'other' END AS category
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_partition_paths" ->
+      """SELECT path, string_split(path, '=')[1] AS field, string_split(path, '=')[2] AS value FROM (
+        |  SELECT DISTINCT 'l_month=' || strftime(l_shipdate, '%Y-%m') AS path FROM lineitem)
+        |ORDER BY path""".stripMargin,
+    "q17_json_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_star_join" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q19_pagination" ->
+      """SELECT o_orderkey, rn FROM (
+        |  SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn BETWEEN 101 AND 150 ORDER BY rn""".stripMargin,
+    "q20_set_ops" ->
+      """SELECT COALESCE(a.p, b.p) AS p, COALESCE(in_li, 0) AS in_li, COALESCE(in_ord, 0) AS in_ord
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS p, 1 AS in_li FROM lineitem) a
+        |FULL OUTER JOIN (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS p, 1 AS in_ord FROM orders) b
+        |ON a.p = b.p
+        |ORDER BY 1""".stripMargin,
+  )
+}
