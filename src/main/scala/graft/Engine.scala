@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.{BootstrapConfig, GraftException, WriteOperation}
+import graft.table.KeyedTable
+
+/** Process-level facade mirroring the reference's job contract
+  * (pyspark_script.py:294-429): run a bootstrap, map every failure onto the
+  * exact error-log taxonomy that the control plane regex-parses back out of
+  * the log (app.py:296-305).
+  */
+object Engine {
+
+  final case class RunResult(
+      success: Boolean,
+      result: Option[KeyedTable.BootstrapResult],
+      errorLog: Option[String]) {
+    /** The job's observable log-line surface (counts contract + error taxonomy). */
+    def logLines: Seq[String] =
+      result.map(_.logLines).getOrElse(Seq.empty) ++ errorLog.toSeq
+  }
+
+  def bootstrap(spark: SparkSession, cfg: BootstrapConfig): RunResult =
+    try RunResult(success = true, Some(KeyedTable.bootstrap(spark, cfg)), None)
+    catch {
+      case e: GraftException =>
+        RunResult(success = false, None, Some(e.getMessage))
+      case e: org.apache.hadoop.security.AccessControlException =>
+        RunResult(success = false, None, Some(s"Permission Denied: ${e.getMessage}"))
+      case e: Throwable =>
+        RunResult(success = false, None, Some(s"Unexpected Error: ${e.getMessage}"))
+    }
+
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    KeyedTable.read(spark, tablePath)
+
+  def upsert(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] =
+    KeyedTable.upsert(spark, tablePath, updates)
+
+  def append(spark: SparkSession, tablePath: String, batch: DataFrame,
+      op: WriteOperation = WriteOperation.BulkInsert): Seq[String] =
+    KeyedTable.append(spark, tablePath, batch, op)
+}

@@ -1,0 +1,155 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import graft.model.GraftException
+
+/** One JSON instant per commit under `<table>/.graft/<ts>.commit.json` —
+  * the `.hoodie` timeline analogue (SURVEY §7.1). Carries the table config
+  * (key/precombine/partition fields — hoodie.properties analogue), the
+  * written partition list with per-partition record counts, the schema DDL,
+  * and for METADATA_ONLY commits the source path whose files back the
+  * partitions without a data copy (H1/H2, pyspark_script.py:375-381).
+  *
+  * Data-file truth is the directory tree (writes go through Spark's static /
+  * dynamic partition overwrite, which cleans replaced files eagerly — COW
+  * with immediate cleanup; no multi-version time travel, matching the
+  * reference's read-the-path semantics at pyspark_script.py:352). The log is
+  * the metadata/audit channel: partition→mode mapping, counts, lineage.
+  * Commit JSONs are O(#partitions), never O(rows), so the log stays tiny at
+  * any data scale.
+  */
+object CommitLog {
+  val LogDirName = ".graft"
+
+  final case class PartitionEntry(path: String, mode: String, recordCount: Long)
+
+  final case class CommitInfo(
+      commitTime: String,
+      operation: String, // bootstrap | bulk_insert | insert | upsert | resume
+      tableName: String,
+      tableType: String,
+      keyFields: Seq[String],
+      precombineField: String,
+      partitionFields: Seq[String],
+      partitions: Seq[PartitionEntry],
+      recordCount: Long,
+      schemaDdl: String,
+      sourcePath: Option[String])
+
+  /** Live table state: the fold of all commits in commit-time order.
+    * `partitionModes` maps partition path ("" for unpartitioned) → "native"
+    * or "metadata_only"; an overwrite commit resets the map.
+    */
+  final case class TableState(
+      commits: Seq[CommitInfo],
+      partitionModes: Map[String, String]) {
+    def latest: CommitInfo = commits.last
+    def metadataOnlyPartitions: Seq[String] =
+      partitionModes.collect { case (p, "metadata_only") => p }.toSeq.sorted
+    def nativePartitions: Seq[String] =
+      partitionModes.collect { case (p, "native") => p }.toSeq.sorted
+    def sourcePath: Option[String] = commits.reverseIterator.flatMap(_.sourcePath).nextOption()
+  }
+
+  private val mapper = new ObjectMapper()
+
+  def logDir(tablePath: String): Path = new Path(tablePath, LogDirName)
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, tablePath: String): Boolean = {
+    val f = fs(spark, tablePath)
+    f.exists(logDir(tablePath)) && f.listStatus(logDir(tablePath)).nonEmpty
+  }
+
+  def newCommitTime(): String =
+    new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+      .format(new java.util.Date())
+
+  // ------------------------------------------------------------------ write
+
+  def write(spark: SparkSession, tablePath: String, info: CommitInfo): Unit = {
+    val f = fs(spark, tablePath)
+    val dir = logDir(tablePath)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("commitTime", info.commitTime)
+    root.put("operation", info.operation)
+    root.put("tableName", info.tableName)
+    root.put("tableType", info.tableType)
+    putStrings(root, "keyFields", info.keyFields)
+    root.put("precombineField", info.precombineField)
+    putStrings(root, "partitionFields", info.partitionFields)
+    val parts = root.putArray("partitions")
+    info.partitions.foreach { p =>
+      val n = parts.addObject()
+      n.put("path", p.path); n.put("mode", p.mode); n.put("recordCount", p.recordCount)
+    }
+    root.put("recordCount", info.recordCount)
+    root.put("schemaDdl", info.schemaDdl)
+    info.sourcePath.foreach(root.put("sourcePath", _))
+    val out = f.create(new Path(dir, s"${info.commitTime}.commit.json"), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  private def putStrings(n: ObjectNode, field: String, vs: Seq[String]): Unit = {
+    val a = n.putArray(field); vs.foreach(a.add)
+  }
+
+  // ------------------------------------------------------------------- read
+
+  def commits(spark: SparkSession, tablePath: String): Seq[CommitInfo] = {
+    val f = fs(spark, tablePath)
+    val dir = logDir(tablePath)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".commit.json"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = f.open(st.getPath)
+        try parse(mapper.readTree(in))
+        finally in.close()
+      }
+  }
+
+  private def parse(n: JsonNode): CommitInfo = CommitInfo(
+    commitTime = n.get("commitTime").asText(),
+    operation = n.get("operation").asText(),
+    tableName = n.get("tableName").asText(),
+    tableType = n.get("tableType").asText(),
+    keyFields = strings(n.get("keyFields")),
+    precombineField = n.get("precombineField").asText(),
+    partitionFields = strings(n.get("partitionFields")),
+    partitions = n.get("partitions").asScala.toSeq.map(p =>
+      PartitionEntry(p.get("path").asText(), p.get("mode").asText(), p.get("recordCount").asLong())),
+    recordCount = n.get("recordCount").asLong(),
+    schemaDdl = n.get("schemaDdl").asText(),
+    sourcePath = Option(n.get("sourcePath")).map(_.asText()))
+
+  private def strings(n: JsonNode): Seq[String] =
+    n.asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq
+
+  def state(spark: SparkSession, tablePath: String): Option[TableState] = {
+    val cs = commits(spark, tablePath)
+    if (cs.isEmpty) None
+    else {
+      val modes = cs.foldLeft(Map.empty[String, String]) { (acc, c) =>
+        val base = if (c.operation == "bootstrap") Map.empty[String, String] else acc
+        base ++ c.partitions.map(p => p.path -> p.mode)
+      }
+      Some(TableState(cs, modes))
+    }
+  }
+
+  def requireState(spark: SparkSession, tablePath: String): TableState =
+    state(spark, tablePath).getOrElse(
+      throw GraftException.config(s"No table found at $tablePath (missing $LogDirName commit log)."))
+}

@@ -1,0 +1,482 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.io.{PartitionDiscovery, SourceSniffer}
+import graft.model._
+import graft.ops.{Upsert, Validate}
+import graft.table.CommitLog.{CommitInfo, PartitionEntry, TableState}
+
+/** The native Hudi-shaped table (SURVEY §7.1): partitioned Parquet + JSON
+  * commit log + meta-columns, implemented entirely with declarative Spark
+  * plans so Catalyst/Tungsten own the physical execution.
+  *
+  * Scale posture (100 TB):
+  *  - Data writes are single distributed jobs (`partitionBy` parquet writes);
+  *    per-partition driver loops exist only for *directory renames and
+  *    listings*, which are O(#partitions) namenode metadata ops, never data.
+  *  - Resume detection is two grouped aggregates + joins
+  *    (pyspark_script.py:199-253 rewritten per SURVEY §4), not the
+  *    reference's per-partition full-scan loop.
+  *  - Upserts read and rewrite ONLY the partitions the batch touches (COW
+  *    with partition pruning); the merge itself is a key-shuffle anti-join.
+  *  - Collected partition-value lists are bounded by #partitions (the
+  *    reference collects the same lists); no row data ever reaches the
+  *    driver.
+  */
+object KeyedTable {
+
+  final case class BootstrapResult(
+      commitTime: String,
+      inputCount: Long,
+      tableCount: Long,
+      partitionsWritten: Seq[String],
+      report: Validate.Report) {
+    def logLines: Seq[String] = report.logLines
+  }
+
+  private def ppCol(partF: Seq[String]) = MetaColumns.partitionPath(partF)
+
+  // ------------------------------------------------------------- bootstrap
+
+  /** The main entry — mirrors pyspark_script.py:294-429's flow:
+    * validate → sniff → scan → field-check → empty-check → branch
+    * (fresh/regex/metadata vs resume) → write → post-validate.
+    */
+  def bootstrap(spark: SparkSession, cfg: BootstrapConfig): BootstrapResult = {
+    cfg.validate()
+    val fmt = SourceSniffer.sniff(spark, cfg.dataFilePath)
+    val input = spark.read.option("mergeSchema", "true").format(fmt).load(cfg.dataFilePath)
+    Validate.fieldsInSchema(input.schema, cfg)
+
+    // one grouped agg gives the empty-check, the per-partition counts for
+    // the commit log, and the resume comparison base (A1+A3 fused)
+    val partCounts = partitionCounts(spark, input, cfg.partitionFields)
+    val inputCount = partCounts.map(_._2).sum
+    if (inputCount == 0L)
+      throw GraftException.config("Input DataFrame is empty. Nothing to write.")
+
+    val existing = existingPartitions(spark, cfg.tablePath, cfg.partitionFields)
+    val ct = CommitLog.newCommitTime()
+
+    val written: Seq[String] =
+      if (cfg.resume && existing.nonEmpty && cfg.partitionRegex.isEmpty &&
+        cfg.bootstrapType == BootstrapType.FullRecord)
+        resumeWrite(spark, cfg, input, existing, partCounts, ct)
+      else
+        freshWrite(spark, cfg, input, partCounts, ct)
+
+    val table = read(spark, cfg.tablePath)
+    val report = Validate.postBootstrap(input, table)
+    if (!report.ok)
+      throw GraftException.config(
+        "ERROR - Post-bootstrap validation failed: " + report.issues.mkString(" "))
+    BootstrapResult(ct, report.inputCount, report.tableCount, written, report)
+  }
+
+  /** Fresh (non-resume) write: FULL_RECORD overwrite (S5/H3), METADATA_ONLY
+    * registration (H1/H2), or the regex split (H4) sending matching
+    * partitions to `regexMode` and the rest to the opposite mode.
+    */
+  private def freshWrite(
+      spark: SparkSession,
+      cfg: BootstrapConfig,
+      input: DataFrame,
+      partCounts: Seq[(String, Long)],
+      ct: String): Seq[String] = {
+    val fs = CommitLog.fs(spark, cfg.tablePath)
+    val schemaDdl = MetaColumns
+      .withMeta(input, cfg.keyFields, cfg.partitionFields, ct).schema.toDDL
+
+    def entryOf(mode: String)(pc: (String, Long)) = PartitionEntry(pc._1, mode, pc._2)
+
+    val (nativeCounts, metaCounts) = cfg.bootstrapType match {
+      case BootstrapType.FullRecord if cfg.partitionRegex.isEmpty => (partCounts, Nil)
+      case BootstrapType.MetadataOnly if cfg.partitionRegex.isEmpty => (Nil, partCounts)
+      case _ =>
+        // H4: full-match regex over the partition-path string
+        val re = ("^(?:" + cfg.partitionRegex.get + ")$").r
+        val (matching, rest) = partCounts.partition(pc => re.matches(pc._1))
+        if (cfg.regexMode == BootstrapType.FullRecord) (matching, rest) else (rest, matching)
+    }
+
+    // a fresh bootstrap replaces the table wholesale
+    fs.delete(new Path(cfg.tablePath), true)
+
+    if (nativeCounts.nonEmpty) {
+      val nativeSet = nativeCounts.map(_._1).toSet
+      val slice =
+        if (metaCounts.isEmpty) input
+        else input.filter(ppCol(cfg.partitionFields).isin(nativeSet.toSeq: _*))
+      writeData(slice, cfg.keyFields, cfg.partitionFields, ct, cfg.tablePath,
+        mode = "append", dynamicOverwrite = false)
+    }
+
+    CommitLog.write(spark, cfg.tablePath, CommitInfo(
+      commitTime = ct, operation = "bootstrap", tableName = cfg.tableName,
+      tableType = cfg.tableType.name, keyFields = cfg.keyFields,
+      precombineField = cfg.precombineField, partitionFields = cfg.partitionFields,
+      partitions = nativeCounts.map(entryOf("native")) ++ metaCounts.map(entryOf("metadata_only")),
+      recordCount = partCounts.map(_._2).sum, schemaDdl = schemaDdl,
+      sourcePath = if (metaCounts.nonEmpty) Some(cfg.dataFilePath) else None))
+
+    (nativeCounts ++ metaCounts).map(_._1)
+  }
+
+  /** Resume path (J1/J2 → S6): missing partitions via anti-join against the
+    * bounded existing-partition list; incomplete via ONE grouped count per
+    * side + inner join; selected partitions rewritten with dynamic partition
+    * overwrite so re-runs are idempotent (the reference's plain append would
+    * duplicate rows in incomplete partitions).
+    */
+  private def resumeWrite(
+      spark: SparkSession,
+      cfg: BootstrapConfig,
+      input: DataFrame,
+      existing: Seq[String],
+      partCounts: Seq[(String, Long)],
+      ct: String): Seq[String] = {
+    if (cfg.partitionFields.isEmpty)
+      return freshWrite(spark, cfg, input, partCounts, ct) // resume is partition-wise only
+
+    val existingSet = existing.toSet
+    val missing = partCounts.map(_._1).filterNot(existingSet)
+    val tableCounts = partitionCounts(spark, read(spark, cfg.tablePath), cfg.partitionFields,
+      fromPartitionPathCol = true).toMap
+    // getOrElse(0): a partition dir that exists but holds zero rows is
+    // incomplete, not complete — it would otherwise escape both checks
+    val incomplete = partCounts.collect {
+      case (p, n) if existingSet(p) && tableCounts.getOrElse(p, 0L) != n => p
+    }
+    val toWrite = (missing ++ incomplete).distinct.sorted
+    if (toWrite.isEmpty) return Seq.empty // "No missing or incomplete partitions found."
+
+    val slice = input.filter(ppCol(cfg.partitionFields).isin(toWrite: _*))
+    writeData(slice, cfg.keyFields, cfg.partitionFields, ct, cfg.tablePath,
+      mode = "overwrite", dynamicOverwrite = true)
+
+    val countsByP = partCounts.toMap
+    CommitLog.write(spark, cfg.tablePath, CommitInfo(
+      commitTime = ct, operation = "resume", tableName = cfg.tableName,
+      tableType = cfg.tableType.name, keyFields = cfg.keyFields,
+      precombineField = cfg.precombineField, partitionFields = cfg.partitionFields,
+      partitions = toWrite.map(p => PartitionEntry(p, "native", countsByP.getOrElse(p, 0L))),
+      recordCount = toWrite.map(countsByP.getOrElse(_, 0L)).sum,
+      schemaDdl = MetaColumns.withMeta(input, cfg.keyFields, cfg.partitionFields, ct).schema.toDDL,
+      sourcePath = None))
+    toWrite
+  }
+
+  // ----------------------------------------------------------------- write
+
+  private def writeData(
+      df: DataFrame,
+      keyF: Seq[String],
+      partF: Seq[String],
+      ct: String,
+      dest: String,
+      mode: String,
+      dynamicOverwrite: Boolean): Unit = {
+    val withMeta = MetaColumns.withMeta(df, keyF, partF, ct)
+    val w = withMeta.write.mode(mode).format("parquet")
+      .option("partitionOverwriteMode", if (dynamicOverwrite) "dynamic" else "static")
+    (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(dest)
+  }
+
+  // ------------------------------------------------------------------ read
+
+  /** S4: read the live table. Native partitions come from the directory tree
+    * (schema enforced from the commit log so partition-column dtypes survive
+    * the dir-name round trip); METADATA_ONLY partitions are served straight
+    * from the registered source files with meta-columns synthesized on the
+    * fly — zero-copy bootstrap reads.
+    */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val cols = schema.fieldNames.map(col).toSeq
+
+    // directories are truth for native partitions: a partition whose dir was
+    // removed out-of-band is missing (the resume path re-detects it), not a
+    // read error. O(#partitions) existence checks — metadata only.
+    val fs = CommitLog.fs(spark, tablePath)
+    val native = st.nativePartitions
+      .filter(p => fs.exists(new Path(s"$tablePath/${PathCodec.escape(p)}")))
+    val metaOnly = st.metadataOnlyPartitions
+    val parts = Seq.newBuilder[DataFrame]
+
+    if (partF.isEmpty) {
+      if (st.nativePartitions.nonEmpty)
+        parts += spark.read.schema(schema).parquet(tablePath).select(cols: _*)
+    } else if (native.nonEmpty) {
+      parts += spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(native.map(p => s"$tablePath/${PathCodec.escape(p)}"): _*)
+        .select(cols: _*)
+    }
+    if (metaOnly.nonEmpty) {
+      val src = st.sourcePath.getOrElse(
+        throw GraftException.unexpected(s"metadata_only partitions without sourcePath at $tablePath"))
+      val mct = st.commits.find(_.sourcePath.isDefined).map(_.commitTime).getOrElse(st.latest.commitTime)
+      val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
+      val raw = readSource(spark, src, dataSchema, partF,
+        wanted = if (native.isEmpty) None else Some(metaOnly))
+      parts += MetaColumns.withMeta(raw, keyF, partF, mct).select(cols: _*)
+    }
+    parts.result() match {
+      case Nil => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case dfs => dfs.reduce(_ unionByName _)
+    }
+  }
+
+  /** Read (a subset of) a registered source. Hive-layout sources are read by
+    * partition directory (pruned at the file index); flat sources carry the
+    * partition columns in-file, so a subset becomes a pushable-ish filter on
+    * the partition columns.
+    */
+  private def readSource(
+      spark: SparkSession,
+      src: String,
+      dataSchema: StructType,
+      partF: Seq[String],
+      wanted: Option[Seq[String]]): DataFrame = {
+    val layout = if (partF.isEmpty) PartitionDiscovery.Layout(isPartitioned = false, Nil)
+      else PartitionDiscovery.discover(spark, src)
+    val hive = layout.isPartitioned && layout.partitionFields == partF
+    (hive, wanted) match {
+      case (true, Some(ps)) =>
+        spark.read.schema(dataSchema).option("basePath", src)
+          .parquet(ps.map(p => s"$src/${PathCodec.escape(p)}"): _*)
+      case (true, None) =>
+        spark.read.schema(dataSchema).option("basePath", src).parquet(src)
+      case (false, w) =>
+        val df = spark.read.schema(dataSchema).parquet(src)
+        w.fold(df)(ps => df.filter(ppCol(partF).isin(ps: _*)))
+    }
+  }
+
+  // ------------------------------------------------------ incremental write
+
+  /** J4/H7 upsert: within-batch precombine dedup, then COW-rewrite of ONLY
+    * the touched partitions via a staging write + directory swap (a direct
+    * overwrite would read and clobber the same path). Unchanged rows keep
+    * their original `_hoodie_commit_time`.
+    *
+    * Key scoping follows Hudi's default (non-global) index: a record key is
+    * unique within its partition path. An update whose partition value
+    * differs from the stored row's is an insert into the new partition; the
+    * old row is not visited (that's Hudi's GLOBAL_* index behavior, which the
+    * reference never enables).
+    */
+  def upsert(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val precombine = st.latest.precombineField
+    val ct = CommitLog.newCommitTime()
+
+    val updDeduped = Upsert.dedupByKey(updates, keyF, precombine)
+    val updMeta = MetaColumns.withMeta(updDeduped, keyF, partF, ct)
+
+    val touched: Seq[String] =
+      if (partF.isEmpty) Seq("")
+      else updMeta.select(MetaColumns.PartitionPath).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted // bounded by #touched partitions
+
+    val base = readPartitions(spark, tablePath, st, touched)
+    val dataCols = base.columns.toSeq
+    val merged = base.join(updMeta.select(keyF.map(col): _*), keyF, "left_anti")
+      .unionByName(updMeta.select(dataCols.map(col): _*))
+
+    val counts = stageAndSwap(spark, tablePath, merged,
+      StructType.fromDDL(st.latest.schemaDdl), partF, touched, ct)
+
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "upsert", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
+      partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+    touched
+  }
+
+  /** H5 bulk_insert (straight append, no index lookup/dedup) and H7 insert
+    * (within-batch key dedup, then append). Metadata-only partitions the
+    * batch touches are materialized first so the source isn't double-read.
+    */
+  def append(
+      spark: SparkSession,
+      tablePath: String,
+      batch: DataFrame,
+      op: WriteOperation = WriteOperation.BulkInsert): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val ct = CommitLog.newCommitTime()
+    val rows = op match {
+      case WriteOperation.Insert => Upsert.dedupByKey(batch, keyF, st.latest.precombineField)
+      case _ => batch
+    }
+    val rowsMeta = MetaColumns.withMeta(rows, keyF, partF, ct)
+    val touched: Seq[String] =
+      if (partF.isEmpty) Seq("")
+      else rowsMeta.select(MetaColumns.PartitionPath).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+
+    materialize(spark, tablePath, st, touched.filter(st.partitionModes.get(_).contains("metadata_only")))
+
+    val w = rowsMeta.write.mode("append").format("parquet")
+    (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(tablePath)
+
+    val counts = partitionCountsOf(rowsMeta, partF)
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = op.name, tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = keyF,
+      precombineField = st.latest.precombineField, partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+    touched
+  }
+
+  /** Copy METADATA_ONLY partitions into native storage (what Hudi does on
+    * first update to a bootstrapped partition).
+    */
+  private def materialize(
+      spark: SparkSession, tablePath: String, st: TableState, parts: Seq[String]): Unit = {
+    if (parts.isEmpty) return
+    val ct = CommitLog.newCommitTime()
+    val slice = readPartitions(spark, tablePath, st, parts) // already carries meta cols
+    stageAndSwap(spark, tablePath, slice, StructType.fromDDL(st.latest.schemaDdl),
+      st.latest.partitionFields, parts, ct)
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "materialize", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField, partitionFields = st.latest.partitionFields,
+      partitions = parts.map(p => PartitionEntry(p, "native", 0L)),
+      recordCount = 0L, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+  }
+
+  /** Read only the given partitions of the live table (native from their
+    * dirs, metadata-only from the source) — the partition-pruning that keeps
+    * upserts proportional to the touched data, not the table.
+    */
+  private def readPartitions(
+      spark: SparkSession, tablePath: String, st: TableState, parts: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val partF = st.latest.partitionFields
+    val cols = schema.fieldNames.map(col).toSeq
+    if (partF.isEmpty) {
+      // unpartitioned: the whole table is the single partition
+      return read(spark, tablePath)
+    }
+    val fs = CommitLog.fs(spark, tablePath)
+    val native = parts.filter(p => st.partitionModes.get(p).contains("native"))
+      .filter(p => fs.exists(new Path(s"$tablePath/${PathCodec.escape(p)}")))
+    val metaOnly = parts.filter(p => st.partitionModes.get(p).contains("metadata_only"))
+    val dfs = Seq.newBuilder[DataFrame]
+    if (native.nonEmpty)
+      dfs += spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(native.map(p => s"$tablePath/${PathCodec.escape(p)}"): _*).select(cols: _*)
+    if (metaOnly.nonEmpty) {
+      val src = st.sourcePath.get
+      val mct = st.commits.find(_.sourcePath.isDefined).map(_.commitTime).getOrElse(st.latest.commitTime)
+      val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
+      dfs += MetaColumns.withMeta(
+        readSource(spark, src, dataSchema, partF, Some(metaOnly)),
+        st.latest.keyFields, partF, mct).select(cols: _*)
+    }
+    dfs.result() match {
+      case Nil => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case xs => xs.reduce(_ unionByName _)
+    }
+  }
+
+  /** Write `df` (which may READ from `tablePath`) into the touched partitions
+    * of `tablePath`: stage under the commit-log dir (hidden from parquet
+    * discovery), then swap each partition directory — O(#partitions) rename
+    * metadata ops, no data copy.
+    */
+  private def stageAndSwap(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      schema: StructType,
+      partF: Seq[String],
+      touched: Seq[String],
+      ct: String): Map[String, Long] = {
+    val fs = CommitLog.fs(spark, tablePath)
+    val staging = s"$tablePath/${CommitLog.LogDirName}/staging-$ct"
+    val w = df.write.mode("overwrite").format("parquet")
+    (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(staging)
+
+    if (partF.isEmpty) {
+      // swap the root data files
+      fs.listStatus(new Path(tablePath)).filter(_.isFile)
+        .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
+        .foreach(f => fs.delete(f.getPath, false))
+      fs.listStatus(new Path(staging)).filter(_.isFile)
+        .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
+        .foreach(f => fs.rename(f.getPath, new Path(tablePath, f.getPath.getName)))
+    } else {
+      touched.foreach { p =>
+        val dest = new Path(s"$tablePath/${PathCodec.escape(p)}")
+        val src = new Path(s"$staging/${PathCodec.escape(p)}")
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (fs.exists(src)) {
+          if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+          fs.rename(src, dest)
+        }
+      }
+    }
+    fs.delete(new Path(staging), true)
+    // per-partition counts for the commit log: count only the swapped-in
+    // partitions, with the log schema so partition-path strings match
+    if (partF.isEmpty) Map("" -> spark.read.schema(schema).parquet(tablePath).count())
+    else {
+      val existing = touched.filter(p => fs.exists(new Path(s"$tablePath/${PathCodec.escape(p)}")))
+      if (existing.isEmpty) Map.empty
+      else spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(existing.map(p => s"$tablePath/${PathCodec.escape(p)}"): _*)
+        .groupBy(MetaColumns.partitionPath(partF).as("__pp"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+  }
+
+  // ------------------------------------------------------------- utilities
+
+  /** Per-partition counts as ONE grouped aggregate (A3 fused with A1). */
+  private def partitionCounts(
+      spark: SparkSession,
+      df: DataFrame,
+      partF: Seq[String],
+      fromPartitionPathCol: Boolean = false): Seq[(String, Long)] = {
+    if (partF.isEmpty) return Seq("" -> df.count())
+    val pp = if (fromPartitionPathCol) col(MetaColumns.PartitionPath) else ppCol(partF)
+    df.groupBy(pp.as("__pp")).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+  }
+
+  private def partitionCountsOf(df: DataFrame, partF: Seq[String]): Map[String, Long] =
+    if (partF.isEmpty) Map("" -> df.count())
+    else df.groupBy(col(MetaColumns.PartitionPath)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** M5: existing partitions = directory listing (unescaped) ∪ commit-log
+    * registrations (covers metadata-only partitions with no dirs).
+    */
+  def existingPartitions(
+      spark: SparkSession, tablePath: String, partF: Seq[String]): Seq[String] = {
+    val fromDirs = PartitionDiscovery.existingPartitions(spark, tablePath, partF.size)
+      .map(PathCodec.unescape)
+    // the log only vouches for metadata-only partitions (no dirs by design);
+    // for native partitions the directory is truth — a deleted dir is missing
+    val fromLog = CommitLog.state(spark, tablePath)
+      .map(_.metadataOnlyPartitions).getOrElse(Seq.empty)
+    (fromDirs ++ fromLog).distinct.sorted.filter(_.nonEmpty)
+  }
+}
