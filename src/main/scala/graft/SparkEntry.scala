@@ -16,8 +16,8 @@ object SparkEntry {
     queries("q18_star_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle
+    graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deduplication family for large-scale corpus pipelines. Every variant is a
+  * declarative plan:
+  *
+  *  - exact: hash-groupBy on a fingerprint — one shuffle on the hash, never
+  *    on the full text.
+  *  - minhash+LSH: shingle → k minhashes → b bands → bucket self-join →
+  *    exact-Jaccard verify. The bucket join shuffles on (band, bucketKey),
+  *    so candidate generation is O(collisions), not O(n²); the verify step
+  *    touches only candidate pairs.
+  *  - simhash: 60-bit sign-aggregated fingerprint per doc (per-row fold, no
+  *    row explosion) + pigeonhole-chunk bucket join for candidates.
+  *  - n-gram Jaccard: the exact quadratic baseline, for oracle duty and
+  *    small blocks.
+  *  - embedding cosine: see [[Similarity]]; pair form lives here.
+  *
+  * All hashing goes through [[Portable.hash60]] so DuckDB can verify every
+  * stage cell-for-cell.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact (O6)
+
+  /** Exact dedup by content: survivor = min id per normalized text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol).as("text"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Distinct word n-grams. Short docs (< n words) yield their whole text as
+    * the single shingle.
+    */
+  def shingles(wordsCol: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(wordsCol) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(wordsCol, i, lit(n)))))
+
+  // --------------------------------------------------------------- minhash
+
+  /** Base hashes: one md5 per shingle (the only expensive op), reduced mod
+    * P31 so the k signature members derive by exact integer arithmetic.
+    */
+  def shingleHashes(shinglesCol: Column): Column =
+    transform(shinglesCol, s => pmod(Portable.hash60(s), lit(Portable.P31)))
+
+  /** k-minhash signature: element j = min over shingles of
+    * (a_j * (hash60(s) mod P31) + b_j) mod P31 — ONE md5 per shingle plus a
+    * universal hash family with literal constants, evaluated by the native
+    * [[graft.functions.NativeExpressions.MinHashSigExpr]] (one JVM pass; a
+    * composed-HOF version recomputes every md5 k times after projection
+    * collapse). The oracle reproduces signatures with the same literals.
+    */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    graft.functions.NativeExpressions.minhash_sig(shinglesCol, k)
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, bucket on the band content, self-join buckets.
+    * Returns distinct (a_id, b_id) with a_id < b_id.
+    */
+  def lshCandidates(
+      df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = df.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
+        b.as("band"),
+        concat_ws(",",
+          transform(slice(col(sigCol), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+            _.cast("string"))).as("bkey")))).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact Jaccard between two distinct-shingle arrays — native hash-set
+    * expression computing i / (|A| + |B| - i) in doubles, the identical
+    * arithmetic the oracle's list_intersect formulation uses.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.array_jaccard(a, b)
+
+  /** Full minhash-LSH near-dup pipeline: candidates from banding, verified
+    * with exact Jaccard ≥ threshold against the original shingle sets.
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(split(col(textCol), "\\s+"), shingleN).as("sh"))
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // the candidate set is tiny (collision pairs) but referenced twice below;
+    // without persist each reference would recompute the whole LSH join
+    val cand = lshCandidates(sig, "id", "sig", bands, numHashes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify only the candidate docs: semi-join BEFORE shingling so the
+    // second shingle pass touches O(candidates) rows, not the corpus
+    val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("cid")).distinct()
+    val shCand = docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("id"), shingles(split(col(textCol), "\\s+"), shingleN).as("sh"))
+    cand
+      .join(shCand.select(col("id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(shCand.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .select(col("a_id"), col("b_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  val SimhashBits = 60
+
+  /** 60-bit simhash of the token multiset — the native Catalyst expression
+    * ([[graft.functions.NativeExpressions.SimHash60Expr]]): one JVM pass per
+    * row. Same md5-hex bit semantics as the interpreted formulation the
+    * oracle computes.
+    */
+  def simhash(wordsCol: Column): Column =
+    graft.functions.NativeExpressions.simhash60(wordsCol)
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Simhash near-dup pairs with guaranteed recall for hamming ≤ chunks-1:
+    * split the fingerprint into `chunks` bit-ranges; by pigeonhole any pair
+    * within that distance shares at least one chunk, so the bucket join
+    * finds it. Verification recomputes exact hamming.
+    */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole recall needs chunks > maxHamming")
+    val bitsPerChunk = SimhashBits / chunks
+    val withSh = docs.select(col(idCol).as("id"),
+      simhash(split(col(textCol), "\\s+")).as("sh"))
+    val keys = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sh"), c * bitsPerChunk).bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("ckey"))
+    }
+    val banded = withSh.select(col("id"), col("sh"), explode(array(keys: _*)).as("x"))
+      .select(col("id"), col("sh"), col("x.chunk").as("chunk"), col("x.ckey").as("ckey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        hamming(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard pairs ≥ threshold: pair join within a block + the
+    * native jaccard expression (one hash-set pass per pair). `blockCol`
+    * bounds the quadratic pair space (all-pairs within a block); None =
+    * global — only sane for small corpora or as the oracle baseline. An
+    * explode-and-count formulation loses here because tiny vocabularies make
+    * shingle collisions dense; with realistic vocabularies both work, and
+    * minhashNearDups is the true scale path either way.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      blockCol: Option[String] = None): DataFrame = {
+    val block = blockCol.map(col).getOrElse(lit(1))
+    val sh = docs.select(col(idCol).as("id"), block.as("blk"),
+      shingles(split(col(textCol), "\\s+"), n).as("sh"))
+    val a = sh.select(col("blk"), col("id").as("a_id"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("id").as("b_id"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .select(col("blk"), col("a_id"), col("b_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreaming
+
+/** Large-scale training-data-pipeline operators (dedup family, similarity
+  * search, text analysis, multimodal plumbing, sessionization), each as a
+  * Spark plan + DuckDB oracle. Probabilistic operators (minhash, simhash)
+  * use the portable md5-based hash so the oracle reproduces them
+  * cell-for-cell; the LSH variants are verified against the exhaustive
+  * formulation — with the chosen band/chunk parameters recall is exact
+  * (pigeonhole for simhash; empirically total for minhash at J≥0.5 vs the
+  * 0.07 noise floor).
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ----------------------------------------------------------------- dedup
+
+  /** Exact dedup over docs ∪ id-shifted copy (so real dup groups exist). */
+  private val x01: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val copy = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    Dedup.exact(docs.unionByName(copy), "doc_id", "text")
+      .select("survivor_id", "n_dups")
+      .orderBy("survivor_id")
+  }
+
+  /** MinHash+LSH near-dups, Jaccard-verified (16 hashes, 4 bands × 4). */
+  private val x02: Q = (s, d) =>
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  /** SimHash near-dups via pigeonhole chunking (exact recall for dist ≤ 3). */
+  private val x03: Q = (s, d) =>
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      .select(col("a_id"), col("b_id"), col("dist").cast(LongType).as("dist"))
+      .orderBy("a_id", "b_id")
+
+  /** Exact bigram-Jaccard pairs, blocked by source (the quadratic baseline
+    * made scale-safe by blocking).
+    */
+  private val x04: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"), col("source"),
+      Dedup.shingles(split(col("text"), "\\s+"), 2).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("source").as("src"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("b_id"), col("source").as("src"), col("sh").as("sh_b"))
+    a.join(b, Seq("src")).filter(col("a_id") < col("b_id"))
+      .select(col("src"), col("a_id"), col("b_id"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= lit(0.6))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs. */
+  private val x05: Q = (s, d) =>
+    Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.4)
+      .orderBy("a_id", "b_id")
+
+  // ------------------------------------------------------------ similarity
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
+  private val x06: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "rank", "vec_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF ANN (16 cells, 4 probes) — approximate; rows-only check (no oracle:
+    * the result is approximate by design and the SQL reformulation would be
+    * the implementation, not an independent check).
+    */
+  private val x07: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .select("query_id", "rank", "vec_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** MinHash signatures themselves (first 20 docs) — verifies the universal
+    * hash family cell-for-cell, not just the downstream pair set.
+    */
+  private val x15: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingles(split(col("text"), "\\s+"), 3), 16).as("sig"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------ text
+
+  private val x08: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val x09: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.meanWordLen(col("text")).as("mean_len"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private val x10: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).cast(LongType).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val x11: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp_md5"),
+      TextFunctions.rollingFingerprint(col("text")).as("fp_roll"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- events
+
+  /** Gap sessionization (30 min), batch twin of the streaming operator. */
+  private val x12: Q = (s, d) =>
+    EventStreaming.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Tumbling-hour aggregation per event type (streaming twin exists). */
+  private val x13: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Binary media column plumbing: metadata extraction at scan time. */
+  private val x14: Q = (s, d) =>
+    Multimodal.toMediaTable(Tables.documents(s, d), "doc_id", "text", "text/plain")
+      .select("media_id", "media_type", "n_bytes", "checksum")
+      .orderBy("media_id")
+
+  val queries: Map[String, Q] = Map(
+    "x01_dedup_exact" -> x01,
+    "x02_dedup_minhash_lsh" -> x02,
+    "x03_dedup_simhash" -> x03,
+    "x04_dedup_ngram_jaccard" -> x04,
+    "x05_dedup_embedding" -> x05,
+    "x06_ann_topk_brute" -> x06,
+    "x07_ann_ivf" -> x07,
+    "x08_lang_id" -> x08,
+    "x09_text_quality" -> x09,
+    "x10_token_count" -> x10,
+    "x11_fingerprint" -> x11,
+    "x12_sessionize" -> x12,
+    "x13_hourly_agg" -> x13,
+    "x14_multimodal_meta" -> x14,
+    "x15_minhash_sig" -> x15,
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  /** DuckDB fragments shared below:
+    * words  = string_split_regex(text, '\s+')
+    * hash60 = ('0x' || substr(md5(x), 1, 15))::BIGINT
+    */
+  private val shingles3 =
+    """list_distinct([array_to_string(w[i:i+2], ' ')
+      |  for i in generate_series(1, greatest(len(w)-2, 1))])""".stripMargin
+  private val shingles2 =
+    """list_distinct([array_to_string(w[i:i+1], ' ')
+      |  for i in generate_series(1, greatest(len(w)-1, 1))])""".stripMargin
+
+  private def jaccardSql(a: String, b: String) =
+    s"len(list_intersect($a,$b))::DOUBLE / (len($a)::DOUBLE + len($b)::DOUBLE - len(list_intersect($a,$b))::DOUBLE)"
+
+  private val dotSql =
+    "list_reduce(list_prepend(0.0::DOUBLE, [A[i]::DOUBLE * B[i]::DOUBLE for i in generate_series(1,64)]), (x,y) -> x+y)"
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, [$v[i]::DOUBLE * $v[i]::DOUBLE for i in generate_series(1,64)]), (x,y) -> x+y))"
+
+  private def cosineSql(a: String, b: String) =
+    dotSql.replace("A[", a + "[").replace("B[", b + "[") +
+      s" / (${normSql(a)} * ${normSql(b)})"
+
+  val oracle: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS survivor_id, count(*) AS n_dups
+        |FROM all_docs GROUP BY text ORDER BY survivor_id""".stripMargin,
+    "x02_dedup_minhash_lsh" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingles3 AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents))
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "x03_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |bits AS (
+        |  SELECT doc_id, i.i AS i,
+        |    2 * ((floor((strpos('0123456789abcdef', substr(md5(word), (i.i // 4) + 1, 1)) - 1)
+        |      / ([8,4,2,1])[(i.i % 4) + 1]))::BIGINT % 2) - 1 AS pm
+        |  FROM tok, (SELECT unnest(generate_series(0, 59)) AS i) i),
+        |sums AS (SELECT doc_id, i, sum(pm) AS sm FROM bits GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN sm > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sh
+        |  FROM sums GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.sh, b.sh))::BIGINT AS dist
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1, 2""".stripMargin,
+    "x04_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingles2 AS s
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents))
+         |SELECT * FROM (
+         |  SELECT a.source AS src, a.doc_id AS a_id, b.doc_id AS b_id, ${jaccardSql("a.s", "b.s")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.6 ORDER BY a_id, b_id""".stripMargin,
+    "x05_dedup_embedding" ->
+      s"""SELECT * FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE sim >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    "x06_ann_topk_brute" ->
+      s"""SELECT query_id, rank, vec_id, sim FROM (
+         |  SELECT query_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)::BIGINT AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id, ${cosineSql("q.embedding", "e.embedding")} AS sim
+         |    FROM embeddings e JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |      ON q.vec_id <> e.vec_id))
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x08_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len([x for x in w if list_contains(['the','a','and','of','to','is'], x)]) AS s_en,
+        |    len([x for x in w if list_contains(['der','die','das','und','ist','ein'], x)]) AS s_de,
+        |    len([x for x in w if list_contains(['el','la','los','y','es','un'], x)]) AS s_es,
+        |    len([x for x in w if list_contains(['le','la','les','et','est','un'], x)]) AS s_fr,
+        |    len([x for x in w if list_contains(['de','shi','he','zai','you','wo'], x)]) AS s_zh
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents))
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+        |    WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x09_text_quality" ->
+      """SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_len,
+        |  0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+        |  + 0.3 * (1.0 - punct_ratio)
+        |  + 0.2 * stop_ratio
+        |  + 0.2 * least(1.0, mean_len / 8.0) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_tokens,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+        |    len([x for x in w if list_contains(['the','a','an','and','or','of','to','in','is','it'], x)])::DOUBLE
+        |      / len(w)::DOUBLE AS stop_ratio,
+        |    list_reduce(list_prepend(0::BIGINT, [length(x)::BIGINT for x in w]), (p,q) -> p+q)::DOUBLE
+        |      / len(w)::DOUBLE AS mean_len
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "x10_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+'))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(string_split_regex(lower(text), '\s+'), ' ')) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      [('0x' || substr(md5(x), 1, 15))::BIGINT for x in string_split_regex(text, '\s+')]),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x12_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |f AS (
+        |  SELECT user_id, ts, sec,
+        |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "x13_hourly_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x14_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "x15_minhash_sig" -> {
+      val aList = graft.functions.Portable.minhashA(16).mkString("[", ",", "]")
+      val bList = graft.functions.Portable.minhashB(16).mkString("[", ",", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shingles3 AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents WHERE doc_id < 20)),
+         |hs AS (
+         |  SELECT doc_id,
+         |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in s] AS h
+         |  FROM sh)
+         |SELECT doc_id,
+         |  [list_min([($aList[j+1] * x + $bList[j+1]) % 2147483647 for x in h])
+         |    for j in generate_series(0, 15)] AS sig
+         |FROM hs ORDER BY doc_id""".stripMargin
+    },
+  )
+}

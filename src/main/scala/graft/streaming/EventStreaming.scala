@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream processing (SURVEY §2.10 extension point): the reference's
+  * only stream is the per-transaction WebSocket status feed; here the same
+  * event model gets the full Structured Streaming treatment — watermarked
+  * tumbling-window aggregation and stateful gap sessionization — plus batch
+  * twins of both so results are DuckDB-verifiable.
+  */
+object EventStreaming {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  final case class SessionState(startTs: Timestamp, lastTs: Timestamp, cnt: Long)
+
+  // ------------------------------------------------------------- streaming
+
+  /** Watermarked tumbling-window count/sum per event type. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState: state =
+    * (start, last, count) per user; an EVENT-time timeout (watermark-driven,
+    * so batches are data-paced — a processing-time timeout would have the
+    * engine spinning wall-clock wake-up batches) flushes idle sessions.
+    * Within-batch events are sorted in the group — Structured Streaming
+    * hands each trigger's rows unordered.
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOut(userId, s.startTs, s.lastTs, s.cnt))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs.getTime <= gapMs =>
+                  cur = Some(SessionState(s.startTs, e.ts, s.cnt + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startTs, s.lastTs, s.cnt)
+                  cur = Some(SessionState(e.ts, e.ts, 1L))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutTimestamp(cur.map(_.lastTs.getTime + gapMs)
+              .getOrElse(System.currentTimeMillis() + gapMs))
+            closed.result().iterator
+          }
+        })
+  }
+
+  // ----------------------------------------------------------- batch twins
+
+  /** Batch sessionization: lag + running sum of new-session flags — one
+    * shuffle on user_id; window functions do the rest in-partition.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Batch tumbling-hour aggregation (twin of windowedAgg). */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

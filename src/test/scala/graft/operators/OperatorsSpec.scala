@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(sf("documents"))
+
+  test("minhash LSH candidates are a superset of true near-dups (recall 1 on fixture)") {
+    val exhaustive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exhaustive)
+    assert(lsh.nonEmpty) // fixture has planted near-dups
+  }
+
+  test("simhash pigeonhole chunking finds exactly the exhaustive pairs") {
+    val withSh = docs.select(col("doc_id"),
+      Dedup.simhash(split(col("text"), "\\s+")).as("sh"))
+    val a = withSh.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = withSh.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    val exhaustive = a.join(b, col("a_id") < col("b_id"))
+      .filter(Dedup.hamming(col("sha"), col("shb")) <= 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chunked = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chunked === exhaustive)
+  }
+
+  test("simhash of identical texts is identical; near-dup texts are close") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "x y z q w e r t"))
+      .toDF("id", "t")
+    val sh = d.select(col("id"), Dedup.simhash(split(col("t"), "\\s+")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("exact dedup groups identical content") {
+    val d = Seq((1L, "same text"), (5L, "same text"), (9L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text")
+      .select("survivor_id", "n_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 9L -> 1L))
+  }
+
+  test("brute-force top-k is exact and deterministic") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 5)
+      .orderBy("rank").collect()
+    assert(out.length === 5)
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1))) // descending
+    assert(out.forall(_.getAs[Long]("vec_id") !== 0L)) // self excluded
+  }
+
+  test("IVF recall against brute force is reasonable on the fixture") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 8)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("text functions are deterministic and sane") {
+    val r = docs.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.punctRatio(col("text")).as("p"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("l")).collect()
+    assert(r.forall(_.getAs[Int]("n") > 0))
+    assert(r.forall(x => x.getAs[Double]("q") >= 0.0 && x.getAs[Double]("q") <= 1.0))
+    assert(r.forall(x => x.getAs[Double]("p") >= 0.0 && x.getAs[Double]("p") < 1.0))
+    assert(r.map(_.getAs[String]("l")).toSet.subsetOf(
+      TextFunctions.LangProfiles.map(_._1).toSet + "und"))
+  }
+
+  test("multimodal plumbing: metadata, stubbed decode, frame sampling") {
+    val media = Multimodal.toMediaTable(docs.limit(10), "doc_id", "text", "video/fake")
+    assert(media.schema("media").dataType === org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(spark, media)
+    val rows = feats.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(f => f.n_bytes > 0 && f.checksum.length === 32 && f.frames >= 1))
+    // expression-side checksum (scan-time) equals the mapPartitions-side one
+    val exprSums = media.select("media_id", "checksum").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(f => exprSums(f.media_id) === f.checksum))
+    val frames = Multimodal.sampleFrames(feats.toDF(), stride = 10)
+    assert(frames.count() > 0)
+  }
+}

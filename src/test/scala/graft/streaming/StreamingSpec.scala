@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.streaming.EventStreaming.Event
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+    Event(3, ts("2024-01-01 11:30:00"), 1, "view", 3.0), // > 30 min gap → new session
+    Event(4, ts("2024-01-01 10:05:00"), 2, "click", 4.0))
+
+  test("streaming windowed agg over a memory stream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(fixture)
+    val q = EventStreaming.windowedAgg(stream.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_out")
+      .select(date_format(col("window.start"), "HH:mm").as("h"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("10:00", "click", 3L), ("11:00", "view", 1L)))
+  }
+
+  test("stateful streaming sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(fixture)
+    val q = EventStreaming.sessionizeStream(spark, stream.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // user 1's first session (10:00-10:10) closes when the 11:30 event
+    // arrives; the watermark then advances to 11:00, timing out user 2's
+    // idle session (last event 10:05 + 30 min < watermark). User 1's second
+    // session (11:30) stays open in state.
+    val closed = spark.table("sess_out").as[EventStreaming.SessionOut].collect()
+      .map(s => (s.user_id, s.n_events)).toSet
+    assert(closed === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("batch sessionization matches hand-computed sessions") {
+    val out = EventStreaming.sessionizeBatch(fixture.toDF(), gapMinutes = 30)
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
