@@ -1,0 +1,12 @@
+package graft
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("8")
+    val d = "/root/testdata/sf0.01"
+    for (name <- args) {
+      println(s"===== $name =====")
+      SparkEntry.queries(name)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -239,6 +239,23 @@ object CoreQueries {
       .orderBy("p")
   }
 
+  /** Skew-salted dimension join: l_returnflag has 3 values (maximal key
+    * skew); the salted plan spreads each hot key over 8 sub-partitions.
+    * Result is identical to the plain join — which is exactly what the
+    * oracle checks.
+    */
+  private val q21: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val dim = li.select(col("l_returnflag")).distinct()
+      .withColumn("label", concat(lit("flag_"), col("l_returnflag")))
+    graft.ops.Skew.saltedJoin(li, dim, Seq("l_returnflag"),
+        salt = 8, saltExpr = pmod(col("l_orderkey"), lit(8)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -259,6 +276,7 @@ object CoreQueries {
     "q18_star_join" -> q18,
     "q19_pagination" -> q19,
     "q20_set_ops" -> q20,
+    "q21_salted_join" -> q21,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -362,5 +380,9 @@ object CoreQueries {
         |FULL OUTER JOIN (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS p, 1 AS in_ord FROM orders) b
         |ON a.p = b.p
         |ORDER BY 1""".stripMargin,
+    "q21_salted_join" ->
+      """SELECT 'flag_' || l_returnflag AS label, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -238,6 +238,40 @@ class KeyedTableSpec extends SparkTestBase {
     assert(after.filter(col("o_orderkey") === 3).head().getAs[String]("o_orderstatus") === "Q")
   }
 
+  test("ORC source: sniffed, merge-read, bootstrapped (S2)") {
+    val in = tmpDir("orcin")
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").orc(in)
+    assert(graft.io.SourceSniffer.sniff(spark, in) === "orc")
+    val table = tmpDir("tbl")
+    val res = KeyedTable.bootstrap(spark, cfg(in, table))
+    assert(res.report.ok && res.tableCount === 1500)
+  }
+
+  test("schema-merge scan: files with divergent schemas union into one table (S1)") {
+    val in = tmpDir("mergein")
+    val base = spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    // two parquet files with divergent schemas in ONE flat directory
+    val t1 = tmpDir("m1"); val t2 = tmpDir("m2")
+    base.filter(col("o_month") < "1998-01").coalesce(1).write.mode("overwrite").parquet(t1)
+    base.filter(col("o_month") >= "1998-01").withColumn("o_extra", lit("late"))
+      .coalesce(1).write.mode("overwrite").parquet(t2)
+    def moveParts(from: String, prefix: String): Unit =
+      new File(from).listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(in, s"$prefix-$i.parquet"))
+      }
+    moveParts(t1, "early"); moveParts(t2, "late")
+    val table = tmpDir("tbl")
+    val res = KeyedTable.bootstrap(spark, cfg(in, table))
+    assert(res.report.ok && res.tableCount === 1500)
+    val read = KeyedTable.read(spark, table)
+    assert(read.columns.contains("o_extra")) // merged schema
+    assert(read.filter(col("o_extra").isNull).count() > 0) // early files null-fill
+  }
+
   test("error taxonomy: missing path, bad format, missing fields, empty input") {
     val table = tmpDir("tbl")
     val e1 = intercept[GraftException] {
