@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.model.{BootstrapConfig, TableType}
 import graft.ops.Upsert
+import graft.table.KeyedTable
 
 /** SURVEY.md §2 operator inventory re-expressed as Spark-first DataFrame
   * plans over the driver fixtures, each with a DuckDB oracle.
@@ -256,6 +258,65 @@ object CoreQueries {
       .orderBy("label")
   }
 
+  /** Bootstrap a MERGE_ON_READ table from `orders`, run the full write
+    * lifecycle through the real table machinery — delta upsert, tombstone
+    * delete, compaction — and return the final snapshot. The oracle recomputes
+    * the expected end state in pure SQL, so every layer (meta columns, delta
+    * merge, precombine, tombstones, compaction swap) is hash-checked.
+    */
+  private val q22: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q22").toFile
+    tmp.deleteOnExit()
+    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val tbl = s"$tmp/tbl"
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q22_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, tbl, base.filter(col("o_orderkey") % 10 === 0)
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", (col("o_totalprice").cast(dec) + lit(100)).cast(DoubleType)))
+    KeyedTable.delete(s, tbl, KeyedTable.read(s, tbl)
+      .filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_month"))
+    KeyedTable.compact(s, tbl)
+
+    KeyedTable.read(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Incremental query over a COW table: bootstrap, upsert a batch, then read
+    * only what changed since the bootstrap instant — the commit log prunes the
+    * scan to partitions touched after the instant.
+    */
+  private val q23: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q23").toFile
+    tmp.deleteOnExit()
+    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val tbl = s"$tmp/tbl"
+    val boot = KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q23_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, tbl, base.filter(col("o_orderkey") % 13 === 0)
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("INC"))
+      .withColumn("o_totalprice", (col("o_totalprice").cast(dec) + lit(7)).cast(DoubleType)))
+
+    KeyedTable.readIncremental(s, tbl, boot.commitTime)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -277,6 +338,8 @@ object CoreQueries {
     "q19_pagination" -> q19,
     "q20_set_ops" -> q20,
     "q21_salted_join" -> q21,
+    "q22_table_lifecycle" -> q22,
+    "q23_incremental_read" -> q23,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -384,5 +447,16 @@ object CoreQueries {
       """SELECT 'flag_' || l_returnflag AS label, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_table_lifecycle" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin,
+    "q23_incremental_read" ->
+      """SELECT o_orderkey, 'INC' AS o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 7 AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey""".stripMargin,
   )
 }

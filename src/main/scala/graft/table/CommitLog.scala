@@ -54,6 +54,9 @@ object CommitLog {
       partitionModes.collect { case (p, "metadata_only") => p }.toSeq.sorted
     def nativePartitions: Seq[String] =
       partitionModes.collect { case (p, "native") => p }.toSeq.sorted
+    /** Partitions that exist only as MOR delta batches (no base files yet). */
+    def deltaOnlyPartitions: Seq[String] =
+      partitionModes.collect { case (p, "delta") => p }.toSeq.sorted
     def sourcePath: Option[String] = commits.reverseIterator.flatMap(_.sourcePath).nextOption()
   }
 
@@ -143,7 +146,12 @@ object CommitLog {
     else {
       val modes = cs.foldLeft(Map.empty[String, String]) { (acc, c) =>
         val base = if (c.operation == "bootstrap") Map.empty[String, String] else acc
-        base ++ c.partitions.map(p => p.path -> p.mode)
+        // a delta commit layers on top of an existing base partition without
+        // changing how its BASE files are read — "delta" only registers
+        // partitions that are new (delta-only, no base dir yet)
+        base ++ c.partitions
+          .filterNot(p => p.mode == "delta" && base.contains(p.path))
+          .map(p => p.path -> p.mode)
       }
       Some(TableState(cs, modes))
     }

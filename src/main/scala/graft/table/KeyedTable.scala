@@ -188,30 +188,63 @@ object KeyedTable {
 
   // ------------------------------------------------------------------ read
 
-  /** S4: read the live table. Native partitions come from the directory tree
-    * (schema enforced from the commit log so partition-column dtypes survive
-    * the dir-name round trip); METADATA_ONLY partitions are served straight
-    * from the registered source files with meta-columns synthesized on the
-    * fly — zero-copy bootstrap reads.
+  /** S4: read the live table snapshot. Native partitions come from the
+    * directory tree (schema enforced from the commit log so partition-column
+    * dtypes survive the dir-name round trip); METADATA_ONLY partitions are
+    * served straight from the registered source files with meta-columns
+    * synthesized on the fly — zero-copy bootstrap reads. On a MERGE_ON_READ
+    * table with live delta batches, partitions the deltas touch are merged at
+    * read time ([[Deltas.merge]]); every other partition streams straight
+    * from base parquet with no shuffle.
     */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val st = CommitLog.requireState(spark, tablePath)
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    snapshot(spark, tablePath, CommitLog.requireState(spark, tablePath), restrictTo = None)
+
+  private def snapshot(
+      spark: SparkSession,
+      tablePath: String,
+      st: TableState,
+      restrictTo: Option[Set[String]]): DataFrame = {
+    val live = Deltas.liveCommits(spark, tablePath)
+    if (live.isEmpty) return readBase(spark, tablePath, st, exclude = Set.empty, restrictTo)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val deltaParts = Deltas.touchedPartitions(st, live)
+      .filter(p => restrictTo.forall(_.contains(p)))
+    val plain = readBase(spark, tablePath, st, exclude = deltaParts.toSet, restrictTo)
+    val baseTouched = readPartitions(spark, tablePath, st, deltaParts)
+    val deltas = Deltas.read(spark, tablePath, schema, live)
+      .filter(restrictTo match {
+        case Some(ps) => col(MetaColumns.PartitionPath).isin(ps.toSeq: _*)
+        case None => lit(true)
+      })
+    plain.unionByName(Deltas.merge(baseTouched, deltas, st.latest.precombineField))
+  }
+
+  /** Base-file read (no delta merge), optionally excluding / restricted to a
+    * partition set. Directories are truth for native partitions: a partition
+    * whose dir was removed out-of-band is missing (the resume path re-detects
+    * it), not a read error. O(#partitions) existence checks — metadata only.
+    */
+  private def readBase(
+      spark: SparkSession,
+      tablePath: String,
+      st: TableState,
+      exclude: Set[String],
+      restrictTo: Option[Set[String]] = None): DataFrame = {
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
     val cols = schema.fieldNames.map(col).toSeq
+    def keep(p: String) = !exclude(p) && restrictTo.forall(_.contains(p))
 
-    // directories are truth for native partitions: a partition whose dir was
-    // removed out-of-band is missing (the resume path re-detects it), not a
-    // read error. O(#partitions) existence checks — metadata only.
     val fs = CommitLog.fs(spark, tablePath)
-    val native = st.nativePartitions
+    val native = st.nativePartitions.filter(keep)
       .filter(p => fs.exists(new Path(s"$tablePath/${PathCodec.escape(p)}")))
-    val metaOnly = st.metadataOnlyPartitions
+    val metaOnly = st.metadataOnlyPartitions.filter(keep)
     val parts = Seq.newBuilder[DataFrame]
 
     if (partF.isEmpty) {
-      if (st.nativePartitions.nonEmpty)
+      if (st.nativePartitions.nonEmpty && keep(""))
         parts += spark.read.schema(schema).parquet(tablePath).select(cols: _*)
     } else if (native.nonEmpty) {
       parts += spark.read.schema(schema).option("basePath", tablePath)
@@ -224,13 +257,31 @@ object KeyedTable {
       val mct = st.commits.find(_.sourcePath.isDefined).map(_.commitTime).getOrElse(st.latest.commitTime)
       val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
       val raw = readSource(spark, src, dataSchema, partF,
-        wanted = if (native.isEmpty) None else Some(metaOnly))
+        wanted = if (native.isEmpty && exclude.isEmpty && restrictTo.isEmpty) None else Some(metaOnly))
       parts += MetaColumns.withMeta(raw, keyF, partF, mct).select(cols: _*)
     }
     parts.result() match {
       case Nil => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case dfs => dfs.reduce(_ unionByName _)
     }
+  }
+
+  /** Incremental query (Hudi `hoodie.datasource.query.type=incremental`
+    * analogue): rows whose commit time is strictly greater than
+    * `sinceCommitTime`. The commit log bounds the scan to partitions some
+    * commit after `sinceCommitTime` actually touched — on a 100 TB table an
+    * incremental poll reads only the freshly-written partitions, not the
+    * table. COW-rewritten-but-unchanged rows keep their original commit time
+    * (see [[upsert]]), so they do not reappear; deletes are not surfaced
+    * (matching Hudi incremental-query semantics pre-CDC).
+    */
+  def readIncremental(spark: SparkSession, tablePath: String, sinceCommitTime: String): DataFrame = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val touchedSince = st.commits.filter(_.commitTime > sinceCommitTime)
+      .flatMap(_.partitions.map(_.path)).distinct
+    val restrict = if (st.latest.partitionFields.isEmpty) None else Some(touchedSince.toSet)
+    snapshot(spark, tablePath, st, restrict)
+      .filter(col(MetaColumns.CommitTime) > sinceCommitTime)
   }
 
   /** Read (a subset of) a registered source. Hive-layout sources are read by
@@ -274,6 +325,8 @@ object KeyedTable {
     */
   def upsert(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] = {
     val st = CommitLog.requireState(spark, tablePath)
+    if (st.latest.tableType == TableType.MergeOnRead.name)
+      return deltaCommit(spark, tablePath, st, updates, delete = false)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
     val precombine = st.latest.precombineField
@@ -302,6 +355,153 @@ object KeyedTable {
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
       recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
     touched
+  }
+
+  /** MOR write path: land the batch as a partitioned delta under
+    * `.graft/deltas/<commit>/` — no base file is read or rewritten, so a
+    * write costs O(|batch|) regardless of table size. Readers merge
+    * ([[Deltas.merge]]); [[compact]] folds deltas back into base files.
+    */
+  private def deltaCommit(
+      spark: SparkSession,
+      tablePath: String,
+      st: TableState,
+      batch: DataFrame,
+      delete: Boolean): Seq[String] = {
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val precombine = st.latest.precombineField
+    val ct = CommitLog.newCommitTime()
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+
+    // deletes may carry only key+partition columns; null-pad to the table
+    // schema so all delta files share one layout
+    val dataFields = schema.filterNot(f => MetaColumns.all.contains(f.name))
+    val padded = dataFields.foldLeft(
+      if (delete) batch else Upsert.dedupByKey(batch, keyF, precombine)) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val rows = MetaColumns.withMeta(padded, keyF, partF, ct)
+      .withColumn(Deltas.DeletedCol, lit(delete))
+      .select(schema.fieldNames.map(col).toSeq :+ col(Deltas.DeletedCol): _*)
+
+    Deltas.write(rows, tablePath, ct, partF)
+
+    val counts = partitionCountsOf(
+      spark.read.schema(Deltas.schemaOf(schema)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+    val touched = counts.keys.toSeq.sorted
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = if (delete) "delete" else "delta_commit",
+      tableName = st.latest.tableName, tableType = st.latest.tableType,
+      keyFields = keyF, precombineField = precombine, partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "delta", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+    touched
+  }
+
+  /** Hudi `delete` operation. `keys` must carry the key columns and (for
+    * partitioned tables) the partition columns — key scope is per-partition,
+    * matching the non-global index semantics of [[upsert]]. COW: anti-join
+    * rewrite of ONLY the touched partitions; MOR: a delta batch of
+    * tombstones, O(|keys|).
+    */
+  def delete(spark: SparkSession, tablePath: String, keys: DataFrame): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    if (st.latest.tableType == TableType.MergeOnRead.name)
+      return deltaCommit(spark, tablePath, st, keys, delete = true)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val ct = CommitLog.newCommitTime()
+
+    val touched: Seq[String] =
+      if (partF.isEmpty) Seq("")
+      else keys.select(ppCol(partF).as("__pp")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted // bounded by #touched partitions
+
+    val base = readPartitions(spark, tablePath, st, touched)
+    val remaining = base.join(
+      keys.select((keyF ++ partF).map(col): _*).distinct(), keyF ++ partF, "left_anti")
+
+    val counts = stageAndSwap(spark, tablePath, remaining,
+      StructType.fromDDL(st.latest.schemaDdl), partF, touched, ct)
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "delete", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = keyF,
+      precombineField = st.latest.precombineField, partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+    touched
+  }
+
+  /** MOR compaction: fold every live delta batch into the base files of the
+    * partitions it touches, then drop the absorbed deltas. Winning rows keep
+    * the commit time of the delta that produced them, so incremental readers
+    * see compaction as a no-op. Swap-first/delete-after: a killed compaction
+    * re-runs from intact deltas (the merge is idempotent).
+    */
+  def compact(spark: SparkSession, tablePath: String): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val live = Deltas.liveCommits(spark, tablePath)
+    if (live.isEmpty) return Seq.empty
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val partF = st.latest.partitionFields
+    val ct = CommitLog.newCommitTime()
+
+    val touched = Deltas.touchedPartitions(st, live)
+    val merged = Deltas.merge(
+      readPartitions(spark, tablePath, st, touched),
+      Deltas.read(spark, tablePath, schema, live),
+      st.latest.precombineField)
+    val counts = stageAndSwap(spark, tablePath, merged, schema, partF, touched, ct)
+
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "compact", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField, partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+
+    val fs = CommitLog.fs(spark, tablePath)
+    live.foreach(c => fs.delete(Deltas.dir(tablePath, c), true))
+    touched
+  }
+
+  /** Clustering (Hudi clustering / OPTIMIZE analogue): rewrite partitions
+    * with rows range-partitioned and sorted by `sortCols`, bounding file row
+    * counts — the small-file + data-skipping service a streaming-ingest
+    * table needs at scale. Sorted files give parquet min/max pruning on
+    * `sortCols`; `maxRecordsPerFile` splits oversized outputs. Live deltas
+    * are compacted first so clustering sees the merged rows.
+    */
+  def cluster(
+      spark: SparkSession,
+      tablePath: String,
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long = 0L,
+      partitions: Option[Seq[String]] = None): Seq[String] = {
+    compact(spark, tablePath)
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val partF = st.latest.partitionFields
+    val ct = CommitLog.newCommitTime()
+    val targets = partitions.getOrElse(if (partF.isEmpty) Seq("") else st.nativePartitions)
+    if (targets.isEmpty) return Seq.empty
+
+    val rows = readPartitions(spark, tablePath, st, targets)
+    val sortKeys = (partF ++ sortCols).map(col)
+    val clustered = rows.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    val counts = stageAndSwap(spark, tablePath, clustered, schema, partF, targets, ct,
+      writeOptions = if (maxRecordsPerFile > 0) Map("maxRecordsPerFile" -> maxRecordsPerFile.toString)
+        else Map.empty)
+
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "cluster", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField, partitionFields = partF,
+      partitions = targets.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+    targets
   }
 
   /** H5 bulk_insert (straight append, no index lookup/dedup) and H7 insert
@@ -370,8 +570,9 @@ object KeyedTable {
     val partF = st.latest.partitionFields
     val cols = schema.fieldNames.map(col).toSeq
     if (partF.isEmpty) {
-      // unpartitioned: the whole table is the single partition
-      return read(spark, tablePath)
+      // unpartitioned: the whole table is the single (base) partition;
+      // deltas are layered on by the caller, never here
+      return readBase(spark, tablePath, st, exclude = Set.empty)
     }
     val fs = CommitLog.fs(spark, tablePath)
     val native = parts.filter(p => st.partitionModes.get(p).contains("native"))
@@ -407,10 +608,11 @@ object KeyedTable {
       schema: StructType,
       partF: Seq[String],
       touched: Seq[String],
-      ct: String): Map[String, Long] = {
+      ct: String,
+      writeOptions: Map[String, String] = Map.empty): Map[String, Long] = {
     val fs = CommitLog.fs(spark, tablePath)
     val staging = s"$tablePath/${CommitLog.LogDirName}/staging-$ct"
-    val w = df.write.mode("overwrite").format("parquet")
+    val w = df.write.mode("overwrite").format("parquet").options(writeOptions)
     (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(staging)
 
     if (partF.isEmpty) {

@@ -1,0 +1,196 @@
+package graft.table
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model._
+
+/** MERGE_ON_READ deltas, delete, compaction, clustering, incremental reads. */
+class MorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ordersIn(outDir: String): String = {
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
+  private def cfg(input: String, table: String) = BootstrapConfig(
+    dataFilePath = input, tablePath = table, tableName = "orders_t",
+    keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+    partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead)
+
+  private def updatesFor(table: String, keys: Seq[Long], status: String) = {
+    val base = KeyedTable.read(spark, table)
+    base.filter(col("o_orderkey").isin(keys: _*))
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit(status))
+  }
+
+  test("MOR upsert lands as a delta, no base rewrite; read merges; precombine wins in-batch") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+
+    val k = KeyedTable.read(spark, table).agg(min("o_orderkey")).head().getLong(0)
+    val month = KeyedTable.read(spark, table).filter(col("o_orderkey") === k)
+      .select("o_month").head().getString(0)
+    val baseFiles = new File(s"$table/o_month=$month").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+
+    // two in-batch versions: greater precombine must win
+    val base = KeyedTable.read(spark, table)
+    val dataCols = base.columns.filterNot(_.startsWith("_"))
+    val upd = base.filter(col("o_orderkey") === k).select(dataCols.map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("OLD"))
+      .unionByName(base.filter(col("o_orderkey") === k).select(dataCols.map(col).toSeq: _*)
+        .withColumn("o_orderstatus", lit("NEWER"))
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY")))
+    // keep o_month unchanged so the update hits the same partition
+    val touched = KeyedTable.upsert(spark, table, upd)
+    assert(touched === Seq(s"o_month=$month"))
+
+    // base files untouched — the write was a pure delta
+    val after = new File(s"$table/o_month=$month").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    assert(after === baseFiles)
+    assert(Deltas.liveCommits(spark, table).size === 1)
+
+    val merged = KeyedTable.read(spark, table)
+    assert(merged.count() === 1500) // replaced, not appended
+    assert(merged.filter(col("o_orderkey") === k).head()
+      .getAs[String]("o_orderstatus") === "NEWER")
+    assert(CommitLog.commits(spark, table).map(_.operation) === Seq("bootstrap", "delta_commit"))
+  }
+
+  test("MOR delete tombstones a key; compact folds deltas and drops them") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    val rows = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_month").orderBy("o_orderkey").limit(2).collect()
+    val (k1, m1) = (rows(0).getLong(0), rows(0).getString(1))
+    val (k2, _) = (rows(1).getLong(0), rows(1).getString(1))
+
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(k2), "U"))
+    KeyedTable.delete(spark, table, Seq((k1, m1)).toDF("o_orderkey", "o_month"))
+    assert(Deltas.liveCommits(spark, table).size === 2)
+
+    val merged = KeyedTable.read(spark, table)
+    assert(merged.count() === 1499)
+    assert(merged.filter(col("o_orderkey") === k1).count() === 0)
+    assert(merged.filter(col("o_orderkey") === k2).head().getAs[String]("o_orderstatus") === "U")
+
+    val compacted = KeyedTable.compact(spark, table)
+    assert(compacted.nonEmpty)
+    assert(Deltas.liveCommits(spark, table).isEmpty)
+    val after = KeyedTable.read(spark, table)
+    assert(after.count() === 1499)
+    assert(after.filter(col("o_orderkey") === k1).count() === 0)
+    assert(after.filter(col("o_orderkey") === k2).head().getAs[String]("o_orderstatus") === "U")
+    // compaction is idempotent / a no-op when no deltas remain
+    assert(KeyedTable.compact(spark, table).isEmpty)
+  }
+
+  test("MOR delta into a brand-new partition appears in reads and survives compaction") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    val base = KeyedTable.read(spark, table)
+    val dataCols = base.columns.filterNot(_.startsWith("_"))
+    val upd = base.orderBy("o_orderkey").limit(1).select(dataCols.map(col).toSeq: _*)
+      .withColumn("o_orderkey", lit(777777L))
+      .withColumn("o_month", lit("2099-01"))
+    KeyedTable.upsert(spark, table, upd)
+    assert(KeyedTable.read(spark, table).filter(col("o_month") === "2099-01").count() === 1)
+    KeyedTable.compact(spark, table)
+    assert(new File(s"$table/o_month=2099-01").exists())
+    assert(KeyedTable.read(spark, table).filter(col("o_month") === "2099-01").count() === 1)
+  }
+
+  test("COW delete rewrites only touched partitions") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+    val r = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_month").orderBy("o_orderkey").head()
+    val (k, m) = (r.getLong(0), r.getString(1))
+    val touched = KeyedTable.delete(spark, table, Seq((k, m)).toDF("o_orderkey", "o_month"))
+    assert(touched === Seq(s"o_month=$m"))
+    val after = KeyedTable.read(spark, table)
+    assert(after.count() === 1499)
+    assert(after.filter(col("o_orderkey") === k).count() === 0)
+  }
+
+  test("incremental read returns exactly rows committed after the given instant") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+
+    assert(KeyedTable.readIncremental(spark, table, boot.commitTime).count() === 0)
+    assert(KeyedTable.readIncremental(spark, table, "0").count() === 1500)
+
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(3).as[Long].collect().toSeq
+    KeyedTable.upsert(spark, table, updatesFor(table, ks, "INC"))
+    val inc = KeyedTable.readIncremental(spark, table, boot.commitTime)
+    assert(inc.count() === 3)
+    assert(inc.select("o_orderstatus").distinct().as[String].collect().toSeq === Seq("INC"))
+    // COW rewrite kept original commit times for untouched rows in the same partition
+    assert(KeyedTable.read(spark, table).count() === 1500)
+  }
+
+  test("incremental read on MOR sees un-compacted deltas; compaction adds nothing new") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table))
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(2).as[Long].collect().toSeq
+    KeyedTable.upsert(spark, table, updatesFor(table, ks, "D1"))
+    assert(KeyedTable.readIncremental(spark, table, boot.commitTime).count() === 2)
+    val preCompact = CommitLog.commits(spark, table).last.commitTime
+    KeyedTable.compact(spark, table)
+    // winners keep their delta commit times → still visible since boot, none since compact trigger
+    assert(KeyedTable.readIncremental(spark, table, boot.commitTime).count() === 2)
+    assert(KeyedTable.readIncremental(spark, table, preCompact).count() === 0)
+  }
+
+  test("cluster sorts files by sort key and bounds records per file") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+    val before = KeyedTable.read(spark, table).count()
+    KeyedTable.cluster(spark, table, sortCols = Seq("o_orderkey"), maxRecordsPerFile = 50L)
+    val after = KeyedTable.read(spark, table)
+    assert(after.count() === before) // content-preserving
+    // every data file respects the record bound
+    val dirs = new File(table).listFiles().filter(d => d.isDirectory && d.getName.startsWith("o_month="))
+    val oversized = dirs.flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getAbsolutePath).count()).filter(_ > 50L)
+    assert(oversized.isEmpty)
+    assert(CommitLog.commits(spark, table).last.operation === "cluster")
+  }
+
+  test("MOR end-to-end matches the equivalent COW table state") {
+    val in = ordersIn(tmpDir("in"))
+    val (tMor, tCow) = (tmpDir("mor"), tmpDir("cow"))
+    KeyedTable.bootstrap(spark, cfg(in, tMor))
+    KeyedTable.bootstrap(spark, cfg(in, tCow).copy(tableType = TableType.CopyOnWrite))
+    val ks = KeyedTable.read(spark, tCow).select("o_orderkey")
+      .orderBy(desc("o_orderkey")).limit(5).as[Long].collect().toSeq
+    for (t <- Seq(tMor, tCow)) {
+      KeyedTable.upsert(spark, t, updatesFor(t, ks.take(3), "EQ"))
+      val dr = KeyedTable.read(spark, t).filter(col("o_orderkey") === ks(4))
+        .select("o_orderkey", "o_month")
+      KeyedTable.delete(spark, t, dr)
+    }
+    KeyedTable.compact(spark, tMor)
+    def dump(t: String) = KeyedTable.read(spark, t)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(dump(tMor) === dump(tCow))
+  }
+}
