@@ -41,4 +41,17 @@ object Engine {
   def append(spark: SparkSession, tablePath: String, batch: DataFrame,
       op: WriteOperation = WriteOperation.BulkInsert): Seq[String] =
     KeyedTable.append(spark, tablePath, batch, op)
+
+  def delete(spark: SparkSession, tablePath: String, keys: DataFrame): Seq[String] =
+    KeyedTable.delete(spark, tablePath, keys)
+
+  def compact(spark: SparkSession, tablePath: String): Seq[String] =
+    KeyedTable.compact(spark, tablePath)
+
+  def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Seq[String] =
+    KeyedTable.cluster(spark, tablePath, sortCols, maxRecordsPerFile)
+
+  def readIncremental(spark: SparkSession, tablePath: String, sinceCommitTime: String): DataFrame =
+    KeyedTable.readIncremental(spark, tablePath, sinceCommitTime)
 }
