@@ -332,29 +332,77 @@ object KeyedTable {
     val precombine = st.latest.precombineField
     val ct = CommitLog.newCommitTime()
 
-    val updDeduped = Upsert.dedupByKey(updates, keyF, precombine)
+    val (evolved, padded) = evolveSchema(st, updates)
+    val updDeduped = Upsert.dedupByKey(padded, keyF, precombine)
     val updMeta = MetaColumns.withMeta(updDeduped, keyF, partF, ct)
+      .select(evolved.fieldNames.map(col).toSeq: _*)
 
     val touched: Seq[String] =
       if (partF.isEmpty) Seq("")
       else updMeta.select(MetaColumns.PartitionPath).distinct()
         .collect().map(_.getString(0)).toSeq.sorted // bounded by #touched partitions
 
-    val base = readPartitions(spark, tablePath, st, touched)
-    val dataCols = base.columns.toSeq
+    // base rows of touched partitions, null-padded if the batch added columns
+    val base0 = readPartitions(spark, tablePath, st, touched)
+    val base = evolved.fields.foldLeft(base0) { (df, f) =>
+      if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(evolved.fieldNames.map(col).toSeq: _*)
     val merged = base.join(updMeta.select(keyF.map(col): _*), keyF, "left_anti")
-      .unionByName(updMeta.select(dataCols.map(col): _*))
+      .unionByName(updMeta)
 
-    val counts = stageAndSwap(spark, tablePath, merged,
-      StructType.fromDDL(st.latest.schemaDdl), partF, touched, ct)
+    val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
 
     CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "upsert", tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
       partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
     touched
+  }
+
+  /** Add-column schema evolution (Hudi's default evolution rule on write):
+    * batch columns not in the table schema are appended (nullable); type
+    * changes are rejected; batch-missing columns are null-padded (Hudi's
+    * overwrite-latest payload replaces the whole row). Returns the evolved
+    * full schema (meta columns kept last) and the batch aligned to its data
+    * columns. Old base/delta files simply null-fill the new columns at read
+    * time — no rewrite of untouched data, which is what makes evolution
+    * affordable on a 100 TB table.
+    */
+  private def evolveSchema(st: TableState, batch: DataFrame): (StructType, DataFrame) = {
+    import org.apache.spark.sql.types.{DataType, DateType, NumericType, TimestampNTZType, TimestampType}
+    // same-family coercion (numeric↔numeric, datetime↔datetime) casts the
+    // batch to the table's declared type; cross-family changes are rejected
+    def coercible(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (_: NumericType, _: NumericType) => true
+      case (a, b) if Seq(a, b).forall(t =>
+        t == TimestampType || t == TimestampNTZType || t == DateType) => true
+      case _ => false
+    }
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val metaF = schema.filter(f => MetaColumns.all.contains(f.name))
+    val dataF = schema.filterNot(f => MetaColumns.all.contains(f.name))
+    val coerced = dataF.foldLeft(batch) { (df, f) =>
+      df.schema.find(_.name == f.name) match {
+        case Some(bf) if bf.dataType == f.dataType => df
+        case Some(bf) if coercible(bf.dataType, f.dataType) =>
+          df.withColumn(f.name, col(f.name).cast(f.dataType))
+        case Some(bf) =>
+          throw GraftException.config(
+            s"Schema evolution cannot change type of '${f.name}' from ${f.dataType.sql} to ${bf.dataType.sql}.")
+        case None => df
+      }
+    }
+    val newF = coerced.schema
+      .filterNot(f => dataF.exists(_.name == f.name) || MetaColumns.all.contains(f.name))
+      .map(_.copy(nullable = true))
+    val evolvedData = dataF ++ newF
+    val padded = evolvedData.foldLeft(coerced) { (df, f) =>
+      if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(evolvedData.map(f => col(f.name)).toSeq: _*)
+    (StructType((evolvedData ++ metaF).toArray), padded)
   }
 
   /** MOR write path: land the batch as a partitioned delta under
@@ -372,31 +420,32 @@ object KeyedTable {
     val partF = st.latest.partitionFields
     val precombine = st.latest.precombineField
     val ct = CommitLog.newCommitTime()
-    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val tableSchema = StructType.fromDDL(st.latest.schemaDdl)
 
-    // deletes may carry only key+partition columns; null-pad to the table
-    // schema so all delta files share one layout
-    val dataFields = schema.filterNot(f => MetaColumns.all.contains(f.name))
-    val padded = dataFields.foldLeft(
-      if (delete) batch else Upsert.dedupByKey(batch, keyF, precombine)) { (df, f) =>
-      if (df.columns.contains(f.name)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }
+    // deletes carry only key+partition columns (never evolve the schema);
+    // upserts may add columns. Either way rows are padded/aligned to one
+    // layout so all delta files of a table share it.
+    val input =
+      if (delete) batch.select(batch.columns
+        .filter(c => tableSchema.fieldNames.contains(c)).map(col).toSeq: _*)
+      else batch
+    val (evolved, padded0) = evolveSchema(st, input)
+    val padded = if (delete) padded0 else Upsert.dedupByKey(padded0, keyF, precombine)
     val rows = MetaColumns.withMeta(padded, keyF, partF, ct)
       .withColumn(Deltas.DeletedCol, lit(delete))
-      .select(schema.fieldNames.map(col).toSeq :+ col(Deltas.DeletedCol): _*)
+      .select(evolved.fieldNames.map(col).toSeq :+ col(Deltas.DeletedCol): _*)
 
     Deltas.write(rows, tablePath, ct, partF)
 
     val counts = partitionCountsOf(
-      spark.read.schema(Deltas.schemaOf(schema)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+      spark.read.schema(Deltas.schemaOf(evolved)).parquet(Deltas.dir(tablePath, ct).toString), partF)
     val touched = counts.keys.toSeq.sorted
     CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = if (delete) "delete" else "delta_commit",
       tableName = st.latest.tableName, tableType = st.latest.tableType,
       keyFields = keyF, precombineField = precombine, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "delta", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
     touched
   }
 

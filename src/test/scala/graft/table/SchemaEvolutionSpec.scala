@@ -1,0 +1,64 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model._
+
+/** Add-column schema evolution on the write path: new batch columns append to
+  * the table schema; untouched old files null-fill at read time (no rewrite).
+  */
+class SchemaEvolutionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bootstrapped(tt: TableType): String = {
+    val in = tmpDir("in")
+    Seq((1L, 1L, "a", "p1"), (2L, 1L, "b", "p1"), (3L, 1L, "c", "p2"))
+      .toDF("id", "ver", "v", "p").write.mode("overwrite").parquet(in)
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = table, tableName = "evo_t",
+      keyFields = Seq("id"), precombineField = "ver",
+      partitionFields = Seq("p"), tableType = tt))
+    table
+  }
+
+  private def evolvingBatch = Seq((2L, 2L, "b2", "p1", 0.9))
+    .toDF("id", "ver", "v", "p", "score")
+
+  test("COW upsert with a new column evolves the schema; old rows null-fill") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    KeyedTable.upsert(spark, table, evolvingBatch)
+    val after = KeyedTable.read(spark, table)
+    assert(after.columns.contains("score"))
+    assert(after.count() === 3)
+    assert(after.filter(col("id") === 2).head().getAs[Double]("score") === 0.9)
+    // p2 was never rewritten, yet reads with the evolved schema
+    assert(after.filter(col("id") === 3).head().isNullAt(after.columns.indexOf("score")))
+    // a following no-new-column upsert keeps the evolved schema
+    KeyedTable.upsert(spark, table, Seq((1L, 2L, "a2", "p1")).toDF("id", "ver", "v", "p"))
+    val last = KeyedTable.read(spark, table)
+    assert(last.columns.contains("score"))
+    assert(last.filter(col("id") === 1).head().getAs[String]("v") === "a2")
+  }
+
+  test("MOR delta upsert evolves the schema; merge and compaction carry it") {
+    val table = bootstrapped(TableType.MergeOnRead)
+    KeyedTable.upsert(spark, table, evolvingBatch)
+    val merged = KeyedTable.read(spark, table)
+    assert(merged.columns.contains("score"))
+    assert(merged.filter(col("id") === 2).head().getAs[Double]("score") === 0.9)
+    assert(merged.filter(col("id") === 1).head().isNullAt(merged.columns.indexOf("score")))
+    KeyedTable.compact(spark, table)
+    val after = KeyedTable.read(spark, table)
+    assert(after.columns.contains("score") && after.count() === 3)
+    assert(after.filter(col("id") === 2).head().getAs[Double]("score") === 0.9)
+  }
+
+  test("type change is rejected with the config-error taxonomy") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    val bad = Seq((1L, 2L, 42, "p1")).toDF("id", "ver", "v", "p") // v: int, was string
+    val e = intercept[GraftException] { KeyedTable.upsert(spark, table, bad) }
+    assert(e.getMessage.startsWith("Configuration Error: Schema evolution cannot change type"))
+  }
+}
