@@ -183,4 +183,52 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact Jaccard similarity join via prefix filtering (the All-Pairs /
+    * PPJoin family, Bayardo et al. WWW'07): under a global token order, any
+    * pair with J(A,B) ≥ t shares a token among the first
+    * |X| − ceil(t·|X|) + 1 tokens of each sorted set, so candidates come
+    * from an equi-join on (block, prefix-token) — O(index collisions) —
+    * instead of the all-pairs product; a size-ratio filter (t·|A| ≤ |B| ∧
+    * t·|B| ≤ |A|, both implied by J ≥ t) prunes further before the exact
+    * jaccard verify touches only candidate pairs. Output is IDENTICAL to
+    * [[ngramJaccardPairs]] — this is the formulation that survives a 100×
+    * corpus scale-up; the quadratic one is kept as the oracle baseline.
+    */
+  def ngramJaccardPrefixJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      blockCol: Option[String] = None): DataFrame = {
+    val block = blockCol.map(col).getOrElse(lit(1))
+    val t = lit(threshold)
+    val sh = docs.select(col(idCol).as("id"), block.as("blk"),
+        shingles(split(col(textCol), "\\s+"), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global order = ascending document frequency (ties by token): prefixes
+    // then hold each set's RAREST tokens, so inverted-index buckets stay
+    // small — a lexicographic order leaves frequent tokens in prefixes and
+    // recreates the quadratic blowup inside hot buckets
+    val tokDf = sh.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = sh.select(col("id"), col("blk"), col("sz"), explode(col("sh")).as("tok"))
+      .join(tokDf, "tok")
+      .groupBy("id", "blk", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id"), col("blk"), col("sz"),
+        explode(slice(transform(col("ord"), _.getField("tok")), lit(1),
+          greatest(col("sz") - ceil(col("sz") * t).cast("int") + 1, lit(1)))).as("tok"))
+    val cand = pref.select(col("blk"), col("tok"), col("id").as("a_id"), col("sz").as("a_sz"))
+      .join(pref.select(col("blk"), col("tok"), col("id").as("b_id"), col("sz").as("b_sz")),
+        Seq("blk", "tok"))
+      .filter(col("a_id") < col("b_id") &&
+        col("b_sz") >= ceil(col("a_sz") * t) && col("a_sz") >= ceil(col("b_sz") * t))
+      .select("blk", "a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .select(col("blk"), col("a_id"), col("b_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

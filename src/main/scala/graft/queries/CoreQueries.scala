@@ -275,14 +275,19 @@ object CoreQueries {
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
 
+    // updates hit 1995's partitions, deletes 1996's — partition-pruned
+    // lifecycle ops over disjoint partition sets (a batch touching every
+    // partition would just be a full rewrite, which bootstrap already covers)
     val base = KeyedTable.read(s, tbl)
     val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
-    KeyedTable.upsert(s, tbl, base.filter(col("o_orderkey") % 10 === 0)
+    KeyedTable.upsert(s, tbl, base
+      .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
       .select(dataCols: _*)
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("o_totalprice", (col("o_totalprice").cast(dec) + lit(100)).cast(DoubleType)))
     KeyedTable.delete(s, tbl, KeyedTable.read(s, tbl)
-      .filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_month"))
+      .filter(col("o_orderkey") % 97 === 0 && year(col("o_orderdate")) === 1996)
+      .select("o_orderkey", "o_month"))
     KeyedTable.compact(s, tbl)
 
     KeyedTable.read(s, tbl)
@@ -307,7 +312,8 @@ object CoreQueries {
 
     val base = KeyedTable.read(s, tbl)
     val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
-    KeyedTable.upsert(s, tbl, base.filter(col("o_orderkey") % 13 === 0)
+    KeyedTable.upsert(s, tbl, base
+      .filter(col("o_orderkey") % 13 === 0 && year(col("o_orderdate")) === 1995)
       .select(dataCols: _*)
       .withColumn("o_orderstatus", lit("INC"))
       .withColumn("o_totalprice", (col("o_totalprice").cast(dec) + lit(7)).cast(DoubleType)))
@@ -449,14 +455,17 @@ object CoreQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_table_lifecycle" ->
       """SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
-        |  CASE WHEN o_orderkey % 10 = 0
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995 THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
         |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE)
         |       ELSE o_totalprice END AS o_totalprice
-        |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
+        |ORDER BY o_orderkey""".stripMargin,
     "q23_incremental_read" ->
       """SELECT o_orderkey, 'INC' AS o_orderstatus,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 7 AS DOUBLE) AS o_totalprice
-        |FROM orders WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderkey % 13 = 0 AND year(o_orderdate) = 1995
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -46,21 +46,17 @@ object ExtQueries {
       .select(col("a_id"), col("b_id"), col("dist").cast(LongType).as("dist"))
       .orderBy("a_id", "b_id")
 
-  /** Exact bigram-Jaccard pairs, blocked by source (the quadratic baseline
-    * made scale-safe by blocking).
+  /** Exact bigram-Jaccard pairs ≥ 0.6, source-blocked, via the prefix-filter
+    * similarity join — identical output to the quadratic baseline (which the
+    * oracle recomputes), but candidates come from a prefix-token equi-join
+    * instead of the all-pairs product.
     */
-  private val x04: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val sh = docs.select(col("doc_id"), col("source"),
-      Dedup.shingles(split(col("text"), "\\s+"), 2).as("sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("source").as("src"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("b_id"), col("source").as("src"), col("sh").as("sh_b"))
-    a.join(b, Seq("src")).filter(col("a_id") < col("b_id"))
-      .select(col("src"), col("a_id"), col("b_id"),
-        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= lit(0.6))
+  private val x04: Q = (s, d) =>
+    Dedup.ngramJaccardPrefixJoin(Tables.documents(s, d), "doc_id", "text",
+        n = 2, threshold = 0.6, blockCol = Some("source"))
+      .withColumnRenamed("blk", "src")
+      .select("src", "a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
-  }
 
   /** Embedding-cosine near-dup pairs. */
   private val x05: Q = (s, d) =>

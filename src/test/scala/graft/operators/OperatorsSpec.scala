@@ -19,6 +19,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh.nonEmpty) // fixture has planted near-dups
   }
 
+  test("prefix-filter similarity join equals the quadratic baseline at several thresholds") {
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val quad = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = t)
+        .select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.ngramJaccardPrefixJoin(docs, "doc_id", "text", n = 2, threshold = t)
+        .select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === quad, s"threshold $t")
+      assert(quad.nonEmpty, s"threshold $t should find planted near-dups")
+    }
+  }
+
   test("simhash pigeonhole chunking finds exactly the exhaustive pairs") {
     val withSh = docs.select(col("doc_id"),
       Dedup.simhash(split(col("text"), "\\s+")).as("sh"))
