@@ -221,6 +221,51 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** Distinct word n-gram shingles in one JVM pass (insertion-ordered hash
+    * set, one UTF8String concat per position) — semantics identical to
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * slice(words, i, n))))`, which evaluates as interpreted lambdas with a
+    * per-position array copy and was the measured bottleneck of every
+    * shingle-based operator. Short inputs (< n words) yield the whole text
+    * as the single shingle, exactly like the HOF form and the oracle's
+    * list_distinct formulation.
+    */
+  case class ShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingles needs array<string>, got $dt")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val arr = v.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val count = math.max(len - n + 1, 1)
+      val sep = UTF8String.fromString(" ")
+      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      var i = 0
+      while (i < count) {
+        val m = math.min(n, len - i)
+        val parts = new Array[UTF8String](m)
+        var j = 0
+        while (j < m) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------------------ Column API
 
   def vec_dot(a: Column, b: Column): Column =
@@ -236,4 +281,7 @@ object NativeExpressions {
   def array_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayJaccardExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def word_shingles(words: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(words), n))
 }

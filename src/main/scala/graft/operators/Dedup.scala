@@ -34,13 +34,15 @@ object Dedup {
 
   // -------------------------------------------------------------- shingles
 
-  /** Distinct word n-grams. Short docs (< n words) yield their whole text as
-    * the single shingle.
+  /** Distinct word n-grams via the one-pass native expression
+    * ([[graft.functions.NativeExpressions.ShinglesExpr]]). Short docs
+    * (< n words) yield their whole text as the single shingle. The composed
+    * HOF form (`array_distinct(transform(sequence...))`) is semantically
+    * identical but evaluates interpreted with a per-position array slice —
+    * it was the measured bottleneck of every shingle-based operator.
     */
   def shingles(wordsCol: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(wordsCol) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(wordsCol, i, lit(n)))))
+    graft.functions.NativeExpressions.word_shingles(wordsCol, n)
 
   // --------------------------------------------------------------- minhash
 
