@@ -49,7 +49,11 @@ object Deltas {
     */
   def write(rows: DataFrame, tablePath: String, commitTime: String,
       partitionFields: Seq[String]): Unit = {
-    val w = rows.write.mode("overwrite").format("parquet")
+    // shuffle onto the partition value first: one delta file per partition
+    // per batch instead of tasks × partitions small files
+    val shaped = if (partitionFields.isEmpty) rows
+      else rows.repartition(partitionFields.map(col): _*)
+    val w = shaped.write.mode("overwrite").format("parquet")
     (if (partitionFields.nonEmpty) w.partitionBy(partitionFields: _*) else w)
       .save(dir(tablePath, commitTime).toString)
   }

@@ -180,11 +180,21 @@ object KeyedTable {
       dest: String,
       mode: String,
       dynamicOverwrite: Boolean): Unit = {
-    val withMeta = MetaColumns.withMeta(df, keyF, partF, ct)
+    val withMeta = clusterByPartition(MetaColumns.withMeta(df, keyF, partF, ct), partF)
     val w = withMeta.write.mode(mode).format("parquet")
       .option("partitionOverwriteMode", if (dynamicOverwrite) "dynamic" else "static")
     (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(dest)
   }
+
+  /** Shuffle rows onto their partition value before a partitioned write:
+    * without this every task opens a writer in every partition it sees —
+    * tasks × partitions small files, the classic small-file bomb that
+    * cripples reads at scale. One hash shuffle buys one file per partition
+    * per non-empty task. (Heavily skewed single partitions can be re-split
+    * afterwards with [[cluster]]'s maxRecordsPerFile.)
+    */
+  private def clusterByPartition(df: DataFrame, partF: Seq[String]): DataFrame =
+    if (partF.isEmpty) df else df.repartition(partF.map(col): _*)
 
   // ------------------------------------------------------------------ read
 
@@ -542,7 +552,8 @@ object KeyedTable {
     val clustered = rows.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
     val counts = stageAndSwap(spark, tablePath, clustered, schema, partF, targets, ct,
       writeOptions = if (maxRecordsPerFile > 0) Map("maxRecordsPerFile" -> maxRecordsPerFile.toString)
-        else Map.empty)
+        else Map.empty,
+      preShaped = true)
 
     CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "cluster", tableName = st.latest.tableName,
@@ -578,7 +589,7 @@ object KeyedTable {
 
     materialize(spark, tablePath, st, touched.filter(st.partitionModes.get(_).contains("metadata_only")))
 
-    val w = rowsMeta.write.mode("append").format("parquet")
+    val w = clusterByPartition(rowsMeta, partF).write.mode("append").format("parquet")
     (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(tablePath)
 
     val counts = partitionCountsOf(rowsMeta, partF)
@@ -658,10 +669,14 @@ object KeyedTable {
       partF: Seq[String],
       touched: Seq[String],
       ct: String,
-      writeOptions: Map[String, String] = Map.empty): Map[String, Long] = {
+      writeOptions: Map[String, String] = Map.empty,
+      preShaped: Boolean = false): Map[String, Long] = {
     val fs = CommitLog.fs(spark, tablePath)
     val staging = s"$tablePath/${CommitLog.LogDirName}/staging-$ct"
-    val w = df.write.mode("overwrite").format("parquet").options(writeOptions)
+    // cluster() pre-shapes its own output (range partitioning + sort);
+    // everything else gets the one-file-per-partition shuffle
+    val shaped = if (preShaped) df else clusterByPartition(df, partF)
+    val w = shaped.write.mode("overwrite").format("parquet").options(writeOptions)
     (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(staging)
 
     if (partF.isEmpty) {
