@@ -222,8 +222,13 @@ object KeyedTable {
       .filter(p => restrictTo.forall(_.contains(p)))
     val plain = readBase(spark, tablePath, st, exclude = deltaParts.toSet, restrictTo)
     val baseTouched = readPartitions(spark, tablePath, st, deltaParts)
+    // restrict via the partition COLUMNS (not the stored _hoodie_partition_path
+    // data column): an expression over partition columns prunes at the file
+    // index, so a restricted read opens only the needed delta partition dirs
     val deltas = Deltas.read(spark, tablePath, schema, live)
       .filter(restrictTo match {
+        case Some(ps) if st.latest.partitionFields.nonEmpty =>
+          ppCol(st.latest.partitionFields).isin(ps.toSeq: _*)
         case Some(ps) => col(MetaColumns.PartitionPath).isin(ps.toSeq: _*)
         case None => lit(true)
       })
