@@ -54,4 +54,7 @@ object Engine {
 
   def readIncremental(spark: SparkSession, tablePath: String, sinceCommitTime: String): DataFrame =
     KeyedTable.readIncremental(spark, tablePath, sinceCommitTime)
+
+  def rollback(spark: SparkSession, tablePath: String, toCommitTime: String): Seq[String] =
+    KeyedTable.rollback(spark, tablePath, toCommitTime)
 }

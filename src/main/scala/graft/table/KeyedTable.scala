@@ -531,6 +531,36 @@ object KeyedTable {
     touched
   }
 
+  /** Rollback (Hudi restore-to-instant analogue, bounded to what COW-with-
+    * eager-cleanup can honestly restore): undo every commit AFTER
+    * `toCommitTime` by deleting its delta batch and commit record. Only
+    * delta-backed commits (MOR upserts/deletes) are reversible — their base
+    * files were never touched; once a rewrite commit (upsert/delete on COW,
+    * compact, cluster, resume) lands, the pre-image is gone and rollback
+    * across it is refused. O(#rolled-back commits) metadata ops, no data
+    * rewrite.
+    */
+  def rollback(spark: SparkSession, tablePath: String, toCommitTime: String): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val doomed = st.commits.filter(_.commitTime > toCommitTime)
+    if (doomed.isEmpty) return Seq.empty
+    val irreversible = doomed.filterNot(c =>
+      c.operation == "delta_commit" || c.operation == "delete" && {
+        // a delete on MOR is a delta (reversible); on COW it rewrote files
+        Deltas.liveCommits(spark, tablePath).contains(c.commitTime)
+      })
+    if (irreversible.nonEmpty)
+      throw GraftException.config(
+        s"Cannot roll back past rewrite commit(s) ${irreversible.map(c => s"${c.commitTime}(${c.operation})").mkString(", ")}: " +
+          "base files were rewritten in place (COPY_ON_WRITE cleanup is eager).")
+    val fs = CommitLog.fs(spark, tablePath)
+    doomed.foreach { c =>
+      fs.delete(Deltas.dir(tablePath, c.commitTime), true)
+      fs.delete(new Path(s"$tablePath/${CommitLog.LogDirName}/${c.commitTime}.commit.json"), false)
+    }
+    doomed.map(_.commitTime)
+  }
+
   /** Clustering (Hudi clustering / OPTIMIZE analogue): rewrite partitions
     * with rows range-partitioned and sorted by `sortCols`, bounding file row
     * counts — the small-file + data-skipping service a streaming-ingest

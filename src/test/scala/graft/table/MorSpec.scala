@@ -174,6 +174,34 @@ class MorSpec extends SparkTestBase {
     assert(CommitLog.commits(spark, table).last.operation === "cluster")
   }
 
+  test("rollback undoes uncompacted delta commits; refuses to cross a rewrite") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table))
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(2).as[Long].collect().toSeq
+
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ks(0)), "R1"))
+    val afterFirst = CommitLog.commits(spark, table).last.commitTime
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ks(1)), "R2"))
+
+    // roll back the second delta only
+    val undone = KeyedTable.rollback(spark, table, afterFirst)
+    assert(undone.size === 1)
+    val mid = KeyedTable.read(spark, table)
+    assert(mid.filter(col("o_orderkey") === ks(0)).head().getAs[String]("o_orderstatus") === "R1")
+    assert(mid.filter(col("o_orderkey") === ks(1) && col("o_orderstatus") === "R2").count() === 0)
+    assert(Deltas.liveCommits(spark, table).size === 1)
+
+    // compaction is a rewrite — rollback across it must refuse
+    KeyedTable.compact(spark, table)
+    val e = intercept[GraftException] { KeyedTable.rollback(spark, table, boot.commitTime) }
+    assert(e.getMessage.contains("Cannot roll back past rewrite commit"))
+    // rollback to the current tip is a no-op
+    assert(KeyedTable.rollback(spark, table,
+      CommitLog.commits(spark, table).last.commitTime).isEmpty)
+  }
+
   test("MOR end-to-end matches the equivalent COW table state") {
     val in = ordersIn(tmpDir("in"))
     val (tMor, tCow) = (tmpDir("mor"), tmpDir("cow"))
