@@ -206,7 +206,6 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), block.as("blk"),
         shingles(split(col(textCol), "\\s+"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global order = ascending document frequency (ties by token): prefixes
     // then hold each set's RAREST tokens, so inverted-index buckets stay
     // small — a lexicographic order leaves frequent tokens in prefixes and
