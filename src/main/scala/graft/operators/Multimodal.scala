@@ -87,4 +87,49 @@ object Multimodal {
     features.filter(col("media_type").startsWith("video"))
       .select(col("media_id"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frame_idx"))
+
+  final case class ResizedRow(
+      media_id: Long,
+      media_type: String,
+      media: Array[Byte],
+      width: Int,
+      height: Int)
+
+  /** STUB — deterministic fake resize standing in for a real scaler: the
+    * payload is resampled byte-wise to the target pixel count so output
+    * sizes, schema, and distribution are production-shaped; swap the body
+    * for a real codec+scaler binding.
+    */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val outLen = math.max(targetW * targetH / 64, 1) // fake bytes-per-pixel packing
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / outLen).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Batch resize of image-typed rows to fixed dimensions — the
+    * iterator-per-partition shape a vectorized decode-resize-encode pipeline
+    * runs in; only the codec call is stubbed. Non-image rows pass through
+    * untouched.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      targetW: Int, targetH: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.media_type.startsWith("image")) {
+            val (w, h) = (targetW, targetH)
+            ResizedRow(r.media_id, r.media_type, resizeStub(r.media, w, h), w, h)
+          } else {
+            val (w, h, _) = decodeStub(r.media_type, r.media)
+            ResizedRow(r.media_id, r.media_type, r.media, w, h)
+          }
+        }
+      }
+  }
 }

@@ -110,4 +110,22 @@ class OperatorsSpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(feats.toDF(), stride = 10)
     assert(frames.count() > 0)
   }
+
+  test("multimodal resize: images rescale to target dims, non-images pass through") {
+    val imgs = Multimodal.toMediaTable(docs.limit(5), "doc_id", "text", "image/fake")
+    val resized = Multimodal.resizeImages(spark, imgs, targetW = 64, targetH = 64).collect()
+    assert(resized.length === 5)
+    assert(resized.forall(r => r.width === 64 && r.height === 64))
+    assert(resized.forall(_.media.length === 64 * 64 / 64)) // stub packing
+    // deterministic: same input → same bytes
+    val again = Multimodal.resizeImages(spark, imgs, 64, 64).collect()
+    assert(resized.sortBy(_.media_id).map(_.media.toSeq).toSeq ===
+      again.sortBy(_.media_id).map(_.media.toSeq).toSeq)
+
+    val vids = Multimodal.toMediaTable(docs.limit(3), "doc_id", "text", "video/fake")
+    val passthrough = Multimodal.resizeImages(spark, vids, 64, 64).collect()
+    val orig = vids.select("media_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(passthrough.forall(r => orig(r.media_id) === r.media.toSeq))
+  }
 }
