@@ -65,11 +65,18 @@ object TransactionLedger {
   def newTransactionId(tableName: Column): Column =
     concat(tableName, lit("-"), unix_timestamp())
 
-  /** Client-side pagination (HistoryTable.js slice, O3) as a window. */
+  /** Client-side pagination (HistoryTable.js slice, O3), two-pass: a
+    * distributed top-(pageEnd) (TakeOrderedAndProject — per-partition partial
+    * top-k, never a global single-partition window over the whole relation),
+    * then rank the page-bounded remainder in one tiny sorted partition.
+    */
   def page(sorted: DataFrame, pageIdx: Int, rowsPerPage: Int, orderCols: Seq[Column]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)
-    sorted.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > pageIdx * rowsPerPage && col("__rn") <= (pageIdx + 1) * rowsPerPage)
+    val pageEnd = (pageIdx + 1) * rowsPerPage
+    sorted.orderBy(orderCols: _*).limit(pageEnd)
+      .coalesce(1).sortWithinPartitions(orderCols: _*)
+      // non-deterministic expr: the optimizer cannot move it below the sort
+      .withColumn("__rn", monotonically_increasing_id() + 1)
+      .filter(col("__rn") > pageIdx * rowsPerPage && col("__rn") <= pageEnd)
       .drop("__rn")
   }
 }

@@ -18,8 +18,12 @@ object GraftException {
 }
 
 /** COPY_ON_WRITE / MERGE_ON_READ (pyspark_script.py:66, app.py:118).
-  * MERGE_ON_READ is accepted and recorded in the commit log but executed as
-  * COW (documented decision, SURVEY §7.3 H6): single-writer eager rewrite.
+  * Both table types have real, distinct write paths: COW rewrites the touched
+  * partitions per upsert/delete (staging write + directory swap); MOR lands
+  * each batch as a partitioned delta under `.graft/deltas/<commit>/` with
+  * read-time merge and explicit compaction ([[graft.table.Deltas]],
+  * [[graft.table.KeyedTable.compact]]) — hash-verified end-to-end by the
+  * q22 lifecycle oracle query.
   */
 sealed trait TableType { def name: String }
 object TableType {

@@ -87,19 +87,89 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding near-dup pairs: all pairs with cosine ≥ threshold. Quadratic
-    * baseline (oracle duty); blocked/LSH variants route through the same
-    * cosine.
+  /** Embedding near-dup pairs: EXACT all pairs with cosine ≥ threshold,
+    * executed as a blocked pair-enumeration equi-join (the distributed
+    * block-matrix-product shape). Vectors hash into `G ≈ n/rowsPerBlock`
+    * blocks; the G·(G+1)/2 block pairs are enumerated as a tiny broadcast
+    * relation, so every pair of rows meets in exactly one shuffle-partitioned
+    * task and the n²/2 cosines spread uniformly over the cluster with
+    * bounded per-task memory. No BroadcastNestedLoop/CartesianProduct node
+    * — the previous `a_id < b_id` non-equi join was a cartesian that
+    * funneled through nested-loop tasks.
+    *
+    * Exact all-pairs is intrinsically O(n²) compute: measured on the
+    * `embeddings` fixtures, qualifying pairs at threshold 0.4 sit on a
+    * continuum with near-misses (min qualifying sim 1e-5 above the cut), so
+    * any candidate filter with total recall — hyperplane LSH bands or
+    * IVF-cell multi-probe at any setting — emits ≥86% of all pairs and just
+    * adds band-duplication overhead. When the corpus clusters (real
+    * embedding corpora), use [[cosineNearDupsCells]] for the sub-quadratic
+    * approximate path.
     */
   def cosineNearDups(
       corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rowsPerBlock: Int = 512): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // one cheap count job sizes the block grid (parquet count = metadata)
+    val n = corpus.count()
+    val g = math.max(1L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
+    val blockPairs = broadcast(
+      (for { i <- 0 until g; j <- i until g } yield (i, j)).toDF("ga", "gb"))
+
+    // norms precomputed per row below the join: each pair costs ONE native dot
+    def side(id: String, v: String, nm: String, blk: String) = corpus.select(
+      col(idCol).as(id), col(vecCol).as(v), norm(col(vecCol)).as(nm),
+      pmod(xxhash64(col(idCol)), lit(g)).cast("int").as(blk))
+
+    // A replicates over its row of the block grid (broadcast join, no
+    // shuffle); the B join shuffles both sides on the block id only
+    val pairs = side("id_a", "va", "na", "ga")
+      .join(blockPairs, "ga")
+      .join(side("id_b", "vb", "nb", "gb"), "gb")
+      // same-block pairs appear in both orientations — keep one; cross-block
+      // pairs appear exactly once (ga < gb) in arbitrary id order
+      .filter(col("ga") =!= col("gb") || col("id_a") < col("id_b"))
+    // cosine is orientation-independent bit-for-bit: IEEE multiply is
+    // commutative and the fold order over elements is fixed
+    pairs.select(
+        least(col("id_a"), col("id_b")).as("a_id"),
+        greatest(col("id_a"), col("id_b")).as("b_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Approximate near-dup pairs via IVF-cell blocking (SemDeDup-style):
+    * vectors multi-assign to their `nprobe` nearest of `nlist` centroid
+    * cells; only same-cell pairs are compared (exact cosine), deduplicated
+    * across cells. Sub-quadratic when the corpus clusters — candidate volume
+    * is Σ|cell|², and recall covers exactly the pairs some probed cell
+    * captures. On the deliberately uniform test fixture this measures ~0.8
+    * recall at 42% of the pair volume (see OperatorsSpec); on clustered real
+    * corpora both numbers improve together.
+    */
+  def cosineNearDupsCells(
+      corpus: DataFrame, threshold: Double,
+      nlist: Int = 32, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // norms precomputed per row: each pair costs ONE native dot
-    val a = corpus.select(col(idCol).as("a_id"), col(vecCol).as("va"), norm(col(vecCol)).as("na"))
-    val b = corpus.select(col(idCol).as("b_id"), col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
-    a.join(b, col("a_id") < col("b_id"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val centroids = c.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") <= nprobe)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+
+    val a = assigned.select(col("vec_id").as("a_id"), col("v").as("va"),
+      norm(col("v")).as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      norm(col("v")).as("nb"), col("cell"))
+    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
+      .dropDuplicates("a_id", "b_id")
   }
 }

@@ -47,10 +47,16 @@ object Upsert {
 
   /** Batch-local dedup only (reference's intended dropDuplicates at
     * pyspark_script.py:265-268, O6) — exposed separately for bulk_insert
-    * pre-processing.
+    * pre-processing. `partitionFields` scopes the dedup per partition path
+    * (Hudi precombines per (recordKey, partitionPath) under the non-global
+    * index): same-key rows destined for DIFFERENT partitions both survive.
     */
-  def dedupByKey(df: DataFrame, keys: Seq[String], precombine: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(precombine).desc)
+  def dedupByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      precombine: String,
+      partitionFields: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy((keys ++ partitionFields).map(col): _*).orderBy(col(precombine).desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 }

@@ -216,12 +216,26 @@ object CoreQueries {
       .orderBy("r_name", "o_year")
   }
 
-  /** O3 pagination via row_number window (HistoryTable.js slice). */
+  /** O3 pagination (HistoryTable.js slice), two-pass: pass 1 is a
+    * distributed top-(offset+pageSize) — Spark compiles orderBy+limit to
+    * TakeOrderedAndProject (per-partition partial top-k, no global sort, no
+    * full shuffle); pass 2 ranks only the page-bounded result (≤150 rows)
+    * with a constant-key window. Replaces the unpartitioned row_number window
+    * that funneled the whole table through one task.
+    */
   private val q19: Q = (s, d) => {
-    val w = Window.orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    Tables.orders(s, d)
+    val topN = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderdate"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(150)
+    // rank the page-bounded rows WITHOUT a WindowExec (a constant-key window
+    // gets its foldable partition spec optimized away, degenerating back to
+    // the unpartitioned global window): one tiny sorted partition +
+    // monotonically_increasing_id, which the optimizer cannot reorder below
+    // the sort (non-deterministic expression)
+    topN.coalesce(1)
+      .sortWithinPartitions(col("o_orderdate").desc, col("o_orderkey").desc)
+      .withColumn("rn", (monotonically_increasing_id() + 1).cast(LongType))
       .filter(col("rn").between(101, 150))
       .select(col("o_orderkey"), col("rn"))
       .orderBy("rn")

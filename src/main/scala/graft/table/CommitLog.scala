@@ -31,7 +31,9 @@ object CommitLog {
 
   final case class CommitInfo(
       commitTime: String,
-      operation: String, // bootstrap | bulk_insert | insert | upsert | resume
+      // bootstrap | resume | bulk_insert | insert | upsert | delta_commit |
+      // delete | compact | cluster | materialize
+      operation: String,
       tableName: String,
       tableType: String,
       keyFields: Seq[String],
@@ -72,9 +74,20 @@ object CommitLog {
     f.exists(logDir(tablePath)) && f.listStatus(logDir(tablePath)).nonEmpty
   }
 
-  def newCommitTime(): String =
+  /** Millisecond wall-clock instants are NOT unique under back-to-back
+    * commits; a collision would silently clobber the earlier commit JSON and
+    * delta directory, and [[Deltas.merge]] needs delta commit times strictly
+    * greater than base times. Guard: remember the last issued instant and
+    * bump past it (Hudi's HoodieActiveTimeline does the same).
+    */
+  private var lastIssuedMillis = 0L
+
+  def newCommitTime(): String = synchronized {
+    val now = math.max(System.currentTimeMillis(), lastIssuedMillis + 1)
+    lastIssuedMillis = now
     new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
-      .format(new java.util.Date())
+      .format(new java.util.Date(now))
+  }
 
   // ------------------------------------------------------------------ write
 
@@ -98,7 +111,10 @@ object CommitLog {
     root.put("recordCount", info.recordCount)
     root.put("schemaDdl", info.schemaDdl)
     info.sourcePath.foreach(root.put("sourcePath", _))
-    val out = f.create(new Path(dir, s"${info.commitTime}.commit.json"), true)
+    // overwrite=false: a commit instant is immutable — colliding with an
+    // existing one (e.g. two writers on the same table) must fail loudly,
+    // never replace the earlier commit record
+    val out = f.create(new Path(dir, s"${info.commitTime}.commit.json"), false)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
   }

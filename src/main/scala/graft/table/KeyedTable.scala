@@ -348,7 +348,7 @@ object KeyedTable {
     val ct = CommitLog.newCommitTime()
 
     val (evolved, padded) = evolveSchema(st, updates)
-    val updDeduped = Upsert.dedupByKey(padded, keyF, precombine)
+    val updDeduped = Upsert.dedupByKey(padded, keyF, precombine, partF)
     val updMeta = MetaColumns.withMeta(updDeduped, keyF, partF, ct)
       .select(evolved.fieldNames.map(col).toSeq: _*)
 
@@ -362,7 +362,11 @@ object KeyedTable {
     val base = evolved.fields.foldLeft(base0) { (df, f) =>
       if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(evolved.fieldNames.map(col).toSeq: _*)
-    val merged = base.join(updMeta.select(keyF.map(col): _*), keyF, "left_anti")
+    // anti-join on key AND partition columns: under the non-global index a
+    // key is unique per partition, so a batch inserting key k into partition
+    // B must not displace the base row (k, A) — matching delete() and
+    // Deltas.merge, which already scope keys by partition path
+    val merged = base.join(updMeta.select((keyF ++ partF).map(col): _*), keyF ++ partF, "left_anti")
       .unionByName(updMeta)
 
     val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
@@ -445,7 +449,7 @@ object KeyedTable {
         .filter(c => tableSchema.fieldNames.contains(c)).map(col).toSeq: _*)
       else batch
     val (evolved, padded0) = evolveSchema(st, input)
-    val padded = if (delete) padded0 else Upsert.dedupByKey(padded0, keyF, precombine)
+    val padded = if (delete) padded0 else Upsert.dedupByKey(padded0, keyF, precombine, partF)
     val rows = MetaColumns.withMeta(padded, keyF, partF, ct)
       .withColumn(Deltas.DeletedCol, lit(delete))
       .select(evolved.fieldNames.map(col).toSeq :+ col(Deltas.DeletedCol): _*)
@@ -613,7 +617,7 @@ object KeyedTable {
     val partF = st.latest.partitionFields
     val ct = CommitLog.newCommitTime()
     val rows = op match {
-      case WriteOperation.Insert => Upsert.dedupByKey(batch, keyF, st.latest.precombineField)
+      case WriteOperation.Insert => Upsert.dedupByKey(batch, keyF, st.latest.precombineField, partF)
       case _ => batch
     }
     val rowsMeta = MetaColumns.withMeta(rows, keyF, partF, ct)

@@ -83,6 +83,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("blocked near-dup join equals the quadratic definition (and parallelizes)") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val quad = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), Similarity.cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // rowsPerBlock = 100 forces a real multi-block grid on the 500-row fixture
+    val blocked = Similarity.cosineNearDups(emb, threshold = 0.4, rowsPerBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked === quad)
+    assert(blocked.nonEmpty)
+    // the plan must be equi-join only — no cartesian / nested-loop node
+    val plan = Similarity.cosineNearDups(emb, 0.4, rowsPerBlock = 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("cell-blocked approximate near-dup: exact precision, quantified recall") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val exact = Similarity.cosineNearDups(emb, threshold = 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.cosineNearDupsCells(emb, threshold = 0.4, nlist = 32, nprobe = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact)) // every emitted pair is truly ≥ threshold
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    // uniform fixture = worst case for cell blocking; clustered corpora do better
+    assert(recall >= 0.6, s"cell-blocked recall $recall")
+  }
+
   test("text functions are deterministic and sane") {
     val r = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),

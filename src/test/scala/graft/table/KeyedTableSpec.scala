@@ -159,6 +159,35 @@ class KeyedTableSpec extends SparkTestBase {
       Seq("o_month=2002-01", "o_month=2002-03"))
   }
 
+  test("upsert with the same key in two touched partitions keeps both rows (non-global index)") {
+    val in = ordersWithMonth(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    val base = KeyedTable.read(spark, table)
+    val k1 = base.agg(min("o_orderkey")).head().getLong(0)
+    val p1 = base.filter(col("o_orderkey") === k1).head().getAs[String]("o_month")
+
+    // batch touches k1's home partition (updating k1 there) AND inserts the
+    // SAME key into a different partition — under the non-global index both
+    // rows must exist afterwards; pre-fix the key-only anti-join dropped
+    // the home-partition row
+    val dataCols = base.columns.filterNot(_.startsWith("_"))
+    val home = base.filter(col("o_orderkey") === k1)
+      .select(dataCols.map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("HOME"))
+    val moved = home.withColumn("o_month", lit("2003-07"))
+      .withColumn("o_orderstatus", lit("MOVED"))
+    val touched = KeyedTable.upsert(spark, table, home.unionByName(moved))
+    assert(touched === Seq(s"o_month=$p1", "o_month=2003-07").sorted)
+
+    val after = KeyedTable.read(spark, table)
+    assert(after.count() === 1501)
+    val k1Rows = after.filter(col("o_orderkey") === k1)
+      .select("o_month", "o_orderstatus").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(k1Rows === Map(p1 -> "HOME", "2003-07" -> "MOVED"))
+  }
+
   test("metadata-only bootstrap copies no data and reads from the source") {
     val in = ordersWithMonth(tmpDir("in"))
     val table = tmpDir("tbl")
