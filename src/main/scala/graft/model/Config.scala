@@ -65,7 +65,9 @@ object WriteOperation {
 /** The bootstrap job request — the argv surface of pyspark_script.py:294-315
   * plus app.py's HudiBootstrapRequest (app.py:112-123). Key/partition fields
   * are comma-separated composites in the reference (pyspark_script.py:127,
-  * 137-141); modeled as Seq[String] from day one.
+  * 137-141); modeled as Seq[String] from day one. `dryRun` is the declared
+  * capability at backend.py:24-28: validate + plan + report the partitions
+  * a run WOULD write, without touching the filesystem or commit log.
   */
 final case class BootstrapConfig(
     dataFilePath: String,
@@ -79,6 +81,7 @@ final case class BootstrapConfig(
     partitionRegex: Option[String] = None,
     regexMode: BootstrapType = BootstrapType.MetadataOnly,
     resume: Boolean = false,
+    dryRun: Boolean = false,
     sparkConfig: Map[String, String] = Map.empty) {
 
   /** Pre-flight validation (M7, pyspark_script.py:41-85 shape; path existence

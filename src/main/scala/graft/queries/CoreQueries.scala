@@ -337,6 +337,115 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Time travel: bootstrap, then upsert + delete + compact on MOR — and read
+    * the table AS OF the bootstrap instant. The oracle is simply the pristine
+    * input: every later change must be invisible, which exercises archived
+    * pre-images, archived delta exclusion, and the commit-time filter.
+    */
+  private val q24: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q24").toFile
+    tmp.deleteOnExit()
+    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val tbl = s"$tmp/tbl"
+    val boot = KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q24_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, tbl, base
+      .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("TT")))
+    KeyedTable.delete(s, tbl, KeyedTable.read(s, tbl)
+      .filter(col("o_orderkey") % 97 === 0 && year(col("o_orderdate")) === 1996)
+      .select("o_orderkey", "o_month"))
+    KeyedTable.compact(s, tbl)
+
+    KeyedTable.readAsOf(s, tbl, boot.commitTime)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** CDC incremental read: the same MOR lifecycle as q24, but reading the
+    * CHANGE FEED since bootstrap — upserted rows with their new image and
+    * op='upsert', deleted keys as op='delete' tombstones (found in the
+    * compaction archive after compact).
+    */
+  private val q25: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q25").toFile
+    tmp.deleteOnExit()
+    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val tbl = s"$tmp/tbl"
+    val boot = KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q25_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, tbl, base
+      .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("CH")))
+    KeyedTable.delete(s, tbl, KeyedTable.read(s, tbl)
+      .filter(col("o_orderkey") % 97 === 0 && year(col("o_orderdate")) === 1996)
+      .select("o_orderkey", "o_month"))
+    KeyedTable.compact(s, tbl)
+
+    KeyedTable.readChanges(s, tbl, boot.commitTime)
+      .select(col("o_orderkey"), col(KeyedTable.ChangeOp).as("op"), col("o_orderstatus"))
+      .orderBy("o_orderkey", "op")
+  }
+
+  /** Global-index upsert: keys whose partition value changed are MOVED — the
+    * old partition's row disappears in the same commit (Hudi GLOBAL_SIMPLE
+    * semantics; the default non-global index would leave both, which q22
+    * exercises). Oracle recomputes the end state.
+    */
+  private val q26: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q26").toFile
+    tmp.deleteOnExit()
+    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val tbl = s"$tmp/tbl"
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q26_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsertGlobal(s, tbl, base
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(dataCols: _*)
+      .withColumn("o_month", lit("2010-01"))
+      .withColumn("o_orderstatus", lit("G")))
+
+    KeyedTable.read(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_month"))
+      .orderBy("o_orderkey")
+  }
+
+  /** S2 ORC round-trip under oracle check: the orders table is written to ORC
+    * and read back through the sniffing scan path; the oracle reads the
+    * original parquet — any ORC read/write asymmetry breaks the hash.
+    */
+  private val q27: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q27").toFile
+    tmp.deleteOnExit()
+    val orcDir = s"$tmp/orc"
+    Tables.orders(s, d).write.mode("overwrite").orc(orcDir)
+    val fmt = graft.io.SourceSniffer.sniff(s, orcDir)
+    s.read.format(fmt).load(orcDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_day"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -360,6 +469,10 @@ object CoreQueries {
     "q21_salted_join" -> q21,
     "q22_table_lifecycle" -> q22,
     "q23_incremental_read" -> q23,
+    "q24_time_travel" -> q24,
+    "q25_cdc_read" -> q25,
+    "q26_global_upsert" -> q26,
+    "q27_orc_roundtrip" -> q27,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -481,5 +594,25 @@ object CoreQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 7 AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderkey % 13 = 0 AND year(o_orderdate) = 1995
         |ORDER BY o_orderkey""".stripMargin,
+    "q24_time_travel" ->
+      // as-of-bootstrap snapshot == the untouched input, whatever happened after
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q25_cdc_read" ->
+      """SELECT o_orderkey, 'upsert' AS op, 'CH' AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |UNION ALL
+        |SELECT o_orderkey, 'delete' AS op, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1996
+        |ORDER BY o_orderkey, op""".stripMargin,
+    "q26_global_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 50 = 0 THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 50 = 0 THEN '2010-01' ELSE strftime(o_orderdate, '%Y-%m') END AS o_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q27_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

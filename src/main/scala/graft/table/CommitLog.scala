@@ -158,19 +158,23 @@ object CommitLog {
 
   def state(spark: SparkSession, tablePath: String): Option[TableState] = {
     val cs = commits(spark, tablePath)
-    if (cs.isEmpty) None
-    else {
-      val modes = cs.foldLeft(Map.empty[String, String]) { (acc, c) =>
-        val base = if (c.operation == "bootstrap") Map.empty[String, String] else acc
-        // a delta commit layers on top of an existing base partition without
-        // changing how its BASE files are read — "delta" only registers
-        // partitions that are new (delta-only, no base dir yet)
-        base ++ c.partitions
-          .filterNot(p => p.mode == "delta" && base.contains(p.path))
-          .map(p => p.path -> p.mode)
-      }
-      Some(TableState(cs, modes))
+    if (cs.isEmpty) None else Some(stateOf(cs))
+  }
+
+  /** Fold an explicit commit prefix into a TableState — the as-of-instant
+    * building block for [[KeyedTable.readAsOf]].
+    */
+  def stateOf(cs: Seq[CommitInfo]): TableState = {
+    val modes = cs.foldLeft(Map.empty[String, String]) { (acc, c) =>
+      val base = if (c.operation == "bootstrap") Map.empty[String, String] else acc
+      // a delta commit layers on top of an existing base partition without
+      // changing how its BASE files are read — "delta" only registers
+      // partitions that are new (delta-only, no base dir yet)
+      base ++ c.partitions
+        .filterNot(p => p.mode == "delta" && base.contains(p.path))
+        .map(p => p.path -> p.mode)
     }
+    TableState(cs, modes)
   }
 
   def requireState(spark: SparkSession, tablePath: String): TableState =

@@ -67,9 +67,15 @@ object Deltas {
     * unioned — the union is a no-shuffle concatenation.
     */
   def read(spark: SparkSession, tablePath: String, tableSchema: StructType,
-      commits: Seq[String]): DataFrame = {
+      commits: Seq[String]): DataFrame =
+    readDirs(spark, tableSchema, commits.map(c => dir(tablePath, c).toString))
+
+  /** Same, from explicit batch directories — lets [[KeyedTable.readAsOf]]
+    * mix live delta dirs with ones archived by a later compaction.
+    */
+  def readDirs(spark: SparkSession, tableSchema: StructType, dirs: Seq[String]): DataFrame = {
     val s = schemaOf(tableSchema)
-    commits.map(c => spark.read.schema(s).parquet(dir(tablePath, c).toString)
+    dirs.map(d => spark.read.schema(s).parquet(d)
         .select(s.fieldNames.map(col).toSeq: _*))
       .reduce(_ unionByName _)
   }

@@ -61,13 +61,23 @@ object KeyedTable {
 
     val existing = existingPartitions(spark, cfg.tablePath, cfg.partitionFields)
     val ct = CommitLog.newCommitTime()
+    val isResume = cfg.resume && existing.nonEmpty && cfg.partitionRegex.isEmpty &&
+      cfg.bootstrapType == BootstrapType.FullRecord
+
+    // dry_run (backend.py:24-28): full validation + planning, zero writes —
+    // reports exactly the partitions a real run would write
+    if (cfg.dryRun) {
+      val planned =
+        if (isResume && cfg.partitionFields.nonEmpty)
+          resumeTargets(spark, cfg, existing, partCounts)
+        else partCounts.map(_._1)
+      return BootstrapResult(ct, inputCount, 0L, planned,
+        Validate.Report(inputCount, 0L, Seq.empty))
+    }
 
     val written: Seq[String] =
-      if (cfg.resume && existing.nonEmpty && cfg.partitionRegex.isEmpty &&
-        cfg.bootstrapType == BootstrapType.FullRecord)
-        resumeWrite(spark, cfg, input, existing, partCounts, ct)
-      else
-        freshWrite(spark, cfg, input, partCounts, ct)
+      if (isResume) resumeWrite(spark, cfg, input, existing, partCounts, ct)
+      else freshWrite(spark, cfg, input, partCounts, ct)
 
     val table = read(spark, cfg.tablePath)
     val report = Validate.postBootstrap(input, table)
@@ -142,16 +152,7 @@ object KeyedTable {
     if (cfg.partitionFields.isEmpty)
       return freshWrite(spark, cfg, input, partCounts, ct) // resume is partition-wise only
 
-    val existingSet = existing.toSet
-    val missing = partCounts.map(_._1).filterNot(existingSet)
-    val tableCounts = partitionCounts(spark, read(spark, cfg.tablePath), cfg.partitionFields,
-      fromPartitionPathCol = true).toMap
-    // getOrElse(0): a partition dir that exists but holds zero rows is
-    // incomplete, not complete — it would otherwise escape both checks
-    val incomplete = partCounts.collect {
-      case (p, n) if existingSet(p) && tableCounts.getOrElse(p, 0L) != n => p
-    }
-    val toWrite = (missing ++ incomplete).distinct.sorted
+    val toWrite = resumeTargets(spark, cfg, existing, partCounts)
     if (toWrite.isEmpty) return Seq.empty // "No missing or incomplete partitions found."
 
     val slice = input.filter(ppCol(cfg.partitionFields).isin(toWrite: _*))
@@ -168,6 +169,27 @@ object KeyedTable {
       schemaDdl = MetaColumns.withMeta(input, cfg.keyFields, cfg.partitionFields, ct).schema.toDDL,
       sourcePath = None))
     toWrite
+  }
+
+  /** The resume plan (J1+J2): missing partitions plus partitions whose table
+    * count diverges from the input count. Shared by the real resume write and
+    * the dry-run report, so the plan IS the execution's partition set.
+    * getOrElse(0): a partition dir that exists but holds zero rows is
+    * incomplete, not complete — it would otherwise escape both checks.
+    */
+  private def resumeTargets(
+      spark: SparkSession,
+      cfg: BootstrapConfig,
+      existing: Seq[String],
+      partCounts: Seq[(String, Long)]): Seq[String] = {
+    val existingSet = existing.toSet
+    val missing = partCounts.map(_._1).filterNot(existingSet)
+    val tableCounts = partitionCounts(spark, read(spark, cfg.tablePath), cfg.partitionFields,
+      fromPartitionPathCol = true).toMap
+    val incomplete = partCounts.collect {
+      case (p, n) if existingSet(p) && tableCounts.getOrElse(p, 0L) != n => p
+    }
+    (missing ++ incomplete).distinct.sorted
   }
 
   // ----------------------------------------------------------------- write
@@ -297,6 +319,163 @@ object KeyedTable {
     val restrict = if (st.latest.partitionFields.isEmpty) None else Some(touchedSince.toSet)
     snapshot(spark, tablePath, st, restrict)
       .filter(col(MetaColumns.CommitTime) > sinceCommitTime)
+  }
+
+  /** Column carried by [[readChanges]]: 'upsert' | 'delete'. */
+  val ChangeOp = "_change_op"
+
+  /** CDC-style incremental read: every change after `sinceCommitTime`, with
+    * a `_change_op` column. 'upsert' rows carry their current full image
+    * (insert vs update is not distinguished, and intermediate images of a
+    * twice-updated key are collapsed to the latest — Hudi's incremental-query
+    * semantics, plus deletes); 'delete' rows carry the removed row's key and
+    * partition columns — from MOR tombstones (live, or stashed by a later
+    * compaction), or for COW delete commits the full before-image
+    * reconstructed from the commit's archived pre-image anti-joined against
+    * the post-delete state. `_hoodie_commit_time` is the change's commit on
+    * every emitted row. Each delete commit costs one partition-pruned
+    * read, bounded by its touched partitions.
+    */
+  def readChanges(spark: SparkSession, tablePath: String, sinceCommitTime: String): DataFrame = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val cols = schema.fieldNames.map(col).toSeq
+    val fs = CommitLog.fs(spark, tablePath)
+
+    val upserts = readIncremental(spark, tablePath, sinceCommitTime)
+      .select(cols: _*).withColumn(ChangeOp, lit("upsert"))
+
+    val live = Deltas.liveCommits(spark, tablePath).toSet
+    val deletes: Seq[DataFrame] = st.commits
+      .filter(c => c.commitTime > sinceCommitTime && c.operation == "delete")
+      .map { c =>
+        val isMor = c.partitions.forall(_.mode == "delta")
+        if (isMor) {
+          // tombstone rows live in the delete commit's delta batch
+          val dir =
+            if (live.contains(c.commitTime)) Deltas.dir(tablePath, c.commitTime).toString
+            else st.commits.filter(x => x.operation == "compact" && x.commitTime > c.commitTime)
+              .collectFirst {
+                case x if Archive.archivedDeltaCommits(fs, tablePath, x.commitTime).contains(c.commitTime) =>
+                  new Path(Archive.deltasDir(tablePath, x.commitTime), c.commitTime).toString
+              }.getOrElse(throw GraftException.config(
+                s"Cannot read changes since $sinceCommitTime: tombstones of delete commit " +
+                  s"${c.commitTime} were cleaned (archive retention exceeded)."))
+          Deltas.readDirs(spark, schema, Seq(dir))
+            .filter(col(Deltas.DeletedCol)).select(cols: _*)
+        } else {
+          // COW delete: before-image = archived pre-image rows whose key is
+          // absent from the post-delete state of the touched partitions
+          if (!Archive.exists(fs, tablePath, c.commitTime))
+            throw GraftException.config(
+              s"Cannot read changes since $sinceCommitTime: pre-image of delete commit " +
+                s"${c.commitTime} was cleaned (archive retention exceeded).")
+          // only partitions that actually had a pre-image (a delete aimed at
+          // a partition with no base dir replaced nothing)
+          val touched = c.partitions.map(_.path).filter(p => fs.exists(
+            new Path(Archive.dataDir(tablePath, c.commitTime), PathCodec.escape(p))))
+          if (touched.isEmpty && partF.nonEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else {
+            val pre =
+              if (partF.isEmpty) spark.read.schema(schema)
+                .parquet(Archive.dataDir(tablePath, c.commitTime).toString).select(cols: _*)
+              else spark.read.schema(schema)
+                .option("basePath", Archive.dataDir(tablePath, c.commitTime).toString)
+                .parquet(touched.map(p =>
+                  s"${Archive.dataDir(tablePath, c.commitTime)}/${PathCodec.escape(p)}"): _*)
+                .select(cols: _*)
+            val post = readAsOf(spark, tablePath, c.commitTime)
+              .filter(if (partF.isEmpty) lit(true) else ppCol(partF).isin(touched: _*))
+            pre.join(post.select((keyF ++ partF).map(col): _*), keyF ++ partF, "left_anti")
+              .withColumn(MetaColumns.CommitTime, lit(c.commitTime))
+          }
+        }
+      }
+    deletes.foldLeft(upserts)((acc, d) =>
+      acc.unionByName(d.withColumn(ChangeOp, lit("delete"))))
+  }
+
+  /** Hudi GLOBAL-index upsert (GLOBAL_SIMPLE shape): record keys are unique
+    * TABLE-WIDE, so an update whose partition value changed MOVES the row —
+    * the old partition's copy is removed in the same commit. Key→partition
+    * resolution is a join against the live table's key/partition projection:
+    * a full-table two-column columnar scan plus one key shuffle, exactly
+    * GLOBAL_SIMPLE's documented cost (GLOBAL_BLOOM would trade the scan for
+    * per-file bloom probes); everything after is bounded by the touched
+    * (old ∪ new) partitions. COW: one rewrite commit; MOR: one delta batch
+    * carrying tombstones for the moved rows plus the upserts.
+    */
+  def upsertGlobal(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val precombine = st.latest.precombineField
+    if (partF.isEmpty) return upsert(spark, tablePath, updates) // global == non-global
+
+    val (evolved, padded) = evolveSchema(st, updates)
+    // global semantics: ONE winner per key table-wide (no partition scoping)
+    val updDeduped = Upsert.dedupByKey(padded, keyF, precombine)
+    val ct = CommitLog.newCommitTime()
+    val updMeta = MetaColumns.withMeta(updDeduped, keyF, partF, ct)
+      .select(evolved.fieldNames.map(col).toSeq: _*)
+
+    // where does each incoming key live today? (the global index lookup)
+    val cur = read(spark, tablePath)
+      .select((keyF ++ partF).map(col) :+ col(MetaColumns.PartitionPath).as("__old_pp"): _*)
+    val moved = cur.join(
+        updMeta.select(keyF.map(col) :+ col(MetaColumns.PartitionPath).as("__new_pp"): _*), keyF)
+      .filter(col("__old_pp") =!= col("__new_pp"))
+      .persist()
+    val movedPP = moved.select("__old_pp").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by #partitions
+    val newPP = updMeta.select(MetaColumns.PartitionPath).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val touched = (movedPP ++ newPP).distinct.sorted
+
+    if (st.latest.tableType == TableType.MergeOnRead.name) {
+      // one delta batch: tombstones at the old locations + the new images
+      val tombstones = evolved.fields.foldLeft(
+          moved.select((keyF ++ partF).map(col): _*)) { (df, f) =>
+          if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      val tombMeta = MetaColumns.withMeta(
+          tombstones.select(evolved.fieldNames.filterNot(MetaColumns.all.contains).map(col).toSeq: _*),
+          keyF, partF, ct)
+        .select(evolved.fieldNames.map(col).toSeq: _*)
+        .withColumn(Deltas.DeletedCol, lit(true))
+      val rows = updMeta.withColumn(Deltas.DeletedCol, lit(false)).unionByName(tombMeta)
+      Deltas.write(rows, tablePath, ct, partF)
+      moved.unpersist()
+      val counts = partitionCountsOf(
+        spark.read.schema(Deltas.schemaOf(evolved)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+      CommitLog.write(spark, tablePath, CommitInfo(
+        commitTime = ct, operation = "delta_commit", tableName = st.latest.tableName,
+        tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
+        partitionFields = partF,
+        partitions = counts.keys.toSeq.sorted.map(p => PartitionEntry(p, "delta", counts(p))),
+        recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
+      return counts.keys.toSeq.sorted
+    }
+
+    val base0 = readPartitions(spark, tablePath, st, touched)
+    val base = evolved.fields.foldLeft(base0) { (df, f) =>
+      if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(evolved.fieldNames.map(col).toSeq: _*)
+    // key-ONLY anti-join: the global index removes the key wherever it lives
+    val merged = base.join(updMeta.select(keyF.map(col): _*), keyF, "left_anti")
+      .unionByName(updMeta)
+    val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
+    moved.unpersist()
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "upsert", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
+      partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
+    touched
   }
 
   /** Read (a subset of) a registered source. Hive-layout sources are read by
@@ -530,39 +709,205 @@ object KeyedTable {
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
       recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
 
+    // absorbed delta batches move into this compaction's archive (not
+    // deleted): readAsOf before the compaction re-merges them, and rolling
+    // the compaction back re-exposes them
     val fs = CommitLog.fs(spark, tablePath)
-    live.foreach(c => fs.delete(Deltas.dir(tablePath, c), true))
+    live.foreach(c => Archive.stashDelta(fs, tablePath, ct, c, Deltas.dir(tablePath, c)))
     touched
   }
 
-  /** Rollback (Hudi restore-to-instant analogue, bounded to what COW-with-
-    * eager-cleanup can honestly restore): undo every commit AFTER
-    * `toCommitTime` by deleting its delta batch and commit record. Only
-    * delta-backed commits (MOR upserts/deletes) are reversible — their base
-    * files were never touched; once a rewrite commit (upsert/delete on COW,
-    * compact, cluster, resume) lands, the pre-image is gone and rollback
-    * across it is refused. O(#rolled-back commits) metadata ops, no data
-    * rewrite.
+  /** Rollback (Hudi restore-to-instant analogue): undo every commit AFTER
+    * `toCommitTime`, newest first. A live delta batch is undone by deleting
+    * its directory; a rewrite commit (COW upsert/delete, compact, cluster,
+    * materialize) is undone by swapping its archived pre-image back in —
+    * partitions it replaced are restored, partitions it created are removed,
+    * and a compaction re-exposes the delta batches it absorbed. Refused for
+    * append-type commits (insert/bulk_insert — their rows are interleaved
+    * into shared files), resume/bootstrap overwrites, and rewrites whose
+    * archive was cleaned. O(#rolled-back partitions) rename metadata ops,
+    * no data rewrite.
     */
   def rollback(spark: SparkSession, tablePath: String, toCommitTime: String): Seq[String] = {
     val st = CommitLog.requireState(spark, tablePath)
     val doomed = st.commits.filter(_.commitTime > toCommitTime)
     if (doomed.isEmpty) return Seq.empty
-    val irreversible = doomed.filterNot(c =>
-      c.operation == "delta_commit" || c.operation == "delete" && {
-        // a delete on MOR is a delta (reversible); on COW it rewrote files
-        Deltas.liveCommits(spark, tablePath).contains(c.commitTime)
-      })
-    if (irreversible.nonEmpty)
-      throw GraftException.config(
-        s"Cannot roll back past rewrite commit(s) ${irreversible.map(c => s"${c.commitTime}(${c.operation})").mkString(", ")}: " +
-          "base files were rewritten in place (COPY_ON_WRITE cleanup is eager).")
     val fs = CommitLog.fs(spark, tablePath)
-    doomed.foreach { c =>
-      fs.delete(Deltas.dir(tablePath, c.commitTime), true)
+    val liveDeltas = Deltas.liveCommits(spark, tablePath).toSet
+    // a delta batch absorbed by a doomed compaction is re-exposed when that
+    // compaction is undone (the loop runs newest-first), so it counts as
+    // undoable even though it is neither live nor self-archived now
+    val reExposed = doomed.filter(_.operation == "compact")
+      .flatMap(c => Archive.archivedDeltaCommits(fs, tablePath, c.commitTime)).toSet
+
+    val blocked = doomed.filterNot(c =>
+      liveDeltas.contains(c.commitTime) || reExposed.contains(c.commitTime) ||
+        Archive.exists(fs, tablePath, c.commitTime))
+    if (blocked.nonEmpty)
+      throw GraftException.config(
+        s"Cannot roll back past commit(s) ${blocked.map(c => s"${c.commitTime}(${c.operation})").mkString(", ")}: " +
+          "no archived pre-image (append-type commit, resume/bootstrap overwrite, or archive cleaned).")
+
+    doomed.reverse.foreach { c => // newest first: each step undoes one commit
+      // checked live at undo time: an earlier iteration (a compaction undo)
+      // may have re-exposed this commit's delta directory
+      if (fs.exists(Deltas.dir(tablePath, c.commitTime))) {
+        fs.delete(Deltas.dir(tablePath, c.commitTime), true)
+      } else {
+        if (c.partitionFields.isEmpty) {
+          fs.listStatus(new Path(tablePath)).filter(_.isFile)
+            .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
+            .foreach(f => fs.delete(f.getPath, false))
+          val ad = Archive.dataDir(tablePath, c.commitTime)
+          if (fs.exists(ad)) fs.listStatus(ad).filter(_.isFile)
+            .foreach(f => fs.rename(f.getPath, new Path(tablePath, f.getPath.getName)))
+        } else {
+          c.partitions.filter(_.mode == "native").foreach { e =>
+            val liveDir = new Path(s"$tablePath/${PathCodec.escape(e.path)}")
+            val arch = new Path(Archive.dataDir(tablePath, c.commitTime), PathCodec.escape(e.path))
+            // replaced partition → restore pre-image; created partition
+            // (no pre-image) → remove
+            if (fs.exists(liveDir)) fs.delete(liveDir, true)
+            if (fs.exists(arch)) {
+              if (!fs.exists(liveDir.getParent)) fs.mkdirs(liveDir.getParent)
+              fs.rename(arch, liveDir)
+            }
+          }
+        }
+        Archive.archivedDeltaCommits(fs, tablePath, c.commitTime).foreach { dc =>
+          val destD = Deltas.dir(tablePath, dc)
+          if (!fs.exists(destD.getParent)) fs.mkdirs(destD.getParent)
+          fs.rename(new Path(Archive.deltasDir(tablePath, c.commitTime), dc), destD)
+        }
+        fs.delete(Archive.dir(tablePath, c.commitTime), true)
+      }
       fs.delete(new Path(s"$tablePath/${CommitLog.LogDirName}/${c.commitTime}.commit.json"), false)
     }
     doomed.map(_.commitTime)
+  }
+
+  /** Time-travel read (Hudi `as.of.instant` analogue): the table as of
+    * commit `asOf` (inclusive). Base files per partition come from the live
+    * tree when nothing rewrote the partition since, otherwise from the
+    * pre-image archived by the FIRST rewrite after `asOf` (between `asOf`
+    * and that rewrite only append-type commits can have touched the
+    * partition, and their rows are removed by the `_hoodie_commit_time`
+    * filter). MOR delta batches at or before `asOf` — live, or archived by a
+    * later compaction — are merged on top, exactly like a live snapshot.
+    * Fails explicitly when the needed pre-image was cleaned
+    * ([[cleanArchive]] retention) or the history was reset (re-bootstrap /
+    * resume overwrite). Reads only the asOf partition set, pruned at the
+    * file index per source root.
+    */
+  def readAsOf(spark: SparkSession, tablePath: String, asOf: String): DataFrame = {
+    val all = CommitLog.commits(spark, tablePath)
+    val past = all.filter(_.commitTime <= asOf)
+    if (past.isEmpty)
+      throw GraftException.config(s"No commit at or before instant $asOf.")
+    val later = all.filter(_.commitTime > asOf)
+    later.find(c => c.operation == "bootstrap" || c.operation == "resume").foreach(c =>
+      throw GraftException.config(
+        s"Cannot read as of $asOf: commit ${c.commitTime} (${c.operation}) overwrote the table outside the archive."))
+
+    val st = CommitLog.stateOf(past)
+    val fs = CommitLog.fs(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val partF = st.latest.partitionFields
+    val cols = schema.fieldNames.map(col).toSeq
+    val rewriteOps = Set("upsert", "delete", "compact", "cluster", "materialize")
+    def firstRewriteAfter(p: String): Option[CommitInfo] =
+      later.find(c => rewriteOps(c.operation) &&
+        c.partitions.exists(e => e.path == p && e.mode == "native"))
+    def retentionError(p: String, ct: String) = GraftException.config(
+      s"Cannot read as of $asOf: pre-image of partition '$p' (archived by commit $ct) " +
+        "has been cleaned — archive retention exceeded.")
+
+    val parts = Seq.newBuilder[DataFrame]
+    if (partF.isEmpty) {
+      if (st.nativePartitions.nonEmpty) {
+        val root = firstRewriteAfter("") match {
+          case Some(c) =>
+            val d = Archive.dataDir(tablePath, c.commitTime)
+            if (!fs.exists(d)) throw retentionError("", c.commitTime)
+            d.toString
+          case None => tablePath
+        }
+        parts += spark.read.schema(schema).parquet(root).select(cols: _*)
+      }
+    } else {
+      // group partitions by the root holding their asOf state → one pruned
+      // multi-dir scan per root
+      val byRoot = st.nativePartitions.flatMap { p =>
+        firstRewriteAfter(p) match {
+          case Some(c) =>
+            val d = new Path(Archive.dataDir(tablePath, c.commitTime), PathCodec.escape(p))
+            if (!fs.exists(d)) throw retentionError(p, c.commitTime)
+            Some(Archive.dataDir(tablePath, c.commitTime).toString -> p)
+          case None =>
+            // directory truth, like readBase: an out-of-band-deleted dir is
+            // a missing partition, not an error
+            if (fs.exists(new Path(s"$tablePath/${PathCodec.escape(p)}")))
+              Some(tablePath -> p)
+            else None
+        }
+      }.groupBy(_._1)
+      byRoot.foreach { case (root, ps) =>
+        parts += spark.read.schema(schema).option("basePath", root)
+          .parquet(ps.map { case (_, p) => s"$root/${PathCodec.escape(p)}" }: _*)
+          .select(cols: _*)
+      }
+      val metaOnly = st.metadataOnlyPartitions
+      if (metaOnly.nonEmpty) {
+        val src = st.sourcePath.getOrElse(
+          throw GraftException.unexpected(s"metadata_only partitions without sourcePath at $tablePath"))
+        val mct = st.commits.find(_.sourcePath.isDefined).map(_.commitTime).getOrElse(st.latest.commitTime)
+        val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
+        parts += MetaColumns.withMeta(
+          readSource(spark, src, dataSchema, partF, Some(metaOnly)),
+          st.latest.keyFields, partF, mct).select(cols: _*)
+      }
+    }
+    val base0 = parts.result() match {
+      case Nil => spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case dfs => dfs.reduce(_ unionByName _)
+    }
+    // rows appended into surviving files after asOf drop out here
+    val base = base0.filter(col(MetaColumns.CommitTime) <= asOf)
+
+    // deltas at asOf: live and ≤ asOf, or stashed by a post-asOf compaction
+    val liveDirs = Deltas.liveCommits(spark, tablePath).filter(_ <= asOf)
+      .map(c => c -> Deltas.dir(tablePath, c).toString)
+    val archDirs = later.filter(_.operation == "compact").flatMap { c =>
+      Archive.archivedDeltaCommits(fs, tablePath, c.commitTime).filter(_ <= asOf)
+        .map(dc => dc -> new Path(Archive.deltasDir(tablePath, c.commitTime), dc).toString)
+    }
+    val deltaDirs = (liveDirs ++ archDirs).sortBy(_._1)
+    if (deltaDirs.isEmpty) return base
+
+    val deltaCts = deltaDirs.map(_._1).toSet
+    val touched = past.filter(c => deltaCts.contains(c.commitTime))
+      .flatMap(_.partitions.map(_.path)).distinct
+    val deltas = Deltas.readDirs(spark, schema, deltaDirs.map(_._2))
+    val inTouched =
+      if (partF.isEmpty) lit(true)
+      else ppCol(partF).isin(touched: _*)
+    base.filter(!inTouched).unionByName(
+      Deltas.merge(base.filter(inTouched), deltas, st.latest.precombineField))
+  }
+
+  /** Hudi-cleaner analogue: keep the pre-images of the newest `retainLast`
+    * archived rewrite commits, drop older ones (bounding archive storage to
+    * retainLast × replaced-partition data). readAsOf / rollback past the
+    * horizon fail explicitly. Auto-run inline after every rewrite commit,
+    * like Hudi's inline cleaner. Returns the cleaned commit times.
+    */
+  val ArchiveRetention = 10
+  def cleanArchive(
+      spark: SparkSession, tablePath: String, retainLast: Int = ArchiveRetention): Seq[String] = {
+    val fs = CommitLog.fs(spark, tablePath)
+    val old = Archive.commits(fs, tablePath).dropRight(retainLast)
+    old.foreach(ct => fs.delete(Archive.dir(tablePath, ct), true))
+    old
   }
 
   /** Clustering (Hudi clustering / OPTIMIZE analogue): rewrite partitions
@@ -718,11 +1063,15 @@ object KeyedTable {
     val w = shaped.write.mode("overwrite").format("parquet").options(writeOptions)
     (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(staging)
 
+    // replaced data is ARCHIVED (renamed under .graft/archive/<ct>), not
+    // deleted — the pre-images are what readAsOf and rollback-across-rewrites
+    // restore from; cleanArchive bounds their number
+    Archive.mark(fs, tablePath, ct)
     if (partF.isEmpty) {
       // swap the root data files
       fs.listStatus(new Path(tablePath)).filter(_.isFile)
         .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
-        .foreach(f => fs.delete(f.getPath, false))
+        .foreach(f => Archive.stash(fs, tablePath, ct, f.getPath.getName, f.getPath))
       fs.listStatus(new Path(staging)).filter(_.isFile)
         .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
         .foreach(f => fs.rename(f.getPath, new Path(tablePath, f.getPath.getName)))
@@ -730,7 +1079,7 @@ object KeyedTable {
       touched.foreach { p =>
         val dest = new Path(s"$tablePath/${PathCodec.escape(p)}")
         val src = new Path(s"$staging/${PathCodec.escape(p)}")
-        if (fs.exists(dest)) fs.delete(dest, true)
+        if (fs.exists(dest)) Archive.stash(fs, tablePath, ct, PathCodec.escape(p), dest)
         if (fs.exists(src)) {
           if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
           fs.rename(src, dest)
@@ -738,6 +1087,7 @@ object KeyedTable {
       }
     }
     fs.delete(new Path(staging), true)
+    cleanArchive(spark, tablePath)
     // per-partition counts for the commit log: count only the swapped-in
     // partitions, with the log schema so partition-path strings match
     if (partF.isEmpty) Map("" -> spark.read.schema(schema).parquet(tablePath).count())

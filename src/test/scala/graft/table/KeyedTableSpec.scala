@@ -301,6 +301,26 @@ class KeyedTableSpec extends SparkTestBase {
     assert(read.filter(col("o_extra").isNull).count() > 0) // early files null-fill
   }
 
+  test("dry_run plans and validates but writes nothing") {
+    val in = ordersWithMonth(tmpDir("in"))
+    val table = tmpDir("tbl2") + "/t" // not yet created
+    val res = KeyedTable.bootstrap(spark, cfg(in, table).copy(dryRun = true))
+    assert(res.inputCount === 1500)
+    assert(res.partitionsWritten.nonEmpty) // the plan
+    assert(!new File(table).exists()) // nothing written, no commit log
+
+    // dry-run resume on a partially-loaded table reports only the gap
+    val inPartial = ordersWithMonth(tmpDir("inp"), upToMonth = Some("1995-06"))
+    val table2 = tmpDir("tbl3")
+    KeyedTable.bootstrap(spark, cfg(inPartial, table2))
+    val plan = KeyedTable.bootstrap(spark, cfg(in, table2).copy(resume = true, dryRun = true))
+    assert(plan.partitionsWritten.nonEmpty)
+    assert(plan.partitionsWritten.forall(_ > "o_month=1995-06"))
+    // the table was not advanced: a real resume still writes the same set
+    val real = KeyedTable.bootstrap(spark, cfg(in, table2).copy(resume = true))
+    assert(real.partitionsWritten === plan.partitionsWritten)
+  }
+
   test("error taxonomy: missing path, bad format, missing fields, empty input") {
     val table = tmpDir("tbl")
     val e1 = intercept[GraftException] {

@@ -174,7 +174,7 @@ class MorSpec extends SparkTestBase {
     assert(CommitLog.commits(spark, table).last.operation === "cluster")
   }
 
-  test("rollback undoes uncompacted delta commits; refuses to cross a rewrite") {
+  test("rollback undoes uncompacted delta commits; restores across archived rewrites") {
     val in = ordersIn(tmpDir("in"))
     val table = tmpDir("tbl")
     val boot = KeyedTable.bootstrap(spark, cfg(in, table))
@@ -193,13 +193,142 @@ class MorSpec extends SparkTestBase {
     assert(mid.filter(col("o_orderkey") === ks(1) && col("o_orderstatus") === "R2").count() === 0)
     assert(Deltas.liveCommits(spark, table).size === 1)
 
-    // compaction is a rewrite — rollback across it must refuse
+    // compaction is an ARCHIVED rewrite — rolling back across it restores the
+    // pre-image partitions and re-exposes the absorbed delta, which the same
+    // rollback then undoes too
     KeyedTable.compact(spark, table)
+    val undone2 = KeyedTable.rollback(spark, table, boot.commitTime)
+    assert(undone2.size === 2) // compact + the remaining delta commit
+    val restored = KeyedTable.read(spark, table)
+    assert(restored.count() === 1500)
+    assert(restored.filter(col("o_orderstatus").isin("R1", "R2")).count() === 0)
+    assert(Deltas.liveCommits(spark, table).isEmpty)
+    assert(CommitLog.commits(spark, table).map(_.operation) === Seq("bootstrap"))
+
+    // append-type commits interleave rows into shared files (no pre-image) —
+    // rollback across them must refuse
+    val batch = updatesFor(table, Seq(ks(0)), "AP")
+    KeyedTable.append(spark, table, batch, WriteOperation.BulkInsert)
     val e = intercept[GraftException] { KeyedTable.rollback(spark, table, boot.commitTime) }
-    assert(e.getMessage.contains("Cannot roll back past rewrite commit"))
+    assert(e.getMessage.contains("Cannot roll back past commit"))
     // rollback to the current tip is a no-op
     assert(KeyedTable.rollback(spark, table,
       CommitLog.commits(spark, table).last.commitTime).isEmpty)
+  }
+
+  test("readAsOf reconstructs historical snapshots across COW rewrites, MOR deltas, and compaction") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table))
+    val originalSum = KeyedTable.read(spark, table)
+      .agg(sum(col("o_orderkey"))).head().getLong(0)
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(3).as[Long].collect().toSeq
+
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ks(0)), "T1"))
+    val afterT1 = CommitLog.commits(spark, table).last.commitTime
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ks(1)), "T2"))
+    KeyedTable.compact(spark, table)
+    val m = KeyedTable.read(spark, table).filter(col("o_orderkey") === ks(2))
+      .select("o_month").head().getString(0)
+    KeyedTable.delete(spark, table, Seq((ks(2), m)).toDF("o_orderkey", "o_month"))
+
+    // live tip: T1+T2 applied, ks(2) deleted
+    assert(KeyedTable.read(spark, table).count() === 1499)
+
+    // as of bootstrap: pristine
+    val atBoot = KeyedTable.readAsOf(spark, table, boot.commitTime)
+    assert(atBoot.count() === 1500)
+    assert(atBoot.agg(sum(col("o_orderkey"))).head().getLong(0) === originalSum)
+    assert(atBoot.filter(col("o_orderstatus").isin("T1", "T2")).count() === 0)
+
+    // as of first delta: T1 applied, T2 not, ks(2) present
+    val atT1 = KeyedTable.readAsOf(spark, table, afterT1)
+    assert(atT1.count() === 1500)
+    assert(atT1.filter(col("o_orderkey") === ks(0)).head().getAs[String]("o_orderstatus") === "T1")
+    assert(atT1.filter(col("o_orderstatus") === "T2").count() === 0)
+    assert(atT1.filter(col("o_orderkey") === ks(2)).count() === 1)
+
+    // unknown instant before first commit
+    val e = intercept[GraftException] { KeyedTable.readAsOf(spark, table, "0") }
+    assert(e.getMessage.contains("No commit at or before"))
+  }
+
+  test("readAsOf fails explicitly when the archive was cleaned past the instant") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(1).as[Long].collect().toSeq
+    KeyedTable.upsert(spark, table, updatesFor(table, ks, "C1"))
+    KeyedTable.cleanArchive(spark, table, retainLast = 0)
+    val e = intercept[GraftException] { KeyedTable.readAsOf(spark, table, boot.commitTime) }
+    assert(e.getMessage.contains("archive retention exceeded"))
+  }
+
+  test("readChanges surfaces upserts and deletes with op column on MOR, across compaction") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table))
+    val rows = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_month").orderBy("o_orderkey").limit(3).collect()
+    val (k1, k2, k3) = (rows(0).getLong(0), rows(1).getLong(0), rows(2).getLong(0))
+    val m3 = rows(2).getString(1)
+
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(k1, k2), "CH"))
+    KeyedTable.delete(spark, table, Seq((k3, m3)).toDF("o_orderkey", "o_month"))
+
+    def changeMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_orderkey"), col(KeyedTable.ChangeOp))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val pre = KeyedTable.readChanges(spark, table, boot.commitTime)
+    assert(changeMap(pre) === Map(k1 -> "upsert", k2 -> "upsert", k3 -> "delete"))
+    // tombstones found in the compaction archive after compact
+    KeyedTable.compact(spark, table)
+    val post = KeyedTable.readChanges(spark, table, boot.commitTime)
+    assert(changeMap(post) === Map(k1 -> "upsert", k2 -> "upsert", k3 -> "delete"))
+  }
+
+  test("readChanges reconstructs COW delete before-images from the archive") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+    val r = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_month", "o_orderstatus").orderBy("o_orderkey").head()
+    val (k, m, status) = (r.getLong(0), r.getString(1), r.getString(2))
+    KeyedTable.delete(spark, table, Seq((k, m)).toDF("o_orderkey", "o_month"))
+
+    val ch = KeyedTable.readChanges(spark, table, boot.commitTime)
+      .filter(col(KeyedTable.ChangeOp) === "delete").collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[Long]("o_orderkey") === k)
+    // COW deletes carry the full before-image, not just the key
+    assert(ch.head.getAs[String]("o_orderstatus") === status)
+  }
+
+  test("upsertGlobal moves a row whose partition value changed (COW and MOR)") {
+    val in = ordersIn(tmpDir("in"))
+    for (tt <- Seq(TableType.CopyOnWrite, TableType.MergeOnRead)) {
+      val table = tmpDir("tbl")
+      KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = tt))
+      val base = KeyedTable.read(spark, table)
+      val k = base.agg(min("o_orderkey")).head().getLong(0)
+      val dataCols = base.columns.filterNot(_.startsWith("_"))
+      val movedUpd = base.filter(col("o_orderkey") === k)
+        .select(dataCols.map(col).toSeq: _*)
+        .withColumn("o_month", lit("2030-05"))
+        .withColumn("o_orderstatus", lit("GM"))
+
+      KeyedTable.upsertGlobal(spark, table, movedUpd)
+      val after = KeyedTable.read(spark, table)
+      assert(after.count() === 1500, tt.name) // moved, not duplicated
+      val kRows = after.filter(col("o_orderkey") === k)
+        .select("o_month", "o_orderstatus").collect()
+      assert(kRows.length === 1, tt.name)
+      assert(kRows.head.getString(0) === "2030-05", tt.name)
+      assert(kRows.head.getString(1) === "GM", tt.name)
+    }
   }
 
   test("MOR end-to-end matches the equivalent COW table state") {
