@@ -232,4 +232,45 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------------- dup-cluster resolution
+
+  /** Connected components over an undirected pair graph (near-dup pairs →
+    * duplicate CLUSTERS, so a pipeline can keep one canonical doc per
+    * cluster instead of reasoning about pairwise edges). Iterative min-label
+    * propagation: each round joins every vertex's label to its neighbors and
+    * keeps the minimum — one shuffle join + one partial agg per round,
+    * converging in O(cluster diameter) rounds. Dup clusters are quasi-cliques
+    * (diameter 1-2 in practice), so 2-3 rounds close them; `maxIter` bounds
+    * pathological chains, and the alternating large-star/small-star variant
+    * (O(log n) rounds) is the drop-in upgrade if a corpus ever produces deep
+    * chains. Returns (id, cluster_id = min id in component) for every vertex
+    * that appears in a pair.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.join(
+          labels.select(col("id"), col("cluster_id").as("prev")), "id")
+        .filter(col("cluster_id") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -114,6 +114,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.6, s"cell-blocked recall $recall")
   }
 
+  test("connected components resolve transitive dup chains to min-id clusters") {
+    // chain 1-2-3 (transitive), pair 10-11, singleton edge case via empty join
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("curation: hash sample is deterministic, quota bounds groups, pii redaction scrubs") {
+    val sampled = Curation.hashSample(docs, col("doc_id"), 10)
+    assert(sampled.count() === Curation.hashSample(docs, col("doc_id"), 10).count())
+    assert(sampled.count() > 0 && sampled.count() < docs.count())
+
+    val quota = Curation.groupQuota(docs, col("source"), 5, col("doc_id").asc)
+    val perGroup = quota.groupBy("source").count().agg(max("count")).head().getLong(0)
+    assert(perGroup <= 5)
+
+    val r = Seq((1L, "mail me at a.b@x.co or call 555-123-4567 now"))
+      .toDF("id", "t")
+      .select(Curation.redactPii(col("t")).as("red"),
+        Curation.piiCounts(col("t"))._1.as("e"), Curation.piiCounts(col("t"))._2.as("p"))
+      .head()
+    assert(r.getAs[String]("red") === "mail me at [EMAIL] or call [PHONE] now")
+    assert(r.getAs[Int]("e") === 1 && r.getAs[Int]("p") === 1)
+  }
+
   test("text functions are deterministic and sane") {
     val r = docs.select(
       TextFunctions.tokenCount(col("text")).as("n"),
