@@ -57,4 +57,16 @@ object Engine {
 
   def rollback(spark: SparkSession, tablePath: String, toCommitTime: String): Seq[String] =
     KeyedTable.rollback(spark, tablePath, toCommitTime)
+
+  def readAsOf(spark: SparkSession, tablePath: String, asOf: String): DataFrame =
+    KeyedTable.readAsOf(spark, tablePath, asOf)
+
+  def readChanges(spark: SparkSession, tablePath: String, sinceCommitTime: String): DataFrame =
+    KeyedTable.readChanges(spark, tablePath, sinceCommitTime)
+
+  def upsertGlobal(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] =
+    KeyedTable.upsertGlobal(spark, tablePath, updates)
+
+  def cleanArchive(spark: SparkSession, tablePath: String, retainLast: Int = KeyedTable.ArchiveRetention): Seq[String] =
+    KeyedTable.cleanArchive(spark, tablePath, retainLast)
 }

@@ -219,6 +219,21 @@ object ExtQueries {
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Exactly-once dedup of an at-least-once event feed (batch twin of
+    * [[EventStreaming.dedupStream]]): every 3rd event is "redelivered", the
+    * dedup must restore the original relation exactly — checked through a
+    * per-type aggregate against the pristine events table.
+    */
+  private val x20: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val redelivered = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+    EventStreaming.dedupBatch(redelivered, Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -247,6 +262,7 @@ object ExtQueries {
     "x17_hash_sample" -> x17,
     "x18_source_quota" -> x18,
     "x19_pii_redact" -> x19,
+    "x20_stream_dedup" -> x20,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -467,5 +483,10 @@ object ExtQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g')) AS redacted_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    "x20_stream_dedup" ->
+      // dedup of the redelivered feed must reproduce the pristine relation
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -100,4 +100,24 @@ object EventStreaming {
   def hourlyAggBatch(events: DataFrame): DataFrame =
     events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  // ------------------------------------------------------ exactly-once dedup
+
+  /** Streaming exact dedup: collapse at-least-once redelivery to
+    * exactly-once by id, with state bounded by the watermark
+    * (dropDuplicatesWithinWatermark — duplicates arriving within the
+    * watermark horizon are dropped, state older than it is evicted, so
+    * memory is O(ids per watermark window) instead of O(all ids ever)).
+    * The ingestion-side twin of the corpus dedup family.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Batch twin: one hash-aggregate dedup by id. Redelivered rows are exact
+    * copies, so any survivor is THE row — no precombine needed.
+    */
+  def dedupBatch(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events.dropDuplicates(idCols)
 }

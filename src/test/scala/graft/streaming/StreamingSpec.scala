@@ -50,6 +50,21 @@ class StreamingSpec extends SparkTestBase {
     assert(closed === Set((1L, 2L), (2L, 1L)))
   }
 
+  test("streaming dedup collapses redelivered events to exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(fixture ++ fixture.take(2)) // redelivery of events 1,2
+    val q = EventStreaming.dedupStream(stream.toDF(), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L, 4L))
+    // batch twin agrees
+    val batch = EventStreaming.dedupBatch((fixture ++ fixture.take(2)).toDF(), Seq("event_id"))
+    assert(batch.count() === 4)
+  }
+
   test("batch sessionization matches hand-computed sessions") {
     val out = EventStreaming.sessionizeBatch(fixture.toDF(), gapMinutes = 30)
       .select("user_id", "n_events").collect()
