@@ -111,6 +111,55 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: readAsOf reproduces every historical state; rollback rewinds to it; CDC replays to tip") {
+    val rnd = new Random(55)
+    for ((tt, round) <- Seq(TableType.CopyOnWrite, TableType.MergeOnRead).zipWithIndex) {
+      val base = (0 until 15).map(i => (i.toLong, 0L, s"b$i", s"p${i % 3}"))
+      val table = bootstrap(base, tt)
+      // history = (commitTime, logical state) after every commit
+      var history = Seq(CommitLog.commits(spark, table).last.commitTime -> stateOf(table))
+      for (_ <- 0 until rnd.nextInt(2) + 2) {
+        rnd.nextInt(3) match {
+          case 0 | 1 => KeyedTable.upsert(spark, table, mkDf(randRows(rnd, 6, 18)))
+          case 2 =>
+            val del = KeyedTable.read(spark, table).select("id", "p")
+              .orderBy("id", "p").limit(rnd.nextInt(3) + 1)
+            KeyedTable.delete(spark, table, del)
+        }
+        history :+= CommitLog.commits(spark, table).last.commitTime -> stateOf(table)
+        if (rnd.nextBoolean()) KeyedTable.compact(spark, table)
+      }
+      val tip = stateOf(table)
+
+      // 1. time travel: every recorded instant reproduces its state
+      history.foreach { case (ct, st) =>
+        val got = KeyedTable.readAsOf(spark, table, ct)
+          .select("id", "ver", "v", "p").as[(Long, Long, String, String)]
+          .collect().toSeq.sorted
+        assert(got === st, s"$tt readAsOf($ct)")
+      }
+
+      // 2. CDC replay: snapshot(t) − deletes + upserts == snapshot(tip)
+      val (sinceCt, sinceState) = history(rnd.nextInt(history.size))
+      val changes = KeyedTable.readChanges(spark, table, sinceCt)
+        .select(col("id"), col("p"), col("ver"), col("v"), col(KeyedTable.ChangeOp))
+        .collect()
+      val delKeys = changes.filter(_.getString(4) == "delete")
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val upserts = changes.filter(_.getString(4) == "upsert")
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(0), r.getLong(2), r.getString(3), r.getString(1)))
+        .toMap
+      val replayed = (sinceState.map(r => (r._1, r._4) -> r).toMap
+        -- delKeys ++ upserts).values.toSeq.sorted
+      assert(replayed === tip, s"$tt CDC replay since $sinceCt")
+
+      // 3. rollback to a random instant rewinds the live table to that state
+      val (rbCt, rbState) = history(rnd.nextInt(history.size))
+      KeyedTable.rollback(spark, table, rbCt)
+      assert(stateOf(table) === rbState, s"$tt rollback($rbCt) round $round")
+    }
+  }
+
   test("property: resume restores the full count after any partition subset is lost") {
     val rnd = new Random(44)
     val base = (0 until 30).map(i => (i.toLong, 0L, s"b$i", s"p${i % 5}"))
