@@ -92,21 +92,33 @@ object Deltas {
   /** Snapshot-merge base rows with delta rows: the winner per
     * (partition path, record key) is the row with the greatest
     * (_hoodie_commit_time, precombine); deleted winners drop out. Base rows
-    * always lose to delta rows of the same key because delta commit times are
-    * strictly newer than the base file's commit time, and compaction
-    * preserves the winning row's commit time.
+    * always lose to delta rows of the same key because delta commit times
+    * are strictly newer than the base file's commit time
+    * ([[CommitLog.newCommitTime]] is monotonic), and compaction preserves
+    * the winning row's commit time.
     *
-    * One window shuffle on (partition path, key) — the minimal merge plan.
+    * Plan shape: the base side is an ANTI-JOIN against the delta key set —
+    * when the delta batch is small (the normal MOR state between
+    * compactions) AQE broadcasts it and base rows stream through WITHOUT a
+    * shuffle; only the delta rows themselves take a window shuffle to
+    * resolve their per-key winner. The old formulation windowed base ∪
+    * deltas together, shuffling every base row of every delta-touched
+    * partition on each snapshot read — the difference between O(|deltas|)
+    * and O(|touched partitions|) read cost at scale.
     */
   def merge(base: DataFrame, deltas: DataFrame, precombine: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = base.withColumn(DeletedCol, lit(false))
-      .unionByName(deltas.select(base.columns.map(col).toSeq :+ col(DeletedCol): _*))
+    val keyCols = Seq(MetaColumns.PartitionPath, MetaColumns.RecordKey)
+    // per-key winner among the delta rows only (delta batches are small)
     val w = Window
-      .partitionBy(col(MetaColumns.PartitionPath), col(MetaColumns.RecordKey))
+      .partitionBy(keyCols.map(col): _*)
       .orderBy(col(MetaColumns.CommitTime).desc, col(precombine).desc)
-    all.withColumn("__rn", row_number().over(w))
+    val winners = deltas
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(DeletedCol))
-      .drop("__rn", DeletedCol)
+      .select(base.columns.map(col).toSeq: _*)
+    // any delta row (upsert or tombstone) supersedes the base row of its key
+    base.join(deltas.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      .unionByName(winners)
   }
 }
