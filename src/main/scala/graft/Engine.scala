@@ -69,4 +69,7 @@ object Engine {
 
   def cleanArchive(spark: SparkSession, tablePath: String, retainLast: Int = KeyedTable.ArchiveRetention): Seq[String] =
     KeyedTable.cleanArchive(spark, tablePath, retainLast)
+
+  def sync(spark: SparkSession, srcPath: String, dstPath: String, sinceCommitTime: String): String =
+    graft.table.TableSync.sync(spark, srcPath, dstPath, sinceCommitTime)
 }

@@ -430,6 +430,41 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** CDC consumption: replicate a source table's change feed into an
+    * initially-identical destination with [[graft.table.TableSync]] — the
+    * incremental-ETL pattern where downstream copies cost O(changes), not
+    * O(table). The oracle recomputes the expected end state; any drift in
+    * the change feed or its application breaks the hash.
+    */
+  private val q28: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q28").toFile
+    tmp.deleteOnExit()
+    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    def boot(path: String, tt: TableType) = KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = s"$tmp/in", tablePath = path, tableName = "q28_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = tt))
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    val bootSrc = boot(src, TableType.MergeOnRead)
+    boot(dst, TableType.CopyOnWrite)
+
+    val base = KeyedTable.read(s, src)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, src, base
+      .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("SY")))
+    KeyedTable.delete(s, src, KeyedTable.read(s, src)
+      .filter(col("o_orderkey") % 97 === 0 && year(col("o_orderdate")) === 1996)
+      .select("o_orderkey", "o_month"))
+
+    graft.table.TableSync.sync(s, src, dst, bootSrc.commitTime)
+    KeyedTable.read(s, dst)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** S2 ORC round-trip under oracle check: the orders table is written to ORC
     * and read back through the sniffing scan path; the oracle reads the
     * original parquet — any ORC read/write asymmetry breaks the hash.
@@ -473,6 +508,7 @@ object CoreQueries {
     "q25_cdc_read" -> q25,
     "q26_global_upsert" -> q26,
     "q27_orc_roundtrip" -> q27,
+    "q28_table_sync" -> q28,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -614,5 +650,13 @@ object CoreQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_day
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q28_table_sync" ->
+      // dst must equal the src tip: updates applied, deletes removed
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995 THEN 'SY'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

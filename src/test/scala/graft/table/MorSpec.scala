@@ -331,6 +331,51 @@ class MorSpec extends SparkTestBase {
     }
   }
 
+  test("readAsOf before a column-adding upsert returns the old schema") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+    val base = KeyedTable.read(spark, table)
+    val k = base.agg(min("o_orderkey")).head().getLong(0)
+    val dataCols = base.columns.filterNot(_.startsWith("_"))
+    KeyedTable.upsert(spark, table, base.filter(col("o_orderkey") === k)
+      .select(dataCols.map(col).toSeq: _*)
+      .withColumn("o_new_col", lit("added")))
+
+    assert(KeyedTable.read(spark, table).columns.contains("o_new_col"))
+    val old = KeyedTable.readAsOf(spark, table, boot.commitTime)
+    assert(!old.columns.contains("o_new_col")) // schema as of the instant
+    assert(old.count() === 1500)
+  }
+
+  test("TableSync incrementally replicates a source table into a destination") {
+    val in = ordersIn(tmpDir("in"))
+    val (src, dst) = (tmpDir("src"), tmpDir("dst"))
+    val bootSrc = KeyedTable.bootstrap(spark, cfg(in, src))
+    KeyedTable.bootstrap(spark, cfg(in, dst).copy(tableType = TableType.CopyOnWrite))
+
+    def stateOf(t: String) = KeyedTable.read(spark, t)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey").collect().toSeq
+
+    // round 1: upsert + delete on src, sync
+    val ks = KeyedTable.read(spark, src).select("o_orderkey", "o_month")
+      .orderBy("o_orderkey").limit(3).collect()
+    KeyedTable.upsert(spark, src, updatesFor(src, Seq(ks(0).getLong(0)), "S1"))
+    KeyedTable.delete(spark, src,
+      Seq((ks(1).getLong(0), ks(1).getString(1))).toDF("o_orderkey", "o_month"))
+    val w1 = TableSync.sync(spark, src, dst, bootSrc.commitTime)
+    assert(stateOf(dst) === stateOf(src))
+
+    // round 2: more changes after the watermark, incremental sync composes
+    KeyedTable.upsert(spark, src, updatesFor(src, Seq(ks(2).getLong(0)), "S2"))
+    val w2 = TableSync.sync(spark, src, dst, w1)
+    assert(w2 > w1)
+    assert(stateOf(dst) === stateOf(src))
+    // no-op sync is a no-op
+    assert(TableSync.sync(spark, src, dst, w2) === w2)
+  }
+
   test("MOR end-to-end matches the equivalent COW table state") {
     val in = ordersIn(tmpDir("in"))
     val (tMor, tCow) = (tmpDir("mor"), tmpDir("cow"))
