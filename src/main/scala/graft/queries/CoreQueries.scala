@@ -272,6 +272,27 @@ object CoreQueries {
       .orderBy("label")
   }
 
+  /** The lifecycle queries (q22-q28) all stage the same input fixture
+    * (orders + derived month partition column, flat parquet): write it once
+    * per (session, sf dir) and share — each query still builds and mutates
+    * its OWN table; only the immutable staging input is reused.
+    */
+  private val ordersInputCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ordersInput(s: SparkSession, d: String): String =
+    ordersInputCache.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orders-in").toFile
+      tmp.deleteOnExit()
+      Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      s"$tmp/in"
+    })
+
+  private def freshTableDir(prefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toFile
+    tmp.deleteOnExit()
+    s"$tmp/tbl"
+  }
+
   /** Bootstrap a MERGE_ON_READ table from `orders`, run the full write
     * lifecycle through the real table machinery — delta upsert, tombstone
     * delete, compaction — and return the final snapshot. The oracle recomputes
@@ -279,13 +300,9 @@ object CoreQueries {
     * merge, precombine, tombstones, compaction swap) is hash-checked.
     */
   private val q22: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q22").toFile
-    tmp.deleteOnExit()
-    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    val tbl = s"$tmp/tbl"
+    val tbl = freshTableDir("graft-q22")
     KeyedTable.bootstrap(s, BootstrapConfig(
-      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q22_orders",
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q22_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
 
@@ -314,13 +331,9 @@ object CoreQueries {
     * scan to partitions touched after the instant.
     */
   private val q23: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q23").toFile
-    tmp.deleteOnExit()
-    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    val tbl = s"$tmp/tbl"
+    val tbl = freshTableDir("graft-q23")
     val boot = KeyedTable.bootstrap(s, BootstrapConfig(
-      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q23_orders",
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q23_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month")))
 
@@ -343,13 +356,9 @@ object CoreQueries {
     * pre-images, archived delta exclusion, and the commit-time filter.
     */
   private val q24: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q24").toFile
-    tmp.deleteOnExit()
-    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    val tbl = s"$tmp/tbl"
+    val tbl = freshTableDir("graft-q24")
     val boot = KeyedTable.bootstrap(s, BootstrapConfig(
-      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q24_orders",
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q24_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
 
@@ -375,13 +384,9 @@ object CoreQueries {
     * compaction archive after compact).
     */
   private val q25: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q25").toFile
-    tmp.deleteOnExit()
-    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    val tbl = s"$tmp/tbl"
+    val tbl = freshTableDir("graft-q25")
     val boot = KeyedTable.bootstrap(s, BootstrapConfig(
-      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q25_orders",
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q25_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
 
@@ -407,13 +412,9 @@ object CoreQueries {
     * exercises). Oracle recomputes the end state.
     */
   private val q26: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q26").toFile
-    tmp.deleteOnExit()
-    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    val tbl = s"$tmp/tbl"
+    val tbl = freshTableDir("graft-q26")
     KeyedTable.bootstrap(s, BootstrapConfig(
-      dataFilePath = s"$tmp/in", tablePath = tbl, tableName = "q26_orders",
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q26_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month")))
 
@@ -439,10 +440,8 @@ object CoreQueries {
   private val q28: Q = (s, d) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q28").toFile
     tmp.deleteOnExit()
-    Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
-      .write.mode("overwrite").parquet(s"$tmp/in")
     def boot(path: String, tt: TableType) = KeyedTable.bootstrap(s, BootstrapConfig(
-      dataFilePath = s"$tmp/in", tablePath = path, tableName = "q28_orders",
+      dataFilePath = ordersInput(s, d), tablePath = path, tableName = "q28_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month"), tableType = tt))
     val src = s"$tmp/src"; val dst = s"$tmp/dst"
