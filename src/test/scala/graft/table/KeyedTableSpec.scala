@@ -321,6 +321,28 @@ class KeyedTableSpec extends SparkTestBase {
     assert(real.partitionsWritten === plan.partitionsWritten)
   }
 
+  test("a leftover staging dir from a killed write does not corrupt reads or later writes") {
+    val in = ordersWithMonth(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    // simulate a crash mid-rewrite: orphaned staging dir under the log dir
+    val staging = new File(s"$table/${CommitLog.LogDirName}/staging-99999999999999999")
+    staging.mkdirs()
+    new File(staging, "o_month=1995-01").mkdirs()
+
+    // reads ignore it (it lives under the hidden log dir)
+    assert(KeyedTable.read(spark, table).count() === 1500)
+    // a later upsert works normally
+    val base = KeyedTable.read(spark, table)
+    val upd = base.filter(col("o_orderkey") === 1)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("OK"))
+    KeyedTable.upsert(spark, table, upd)
+    assert(KeyedTable.read(spark, table).count() === 1500)
+    assert(KeyedTable.read(spark, table)
+      .filter(col("o_orderkey") === 1).head().getAs[String]("o_orderstatus") === "OK")
+  }
+
   test("error taxonomy: missing path, bad format, missing fields, empty input") {
     val table = tmpDir("tbl")
     val e1 = intercept[GraftException] {
