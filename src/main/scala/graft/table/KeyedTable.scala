@@ -895,6 +895,20 @@ object KeyedTable {
       Deltas.merge(base.filter(inTouched), deltas, st.latest.precombineField))
   }
 
+  /** The commit timeline as a DataFrame (Hudi `show_commits` analogue):
+    * one row per commit with operation, record count, touched-partition
+    * count, and schema — the observability surface an operator of the table
+    * polls. Built from the O(#commits) JSON log, no data scan.
+    */
+  def timeline(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    CommitLog.requireState(spark, tablePath).commits
+      .map(c => (c.commitTime, c.operation, c.tableType, c.recordCount,
+        c.partitions.size.toLong, c.partitions.map(_.recordCount).sum))
+      .toDF("commit_time", "operation", "table_type", "record_count",
+        "n_partitions", "partition_rows")
+  }
+
   /** Hudi-cleaner analogue: keep the pre-images of the newest `retainLast`
     * archived rewrite commits, drop older ones (bounding archive storage to
     * retainLast × replaced-partition data). readAsOf / rollback past the

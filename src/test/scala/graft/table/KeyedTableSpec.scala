@@ -301,6 +301,53 @@ class KeyedTableSpec extends SparkTestBase {
     assert(read.filter(col("o_extra").isNull).count() > 0) // early files null-fill
   }
 
+  test("multi-level partitioning: bootstrap, upsert, time travel, resume round-trip") {
+    val in = tmpDir("in")
+    spark.read.parquet(sf("lineitem")).write.mode("overwrite").parquet(in)
+    val table = tmpDir("tbl")
+    val c = BootstrapConfig(
+      dataFilePath = in, tablePath = table, tableName = "li2",
+      keyFields = Seq("l_orderkey", "l_linenumber"), precombineField = "l_shipdate",
+      partitionFields = Seq("l_returnflag", "l_linestatus"))
+    val boot = KeyedTable.bootstrap(spark, c)
+    assert(boot.report.ok)
+    assert(boot.partitionsWritten.forall(_.matches("l_returnflag=.+/l_linestatus=.+")))
+    // nested dirs on disk
+    assert(new File(table).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("l_returnflag=")).forall(
+        _.listFiles().exists(_.getName.startsWith("l_linestatus="))))
+
+    val base = KeyedTable.read(spark, table)
+    val n = base.count()
+    val dataCols = base.columns.filterNot(_.startsWith("_"))
+    val k = base.orderBy("l_orderkey", "l_linenumber").limit(1)
+    KeyedTable.upsert(spark, table, k.select(dataCols.map(col).toSeq: _*)
+      .withColumn("l_quantity", lit(-42.0)))
+    assert(KeyedTable.read(spark, table).count() === n)
+    assert(KeyedTable.read(spark, table).filter(col("l_quantity") === -42.0).count() === 1)
+    // time travel across the two-level rewrite
+    assert(KeyedTable.readAsOf(spark, table, boot.commitTime)
+      .filter(col("l_quantity") === -42.0).count() === 0)
+    // resume sees the table as complete
+    val res = KeyedTable.bootstrap(spark, c.copy(resume = true))
+    assert(res.partitionsWritten.isEmpty)
+  }
+
+  test("commit timeline DataFrame reflects the operation history") {
+    val in = ordersWithMonth(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    val base = KeyedTable.read(spark, table)
+    val upd = base.filter(col("o_orderkey") === 1)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+    KeyedTable.upsert(spark, table, upd)
+    val tl = KeyedTable.timeline(spark, table)
+      .select("operation", "record_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(tl.map(_._1) === Seq("bootstrap", "upsert"))
+    assert(tl.head._2 === 1500L)
+  }
+
   test("dry_run plans and validates but writes nothing") {
     val in = ordersWithMonth(tmpDir("in"))
     val table = tmpDir("tbl2") + "/t" // not yet created
