@@ -270,7 +270,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // truncate the iterative lineage and release the loop's cached blocks —
+    // without this the final persist leaks until session end, and without
+    // the checkpoint an unpersisted result would replay every iteration
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 }

@@ -85,8 +85,12 @@ object CommitLog {
   def newCommitTime(): String = synchronized {
     val now = math.max(System.currentTimeMillis(), lastIssuedMillis + 1)
     lastIssuedMillis = now
-    new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
-      .format(new java.util.Date(now))
+    val sdf = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    // UTC, not host-default: a DST fall-back in a local zone would format a
+    // LATER instant as a lexicographically EARLIER string, breaking the
+    // strictly-increasing ordering everything downstream relies on
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    sdf.format(new java.util.Date(now))
   }
 
   // ------------------------------------------------------------------ write

@@ -109,16 +109,24 @@ object Deltas {
   def merge(base: DataFrame, deltas: DataFrame, precombine: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = Seq(MetaColumns.PartitionPath, MetaColumns.RecordKey)
-    // per-key winner among the delta rows only (delta batches are small)
+    val deltaKeys = deltas.select(keyCols.map(col): _*).distinct()
+    // base rows whose key has no delta stream through untouched (anti-join,
+    // broadcast by AQE when the batch is small — no shuffle of base); only
+    // rows CONTESTED by a delta enter the window, where commit time still
+    // decides the winner — an append/insert can land base rows NEWER than a
+    // live delta, so delta precedence must be resolved by (commit time,
+    // precombine), never assumed
+    val untouched = base.join(deltaKeys, keyCols, "left_anti")
+    val contested = base.join(deltaKeys, keyCols, "left_semi")
+      .withColumn(DeletedCol, lit(false))
+      .unionByName(deltas.select(base.columns.map(col).toSeq :+ col(DeletedCol): _*))
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(MetaColumns.CommitTime).desc, col(precombine).desc)
-    val winners = deltas
+    val winners = contested
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(DeletedCol))
-      .select(base.columns.map(col).toSeq: _*)
-    // any delta row (upsert or tombstone) supersedes the base row of its key
-    base.join(deltas.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-      .unionByName(winners)
+      .drop("__rn", DeletedCol)
+    untouched.unionByName(winners)
   }
 }

@@ -348,12 +348,16 @@ object KeyedTable {
       .select(cols: _*).withColumn(ChangeOp, lit("upsert"))
 
     val live = Deltas.liveCommits(spark, tablePath).toSet
+    // commits that can REMOVE rows: deletes, global upserts (a partition
+    // move removes the old-partition copy), and MOR delta batches (whose
+    // tombstones carry both plain deletes and global-upsert moves)
     val deletes: Seq[DataFrame] = st.commits
-      .filter(c => c.commitTime > sinceCommitTime && c.operation == "delete")
+      .filter(c => c.commitTime > sinceCommitTime &&
+        Set("delete", "delta_commit", "upsert_global").contains(c.operation))
       .map { c =>
-        val isMor = c.partitions.forall(_.mode == "delta")
-        if (isMor) {
-          // tombstone rows live in the delete commit's delta batch
+        val isMorBatch = c.partitions.nonEmpty && c.partitions.forall(_.mode == "delta")
+        if (isMorBatch) {
+          // tombstone rows live in the commit's delta batch
           val dir =
             if (live.contains(c.commitTime)) Deltas.dir(tablePath, c.commitTime).toString
             else st.commits.filter(x => x.operation == "compact" && x.commitTime > c.commitTime)
@@ -361,8 +365,8 @@ object KeyedTable {
                 case x if Archive.archivedDeltaCommits(fs, tablePath, x.commitTime).contains(c.commitTime) =>
                   new Path(Archive.deltasDir(tablePath, x.commitTime), c.commitTime).toString
               }.getOrElse(throw GraftException.config(
-                s"Cannot read changes since $sinceCommitTime: tombstones of delete commit " +
-                  s"${c.commitTime} were cleaned (archive retention exceeded)."))
+                s"Cannot read changes since $sinceCommitTime: the delta batch of commit " +
+                  s"${c.commitTime} (${c.operation}) was cleaned (archive retention exceeded)."))
           Deltas.readDirs(spark, schema, Seq(dir))
             .filter(col(Deltas.DeletedCol)).select(cols: _*)
         } else {
@@ -373,10 +377,15 @@ object KeyedTable {
               s"Cannot read changes since $sinceCommitTime: pre-image of delete commit " +
                 s"${c.commitTime} was cleaned (archive retention exceeded).")
           // only partitions that actually had a pre-image (a delete aimed at
-          // a partition with no base dir replaced nothing)
-          val touched = c.partitions.map(_.path).filter(p => fs.exists(
-            new Path(Archive.dataDir(tablePath, c.commitTime), PathCodec.escape(p))))
-          if (touched.isEmpty && partF.nonEmpty)
+          // a partition with no base dir replaced nothing); for an
+          // unpartitioned table the pre-image is the archive data dir itself
+          // — escape("") must never reach Path construction
+          val touched =
+            if (partF.isEmpty)
+              if (fs.exists(Archive.dataDir(tablePath, c.commitTime))) Seq("") else Seq.empty
+            else c.partitions.map(_.path).filter(p => fs.exists(
+              new Path(Archive.dataDir(tablePath, c.commitTime), PathCodec.escape(p))))
+          if (touched.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           else {
             val pre =
@@ -437,12 +446,9 @@ object KeyedTable {
 
     if (st.latest.tableType == TableType.MergeOnRead.name) {
       // one delta batch: tombstones at the old locations + the new images
-      val tombstones = evolved.fields.foldLeft(
-          moved.select((keyF ++ partF).map(col): _*)) { (df, f) =>
-          if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
-        }
+      val dataSchema = StructType(evolved.filterNot(f => MetaColumns.all.contains(f.name)))
       val tombMeta = MetaColumns.withMeta(
-          tombstones.select(evolved.fieldNames.filterNot(MetaColumns.all.contains).map(col).toSeq: _*),
+          padToSchema(moved.select((keyF ++ partF).map(col): _*), dataSchema),
           keyF, partF, ct)
         .select(evolved.fieldNames.map(col).toSeq: _*)
         .withColumn(Deltas.DeletedCol, lit(true))
@@ -460,22 +466,14 @@ object KeyedTable {
       return counts.keys.toSeq.sorted
     }
 
-    val base0 = readPartitions(spark, tablePath, st, touched)
-    val base = evolved.fields.foldLeft(base0) { (df, f) =>
-      if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(evolved.fieldNames.map(col).toSeq: _*)
-    // key-ONLY anti-join: the global index removes the key wherever it lives
-    val merged = base.join(updMeta.select(keyF.map(col): _*), keyF, "left_anti")
-      .unionByName(updMeta)
-    val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
+    // key-ONLY anti-join: the global index removes the key wherever it
+    // lives. The distinct operation name lets readChanges surface the
+    // old-partition removals of a move as delete events (before/after diff
+    // on the archived pre-image, same machinery as COW deletes).
+    val out = cowRewrite(spark, tablePath, st, updMeta, evolved, touched, ct,
+      antiJoinKeys = keyF, operation = "upsert_global")
     moved.unpersist()
-    CommitLog.write(spark, tablePath, CommitInfo(
-      commitTime = ct, operation = "upsert", tableName = st.latest.tableName,
-      tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
-      partitionFields = partF,
-      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
-    touched
+    out
   }
 
   /** Read (a subset of) a registered source. Hive-layout sources are read by
@@ -502,6 +500,44 @@ object KeyedTable {
         val df = spark.read.schema(dataSchema).parquet(src)
         w.fold(df)(ps => df.filter(ppCol(partF).isin(ps: _*)))
     }
+  }
+
+  /** Null-pad `df` to carry every field of `schema`, projected in schema
+    * order — the one alignment rule for base rows, tombstones, and batches.
+    */
+  private def padToSchema(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.map(col).toSeq: _*)
+
+  /** The shared COW rewrite tail: read + pad the touched partitions,
+    * anti-join the batch on `antiJoinKeys` (key+partition under the default
+    * non-global index; key alone under the global index, which is exactly
+    * what removes a moved row from its old partition), union the batch,
+    * stage + swap, commit. Returns the touched partitions.
+    */
+  private def cowRewrite(
+      spark: SparkSession,
+      tablePath: String,
+      st: TableState,
+      updMeta: DataFrame,
+      evolved: StructType,
+      touched: Seq[String],
+      ct: String,
+      antiJoinKeys: Seq[String],
+      operation: String): Seq[String] = {
+    val partF = st.latest.partitionFields
+    val base = padToSchema(readPartitions(spark, tablePath, st, touched), evolved)
+    val merged = base.join(updMeta.select(antiJoinKeys.map(col): _*), antiJoinKeys, "left_anti")
+      .unionByName(updMeta)
+    val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = operation, tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField, partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
+    touched
   }
 
   // ------------------------------------------------------ incremental write
@@ -536,27 +572,12 @@ object KeyedTable {
       else updMeta.select(MetaColumns.PartitionPath).distinct()
         .collect().map(_.getString(0)).toSeq.sorted // bounded by #touched partitions
 
-    // base rows of touched partitions, null-padded if the batch added columns
-    val base0 = readPartitions(spark, tablePath, st, touched)
-    val base = evolved.fields.foldLeft(base0) { (df, f) =>
-      if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(evolved.fieldNames.map(col).toSeq: _*)
     // anti-join on key AND partition columns: under the non-global index a
     // key is unique per partition, so a batch inserting key k into partition
     // B must not displace the base row (k, A) — matching delete() and
     // Deltas.merge, which already scope keys by partition path
-    val merged = base.join(updMeta.select((keyF ++ partF).map(col): _*), keyF ++ partF, "left_anti")
-      .unionByName(updMeta)
-
-    val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
-
-    CommitLog.write(spark, tablePath, CommitInfo(
-      commitTime = ct, operation = "upsert", tableName = st.latest.tableName,
-      tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
-      partitionFields = partF,
-      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
-    touched
+    cowRewrite(spark, tablePath, st, updMeta, evolved, touched, ct,
+      antiJoinKeys = keyF ++ partF, operation = "upsert")
   }
 
   /** Add-column schema evolution (Hudi's default evolution rule on write):
@@ -814,7 +835,7 @@ object KeyedTable {
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val partF = st.latest.partitionFields
     val cols = schema.fieldNames.map(col).toSeq
-    val rewriteOps = Set("upsert", "delete", "compact", "cluster", "materialize")
+    val rewriteOps = Set("upsert", "upsert_global", "delete", "compact", "cluster", "materialize")
     def firstRewriteAfter(p: String): Option[CommitInfo] =
       later.find(c => rewriteOps(c.operation) &&
         c.partitions.exists(e => e.path == p && e.mode == "native"))

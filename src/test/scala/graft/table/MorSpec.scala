@@ -376,6 +376,88 @@ class MorSpec extends SparkTestBase {
     assert(TableSync.sync(spark, src, dst, w2) === w2)
   }
 
+  test("append newer than a live tombstone wins the merge (commit-time resolution)") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    val r = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_month").orderBy("o_orderkey").head()
+    val (k, m) = (r.getLong(0), r.getString(1))
+
+    KeyedTable.delete(spark, table, Seq((k, m)).toDF("o_orderkey", "o_month"))
+    assert(KeyedTable.read(spark, table).filter(col("o_orderkey") === k).count() === 0)
+
+    // bulk-insert the row back AFTER the tombstone: newer base beats older delta
+    val base = KeyedTable.read(spark, table)
+    val reborn = spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_orderkey") === k)
+      .withColumn("o_orderstatus", lit("REBORN"))
+    KeyedTable.append(spark, table, reborn, WriteOperation.BulkInsert)
+    val after = KeyedTable.read(spark, table).filter(col("o_orderkey") === k).collect()
+    assert(after.length === 1)
+    assert(after.head.getAs[String]("o_orderstatus") === "REBORN")
+    // and compaction preserves the resolution
+    KeyedTable.compact(spark, table)
+    assert(KeyedTable.read(spark, table)
+      .filter(col("o_orderkey") === k).head().getAs[String]("o_orderstatus") === "REBORN")
+  }
+
+  test("readChanges surfaces the old-partition removal of a global-upsert move") {
+    val in = ordersIn(tmpDir("in"))
+    for (tt <- Seq(TableType.CopyOnWrite, TableType.MergeOnRead)) {
+      val table = tmpDir("tbl")
+      val boot = KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = tt))
+      val base = KeyedTable.read(spark, table)
+      val k = base.agg(min("o_orderkey")).head().getLong(0)
+      val p1 = base.filter(col("o_orderkey") === k).head().getAs[String]("o_month")
+      val dataCols = base.columns.filterNot(_.startsWith("_"))
+      KeyedTable.upsertGlobal(spark, table, base.filter(col("o_orderkey") === k)
+        .select(dataCols.map(col).toSeq: _*)
+        .withColumn("o_month", lit("2031-08"))
+        .withColumn("o_orderstatus", lit("MV")))
+
+      val ch = KeyedTable.readChanges(spark, table, boot.commitTime)
+        .filter(col("o_orderkey") === k)
+        .select("o_month", KeyedTable.ChangeOp).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+      assert(ch === Set(p1 -> "delete", "2031-08" -> "upsert"), tt.name)
+    }
+  }
+
+  test("TableSync replicates a global-upsert partition move without divergence") {
+    val in = ordersIn(tmpDir("in"))
+    val (src, dst) = (tmpDir("src"), tmpDir("dst"))
+    val boot = KeyedTable.bootstrap(spark, cfg(in, src).copy(tableType = TableType.CopyOnWrite))
+    KeyedTable.bootstrap(spark, cfg(in, dst).copy(tableType = TableType.CopyOnWrite))
+    val base = KeyedTable.read(spark, src)
+    val k = base.agg(min("o_orderkey")).head().getLong(0)
+    val dataCols = base.columns.filterNot(_.startsWith("_"))
+    KeyedTable.upsertGlobal(spark, src, base.filter(col("o_orderkey") === k)
+      .select(dataCols.map(col).toSeq: _*)
+      .withColumn("o_month", lit("2032-01")))
+    TableSync.sync(spark, src, dst, boot.commitTime)
+    def state(t: String) = KeyedTable.read(spark, t)
+      .select("o_orderkey", "o_month").orderBy("o_orderkey", "o_month").collect().toSeq
+    assert(state(dst) === state(src))
+    assert(KeyedTable.read(spark, dst).filter(col("o_orderkey") === k).count() === 1)
+  }
+
+  test("readChanges works on an unpartitioned COW table (delete before-images)") {
+    val in = tmpDir("in")
+    spark.read.parquet(sf("orders")).write.mode("overwrite").parquet(in)
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = table, tableName = "np",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate"))
+    val k = KeyedTable.read(spark, table).agg(min("o_orderkey")).head().getLong(0)
+    KeyedTable.delete(spark, table, Seq(k).toDF("o_orderkey"))
+    val ch = KeyedTable.readChanges(spark, table, boot.commitTime).collect()
+    assert(ch.length === 1)
+    assert(ch.head.getAs[Long]("o_orderkey") === k)
+    assert(ch.head.getAs[String](KeyedTable.ChangeOp) === "delete")
+  }
+
   test("MOR end-to-end matches the equivalent COW table state") {
     val in = ordersIn(tmpDir("in"))
     val (tMor, tCow) = (tmpDir("mor"), tmpDir("cow"))
