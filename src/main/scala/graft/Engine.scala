@@ -52,6 +52,10 @@ object Engine {
       maxRecordsPerFile: Long = 0L): Seq[String] =
     KeyedTable.cluster(spark, tablePath, sortCols, maxRecordsPerFile)
 
+  def clusterZ(spark: SparkSession, tablePath: String, zCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Seq[String] =
+    KeyedTable.clusterZ(spark, tablePath, zCols, maxRecordsPerFile)
+
   def readIncremental(spark: SparkSession, tablePath: String, sinceCommitTime: String): DataFrame =
     KeyedTable.readIncremental(spark, tablePath, sinceCommitTime)
 

@@ -464,6 +464,25 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Z-order clustering is content-preserving: bootstrap, rewrite the table
+    * along the Morton curve of (o_custkey, o_totalprice) with bounded file
+    * sizes, and hash-match the snapshot against the untouched input. The
+    * layout QUALITY (bounded per-file ranges on both columns vs linear sort)
+    * is asserted by the MorSpec unit test; this row proves the rewrite loses
+    * and corrupts nothing.
+    */
+  private val q29: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q29")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q29_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    KeyedTable.clusterZ(s, tbl, Seq("o_custkey", "o_totalprice"), maxRecordsPerFile = 5000)
+    KeyedTable.read(s, tbl)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** S2 ORC round-trip under oracle check: the orders table is written to ORC
     * and read back through the sniffing scan path; the oracle reads the
     * original parquet — any ORC read/write asymmetry breaks the hash.
@@ -508,6 +527,7 @@ object CoreQueries {
     "q26_global_upsert" -> q26,
     "q27_orc_roundtrip" -> q27,
     "q28_table_sync" -> q28,
+    "q29_zorder_cluster" -> q29,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -657,5 +677,9 @@ object CoreQueries {
         |  o_totalprice
         |FROM orders WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
         |ORDER BY o_orderkey""".stripMargin,
+    "q29_zorder_cluster" ->
+      // the z-order rewrite must preserve content exactly
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

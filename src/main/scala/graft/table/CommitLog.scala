@@ -31,8 +31,8 @@ object CommitLog {
 
   final case class CommitInfo(
       commitTime: String,
-      // bootstrap | resume | bulk_insert | insert | upsert | delta_commit |
-      // delete | compact | cluster | materialize
+      // bootstrap | resume | bulk_insert | insert | upsert | upsert_global |
+      // delta_commit | delete | compact | cluster | materialize
       operation: String,
       tableName: String,
       tableType: String,

@@ -957,7 +957,36 @@ object KeyedTable {
       tablePath: String,
       sortCols: Seq[String],
       maxRecordsPerFile: Long = 0L,
-      partitions: Option[Seq[String]] = None): Seq[String] = {
+      partitions: Option[Seq[String]] = None): Seq[String] =
+    clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
+      val sortKeys = (partF ++ sortCols).map(col)
+      rows.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    }
+
+  /** Z-order clustering (Hudi z-order / Delta OPTIMIZE ZORDER analogue):
+    * rewrite partitions laid out along the Morton curve of `zCols`, giving
+    * every file a bounded range on EACH clustered column — selective filters
+    * on any of them prune most files via parquet min/max, where a linear
+    * sort serves only its leading column. See [[graft.ops.ZOrder]].
+    */
+  def clusterZ(
+      spark: SparkSession,
+      tablePath: String,
+      zCols: Seq[String],
+      maxRecordsPerFile: Long = 0L,
+      partitions: Option[Seq[String]] = None): Seq[String] =
+    clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
+      val withZ = graft.ops.ZOrder.withZValue(rows, zCols)
+      val keys = partF.map(col) :+ col("_zvalue")
+      withZ.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*).drop("_zvalue")
+    }
+
+  private def clusterBy(
+      spark: SparkSession,
+      tablePath: String,
+      maxRecordsPerFile: Long,
+      partitions: Option[Seq[String]])(
+      shape: (DataFrame, Seq[String]) => DataFrame): Seq[String] = {
     compact(spark, tablePath)
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
@@ -967,8 +996,7 @@ object KeyedTable {
     if (targets.isEmpty) return Seq.empty
 
     val rows = readPartitions(spark, tablePath, st, targets)
-    val sortKeys = (partF ++ sortCols).map(col)
-    val clustered = rows.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    val clustered = shape(rows, partF)
     val counts = stageAndSwap(spark, tablePath, clustered, schema, partF, targets, ct,
       writeOptions = if (maxRecordsPerFile > 0) Map("maxRecordsPerFile" -> maxRecordsPerFile.toString)
         else Map.empty,

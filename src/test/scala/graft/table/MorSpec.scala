@@ -174,6 +174,47 @@ class MorSpec extends SparkTestBase {
     assert(CommitLog.commits(spark, table).last.operation === "cluster")
   }
 
+  test("z-order clustering bounds per-file ranges on BOTH columns, linear sort only on its leading one") {
+    val in = tmpDir("in")
+    spark.read.parquet(sf("orders")).write.mode("overwrite").parquet(in)
+    def build(): String = {
+      val t = tmpDir("tbl")
+      KeyedTable.bootstrap(spark, BootstrapConfig(
+        dataFilePath = in, tablePath = t, tableName = "z",
+        keyFields = Seq("o_orderkey"), precombineField = "o_orderdate"))
+      t
+    }
+    def avgSpread(t: String, c: String): Double = {
+      val files = new File(t).listFiles().filter(_.getName.endsWith(".parquet"))
+      val spreads = files.map { f =>
+        val mm = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+        mm.getDouble(1) - mm.getDouble(0)
+      }
+      spreads.sum / spreads.length
+    }
+    val g = spark.read.parquet(in).agg(
+      (max(col("o_custkey")) - min(col("o_custkey"))).cast("double"),
+      (max(col("o_totalprice")) - min(col("o_totalprice"))).cast("double")).head()
+    val (gCust, gPrice) = (g.getDouble(0), g.getDouble(1))
+
+    val tz = build()
+    KeyedTable.clusterZ(spark, tz, Seq("o_custkey", "o_totalprice"), maxRecordsPerFile = 150)
+    val tl = build()
+    KeyedTable.cluster(spark, tl, Seq("o_custkey"), maxRecordsPerFile = 150)
+
+    assert(KeyedTable.read(spark, tz).count() === 1500) // content preserved
+    assert(KeyedTable.read(spark, tl).count() === 1500)
+    // z-order: BOTH columns bounded below their global spread (a curve
+    // segment of length f spans up to ~2·sqrt(f) per axis, not sqrt(f))
+    assert(avgSpread(tz, "o_custkey") < 0.75 * gCust)
+    assert(avgSpread(tz, "o_totalprice") < 0.75 * gPrice)
+    // linear: leading column tightly bounded, the trailing one essentially
+    // unbounded — the comparative claim IS the point of z-ordering
+    assert(avgSpread(tl, "o_custkey") < 0.25 * gCust)
+    assert(avgSpread(tl, "o_totalprice") > avgSpread(tz, "o_totalprice") * 1.5)
+  }
+
   test("rollback undoes uncompacted delta commits; restores across archived rewrites") {
     val in = ordersIn(tmpDir("in"))
     val table = tmpDir("tbl")
