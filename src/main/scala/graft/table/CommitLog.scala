@@ -99,6 +99,17 @@ object CommitLog {
     val f = fs(spark, tablePath)
     val dir = logDir(tablePath)
     if (!f.exists(dir)) f.mkdirs(dir)
+    // every consumer (state fold, incremental/asOf splits, delta merge)
+    // relies on commit-time strings strictly increasing; a regression —
+    // e.g. a host clock jump, or a pre-UTC-format table written in a zone
+    // ahead of UTC — must fail loudly, never silently misorder history
+    val newest = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".commit.json")).sorted.lastOption.map(_.stripSuffix(".commit.json"))
+    newest.filter(_ >= info.commitTime).foreach { n =>
+      throw GraftException.config(
+        s"Commit instant ${info.commitTime} is not after the table's latest commit $n " +
+          "(clock skew, or a table written under a different timezone format).")
+    }
     val root: ObjectNode = mapper.createObjectNode()
     root.put("commitTime", info.commitTime)
     root.put("operation", info.operation)

@@ -348,14 +348,16 @@ object KeyedTable {
       .select(cols: _*).withColumn(ChangeOp, lit("upsert"))
 
     val live = Deltas.liveCommits(spark, tablePath).toSet
-    // commits that can REMOVE rows: deletes, global upserts (a partition
-    // move removes the old-partition copy), and MOR delta batches (whose
-    // tombstones carry both plain deletes and global-upsert moves)
+    // commits that can REMOVE rows: deletes and global upserts (a partition
+    // move removes the old-partition copy). Plain delta_commit upsert
+    // batches never carry tombstones, so they neither get scanned nor gate
+    // the retention horizon. MOR vs COW is decided by the commit's table
+    // type, not its partition list — a zero-row MOR delete has no entries.
     val deletes: Seq[DataFrame] = st.commits
       .filter(c => c.commitTime > sinceCommitTime &&
-        Set("delete", "delta_commit", "upsert_global").contains(c.operation))
+        Set("delete", "upsert_global").contains(c.operation))
       .map { c =>
-        val isMorBatch = c.partitions.nonEmpty && c.partitions.forall(_.mode == "delta")
+        val isMorBatch = c.tableType == TableType.MergeOnRead.name
         if (isMorBatch) {
           // tombstone rows live in the commit's delta batch
           val dir =
@@ -457,8 +459,11 @@ object KeyedTable {
       moved.unpersist()
       val counts = partitionCountsOf(
         spark.read.schema(Deltas.schemaOf(evolved)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+      // committed under its own operation name (not plain delta_commit):
+      // readChanges scans only delete/upsert_global batches for tombstones,
+      // so ordinary upsert batches never gate the CDC retention horizon
       CommitLog.write(spark, tablePath, CommitInfo(
-        commitTime = ct, operation = "delta_commit", tableName = st.latest.tableName,
+        commitTime = ct, operation = "upsert_global", tableName = st.latest.tableName,
         tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
         partitionFields = partF,
         partitions = counts.keys.toSeq.sorted.map(p => PartitionEntry(p, "delta", counts(p))),
@@ -976,9 +981,7 @@ object KeyedTable {
       maxRecordsPerFile: Long = 0L,
       partitions: Option[Seq[String]] = None): Seq[String] =
     clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
-      val withZ = graft.ops.ZOrder.withZValue(rows, zCols)
-      val keys = partF.map(col) :+ col("_zvalue")
-      withZ.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*).drop("_zvalue")
+      graft.ops.ZOrder.layout(rows, zCols, leadingKeys = partF.map(col))
     }
 
   private def clusterBy(

@@ -429,7 +429,6 @@ class MorSpec extends SparkTestBase {
     assert(KeyedTable.read(spark, table).filter(col("o_orderkey") === k).count() === 0)
 
     // bulk-insert the row back AFTER the tombstone: newer base beats older delta
-    val base = KeyedTable.read(spark, table)
     val reborn = spark.read.parquet(sf("orders"))
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .filter(col("o_orderkey") === k)
