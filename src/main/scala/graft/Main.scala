@@ -12,7 +12,7 @@ import graft.model._
   *     --key-field=k1,k2 --precombine-field=f [--partition-field=p1,p2]
   *     [--table-type=COPY_ON_WRITE] [--bootstrap-type=FULL_RECORD]
   *     [--partition-regex=RE] [--regex-mode=METADATA_ONLY] [--resume=true]
-  *     [--conf k=v]...
+  *     [--dry-run=true] [--conf k=v]...
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -53,6 +53,7 @@ object Main {
       regexMode = opts.get("regex-mode").map(BootstrapType.parse)
         .getOrElse(BootstrapType.MetadataOnly),
       resume = opts.get("resume").exists(_.equalsIgnoreCase("true")),
+      dryRun = opts.get("dry-run").exists(_.equalsIgnoreCase("true")), // backend.py:24-28
       sparkConfig = confs.toMap)
 
     // H9: arbitrary user confs pass through to the session
