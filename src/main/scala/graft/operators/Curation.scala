@@ -60,4 +60,40 @@ object Curation {
   def piiCounts(text: Column): (Column, Column) = (
     regexp_count(text, lit(EmailPattern)),
     regexp_count(text, lit(PhonePattern)))
+
+  /** Split documents into token chunks of `chunkSize` with stride
+    * `stride` (overlap = chunkSize − stride) — the pre-tokenization pass
+    * that turns long documents into training windows. One row-local explode
+    * over computed chunk starts: no shuffle, chunk count proportional to
+    * document length. Emits (chunk_idx, chunk_tokens, chunk) per input row.
+    */
+  def chunk(df: DataFrame, textCol: Column, chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val toks = split(textCol, "\\s+")
+    df.withColumn("__start",
+        explode(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_idx", (col("__start") / stride).cast("long"))
+      .withColumn("__ctoks", slice(toks, col("__start") + 1, lit(chunkSize)))
+      .withColumn("chunk_tokens", size(col("__ctoks")).cast("long"))
+      .withColumn("chunk", concat_ws(" ", col("__ctoks")))
+      .drop("__start", "__ctoks")
+  }
+
+  /** Sequential context-window packing: assign each doc (in doc-id order,
+    * per group) to the bin where its tokens start, with `budget` tokens per
+    * bin — the deterministic packing pass that batches documents into
+    * fixed-size training windows. One window shuffle on the group key;
+    * within-group cumulative sum does the rest in-partition. (A global
+    * packing would be an unpartitioned window — per-group packing is both
+    * the realistic semantics and the scalable plan.)
+    */
+  def packSequential(
+      df: DataFrame, groupCol: Column, orderCol: Column,
+      nTokens: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(nTokens).over(w), lit(0L)))
+      .withColumn("bin", (col("__before") / budget).cast("long"))
+      .drop("__before")
+  }
 }

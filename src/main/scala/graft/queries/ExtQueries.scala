@@ -219,6 +219,26 @@ object ExtQueries {
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** Token chunking: split every doc into 50-token windows with stride 40
+    * (10-token overlap) — chunk text md5'd so the compare stays compact.
+    */
+  private val x21: Q = (s, d) =>
+    Curation.chunk(Tables.documents(s, d), col("text"), chunkSize = 50, stride = 40)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Sequential context-window packing: per source, docs in id order pack
+    * into 500-token bins by cumulative token count.
+    */
+  private val x22: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast(LongType))
+    Curation.packSequential(docs, col("source"), col("doc_id"), col("n_tokens"), budget = 500)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   /** Exactly-once dedup of an at-least-once event feed (batch twin of
     * [[EventStreaming.dedupStream]]): every 3rd event is "redelivered", the
     * dedup must restore the original relation exactly — checked through a
@@ -263,6 +283,8 @@ object ExtQueries {
     "x18_source_quota" -> x18,
     "x19_pii_redact" -> x19,
     "x20_stream_dedup" -> x20,
+    "x21_chunking" -> x21,
+    "x22_packing" -> x22,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -488,5 +510,21 @@ object ExtQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x21_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, s.s AS s, w[s.s+1 : s.s+50] AS ctoks
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0, greatest(len(w)-1, 0), 40)) AS s) s)
+        |SELECT doc_id, (s / 40)::BIGINT AS chunk_idx, len(ctoks)::BIGINT AS chunk_tokens,
+        |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x22_packing" ->
+      """SELECT doc_id, source, n_tokens,
+        |  (COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500)::BIGINT AS bin
+        |FROM (SELECT doc_id, source,
+        |        len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }
