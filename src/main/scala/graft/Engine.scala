@@ -76,4 +76,7 @@ object Engine {
 
   def sync(spark: SparkSession, srcPath: String, dstPath: String, sinceCommitTime: String): String =
     graft.table.TableSync.sync(spark, srcPath, dstPath, sinceCommitTime)
+
+  def timeline(spark: SparkSession, tablePath: String): DataFrame =
+    KeyedTable.timeline(spark, tablePath)
 }

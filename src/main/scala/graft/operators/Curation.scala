@@ -69,14 +69,18 @@ object Curation {
     */
   def chunk(df: DataFrame, textCol: Column, chunkSize: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
-    val toks = split(textCol, "\\s+")
-    df.withColumn("__start",
-        explode(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))))
+    // tokenize ONCE per document, below the Generate boundary — inlining the
+    // split into the per-chunk slice would re-run the regex for every chunk
+    // row, O(tokens²/stride) per doc (projection collapse does not cross
+    // the explode, so the alias is safe here)
+    df.withColumn("__toks", split(textCol, "\\s+"))
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride))))
       .withColumn("chunk_idx", (col("__start") / stride).cast("long"))
-      .withColumn("__ctoks", slice(toks, col("__start") + 1, lit(chunkSize)))
+      .withColumn("__ctoks", slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
       .withColumn("chunk_tokens", size(col("__ctoks")).cast("long"))
       .withColumn("chunk", concat_ws(" ", col("__ctoks")))
-      .drop("__start", "__ctoks")
+      .drop("__toks", "__start", "__ctoks")
   }
 
   /** Sequential context-window packing: assign each doc (in doc-id order,

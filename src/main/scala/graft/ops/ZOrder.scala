@@ -37,11 +37,16 @@ object ZOrder {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** A sortable double view of a numeric/temporal column; NaN → null so a
-    * single bad value cannot poison the min/max stats or the ANSI cast.
+  /** A sortable double view of a numeric/temporal column; NaN and ±Infinity
+    * → null so a single bad value cannot poison the min/max stats or blow
+    * the ANSI cast mid-rewrite (Inf/Inf = NaN, and casting either to long
+    * throws under Spark's default ANSI mode).
     */
   private def asNum(c: Column, dt: DataType): Column = dt match {
-    case _: NumericType => nanvl(c.cast("double"), lit(null))
+    case _: NumericType =>
+      val d = nanvl(c.cast("double"), lit(null))
+      when(d === Double.PositiveInfinity || d === Double.NegativeInfinity, lit(null))
+        .otherwise(d)
     case DateType => unix_date(c).cast("double")
     case TimestampType => c.cast("double")
     case TimestampNTZType => c.cast("timestamp").cast("double")

@@ -350,28 +350,37 @@ object KeyedTable {
     val live = Deltas.liveCommits(spark, tablePath).toSet
     // commits that can REMOVE rows: deletes and global upserts (a partition
     // move removes the old-partition copy). Plain delta_commit upsert
-    // batches never carry tombstones, so they neither get scanned nor gate
-    // the retention horizon. MOR vs COW is decided by the commit's table
-    // type, not its partition list — a zero-row MOR delete has no entries.
+    // batches written by THIS version never carry tombstones and so don't
+    // gate the retention horizon — but they are still scanned best-effort
+    // when reachable, because tables written before the upsert_global
+    // operation name existed recorded global-move tombstones under
+    // delta_commit. MOR vs COW is decided by the commit's table type, not
+    // its partition list — a zero-row MOR delete has no entries.
     val deletes: Seq[DataFrame] = st.commits
       .filter(c => c.commitTime > sinceCommitTime &&
-        Set("delete", "upsert_global").contains(c.operation))
-      .map { c =>
+        Set("delete", "upsert_global", "delta_commit").contains(c.operation))
+      .flatMap { c =>
         val isMorBatch = c.tableType == TableType.MergeOnRead.name
         if (isMorBatch) {
           // tombstone rows live in the commit's delta batch
           val dir =
-            if (live.contains(c.commitTime)) Deltas.dir(tablePath, c.commitTime).toString
+            if (live.contains(c.commitTime)) Some(Deltas.dir(tablePath, c.commitTime).toString)
             else st.commits.filter(x => x.operation == "compact" && x.commitTime > c.commitTime)
               .collectFirst {
                 case x if Archive.archivedDeltaCommits(fs, tablePath, x.commitTime).contains(c.commitTime) =>
                   new Path(Archive.deltasDir(tablePath, x.commitTime), c.commitTime).toString
-              }.getOrElse(throw GraftException.config(
-                s"Cannot read changes since $sinceCommitTime: the delta batch of commit " +
-                  s"${c.commitTime} (${c.operation}) was cleaned (archive retention exceeded)."))
-          Deltas.readDirs(spark, schema, Seq(dir))
-            .filter(col(Deltas.DeletedCol)).select(cols: _*)
-        } else {
+              }
+          dir match {
+            case Some(d) => Some(Deltas.readDirs(spark, schema, Seq(d))
+              .filter(col(Deltas.DeletedCol)).select(cols: _*))
+            case None if c.operation == "delta_commit" =>
+              None // legacy-format batch already cleaned: best-effort only
+            case None => throw GraftException.config(
+              s"Cannot read changes since $sinceCommitTime: the delta batch of commit " +
+                s"${c.commitTime} (${c.operation}) was cleaned (archive retention exceeded).")
+          }
+        } else if (c.operation == "delta_commit") None
+        else Some {
           // COW delete: before-image = archived pre-image rows whose key is
           // absent from the post-delete state of the touched partitions
           if (!Archive.exists(fs, tablePath, c.commitTime))
@@ -1026,18 +1035,20 @@ object KeyedTable {
     val st = CommitLog.requireState(spark, tablePath)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
-    val ct = CommitLog.newCommitTime()
     val rows = op match {
       case WriteOperation.Insert => Upsert.dedupByKey(batch, keyF, st.latest.precombineField, partF)
       case _ => batch
     }
-    val rowsMeta = MetaColumns.withMeta(rows, keyF, partF, ct)
     val touched: Seq[String] =
       if (partF.isEmpty) Seq("")
-      else rowsMeta.select(MetaColumns.PartitionPath).distinct()
+      else rows.select(ppCol(partF).as("__pp")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
 
+    // materialize commits its OWN instant, so this append's instant must be
+    // issued AFTER it — the commit log refuses non-increasing instants
     materialize(spark, tablePath, st, touched.filter(st.partitionModes.get(_).contains("metadata_only")))
+    val ct = CommitLog.newCommitTime()
+    val rowsMeta = MetaColumns.withMeta(rows, keyF, partF, ct)
 
     val w = clusterByPartition(rowsMeta, partF).write.mode("append").format("parquet")
     (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(tablePath)

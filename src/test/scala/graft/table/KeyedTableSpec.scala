@@ -234,6 +234,23 @@ class KeyedTableSpec extends SparkTestBase {
     assert(after.filter(col("o_orderkey") === 1).head().getAs[String]("o_orderstatus") === "Z")
   }
 
+  test("append into a metadata-only partition materializes it first (two ordered commits)") {
+    val in = ordersWithMonth(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table).copy(bootstrapType = BootstrapType.MetadataOnly))
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(3)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+    KeyedTable.append(spark, table, batch, WriteOperation.BulkInsert)
+    assert(KeyedTable.read(spark, table).count() === 1503)
+    // materialize committed BEFORE the append and instants strictly increase
+    val ops = CommitLog.commits(spark, table).map(_.operation)
+    assert(ops === Seq("bootstrap", "materialize", "bulk_insert"))
+    val cts = CommitLog.commits(spark, table).map(_.commitTime)
+    assert(cts === cts.sorted && cts.distinct.size === cts.size)
+  }
+
   test("bulk_insert appends without dedup; insert dedups within batch") {
     val in = ordersWithMonth(tmpDir("in"))
     val table = tmpDir("tbl")
