@@ -79,4 +79,11 @@ object Engine {
 
   def timeline(spark: SparkSession, tablePath: String): DataFrame =
     KeyedTable.timeline(spark, tablePath)
+
+  def indexStats(spark: SparkSession, tablePath: String, columns: Seq[String]): String =
+    graft.table.StatsIndex.build(spark, tablePath, columns)
+
+  def readBetween(spark: SparkSession, tablePath: String, column: String,
+      lower: Option[Any], upper: Option[Any]): DataFrame =
+    KeyedTable.readBetween(spark, tablePath, column, lower, upper)
 }

@@ -17,6 +17,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64 micros, not the deprecated INT96: footers then carry usable
+      // min/max for timestamp columns (StatsIndex) and every modern reader
+      // agrees on the encoding
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

@@ -483,6 +483,26 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Data skipping end-to-end: z-order the table by customer key, index the
+    * parquet footers' min/max into the commit log ([[graft.table.StatsIndex]]),
+    * then answer a selective range via [[KeyedTable.readBetween]] — files
+    * whose footer range misses [100, 500] are never opened. The oracle is
+    * the same range filter over the raw input, so the hash proves pruning
+    * changed nothing; StatsIndexSpec asserts files actually get skipped.
+    */
+  private val q30: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q30")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q30_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    KeyedTable.clusterZ(s, tbl, Seq("o_custkey"), maxRecordsPerFile = 2000)
+    graft.table.StatsIndex.build(s, tbl, Seq("o_custkey", "o_totalprice"))
+    KeyedTable.readBetween(s, tbl, "o_custkey", Some(100L), Some(500L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** S2 ORC round-trip under oracle check: the orders table is written to ORC
     * and read back through the sniffing scan path; the oracle reads the
     * original parquet — any ORC read/write asymmetry breaks the hash.
@@ -528,6 +548,7 @@ object CoreQueries {
     "q27_orc_roundtrip" -> q27,
     "q28_table_sync" -> q28,
     "q29_zorder_cluster" -> q29,
+    "q30_stats_skip" -> q30,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -681,5 +702,10 @@ object CoreQueries {
       // the z-order rewrite must preserve content exactly
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q30_stats_skip" ->
+      // file pruning must be invisible in the answer
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 500
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

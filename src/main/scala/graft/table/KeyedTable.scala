@@ -776,7 +776,8 @@ object KeyedTable {
       .flatMap(c => Archive.archivedDeltaCommits(fs, tablePath, c.commitTime)).toSet
 
     val blocked = doomed.filterNot(c =>
-      liveDeltas.contains(c.commitTime) || reExposed.contains(c.commitTime) ||
+      c.operation == "index_stats" || // undone by dropping the sidecar — no pre-image needed
+        liveDeltas.contains(c.commitTime) || reExposed.contains(c.commitTime) ||
         Archive.exists(fs, tablePath, c.commitTime))
     if (blocked.nonEmpty)
       throw GraftException.config(
@@ -786,7 +787,10 @@ object KeyedTable {
     doomed.reverse.foreach { c => // newest first: each step undoes one commit
       // checked live at undo time: an earlier iteration (a compaction undo)
       // may have re-exposed this commit's delta directory
-      if (fs.exists(Deltas.dir(tablePath, c.commitTime))) {
+      if (c.operation == "index_stats") {
+        // data files were never touched — just drop the sidecar
+        fs.delete(StatsIndex.statsDir(tablePath, c.commitTime), true)
+      } else if (fs.exists(Deltas.dir(tablePath, c.commitTime))) {
         fs.delete(Deltas.dir(tablePath, c.commitTime), true)
       } else {
         if (c.partitionFields.isEmpty) {
@@ -834,6 +838,51 @@ object KeyedTable {
     * resume overwrite). Reads only the asOf partition set, pruned at the
     * file index per source root.
     */
+  /** Stats-index-pruned range read: rows with `column` in [lower, upper]
+    * (either bound optional; nulls never qualify, matching SQL range
+    * semantics). File skipping comes from [[StatsIndex.prune]] — on a
+    * z-ordered table a selective range opens a fraction of the base files,
+    * the scan shape that keeps a 100 TB point-range query interactive. The
+    * residual predicate is always applied, so pruning can only make the
+    * read cheaper, never change its answer; with no index built this is a
+    * plain filtered snapshot. Live MOR delta batches force the unpruned
+    * merge path (delta rows are invisible to the file index) — compact
+    * first to restore skipping.
+    */
+  def readBetween(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      lower: Option[Any],
+      upper: Option[Any]): DataFrame = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val dt = schema(column).dataType
+    val pred = Seq(
+      lower.map(v => col(column) >= lit(v).cast(dt)),
+      upper.map(v => col(column) <= lit(v).cast(dt))).flatten
+      .reduceOption(_ && _).getOrElse(col(column).isNotNull)
+    if (Deltas.liveCommits(spark, tablePath).nonEmpty)
+      return snapshot(spark, tablePath, st, restrictTo = None).filter(pred)
+    val cols = schema.fieldNames.map(col).toSeq
+    val pruned = StatsIndex.prune(spark, tablePath, column, lower, upper)
+    val parts = Seq.newBuilder[DataFrame]
+    if (pruned.kept.nonEmpty)
+      parts += spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(pruned.kept: _*).select(cols: _*)
+    // METADATA_ONLY partitions are served from source files the stats
+    // index does not cover — always read (and residually filtered)
+    val metaOnly = st.metadataOnlyPartitions
+    if (metaOnly.nonEmpty)
+      parts += readBase(spark, tablePath, st,
+        exclude = st.nativePartitions.toSet, restrictTo = Some(metaOnly.toSet))
+    parts.result() match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).filter(pred)
+      case dfs => dfs.reduce(_ unionByName _).filter(pred)
+    }
+  }
+
   def readAsOf(spark: SparkSession, tablePath: String, asOf: String): DataFrame = {
     val all = CommitLog.commits(spark, tablePath)
     val past = all.filter(_.commitTime <= asOf)

@@ -1,0 +1,317 @@
+package graft.table
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.GraftException
+
+/** File-level column statistics index — the data-skipping service behind
+  * Hudi's metadata-table `column_stats` partition and Delta's file stats
+  * (SURVEY §2: the scan-side complement of z-order clustering). `build`
+  * reads the parquet FOOTERS of every live base file (metadata-only I/O,
+  * O(#files) small reads, distributed over executors — no data scan) and
+  * persists per-file min/max/null-count for the indexed columns as a
+  * parquet sidecar under the commit log. `prune` answers "which files can
+  * contain rows with `column` in [lo, hi]" from the sidecar alone, so a
+  * selective read opens a fraction of the files — on a z-ordered 100 TB
+  * table this is the difference between scanning everything and scanning
+  * the few files whose range overlaps the predicate.
+  *
+  * Safety: pruning only ever SKIPS a file when the sidecar proves it
+  * cannot match — files written after the index, files with unusable
+  * footer stats, and files missing from the sidecar are always kept, so a
+  * stale index degrades to a slower (never wrong) read.
+  */
+object StatsIndex {
+
+  /** One sidecar row per (file, column). min/max are canonical strings that
+    * round-trip exactly through a Spark cast back to `dtype` (see
+    * [[render]]); `has_stats` false = footer stats unusable (always keep);
+    * `all_null` true = no non-null value in the file (skip for any range
+    * predicate, which null never satisfies).
+    */
+  final case class StatsRow(
+      file: String,
+      column: String,
+      dtype: String,
+      min_val: String,
+      max_val: String,
+      null_count: Long,
+      row_count: Long,
+      has_stats: Boolean,
+      all_null: Boolean)
+
+  final case class PruneResult(
+      kept: Seq[String],
+      totalFiles: Int,
+      skippedFiles: Int,
+      indexedAt: Option[String])
+
+  def statsRoot(tablePath: String): Path =
+    new Path(s"$tablePath/${CommitLog.LogDirName}/stats")
+
+  def statsDir(tablePath: String, commitTime: String): Path =
+    new Path(statsRoot(tablePath), commitTime)
+
+  /** Live base data files of the table: everything under the table root
+    * except the commit-log tree (deltas, archive, stats all live under
+    * `.graft/`). O(#files) namenode metadata; the same listing a snapshot
+    * read's file index performs.
+    */
+  def listBaseFiles(fs: FileSystem, tablePath: String): Seq[String] = {
+    val root = new Path(tablePath)
+    if (!fs.exists(root)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.getPath.getName.endsWith(".parquet") &&
+        !p.contains(s"/${CommitLog.LogDirName}/")) out += p
+    }
+    out.result().sorted
+  }
+
+  private val indexableTypes: PartialFunction[DataType, Unit] = {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType => ()
+    case _: FloatType | _: DoubleType | _: DecimalType => ()
+    case _: StringType | _: DateType => ()
+    case _: TimestampType | _: TimestampNTZType => ()
+  }
+
+  // ----------------------------------------------------------------- build
+
+  /** Index `columns` over the current live base files; commits an
+    * `index_stats` instant whose sidecar parquet lives at
+    * `.graft/stats/<instant>/`. Indexing is incremental-friendly by
+    * construction: files appended later simply aren't covered (kept by
+    * every prune) until the next `build` refreshes the sidecar. Older
+    * sidecars are cleaned inline — only the newest index is ever consulted.
+    */
+  def build(spark: SparkSession, tablePath: String, columns: Seq[String]): String = {
+    require(columns.nonEmpty, "stats index needs at least one column")
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val partF = st.latest.partitionFields.toSet
+    columns.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw GraftException.config(s"stats index column '$c' is not in the table schema")
+      if (partF.contains(c))
+        throw GraftException.config(
+          s"stats index column '$c' is a partition column: partition values live in " +
+            "directory names (pruned by the partition index), not in data-file footers")
+      val dt = schema(c).dataType
+      if (!indexableTypes.isDefinedAt(dt))
+        throw GraftException.config(s"stats index column '$c' has unindexable type $dt")
+    }
+
+    val fs = CommitLog.fs(spark, tablePath)
+    val files = listBaseFiles(fs, tablePath)
+    val ct = CommitLog.newCommitTime()
+    val dir = statsDir(tablePath, ct)
+
+    // ship the hadoop conf as plain entries: Configuration is not
+    // serializable, and executors on a real cluster need the fs settings
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val colTypes = columns.map(c => (c, schema(c).dataType)).toArray
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+
+    import spark.implicits._
+    val rows: DataFrame =
+      if (files.isEmpty) spark.emptyDataset[StatsRow].toDF()
+      else spark.sparkContext.parallelize(files, slices)
+        .mapPartitions { paths =>
+          val conf = new Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          paths.flatMap(f => fileStats(f, conf, colTypes))
+        }.toDF()
+
+    rows.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    writeIndexMeta(fs, dir, columns, files.size)
+
+    CommitLog.write(spark, tablePath, CommitLog.CommitInfo(
+      commitTime = ct, operation = "index_stats", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField, partitionFields = st.latest.partitionFields,
+      partitions = Seq.empty, recordCount = files.size.toLong,
+      schemaDdl = st.latest.schemaDdl, sourcePath = None))
+
+    // inline cleaner: only the newest sidecar is consulted, older ones are dead
+    if (fs.exists(statsRoot(tablePath)))
+      fs.listStatus(statsRoot(tablePath)).map(_.getPath)
+        .filter(_.getName < ct).foreach(fs.delete(_, true))
+    ct
+  }
+
+  /** Footer pass for one file: per requested column, fold row-group chunk
+    * stats into a file-level min/max. Any irregularity (missing stats,
+    * unexpected physical type, truncated values) degrades to
+    * `has_stats = false` — never a guess.
+    */
+  private def fileStats(
+      file: String,
+      conf: Configuration,
+      colTypes: Array[(String, DataType)]): Iterator[StatsRow] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      colTypes.iterator.map { case (name, dt) =>
+        val chunks = blocks.flatMap(_.getColumns.asScala.filter(_.getPath.toDotString == name))
+        val stats = chunks.map(_.getStatistics)
+        val usable = chunks.nonEmpty && stats.forall(s => s != null && s.isNumNullsSet)
+        if (!usable) StatsRow(file, name, dt.sql, null, null, -1L, rowCount, has_stats = false, all_null = false)
+        else {
+          val nulls = stats.map(_.getNumNulls).sum
+          val withVals = stats.filter(_.hasNonNullValue)
+          if (withVals.isEmpty) {
+            // no chunk saw a non-null value → the column is entirely null here
+            StatsRow(file, name, dt.sql, null, null, nulls, rowCount,
+              has_stats = true, all_null = nulls == rowCount)
+          } else {
+            val mins = withVals.map(s => render(dt, s.genericGetMin.asInstanceOf[AnyRef]))
+            val maxs = withVals.map(s => render(dt, s.genericGetMax.asInstanceOf[AnyRef]))
+            if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty))
+              StatsRow(file, name, dt.sql, null, null, nulls, rowCount, has_stats = false, all_null = false)
+            else {
+              // fold chunk extremes in the VALUE domain, not string order
+              val ord = orderingFor(dt)
+              val minV = mins.flatten.min(ord)
+              val maxV = maxs.flatten.max(ord)
+              StatsRow(file, name, dt.sql, minV, maxV, nulls, rowCount, has_stats = true, all_null = false)
+            }
+          }
+        }
+      }.toArray.iterator
+    } finally reader.close()
+  }
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Canonical string for a footer min/max value, chosen so that
+    * `cast(string as dtype)` in Spark reproduces the value EXACTLY
+    * (Int/Long/Float/Double/BigDecimal `toString` round-trip; dates and
+    * timestamps in ISO forms Spark's cast parses; timestamps rendered in
+    * UTC with an explicit offset so a non-UTC session cannot shift them).
+    * None = the runtime class does not match the declared type (schema
+    * drift, int96 timestamps, …) → caller records `has_stats = false`.
+    */
+  private def render(dt: DataType, v: AnyRef): Option[String] = (dt, v) match {
+    case (_: ByteType | _: ShortType | _: IntegerType, i: java.lang.Integer) => Some(i.toString)
+    case (_: LongType, l: java.lang.Long) => Some(l.toString)
+    case (_: FloatType, f: java.lang.Float) => Some(f.toString)
+    case (_: DoubleType, d: java.lang.Double) => Some(d.toString)
+    case (_: StringType, b: Binary) => Some(b.toStringUsingUTF8)
+    case (_: DateType, i: java.lang.Integer) => Some(LocalDate.ofEpochDay(i.longValue).toString)
+    case (_: TimestampNTZType, l: java.lang.Long) =>
+      Some(tsFmt.format(LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), (Math.floorMod(l, 1000000L) * 1000L).toInt, ZoneOffset.UTC)))
+    case (_: TimestampType, l: java.lang.Long) =>
+      Some(tsFmt.format(LocalDateTime.ofInstant(
+        Instant.ofEpochSecond(Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L),
+        ZoneOffset.UTC)) + "+00:00")
+    case (d: DecimalType, i: java.lang.Integer) =>
+      Some(java.math.BigDecimal.valueOf(i.longValue, d.scale).toPlainString)
+    case (d: DecimalType, l: java.lang.Long) =>
+      Some(java.math.BigDecimal.valueOf(l, d.scale).toPlainString)
+    case (d: DecimalType, b: Binary) =>
+      Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale).toPlainString)
+    case _ => None
+  }
+
+  /** Value-domain ordering over rendered stat strings, for folding multiple
+    * row-group extremes into one file extreme.
+    */
+  private def orderingFor(dt: DataType): Ordering[String] = dt match {
+    case _: StringType => Ordering.String
+    case _: DateType => Ordering.by((s: String) => LocalDate.parse(s).toEpochDay)
+    case _: TimestampNTZType =>
+      Ordering.by((s: String) => epochNanos(LocalDateTime.parse(s, tsFmt)))
+    case _: TimestampType =>
+      Ordering.by((s: String) => epochNanos(LocalDateTime.parse(s.stripSuffix("+00:00"), tsFmt)))
+    case _ => Ordering.by((s: String) => BigDecimal(s))
+  }
+
+  private def epochNanos(d: LocalDateTime): Long =
+    Math.addExact(Math.multiplyExact(d.toEpochSecond(ZoneOffset.UTC), 1000000000L), d.getNano.toLong)
+
+  private def writeIndexMeta(fs: FileSystem, dir: Path, columns: Seq[String], files: Int): Unit = {
+    val json = s"""{"columns":[${columns.map(c => "\"" + c + "\"").mkString(",")}],"files":$files}"""
+    // underscore prefix: invisible to Spark's parquet reader of the sidecar dir
+    val out = fs.create(new Path(dir, "_index.json"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def indexedColumns(spark: SparkSession, tablePath: String): Seq[String] = {
+    latestIndex(spark, tablePath) match {
+      case None => Seq.empty
+      case Some(ct) =>
+        val fs = CommitLog.fs(spark, tablePath)
+        val p = new Path(statsDir(tablePath, ct), "_index.json")
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val in = fs.open(p)
+          val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+          finally in.close()
+          node.get("columns").asScala.map(_.asText()).toSeq
+        }
+    }
+  }
+
+  def latestIndex(spark: SparkSession, tablePath: String): Option[String] =
+    CommitLog.commits(spark, tablePath).filter(_.operation == "index_stats")
+      .lastOption.map(_.commitTime)
+      // the sidecar itself must still exist (rollback deletes it with the commit)
+      .filter(ct => CommitLog.fs(spark, tablePath).exists(statsDir(tablePath, ct)))
+
+  // ----------------------------------------------------------------- prune
+
+  /** Files that can contain a row with `column` in [lower, upper] (either
+    * bound optional). Skips ONLY files the sidecar proves non-overlapping:
+    * live files absent from the index — appended after it was built — are
+    * kept unseen. The sidecar read + bound compare runs as a Spark job over
+    * one small parquet file; only the skip-list is collected.
+    */
+  def prune(
+      spark: SparkSession,
+      tablePath: String,
+      column: String,
+      lower: Option[Any],
+      upper: Option[Any]): PruneResult = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val dt = schema(column).dataType
+    val fs = CommitLog.fs(spark, tablePath)
+    val live = listBaseFiles(fs, tablePath)
+    latestIndex(spark, tablePath) match {
+      case None => PruneResult(live, live.size, 0, None)
+      case Some(ct) =>
+        val sidecar = spark.read.parquet(statsDir(tablePath, ct).toString)
+          .filter(col("column") === column)
+        val lo = lower.map(v => lit(v).cast(dt))
+        val hi = upper.map(v => lit(v).cast(dt))
+        // a range predicate is never satisfied by null, so a proven all-null
+        // file is skippable even with both bounds open
+        val overlaps =
+          lo.map(l => col("max_val").cast(dt) >= l).getOrElse(lit(true)) &&
+          hi.map(h => col("min_val").cast(dt) <= h).getOrElse(lit(true))
+        val skippable = sidecar.filter(
+          col("all_null") || (col("has_stats") && col("min_val").isNotNull && !overlaps))
+        val skip = skippable.select("file").collect().map(_.getString(0)).toSet
+        val kept = live.filterNot(skip)
+        PruneResult(kept, live.size, live.size - kept.size, Some(ct))
+    }
+  }
+}

@@ -1,0 +1,149 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.{BootstrapConfig, GraftException}
+
+class StatsIndexSpec extends SparkTestBase {
+
+  private def ordersWithMonth(outDir: String): String = {
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
+  private def cfg(input: String, table: String, parts: Seq[String] = Seq("o_month")) =
+    BootstrapConfig(
+      dataFilePath = input, tablePath = table, tableName = "orders_t",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = parts)
+
+  private def boot(parts: Seq[String] = Seq("o_month")): String = {
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(ordersWithMonth(tmpDir("in")), table, parts))
+    table
+  }
+
+  test("sidecar rows: one per (file, column); min/max match the data exactly") {
+    val table = boot()
+    StatsIndex.build(spark, table, Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
+    val fs = CommitLog.fs(spark, table)
+    val files = StatsIndex.listBaseFiles(fs, table)
+    val ct = StatsIndex.latestIndex(spark, table).get
+    val sc = spark.read.parquet(StatsIndex.statsDir(table, ct).toString)
+    assert(sc.count() === files.size.toLong * 4)
+    assert(sc.filter(!col("has_stats")).count() === 0)
+
+    // footer mins/maxes must agree with a full scan, per file and globally
+    val truth = spark.read.parquet(files: _*)
+      .agg(min("o_orderkey"), max("o_orderkey"), min("o_totalprice"), max("o_totalprice"),
+        min("o_orderstatus"), max("o_orderstatus")).head()
+    val idx = sc.filter(col("column") === "o_orderkey")
+      .agg(min(col("min_val").cast("long")), max(col("max_val").cast("long"))).head()
+    assert(idx.getLong(0) === truth.getLong(0) && idx.getLong(1) === truth.getLong(1))
+    val idxP = sc.filter(col("column") === "o_totalprice")
+      .agg(min(col("min_val").cast("double")), max(col("max_val").cast("double"))).head()
+    assert(idxP.getDouble(0) === truth.getDouble(2) && idxP.getDouble(1) === truth.getDouble(3))
+    val idxS = sc.filter(col("column") === "o_orderstatus")
+      .agg(min("min_val"), max("max_val")).head()
+    assert(idxS.getString(0) === truth.getString(4) && idxS.getString(1) === truth.getString(5))
+  }
+
+  test("timestamp stats round-trip through the string encoding (NTZ micros)") {
+    val table = boot()
+    StatsIndex.build(spark, table, Seq("o_orderdate"))
+    val ct = StatsIndex.latestIndex(spark, table).get
+    val sc = spark.read.parquet(StatsIndex.statsDir(table, ct).toString)
+      .filter(col("column") === "o_orderdate")
+    val dt = spark.read.parquet(sf("orders")).schema("o_orderdate").dataType
+    val idx = sc.agg(min(col("min_val").cast(dt)), max(col("max_val").cast(dt))).head()
+    val truth = KeyedTable.read(spark, table).agg(min("o_orderdate"), max("o_orderdate")).head()
+    assert(idx.get(0) === truth.get(0) && idx.get(1) === truth.get(1))
+  }
+
+  test("readBetween prunes files after z-order clustering and matches the filtered snapshot") {
+    val table = boot()
+    // many small files so there is something to skip, laid out by o_custkey
+    KeyedTable.clusterZ(spark, table, Seq("o_custkey"), maxRecordsPerFile = 200)
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    val pr = StatsIndex.prune(spark, table, "o_custkey", Some(100L), Some(120L))
+    assert(pr.indexedAt.nonEmpty)
+    assert(pr.totalFiles > 4, s"expected many files, got ${pr.totalFiles}")
+    assert(pr.skippedFiles > 0, s"z-ordered + indexed range read skipped nothing (${pr.totalFiles} files)")
+
+    val got = KeyedTable.readBetween(spark, table, "o_custkey", Some(100L), Some(120L))
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey").collect()
+    val want = KeyedTable.read(spark, table)
+      .filter(col("o_custkey").between(100L, 120L))
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("files appended after the index are never skipped; rebuild covers them") {
+    val table = boot()
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(5)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      .withColumn("o_custkey", lit(999999L)) // outside every indexed range
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    val got = KeyedTable.readBetween(spark, table, "o_custkey", Some(999999L), None)
+    assert(got.count() === 5) // unindexed files kept → new rows visible
+    // a low range keeps the unindexed appended files too (no proof they miss)
+    val prLow = StatsIndex.prune(spark, table, "o_custkey", Some(1L), Some(100L))
+
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    val prLow2 = StatsIndex.prune(spark, table, "o_custkey", Some(1L), Some(100L))
+    assert(prLow2.skippedFiles > prLow.skippedFiles) // appended files now provably out of range
+    assert(KeyedTable.readBetween(spark, table, "o_custkey", Some(999999L), None).count() === 5)
+  }
+
+  test("all-null columns are skippable; open bounds exclude nulls like SQL ranges") {
+    val in = tmpDir("in")
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("maybe", when(col("o_month") === "1995-01", col("o_custkey")))
+      .write.mode("overwrite").parquet(in)
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    StatsIndex.build(spark, table, Seq("maybe"))
+    val pr = StatsIndex.prune(spark, table, "maybe", None, None)
+    assert(pr.skippedFiles > 0, "files of all-null partitions should be skipped")
+    val got = KeyedTable.readBetween(spark, table, "maybe", None, None).count()
+    val want = KeyedTable.read(spark, table).filter(col("maybe").isNotNull).count()
+    assert(got === want)
+  }
+
+  test("rollback undoes an index_stats commit and drops its sidecar") {
+    val table = boot()
+    val before = CommitLog.requireState(spark, table).latest.commitTime
+    val ct = StatsIndex.build(spark, table, Seq("o_custkey"))
+    assert(StatsIndex.latestIndex(spark, table) === Some(ct))
+    KeyedTable.rollback(spark, table, before)
+    assert(StatsIndex.latestIndex(spark, table) === None)
+    assert(!CommitLog.fs(spark, table).exists(StatsIndex.statsDir(table, ct)))
+    // and a pruned read still answers correctly with no index
+    assert(KeyedTable.readBetween(spark, table, "o_custkey", Some(1L), None).count() ===
+      KeyedTable.read(spark, table).filter(col("o_custkey") >= 1L).count())
+  }
+
+  test("partition columns and unsupported types are rejected") {
+    val table = boot()
+    intercept[GraftException](StatsIndex.build(spark, table, Seq("o_month")))
+    intercept[GraftException](StatsIndex.build(spark, table, Seq("nope")))
+  }
+
+  test("rebuilding replaces the sidecar; only the newest survives") {
+    val table = boot()
+    val c1 = StatsIndex.build(spark, table, Seq("o_custkey"))
+    val c2 = StatsIndex.build(spark, table, Seq("o_custkey", "o_totalprice"))
+    val fs = CommitLog.fs(spark, table)
+    assert(!fs.exists(StatsIndex.statsDir(table, c1)))
+    assert(fs.exists(StatsIndex.statsDir(table, c2)))
+    assert(StatsIndex.indexedColumns(spark, table) === Seq("o_custkey", "o_totalprice"))
+  }
+}
