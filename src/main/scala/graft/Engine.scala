@@ -86,4 +86,10 @@ object Engine {
   def readBetween(spark: SparkSession, tablePath: String, column: String,
       lower: Option[Any], upper: Option[Any]): DataFrame =
     KeyedTable.readBetween(spark, tablePath, column, lower, upper)
+
+  def indexBloom(spark: SparkSession, tablePath: String, fpp: Double = 0.01): String =
+    graft.table.BloomIndex.build(spark, tablePath, fpp)
+
+  def readByKeys(spark: SparkSession, tablePath: String, keys: Seq[String]): DataFrame =
+    graft.table.BloomIndex.readByKeys(spark, tablePath, keys)
 }

@@ -503,6 +503,24 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Bloom-index point lookup: per-file record-key blooms built from one
+    * column-pruned scan ([[graft.table.BloomIndex]]); the probe opens only
+    * files whose bloom fires (plus fpp false positives). The oracle is the
+    * same IN-list over the raw input — bloom pruning must lose nothing
+    * (false negatives are structurally impossible).
+    */
+  private val q31: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q31")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q31_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    graft.table.BloomIndex.build(s, tbl)
+    graft.table.BloomIndex.readByKeys(s, tbl, Seq("1", "7", "32", "65", "129", "4000"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** S2 ORC round-trip under oracle check: the orders table is written to ORC
     * and read back through the sniffing scan path; the oracle reads the
     * original parquet — any ORC read/write asymmetry breaks the hash.
@@ -549,6 +567,7 @@ object CoreQueries {
     "q28_table_sync" -> q28,
     "q29_zorder_cluster" -> q29,
     "q30_stats_skip" -> q30,
+    "q31_key_lookup" -> q31,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -706,6 +725,11 @@ object CoreQueries {
       // file pruning must be invisible in the answer
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_custkey BETWEEN 100 AND 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q31_key_lookup" ->
+      // bloom pruning must be invisible in the answer
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (1, 7, 32, 65, 129, 4000)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

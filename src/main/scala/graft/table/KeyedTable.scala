@@ -442,8 +442,10 @@ object KeyedTable {
     val updMeta = MetaColumns.withMeta(updDeduped, keyF, partF, ct)
       .select(evolved.fieldNames.map(col).toSeq: _*)
 
-    // where does each incoming key live today? (the global index lookup)
-    val cur = read(spark, tablePath)
+    // where does each incoming key live today? (the global index lookup) —
+    // bloom-pruned to candidate files when an index exists and the batch is
+    // small enough to probe; otherwise the full snapshot join
+    val cur = globalIndexScan(spark, tablePath, st, updMeta)
       .select((keyF ++ partF).map(col) :+ col(MetaColumns.PartitionPath).as("__old_pp"): _*)
     val moved = cur.join(
         updMeta.select(keyF.map(col) :+ col(MetaColumns.PartitionPath).as("__new_pp"): _*), keyF)
@@ -488,6 +490,33 @@ object KeyedTable {
       antiJoinKeys = keyF, operation = "upsert_global")
     moved.unpersist()
     out
+  }
+
+  /** The "where do these keys live" scan behind [[upsertGlobal]]. With a
+    * bloom index and a boundable batch, only the candidate base files are
+    * opened (an inner join on keys cannot lose rows to bloom pruning —
+    * false positives open extra files, false negatives don't exist). Any
+    * complication — live MOR deltas, METADATA_ONLY partitions, no index,
+    * or a probe set too large to broadcast — falls back to the snapshot.
+    */
+  private val MaxBloomProbeKeys = 100000
+
+  private def globalIndexScan(
+      spark: SparkSession,
+      tablePath: String,
+      st: TableState,
+      updMeta: DataFrame): DataFrame = {
+    if (Deltas.liveCommits(spark, tablePath).nonEmpty || st.metadataOnlyPartitions.nonEmpty ||
+        BloomIndex.latestIndex(spark, tablePath).isEmpty)
+      return read(spark, tablePath)
+    val ks = updMeta.select(MetaColumns.RecordKey).distinct().limit(MaxBloomProbeKeys + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (ks.size > MaxBloomProbeKeys) return read(spark, tablePath)
+    val pr = BloomIndex.candidateFiles(spark, tablePath, ks)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    if (pr.kept.isEmpty) read(spark, tablePath).filter(lit(false)) // folds to an empty relation
+    else spark.read.schema(schema).option("basePath", tablePath).parquet(pr.kept: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Read (a subset of) a registered source. Hive-layout sources are read by
@@ -776,7 +805,7 @@ object KeyedTable {
       .flatMap(c => Archive.archivedDeltaCommits(fs, tablePath, c.commitTime)).toSet
 
     val blocked = doomed.filterNot(c =>
-      c.operation == "index_stats" || // undone by dropping the sidecar — no pre-image needed
+      c.operation.startsWith("index_") || // undone by dropping the sidecar — no pre-image needed
         liveDeltas.contains(c.commitTime) || reExposed.contains(c.commitTime) ||
         Archive.exists(fs, tablePath, c.commitTime))
     if (blocked.nonEmpty)
@@ -787,9 +816,10 @@ object KeyedTable {
     doomed.reverse.foreach { c => // newest first: each step undoes one commit
       // checked live at undo time: an earlier iteration (a compaction undo)
       // may have re-exposed this commit's delta directory
-      if (c.operation == "index_stats") {
+      if (c.operation.startsWith("index_")) {
         // data files were never touched — just drop the sidecar
         fs.delete(StatsIndex.statsDir(tablePath, c.commitTime), true)
+        fs.delete(BloomIndex.bloomDir(tablePath, c.commitTime), true)
       } else if (fs.exists(Deltas.dir(tablePath, c.commitTime))) {
         fs.delete(Deltas.dir(tablePath, c.commitTime), true)
       } else {

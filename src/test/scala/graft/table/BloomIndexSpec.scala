@@ -1,0 +1,121 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.{BootstrapConfig, TableType}
+
+class BloomIndexSpec extends SparkTestBase {
+
+  private def ordersWithMonth(outDir: String): String = {
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
+  private def boot(tableType: TableType = TableType.CopyOnWrite): String = {
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = ordersWithMonth(tmpDir("in")), tablePath = table, tableName = "orders_t",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = tableType))
+    table
+  }
+
+  test("point lookup: bloom prunes most files and the answer matches a full filter") {
+    val table = boot()
+    BloomIndex.build(spark, table)
+    val keys = Seq("17", "400", "1200")
+    val pr = BloomIndex.candidateFiles(spark, table, keys)
+    assert(pr.indexedAt.nonEmpty)
+    assert(pr.totalFiles > 10)
+    // 3 keys live in ≤3 files; fpp 1% keeps false positives to a handful
+    assert(pr.kept.size < pr.totalFiles / 2,
+      s"kept ${pr.kept.size} of ${pr.totalFiles} — bloom pruned almost nothing")
+
+    val got = BloomIndex.readByKeys(spark, table, keys)
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey").collect()
+    val want = KeyedTable.read(spark, table)
+      .filter(col("o_orderkey").isin(17L, 400L, 1200L))
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey").collect()
+    assert(got.toSeq === want.toSeq && got.nonEmpty)
+  }
+
+  test("missing keys: empty result, not an error; absent index keeps all files") {
+    val table = boot()
+    val prNoIdx = BloomIndex.candidateFiles(spark, table, Seq("999999999"))
+    assert(prNoIdx.skippedFiles === 0 && prNoIdx.indexedAt.isEmpty)
+    BloomIndex.build(spark, table)
+    assert(BloomIndex.readByKeys(spark, table, Seq("999999999")).count() === 0)
+  }
+
+  test("files appended after the index stay visible to lookups") {
+    val table = boot()
+    BloomIndex.build(spark, table)
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(2)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+    val got = BloomIndex.readByKeys(spark, table, Seq("900001", "900002", "900003"))
+    assert(got.count() === batch.filter(col("o_orderkey").isin(900001L, 900002L, 900003L)).count())
+    assert(got.count() > 0)
+  }
+
+  test("global upsert with a bloom index: moves resolve identically to the unindexed path") {
+    val tNoIdx = boot()
+    val tIdx = boot()
+    BloomIndex.build(spark, tIdx)
+    assert(BloomIndex.latestIndex(spark, tIdx).nonEmpty)
+
+    // move three keys to a new month and update a fourth in place
+    def batch(t: String) = {
+      val b = KeyedTable.read(spark, t)
+      b.filter(col("o_orderkey").isin(17L, 400L, 1200L, 3000L))
+        .select(b.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+        .withColumn("o_month",
+          when(col("o_orderkey") === 3000L, col("o_month")).otherwise(lit("2099-01")))
+        .withColumn("o_orderstatus", lit("Z"))
+    }
+    KeyedTable.upsertGlobal(spark, tNoIdx, batch(tNoIdx))
+    KeyedTable.upsertGlobal(spark, tIdx, batch(tIdx))
+
+    def state(t: String) = KeyedTable.read(spark, t)
+      .select("o_orderkey", "o_month", "o_orderstatus")
+      .orderBy("o_orderkey", "o_month").collect().toSeq
+    assert(state(tIdx) === state(tNoIdx))
+    // the moved keys live ONLY in the new partition
+    val moved = KeyedTable.read(spark, tIdx).filter(col("o_orderkey") === 17L).collect()
+    assert(moved.length === 1 && moved.head.getAs[String]("o_month") === "2099-01")
+  }
+
+  test("MOR table with live deltas falls back to the merged snapshot") {
+    val table = boot(TableType.MergeOnRead)
+    BloomIndex.build(spark, table)
+    val base = KeyedTable.read(spark, table)
+    val upd = base.filter(col("o_orderkey") === 17L)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("Q"))
+    KeyedTable.upsert(spark, table, upd) // delta commit, not compacted
+    val got = BloomIndex.readByKeys(spark, table, Seq("17"))
+    assert(got.count() === 1 && got.head().getAs[String]("o_orderstatus") === "Q")
+  }
+
+  test("rollback drops the bloom sidecar with its commit") {
+    val table = boot()
+    val before = CommitLog.requireState(spark, table).latest.commitTime
+    val ct = BloomIndex.build(spark, table)
+    KeyedTable.rollback(spark, table, before)
+    assert(BloomIndex.latestIndex(spark, table) === None)
+    assert(!CommitLog.fs(spark, table).exists(BloomIndex.bloomDir(table, ct)))
+  }
+
+  test("rebuild replaces the sidecar; only the newest survives") {
+    val table = boot()
+    val c1 = BloomIndex.build(spark, table)
+    val c2 = BloomIndex.build(spark, table, fpp = 0.05)
+    val fs = CommitLog.fs(spark, table)
+    assert(!fs.exists(BloomIndex.bloomDir(table, c1)) && fs.exists(BloomIndex.bloomDir(table, c2)))
+  }
+}
