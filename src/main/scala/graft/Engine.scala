@@ -87,9 +87,24 @@ object Engine {
       lower: Option[Any], upper: Option[Any]): DataFrame =
     KeyedTable.readBetween(spark, tablePath, column, lower, upper)
 
+  def readWhere(spark: SparkSession, tablePath: String,
+      ranges: Seq[(String, Option[Any], Option[Any])]): DataFrame =
+    KeyedTable.readWhere(spark, tablePath, ranges)
+
   def indexBloom(spark: SparkSession, tablePath: String, fpp: Double = 0.01): String =
     graft.table.BloomIndex.build(spark, tablePath, fpp)
 
   def readByKeys(spark: SparkSession, tablePath: String, keys: Seq[String]): DataFrame =
     graft.table.BloomIndex.readByKeys(spark, tablePath, keys)
+
+  def pullChanges(spark: SparkSession, tablePath: String, checkpointDir: String,
+      startAt: Option[String] = None)(
+      handler: (DataFrame, graft.streaming.ChangeStream.Pull) => Unit)
+      : Option[graft.streaming.ChangeStream.Pull] =
+    graft.streaming.ChangeStream.pull(spark, tablePath, checkpointDir, startAt)(handler)
+
+  def syncToContinuous(spark: SparkSession, srcPath: String, dstPath: String,
+      checkpointDir: String, startAt: Option[String] = None)
+      : Option[graft.streaming.ChangeStream.Pull] =
+    graft.streaming.ChangeStream.syncTo(spark, srcPath, dstPath, checkpointDir, startAt)
 }

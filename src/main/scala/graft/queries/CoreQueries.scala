@@ -509,6 +509,44 @@ object CoreQueries {
     * same IN-list over the raw input — bloom pruning must lose nothing
     * (false negatives are structurally impossible).
     */
+  /** Checkpointed CDC consumption ([[graft.streaming.ChangeStream]]): two
+    * rounds of source mutations, each drained into the destination by a
+    * separate `syncTo` pull whose watermark lives in the checkpoint dir —
+    * the replayable micro-batch shape of a long-running CDC follower. The
+    * oracle recomputes the expected destination tip in SQL, so watermark
+    * handoff, interval closure, and the delete-before-upsert apply are all
+    * hash-checked.
+    */
+  private val q32: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q32").toFile
+    tmp.deleteOnExit()
+    def boot(path: String, tt: TableType) = KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = path, tableName = "q32_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = tt))
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val cp = s"$tmp/cp"
+    val bootSrc = boot(src, TableType.MergeOnRead)
+    boot(dst, TableType.CopyOnWrite)
+
+    val base = KeyedTable.read(s, src)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    // round 1: flag 1995 keys divisible by 10, then pull
+    KeyedTable.upsert(s, src, base
+      .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("C1")))
+    graft.streaming.ChangeStream.syncTo(s, src, dst, cp, startAt = Some(bootSrc.commitTime))
+    // round 2: delete the 1996 × 97 stripe, then pull from the checkpoint
+    KeyedTable.delete(s, src, KeyedTable.read(s, src)
+      .filter(col("o_orderkey") % 97 === 0 && year(col("o_orderdate")) === 1996)
+      .select("o_orderkey", "o_month"))
+    graft.streaming.ChangeStream.syncTo(s, src, dst, cp)
+
+    KeyedTable.read(s, dst)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   private val q31: Q = (s, d) => {
     val tbl = freshTableDir("graft-q31")
     KeyedTable.bootstrap(s, BootstrapConfig(
@@ -568,6 +606,7 @@ object CoreQueries {
     "q29_zorder_cluster" -> q29,
     "q30_stats_skip" -> q30,
     "q31_key_lookup" -> q31,
+    "q32_change_stream" -> q32,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -730,6 +769,14 @@ object CoreQueries {
       // bloom pruning must be invisible in the answer
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 7, 32, 65, 129, 4000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q32_change_stream" ->
+      // dst tip after two checkpointed pulls: round-1 updates + round-2 deletes
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995 THEN 'C1'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

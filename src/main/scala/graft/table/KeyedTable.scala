@@ -884,18 +884,32 @@ object KeyedTable {
       tablePath: String,
       column: String,
       lower: Option[Any],
-      upper: Option[Any]): DataFrame = {
+      upper: Option[Any]): DataFrame =
+    readWhere(spark, tablePath, Seq((column, lower, upper)))
+
+  /** Conjunctive multi-range read — every range must hold. On a z-ordered
+    * table each file carries a bounded range on EACH clustered column, so
+    * pruning multiplies across the ranges (the whole point of the Morton
+    * layout over a linear sort).
+    */
+  def readWhere(
+      spark: SparkSession,
+      tablePath: String,
+      ranges: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
+    require(ranges.nonEmpty, "readWhere needs at least one range")
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
-    val dt = schema(column).dataType
-    val pred = Seq(
-      lower.map(v => col(column) >= lit(v).cast(dt)),
-      upper.map(v => col(column) <= lit(v).cast(dt))).flatten
-      .reduceOption(_ && _).getOrElse(col(column).isNotNull)
+    val pred = ranges.map { case (column, lower, upper) =>
+      val dt = schema(column).dataType
+      Seq(
+        lower.map(v => col(column) >= lit(v).cast(dt)),
+        upper.map(v => col(column) <= lit(v).cast(dt))).flatten
+        .reduceOption(_ && _).getOrElse(col(column).isNotNull)
+    }.reduce(_ && _)
     if (Deltas.liveCommits(spark, tablePath).nonEmpty)
       return snapshot(spark, tablePath, st, restrictTo = None).filter(pred)
     val cols = schema.fieldNames.map(col).toSeq
-    val pruned = StatsIndex.prune(spark, tablePath, column, lower, upper)
+    val pruned = StatsIndex.prune(spark, tablePath, ranges)
     val parts = Seq.newBuilder[DataFrame]
     if (pruned.kept.nonEmpty)
       parts += spark.read.schema(schema).option("basePath", tablePath)

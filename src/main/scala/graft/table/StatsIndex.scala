@@ -279,37 +279,52 @@ object StatsIndex {
   // ----------------------------------------------------------------- prune
 
   /** Files that can contain a row with `column` in [lower, upper] (either
-    * bound optional). Skips ONLY files the sidecar proves non-overlapping:
-    * live files absent from the index — appended after it was built — are
-    * kept unseen. The sidecar read + bound compare runs as a Spark job over
-    * one small parquet file; only the skip-list is collected.
+    * bound optional). See the multi-range overload for semantics.
     */
   def prune(
       spark: SparkSession,
       tablePath: String,
       column: String,
       lower: Option[Any],
-      upper: Option[Any]): PruneResult = {
+      upper: Option[Any]): PruneResult =
+    prune(spark, tablePath, Seq((column, lower, upper)))
+
+  /** Files that can contain a row satisfying EVERY range in `ranges` (a
+    * conjunction — a file pruned by any one range is out). On a z-ordered
+    * table this is where the Morton layout pays: each file has a bounded
+    * range on each clustered column, so skip sets multiply across columns.
+    * Skips ONLY files the sidecar proves non-overlapping: live files
+    * absent from the index — appended after it was built — are kept
+    * unseen. One Spark job over the small sidecar evaluates all ranges;
+    * only the skip-list is collected.
+    */
+  def prune(
+      spark: SparkSession,
+      tablePath: String,
+      ranges: Seq[(String, Option[Any], Option[Any])]): PruneResult = {
+    require(ranges.nonEmpty, "prune needs at least one range")
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
-    val dt = schema(column).dataType
     val fs = CommitLog.fs(spark, tablePath)
     val live = listBaseFiles(fs, tablePath)
     latestIndex(spark, tablePath) match {
       case None => PruneResult(live, live.size, 0, None)
       case Some(ct) =>
         val sidecar = spark.read.parquet(statsDir(tablePath, ct).toString)
-          .filter(col("column") === column)
-        val lo = lower.map(v => lit(v).cast(dt))
-        val hi = upper.map(v => lit(v).cast(dt))
-        // a range predicate is never satisfied by null, so a proven all-null
-        // file is skippable even with both bounds open
-        val overlaps =
-          lo.map(l => col("max_val").cast(dt) >= l).getOrElse(lit(true)) &&
-          hi.map(h => col("min_val").cast(dt) <= h).getOrElse(lit(true))
-        val skippable = sidecar.filter(
-          col("all_null") || (col("has_stats") && col("min_val").isNotNull && !overlaps))
-        val skip = skippable.select("file").collect().map(_.getString(0)).toSet
+        val skippable = ranges.map { case (column, lower, upper) =>
+          val dt = schema(column).dataType
+          val lo = lower.map(v => lit(v).cast(dt))
+          val hi = upper.map(v => lit(v).cast(dt))
+          // a range predicate is never satisfied by null, so a proven
+          // all-null file is skippable even with both bounds open
+          val overlaps =
+            lo.map(l => col("max_val").cast(dt) >= l).getOrElse(lit(true)) &&
+            hi.map(h => col("min_val").cast(dt) <= h).getOrElse(lit(true))
+          sidecar.filter(col("column") === column).filter(
+            col("all_null") || (col("has_stats") && col("min_val").isNotNull && !overlaps))
+            .select("file")
+        }.reduce(_ unionByName _)
+        val skip = skippable.distinct().collect().map(_.getString(0)).toSet
         val kept = live.filterNot(skip)
         PruneResult(kept, live.size, live.size - kept.size, Some(ct))
     }

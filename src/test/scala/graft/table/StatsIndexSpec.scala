@@ -81,6 +81,29 @@ class StatsIndexSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("multi-column ranges prune more than either column alone and stay exact") {
+    val table = boot()
+    // Morton layout over both columns: every file gets a bounded range on each
+    KeyedTable.clusterZ(spark, table, Seq("o_custkey", "o_totalprice"), maxRecordsPerFile = 200)
+    StatsIndex.build(spark, table, Seq("o_custkey", "o_totalprice"))
+    val rCust: (String, Option[Any], Option[Any]) = ("o_custkey", Some(100L), Some(400L))
+    val rPrice: (String, Option[Any], Option[Any]) = ("o_totalprice", Some(50000.0), Some(100000.0))
+    val a = StatsIndex.prune(spark, table, Seq(rCust))
+    val b = StatsIndex.prune(spark, table, Seq(rPrice))
+    val both = StatsIndex.prune(spark, table, Seq(rCust, rPrice))
+    assert(a.skippedFiles > 0 && b.skippedFiles > 0)
+    assert(both.skippedFiles >= math.max(a.skippedFiles, b.skippedFiles))
+    assert(both.kept.toSet === (a.kept.toSet intersect b.kept.toSet))
+
+    val got = KeyedTable.readWhere(spark, table, Seq(rCust, rPrice))
+      .select("o_orderkey").orderBy("o_orderkey").collect()
+    val want = KeyedTable.read(spark, table)
+      .filter(col("o_custkey").between(100L, 400L) &&
+        col("o_totalprice").between(50000.0, 100000.0))
+      .select("o_orderkey").orderBy("o_orderkey").collect()
+    assert(got.toSeq === want.toSeq && got.nonEmpty)
+  }
+
   test("files appended after the index are never skipped; rebuild covers them") {
     val table = boot()
     StatsIndex.build(spark, table, Seq("o_custkey"))
