@@ -237,32 +237,47 @@ object Dedup {
 
   /** Connected components over an undirected pair graph (near-dup pairs →
     * duplicate CLUSTERS, so a pipeline can keep one canonical doc per
-    * cluster instead of reasoning about pairwise edges). Iterative min-label
-    * propagation: each round joins every vertex's label to its neighbors and
-    * keeps the minimum — one shuffle join + one partial agg per round,
-    * converging in O(cluster diameter) rounds. Dup clusters are quasi-cliques
-    * (diameter 1-2 in practice), so 2-3 rounds close them; `maxIter` bounds
-    * pathological chains, and the alternating large-star/small-star variant
-    * (O(log n) rounds) is the drop-in upgrade if a corpus ever produces deep
-    * chains. Returns (id, cluster_id = min id in component) for every vertex
-    * that appears in a pair.
+    * cluster instead of reasoning about pairwise edges). Min-label
+    * propagation with pointer doubling: each round (a) joins every vertex's
+    * label to its neighbors and keeps the minimum, then (b) compresses
+    * `l(u) ← l(l(u))`, so label chains halve every round and a
+    * diameter-d component closes in O(log d) rounds instead of O(d) —
+    * the worst case (a long chain of near-dups at corpus scale) stays a
+    * handful of shuffles. Labels only ever decrease toward the component
+    * min; at the fixpoint every edge has equal labels on both ends, so the
+    * label IS the component min. Dup clusters are quasi-cliques (diameter
+    * 1-2 in practice), so typical runs converge in 2-3 rounds; `maxIter`
+    * is a safety bound. Returns (id, cluster_id = min id in component) for
+    * every vertex that appears in a pair.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
+    // every round is localCheckpoint'd (eager): the pointer-doubling
+    // self-join references the running labels TWICE, so an un-truncated
+    // lineage would double per iteration — checkpointing keeps each round's
+    // plan flat and the final result free of the loop's history
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).persist()
+      .withColumn("cluster_id", col("id")).localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .persist()
+      // pointer doubling: follow the label's own label. l(l(u)) <= l(u)
+      // because labels shrink monotonically, so compression is always safe
+      // and halves the depth of label chains each round.
+      val next = propagated.join(
+          propagated.select(col("id").as("cluster_id"), col("cluster_id").as("parent_label")),
+          Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("parent_label"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
       changed = next.join(
           labels.select(col("id"), col("cluster_id").as("prev")), "id")
         .filter(col("cluster_id") < col("prev")).count()
@@ -270,12 +285,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    // truncate the iterative lineage and release the loop's cached blocks —
-    // without this the final persist leaks until session end, and without
-    // the checkpoint an unpersisted result would replay every iteration
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
-    out
+    labels
   }
 }

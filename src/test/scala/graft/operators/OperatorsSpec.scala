@@ -122,6 +122,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components close a 512-node path within the logarithmic round budget") {
+    // worst case for plain min-propagation (needs ~n rounds); pointer
+    // doubling must close it inside maxIter = 12 ≈ log2(512) + slack
+    val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id", maxIter = 12)
+    assert(comp.count() === 512)
+    assert(comp.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("curation: hash sample is deterministic, quota bounds groups, pii redaction scrubs") {
     val sampled = Curation.hashSample(docs, col("doc_id"), 10)
     assert(sampled.count() === Curation.hashSample(docs, col("doc_id"), 10).count())
