@@ -62,14 +62,11 @@ object Dedup {
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     graft.functions.NativeExpressions.minhash_sig(shinglesCol, k)
 
-  /** LSH candidate pairs: split the signature into `bands` bands of
-    * `rowsPerBand`, bucket on the band content, self-join buckets.
-    * Returns distinct (a_id, b_id) with a_id < b_id.
-    */
-  def lshCandidates(
+  /** Banded view of a signature column: one row per (id, band, band key). */
+  private def bandedSig(
       df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = df.select(
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
         b.as("band"),
@@ -77,11 +74,34 @@ object Dedup {
           transform(slice(col(sigCol), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
             _.cast("string"))).as("bkey")))).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, bucket on the band content, self-join buckets.
+    * Returns distinct (a_id, b_id) with a_id < b_id.
+    */
+  def lshCandidates(
+      df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandedSig(df, idCol, sigCol, bands, rowsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** Two-sided LSH candidates: bucket-join CORPUS bands against BATCH bands
+    * (no self-pairs on either side) — the incremental-dedup probe shape.
+    * Returns distinct (a_id = corpus id, b_id = batch id).
+    */
+  def lshCandidatesAcross(
+      corpusSig: DataFrame, batchSig: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val a = bandedSig(corpusSig, idCol, sigCol, bands, rowsPerBand).as("a")
+    val b = bandedSig(batchSig, idCol, sigCol, bands, rowsPerBand).as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
       .distinct()
   }
@@ -117,6 +137,50 @@ object Dedup {
       .join(shCand.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .select(col("a_id"), col("b_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup detection: which BATCH docs duplicate a CORPUS
+    * doc? The 100 TB pipeline shape — an already-deduped corpus stays
+    * untouched while each incoming batch is probed against it: signatures
+    * are computed over corpus + batch (one pass each), candidates come
+    * from the two-sided band join (O(collisions), never corpus × batch),
+    * and only candidate docs are re-shingled for exact-Jaccard
+    * verification. Returns (a_id = corpus doc, b_id = batch doc, jaccard ≥
+    * threshold).
+    */
+  def minhashNearDupsAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    def sigOf(df: DataFrame) = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(split(col(textCol), "\\s+"), shingleN), numHashes).as("sig"))
+    val cand = lshCandidatesAcross(sigOf(corpus), sigOf(batch), "id", "sig",
+        bands, numHashes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def shCand(df: DataFrame, side: String) = {
+      val ids = cand.select(col(side).as("cid")).distinct()
+      df.join(broadcast(ids), col(idCol) === col("cid"), "left_semi")
+        .select(col(idCol).as(side), shingles(split(col(textCol), "\\s+"), shingleN).as(s"sh_$side"))
+    }
+    cand
+      .join(shCand(corpus, "a_id"), "a_id")
+      .join(shCand(batch, "b_id"), "b_id")
+      .select(col("a_id"), col("b_id"), jaccard(col("sh_a_id"), col("sh_b_id")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Keep only the batch docs that are NOT near-dups of any corpus doc —
+    * [[minhashNearDupsAgainst]] + anti-join, returning the batch rows that
+    * survive. Within-batch duplicates are out of scope by design: compose
+    * with [[minhashNearDups]] on the batch when both passes are wanted.
+    */
+  def dedupAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val dups = minhashNearDupsAgainst(corpus, batch, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+    batch.join(dups.select(col("b_id")), col(idCol) === col("b_id"), "left_anti")
   }
 
   // --------------------------------------------------------------- simhash

@@ -231,6 +231,24 @@ object ExtQueries {
   /** Sequential context-window packing: per source, docs in id order pack
     * into 500-token bins by cumulative token count.
     */
+  /** Incremental dedup: probe a new batch (doc_id % 5 == 0) against the
+    * standing corpus (the rest) and keep only the novel batch docs — the
+    * shape that keeps a 100 TB deduped corpus immutable while each delivery
+    * is screened in O(batch + collisions). The oracle recomputes the exact
+    * NOT-EXISTS jaccard screen; the LSH params (16 hashes / 4 bands) have
+    * total recall at threshold 0.5 on this fixture (x02 pins the same
+    * property for the self-join form).
+    */
+  private val x23: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.dedupAgainst(corpus, batch, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   private val x22: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast(LongType))
@@ -285,6 +303,7 @@ object ExtQueries {
     "x20_stream_dedup" -> x20,
     "x21_chunking" -> x21,
     "x22_packing" -> x22,
+    "x23_incremental_dedup" -> x23,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -526,5 +545,16 @@ object ExtQueries {
         |        len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x23_incremental_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingles3 AS s
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents)),
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5)
+         |SELECT doc_id, source FROM sh
+         |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -122,6 +122,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incremental dedup drops batch docs that duplicate the corpus, keeps novel ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different corpus content about spark and parquet files"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and AGAIN today"), // near-dup of 1
+      (12L, "completely novel text that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    val dups = Dedup.minhashNearDupsAgainst(corpus, batch, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 10L)))
+    assert(!dups.exists(_._2 == 12L))
+    val survivors = Dedup.dedupAgainst(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(12L) && !survivors.contains(10L))
+    assert(!survivors.contains(11L), "near-dup should be screened out")
+  }
+
   test("connected components close a 512-node path within the logarithmic round budget") {
     // worst case for plain min-propagation (needs ~n rounds); pointer
     // doubling must close it inside maxIter = 12 ≈ log2(512) + slack
