@@ -91,6 +91,46 @@ object Curation {
     * packing would be an unpartitioned window — per-group packing is both
     * the realistic semantics and the scalable plan.)
     */
+  /** Benchmark-contamination screen: count, per doc, how many of the probe
+    * n-grams (distinct word n-grams lifted from an eval/benchmark set)
+    * appear verbatim in the doc — the standard decontamination step before
+    * training. For a bounded probe set the whole test is one codegen'd
+    * array intersection inside the scan (probes ship as a literal with the
+    * plan): zero shuffles, O(corpus) work regardless of corpus size. For
+    * probe sets too large to inline, [[contaminationJoin]] is the
+    * shuffle-based twin.
+    */
+  def contaminationScan(
+      df: DataFrame, textCol: Column, probes: Seq[String], n: Int): DataFrame =
+    df.withColumn("matched_ngrams",
+      size(array_intersect(
+        Dedup.shingles(split(textCol, "\\s+"), n),
+        lit(probes.distinct.toArray))).cast("long"))
+
+  /** [[contaminationScan]] for probe sets that cannot ship as a literal
+    * (full benchmark suites): explode doc n-grams once, inner-join the
+    * probe table on the n-gram, count matches per doc. One shuffle on the
+    * n-gram; Spark broadcasts the probe side automatically when it is
+    * small enough.
+    */
+  def contaminationJoin(
+      df: DataFrame, idCol: Column, textCol: Column,
+      probes: DataFrame, probeCol: String, n: Int): DataFrame = {
+    val grams = df.select(idCol.as("__id"),
+        explode(Dedup.shingles(split(textCol, "\\s+"), n)).as("__g"))
+      .join(probes.select(col(probeCol).as("__g")).distinct(), "__g")
+      .groupBy("__id").agg(count(lit(1)).as("matched_ngrams"))
+    df.join(grams, idCol === col("__id"), "left")
+      .withColumn("matched_ngrams", coalesce(col("matched_ngrams"), lit(0L)))
+      .drop("__id")
+  }
+
+  /** Drop contaminated docs (any probe n-gram present), keep the rest. */
+  def decontaminate(
+      df: DataFrame, textCol: Column, probes: Seq[String], n: Int): DataFrame =
+    contaminationScan(df, textCol, probes, n)
+      .filter(col("matched_ngrams") === 0L).drop("matched_ngrams")
+
   def packSequential(
       df: DataFrame, groupCol: Column, orderCol: Column,
       nTokens: Column, budget: Int): DataFrame = {

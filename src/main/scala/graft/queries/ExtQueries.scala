@@ -249,6 +249,24 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: treat docs 3 and 47 as the "benchmark", lift
+    * their distinct word 3-grams as the probe set, and flag every corpus doc
+    * sharing any probe verbatim — one literal array intersection inside the
+    * scan ([[Curation.contaminationScan]]), zero shuffles at any corpus
+    * size. The oracle recomputes probes and counts with the same set
+    * semantics.
+    */
+  private val x24: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val probes = docs.filter(col("doc_id").isin(3L, 47L))
+      .select(explode(Dedup.shingles(split(col("text"), "\\s+"), 3)).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    Curation.contaminationScan(docs, col("text"), probes, 3)
+      .filter(col("matched_ngrams") > 0)
+      .select(col("doc_id"), col("source"), col("matched_ngrams"))
+      .orderBy("doc_id")
+  }
+
   private val x22: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast(LongType))
@@ -304,6 +322,7 @@ object ExtQueries {
     "x21_chunking" -> x21,
     "x22_packing" -> x22,
     "x23_incremental_dedup" -> x23,
+    "x24_decontaminate" -> x24,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -555,6 +574,17 @@ object ExtQueries {
          |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5)
          |SELECT doc_id, source FROM sh
          |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin,
+    "x24_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingles3 AS s
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents)),
+         |plist AS (
+         |  SELECT list(DISTINCT p) AS ps
+         |  FROM (SELECT unnest(s) AS p FROM sh WHERE doc_id IN (3, 47)))
+         |SELECT doc_id, source, len(list_intersect(s, ps))::BIGINT AS matched_ngrams
+         |FROM sh, plist
+         |WHERE len(list_intersect(s, ps)) > 0
          |ORDER BY doc_id""".stripMargin,
   )
 }

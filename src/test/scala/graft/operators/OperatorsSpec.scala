@@ -122,6 +122,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("contamination scan and join forms agree; decontaminate drops flagged docs") {
+    val probes = docs.filter(col("doc_id").isin(3L, 7L))
+      .select(explode(Dedup.shingles(split(col("text"), "\\s+"), 3)).as("p"))
+      .distinct()
+    val probeList = probes.collect().map(_.getString(0)).toSeq
+    val viaScan = Curation.contaminationScan(docs, col("text"), probeList, 3)
+      .select("doc_id", "matched_ngrams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = Curation.contaminationJoin(docs, col("doc_id"), col("text"), probes, "p", 3)
+      .select("doc_id", "matched_ngrams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaScan === viaJoin)
+    assert(viaScan(3L) > 0) // the benchmark doc flags itself
+    val clean = Curation.decontaminate(docs, col("text"), probeList, 3)
+    assert(clean.count() === docs.count() - viaScan.count(_._2 > 0))
+    assert(clean.filter(col("doc_id") === 3L).isEmpty)
+  }
+
   test("incremental dedup drops batch docs that duplicate the corpus, keeps novel ones") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
