@@ -96,8 +96,12 @@ object StatsIndex {
     * `index_stats` instant whose sidecar parquet lives at
     * `.graft/stats/<instant>/`. Indexing is incremental-friendly by
     * construction: files appended later simply aren't covered (kept by
-    * every prune) until the next `build` refreshes the sidecar. Older
-    * sidecars are cleaned inline — only the newest index is ever consulted.
+    * every prune) until the next `build` refreshes the sidecar — and a
+    * refresh is INCREMENTAL when the previous index covered the same
+    * columns: rows for still-live files carry over, only new files get
+    * their footers read, so the steady-state refresh after an append costs
+    * O(new files), not O(table). Older sidecars are cleaned inline — only
+    * the newest index is ever consulted.
     */
   def build(spark: SparkSession, tablePath: String, columns: Seq[String]): String = {
     require(columns.nonEmpty, "stats index needs at least one column")
@@ -121,23 +125,41 @@ object StatsIndex {
     val ct = CommitLog.newCommitTime()
     val dir = statsDir(tablePath, ct)
 
+    import spark.implicits._
+    // incremental refresh: rows of the previous sidecar whose file is still
+    // live carry over untouched when the indexed column set matches —
+    // clustered/compacted-away files drop out via the liveness semi-join
+    // (a join, not an IN-list: the live set can be 100k+ paths)
+    val carried: Option[DataFrame] = latestIndex(spark, tablePath)
+      .filter(_ => indexedColumns(spark, tablePath).sorted == columns.distinct.sorted)
+      .map { prev =>
+        spark.read.parquet(statsDir(tablePath, prev).toString)
+          .join(broadcast(files.toDF("__live")), col("file") === col("__live"), "left_semi")
+      }
+    val covered: Set[String] = carried
+      .map(_.select("file").distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val fresh = files.filterNot(covered)
+
     // ship the hadoop conf as plain entries: Configuration is not
     // serializable, and executors on a real cluster need the fs settings
     val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     val colTypes = columns.map(c => (c, schema(c).dataType)).toArray
-    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val slices = math.max(1, math.min(math.max(fresh.size, 1), spark.sparkContext.defaultParallelism))
 
-    import spark.implicits._
-    val rows: DataFrame =
-      if (files.isEmpty) spark.emptyDataset[StatsRow].toDF()
-      else spark.sparkContext.parallelize(files, slices)
+    val scanned: DataFrame =
+      if (fresh.isEmpty) spark.emptyDataset[StatsRow].toDF()
+      else spark.sparkContext.parallelize(fresh, slices)
         .mapPartitions { paths =>
           val conf = new Configuration(false)
           confEntries.foreach { case (k, v) => conf.set(k, v) }
           paths.flatMap(f => fileStats(f, conf, colTypes))
         }.toDF()
+    val rows = carried.fold(scanned)(c => scanned.unionByName(c))
 
+    // the previous sidecar is an INPUT here (carried rows stream from it),
+    // so land the new one before the inline cleaner below deletes it
     rows.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     writeIndexMeta(fs, dir, columns, files.size)
 

@@ -160,6 +160,33 @@ class StatsIndexSpec extends SparkTestBase {
     intercept[GraftException](StatsIndex.build(spark, table, Seq("nope")))
   }
 
+  test("incremental rebuild: same columns carry over, sidecar covers every live file") {
+    val table = boot()
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    val c1 = StatsIndex.latestIndex(spark, table).get
+    val before = spark.read.parquet(StatsIndex.statsDir(table, c1).toString)
+      .orderBy("file").collect().map(r => (r.getString(0), r.getString(3), r.getString(4)))
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(4)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    val c2 = StatsIndex.latestIndex(spark, table).get
+    val after = spark.read.parquet(StatsIndex.statsDir(table, c2).toString)
+    val fs = CommitLog.fs(spark, table)
+    val live = StatsIndex.listBaseFiles(fs, table)
+    // complete coverage of the grown table...
+    assert(after.select("file").distinct().count() === live.size)
+    // ...and the carried rows are bit-identical to the first build
+    val carried = after.orderBy("file").collect()
+      .map(r => (r.getString(0), r.getString(3), r.getString(4)))
+      .filter(t => before.exists(_._1 == t._1))
+    assert(carried.toSeq === before.toSeq)
+  }
+
   test("rebuilding replaces the sidecar; only the newest survives") {
     val table = boot()
     val c1 = StatsIndex.build(spark, table, Seq("o_custkey"))
