@@ -80,6 +80,13 @@ object Engine {
   def timeline(spark: SparkSession, tablePath: String): DataFrame =
     KeyedTable.timeline(spark, tablePath)
 
+  def clusterSort(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Seq[String] =
+    KeyedTable.clusterSort(spark, tablePath, sortCols, maxRecordsPerFile)
+
+  def dropPartitions(spark: SparkSession, tablePath: String, partitions: Seq[String]): Seq[String] =
+    KeyedTable.dropPartitions(spark, tablePath, partitions)
+
   def indexStats(spark: SparkSession, tablePath: String, columns: Seq[String]): String =
     graft.table.StatsIndex.build(spark, tablePath, columns)
 

@@ -547,6 +547,26 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Partition-level TTL ([[KeyedTable.dropPartitions]]): expire every month
+    * before 1995-07 as archive-renames — O(#partitions) metadata ops, zero
+    * data read or rewrite, the only affordable retention shape at 100 TB.
+    * The oracle recomputes the surviving rows from the raw input, proving
+    * the drop removed exactly the expired partitions and nothing else.
+    */
+  private val q33: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q33")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q33_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    val expired = graft.table.CommitLog.requireState(s, tbl).nativePartitions
+      .filter(_ < "o_month=1995-07")
+    KeyedTable.dropPartitions(s, tbl, expired)
+    KeyedTable.read(s, tbl)
+      .select(col("o_orderkey"), col("o_month"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   private val q31: Q = (s, d) => {
     val tbl = freshTableDir("graft-q31")
     KeyedTable.bootstrap(s, BootstrapConfig(
@@ -607,6 +627,7 @@ object CoreQueries {
     "q30_stats_skip" -> q30,
     "q31_key_lookup" -> q31,
     "q32_change_stream" -> q32,
+    "q33_partition_ttl" -> q33,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -777,6 +798,11 @@ object CoreQueries {
         |       ELSE o_orderstatus END AS o_orderstatus,
         |  o_totalprice
         |FROM orders WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q33_partition_ttl" ->
+      // exactly the unexpired months survive the drop
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1995-07'
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

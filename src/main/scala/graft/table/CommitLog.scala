@@ -184,10 +184,13 @@ object CommitLog {
       val base = if (c.operation == "bootstrap") Map.empty[String, String] else acc
       // a delta commit layers on top of an existing base partition without
       // changing how its BASE files are read — "delta" only registers
-      // partitions that are new (delta-only, no base dir yet)
-      base ++ c.partitions
+      // partitions that are new (delta-only, no base dir yet); "dropped"
+      // entries (delete_partition) REMOVE the partition from the live set
+      val merged = base ++ c.partitions
         .filterNot(p => p.mode == "delta" && base.contains(p.path))
+        .filterNot(_.mode == "dropped")
         .map(p => p.path -> p.mode)
+      merged -- c.partitions.filter(_.mode == "dropped").map(_.path)
     }
     TableState(cs, modes)
   }

@@ -358,9 +358,12 @@ object KeyedTable {
     // its partition list — a zero-row MOR delete has no entries.
     val deletes: Seq[DataFrame] = st.commits
       .filter(c => c.commitTime > sinceCommitTime &&
-        Set("delete", "upsert_global", "delta_commit").contains(c.operation))
+        Set("delete", "upsert_global", "delta_commit", "delete_partition").contains(c.operation))
       .flatMap { c =>
-        val isMorBatch = c.tableType == TableType.MergeOnRead.name
+        // a partition drop archives whole dirs on BOTH table types, so its
+        // before-image always comes from the COW-style archive diff below
+        val isMorBatch = c.tableType == TableType.MergeOnRead.name &&
+          c.operation != "delete_partition"
         if (isMorBatch) {
           // tombstone rows live in the commit's delta batch
           val dir =
@@ -831,7 +834,7 @@ object KeyedTable {
           if (fs.exists(ad)) fs.listStatus(ad).filter(_.isFile)
             .foreach(f => fs.rename(f.getPath, new Path(tablePath, f.getPath.getName)))
         } else {
-          c.partitions.filter(_.mode == "native").foreach { e =>
+          c.partitions.filter(e => e.mode == "native" || e.mode == "dropped").foreach { e =>
             val liveDir = new Path(s"$tablePath/${PathCodec.escape(e.path)}")
             val arch = new Path(Archive.dataDir(tablePath, c.commitTime), PathCodec.escape(e.path))
             // replaced partition → restore pre-image; created partition
@@ -942,10 +945,11 @@ object KeyedTable {
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val partF = st.latest.partitionFields
     val cols = schema.fieldNames.map(col).toSeq
-    val rewriteOps = Set("upsert", "upsert_global", "delete", "compact", "cluster", "materialize")
+    val rewriteOps = Set("upsert", "upsert_global", "delete", "compact", "cluster",
+      "materialize", "delete_partition")
     def firstRewriteAfter(p: String): Option[CommitInfo] =
       later.find(c => rewriteOps(c.operation) &&
-        c.partitions.exists(e => e.path == p && e.mode == "native"))
+        c.partitions.exists(e => e.path == p && (e.mode == "native" || e.mode == "dropped")))
     def retentionError(p: String, ct: String) = GraftException.config(
       s"Cannot read as of $asOf: pre-image of partition '$p' (archived by commit $ct) " +
         "has been cleaned — archive retention exceeded.")
@@ -1085,6 +1089,79 @@ object KeyedTable {
     clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
       graft.ops.ZOrder.layout(rows, zCols, leadingKeys = partF.map(col))
     }
+
+  /** Linear-sort clustering (Hudi sort clustering / Delta OPTIMIZE without
+    * ZORDER): range-partition + sort on `sortCols`, giving tight per-file
+    * min/max on the LEADING column — the right layout when one column
+    * dominates the filter workload (z-order trades per-column tightness
+    * for multi-column coverage). Any column type sorts, including strings,
+    * which z-order cannot take.
+    */
+  def clusterSort(
+      spark: SparkSession,
+      tablePath: String,
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long = 0L,
+      partitions: Option[Seq[String]] = None): Seq[String] = {
+    require(sortCols.nonEmpty, "clusterSort needs at least one sort column")
+    clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
+      val keys = (partF ++ sortCols).map(col)
+      rows.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    }
+  }
+
+  /** Partition-level retention drop: archive-rename the partition dirs and
+    * commit `delete_partition` — O(#partitions) metadata operations, ZERO
+    * data read or rewrite, which is what makes TTL enforcement viable on a
+    * 100 TB table (a key-wise delete would rewrite everything it touches).
+    * Fully integrated with the table services: `readAsOf` before the drop
+    * serves the archived pre-image, `rollback` restores it, `readChanges`
+    * surfaces every dropped row as a delete event (so `TableSync` copies
+    * converge), and a later write simply re-creates the partition.
+    * Refuses METADATA_ONLY partitions (no local dir to archive —
+    * materialize first) and partitions with live delta batches (compact
+    * first), keeping "the archive holds the whole pre-image" invariant.
+    */
+  def dropPartitions(
+      spark: SparkSession, tablePath: String, partitions: Seq[String]): Seq[String] = {
+    require(partitions.nonEmpty, "dropPartitions needs at least one partition")
+    val st = CommitLog.requireState(spark, tablePath)
+    val partF = st.latest.partitionFields
+    if (partF.isEmpty)
+      throw GraftException.config("dropPartitions requires a partitioned table")
+    val modes = st.partitionModes
+    val missing = partitions.filterNot(modes.contains)
+    if (missing.nonEmpty)
+      throw GraftException.config(s"Cannot drop unknown partition(s): ${missing.mkString(", ")}")
+    val notNative = partitions.filter(p => modes(p) != "native")
+    if (notNative.nonEmpty)
+      throw GraftException.config(
+        s"Cannot drop non-native partition(s) ${notNative.mkString(", ")}: " +
+          "materialize METADATA_ONLY partitions / compact delta-only partitions first.")
+    val live = Deltas.liveCommits(spark, tablePath)
+    if (live.nonEmpty) {
+      val clash = partitions.toSet intersect Deltas.touchedPartitions(st, live).toSet
+      if (clash.nonEmpty)
+        throw GraftException.config(
+          s"Cannot drop partition(s) with live delta batches (compact first): ${clash.toSeq.sorted.mkString(", ")}")
+    }
+    val fs = CommitLog.fs(spark, tablePath)
+    val ct = CommitLog.newCommitTime()
+    Archive.mark(fs, tablePath, ct)
+    partitions.foreach { p =>
+      val dir = new Path(s"$tablePath/${PathCodec.escape(p)}")
+      if (fs.exists(dir)) Archive.stash(fs, tablePath, ct, PathCodec.escape(p), dir)
+    }
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "delete_partition", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField, partitionFields = partF,
+      // recordCount 0: counting would defeat the O(metadata) contract
+      partitions = partitions.sorted.map(p => PartitionEntry(p, "dropped", 0L)),
+      recordCount = 0L, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+    cleanArchive(spark, tablePath)
+    partitions.sorted
+  }
 
   private def clusterBy(
       spark: SparkSession,
