@@ -496,7 +496,7 @@ object CoreQueries {
       dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q30_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
       partitionFields = Seq("o_month")))
-    KeyedTable.clusterZ(s, tbl, Seq("o_custkey"), maxRecordsPerFile = 2000)
+    KeyedTable.clusterZ(s, tbl, Seq("o_custkey"), maxRecordsPerFile = 5000)
     graft.table.StatsIndex.build(s, tbl, Seq("o_custkey", "o_totalprice"))
     KeyedTable.readBetween(s, tbl, "o_custkey", Some(100L), Some(500L))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

@@ -28,7 +28,8 @@ import graft.model.GraftException
   */
 object BloomIndex {
 
-  final case class BloomRow(file: String, key_count: Long, fpp: Double, bloom: Array[Byte])
+  final case class BloomRow(
+      file: String, column: String, key_count: Long, fpp: Double, bloom: Array[Byte])
 
   def bloomRoot(tablePath: String): Path =
     new Path(s"$tablePath/${CommitLog.LogDirName}/bloom")
@@ -47,12 +48,27 @@ object BloomIndex {
 
   /** Build blooms for every live base file and commit an `index_bloom`
     * instant. `fpp` trades sidecar size for extra false-positive file
-    * opens on lookup (1% ≈ 1.2 bytes/key).
+    * opens on lookup (1% ≈ 1.2 bytes/key). `column` defaults to the record
+    * key; any other column makes this a SECONDARY index (Hudi
+    * secondary-index analogue) — point predicates on a high-cardinality
+    * non-key column prune files the min/max stats cannot (an unclustered
+    * column's ranges overlap everywhere, but its per-file value SETS
+    * don't). Values bloom as their canonical cast-to-string form.
     */
-  def build(spark: SparkSession, tablePath: String, fpp: Double = 0.01): String = {
+  def build(
+      spark: SparkSession,
+      tablePath: String,
+      fpp: Double = 0.01,
+      column: String = MetaColumns.RecordKey): String = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
+    if (!schema.fieldNames.contains(column))
+      throw GraftException.config(s"bloom index column '$column' is not in the table schema")
+    if (st.latest.partitionFields.contains(column))
+      throw GraftException.config(
+        s"bloom index column '$column' is a partition column: partition values are " +
+          "pruned by the partition index, not per-file blooms")
     val fs = CommitLog.fs(spark, tablePath)
     val files = StatsIndex.listBaseFiles(fs, tablePath)
     val ct = CommitLog.newCommitTime()
@@ -64,7 +80,8 @@ object BloomIndex {
       else {
         val keyed = spark.read.schema(schema).option("basePath", tablePath)
           .parquet(files: _*)
-          .select(input_file_name().as("f"), col(MetaColumns.RecordKey).as("k"))
+          .select(input_file_name().as("f"), col(column).cast("string").as("k"))
+          .filter(col("k").isNotNull) // nulls never match a point probe
         // per-file row counts size each bloom exactly; O(#files) on the driver
         val counts = keyed.groupBy("f").count().collect()
           .map(r => normalizePath(r.getString(0)) -> r.getLong(1)).toMap
@@ -86,11 +103,14 @@ object BloomIndex {
           .map { case (f, (bf, n)) =>
             val bos = new ByteArrayOutputStream()
             bf.writeTo(bos)
-            BloomRow(f, n, fpp, bos.toByteArray)
+            BloomRow(f, column, n, fpp, bos.toByteArray)
           }.toDF()
+        // files whose indexed column is entirely null produce no bloom row:
+        // candidateFiles keeps unknown files, so they are read, never lost
       }
 
     rows.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    writeColumnMarker(fs, dir, column, files.size)
 
     CommitLog.write(spark, tablePath, CommitLog.CommitInfo(
       commitTime = ct, operation = "index_bloom", tableName = st.latest.tableName,
@@ -99,16 +119,45 @@ object BloomIndex {
       partitions = Seq.empty, recordCount = files.size.toLong,
       schemaDdl = st.latest.schemaDdl, sourcePath = None))
 
+    // per-COLUMN inline cleaner: indexes of other columns stay live
     if (fs.exists(bloomRoot(tablePath)))
       fs.listStatus(bloomRoot(tablePath)).map(_.getPath)
-        .filter(_.getName < ct).foreach(fs.delete(_, true))
+        .filter(p => p.getName < ct && columnOf(fs, p).contains(column))
+        .foreach(fs.delete(_, true))
     ct
   }
 
-  def latestIndex(spark: SparkSession, tablePath: String): Option[String] =
+  private def writeColumnMarker(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, column: String, files: Int): Unit = {
+    val json = s"""{"column":${quote(column)},"files":$files}"""
+    // underscore prefix: invisible to the sidecar's parquet reader
+    val out = fs.create(new Path(dir, "_index.json"), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def columnOf(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[String] = {
+    val p = new Path(dir, "_index.json")
+    if (!fs.exists(p)) return Some(MetaColumns.RecordKey) // pre-marker sidecars were key-only
+    val in = fs.open(p)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+    Option(node.get("column")).map(_.asText())
+  }
+
+  /** Newest index commit whose sidecar still exists and indexes `column`. */
+  def latestIndex(
+      spark: SparkSession,
+      tablePath: String,
+      column: String = MetaColumns.RecordKey): Option[String] = {
+    val fs = CommitLog.fs(spark, tablePath)
     CommitLog.commits(spark, tablePath).filter(_.operation == "index_bloom")
-      .lastOption.map(_.commitTime)
-      .filter(ct => CommitLog.fs(spark, tablePath).exists(bloomDir(tablePath, ct)))
+      .map(_.commitTime).reverse
+      .find(ct => fs.exists(bloomDir(tablePath, ct)) &&
+        columnOf(fs, bloomDir(tablePath, ct)).contains(column))
+  }
 
   // ----------------------------------------------------------------- probe
 
@@ -121,10 +170,11 @@ object BloomIndex {
   def candidateFiles(
       spark: SparkSession,
       tablePath: String,
-      keys: Seq[String]): StatsIndex.PruneResult = {
+      keys: Seq[String],
+      column: String = MetaColumns.RecordKey): StatsIndex.PruneResult = {
     val fs = CommitLog.fs(spark, tablePath)
     val live = StatsIndex.listBaseFiles(fs, tablePath)
-    latestIndex(spark, tablePath) match {
+    latestIndex(spark, tablePath, column) match {
       case None => StatsIndex.PruneResult(live, live.size, 0, None)
       case Some(ct) =>
         val bKeys = spark.sparkContext.broadcast(keys.toArray)
@@ -149,14 +199,23 @@ object BloomIndex {
     * "k1:v1,k2:v2"). Live MOR deltas and METADATA_ONLY partitions fall
     * back to the merged snapshot — correct, unpruned.
     */
-  def readByKeys(spark: SparkSession, tablePath: String, keys: Seq[String]): DataFrame = {
-    require(keys.nonEmpty, "readByKeys needs at least one key")
+  def readByKeys(spark: SparkSession, tablePath: String, keys: Seq[String]): DataFrame =
+    readByValues(spark, tablePath, MetaColumns.RecordKey, keys)
+
+  /** Secondary-index point lookup: rows whose `column` equals any of
+    * `values` (canonical cast-to-string forms, matching how the blooms
+    * were built). With a bloom index on `column`, only bloom-positive
+    * files open; without one this is a filtered scan — correct either way.
+    */
+  def readByValues(
+      spark: SparkSession, tablePath: String, column: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "readByValues needs at least one value")
     val st = CommitLog.requireState(spark, tablePath)
-    val pred = col(MetaColumns.RecordKey).isin(keys: _*)
+    val pred = col(column).cast("string").isin(values: _*)
     if (Deltas.liveCommits(spark, tablePath).nonEmpty || st.metadataOnlyPartitions.nonEmpty)
       return KeyedTable.read(spark, tablePath).filter(pred)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
-    val pr = candidateFiles(spark, tablePath, keys)
+    val pr = candidateFiles(spark, tablePath, values, column)
     if (pr.kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).option("basePath", tablePath)

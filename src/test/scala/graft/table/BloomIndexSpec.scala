@@ -102,6 +102,31 @@ class BloomIndexSpec extends SparkTestBase {
     assert(got.count() === 1 && got.head().getAs[String]("o_orderstatus") === "Q")
   }
 
+  test("secondary index on a non-key column: per-column independence and pruned lookups") {
+    val table = boot()
+    BloomIndex.build(spark, table) // record key
+    BloomIndex.build(spark, table, column = "o_custkey") // secondary
+    // both survive the per-column cleaner
+    assert(BloomIndex.latestIndex(spark, table).nonEmpty)
+    assert(BloomIndex.latestIndex(spark, table, "o_custkey").nonEmpty)
+
+    val some = KeyedTable.read(spark, table).filter(col("o_custkey") === 55L)
+    val want = some.count()
+    val pr = BloomIndex.candidateFiles(spark, table, Seq("55"), "o_custkey")
+    assert(pr.indexedAt.nonEmpty && pr.skippedFiles > 0)
+    val got = BloomIndex.readByValues(spark, table, "o_custkey", Seq("55"))
+    assert(got.count() === want)
+    // probing an unindexed column prunes nothing but still answers
+    val prNone = BloomIndex.candidateFiles(spark, table, Seq("F"), "o_orderstatus")
+    assert(prNone.indexedAt.isEmpty && prNone.skippedFiles === 0)
+    assert(BloomIndex.readByValues(spark, table, "o_orderstatus", Seq("F")).count() ===
+      KeyedTable.read(spark, table).filter(col("o_orderstatus") === "F").count())
+    // a rebuild of the key index must not clean the secondary sidecar
+    BloomIndex.build(spark, table)
+    assert(BloomIndex.latestIndex(spark, table, "o_custkey").nonEmpty)
+    intercept[graft.model.GraftException](BloomIndex.build(spark, table, column = "o_month"))
+  }
+
   test("rollback drops the bloom sidecar with its commit") {
     val table = boot()
     val before = CommitLog.requireState(spark, table).latest.commitTime
