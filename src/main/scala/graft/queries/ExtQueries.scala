@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{AsofJoin, Curation, Dedup, Multimodal, Similarity}
 import graft.streaming.EventStreaming
 
 /** Large-scale training-data-pipeline operators (dedup family, similarity
@@ -267,6 +267,25 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Point-in-time enrichment ([[AsofJoin]]): every 10th event is a "profile
+    * snapshot"; each event picks up the latest snapshot at or before its
+    * timestamp per user — one key shuffle, no time-range pair explosion.
+    * The oracle is DuckDB's native ASOF LEFT JOIN, so the >=-match,
+    * per-key scoping, and no-snapshot-yet nulls are all hash-checked
+    * against an independent implementation of the semantics.
+    */
+  private val x25: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    val snaps = Tables.events(s, d).filter(col("event_id") % 10 === 0)
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("snap_id"), max("event_type").as("snap_type"))
+    AsofJoin.asofBackward(ev, snaps, Seq("user_id"), "ts", "ts",
+        rightCols = Seq("snap_id", "snap_type"), prefix = "snap_")
+      .select(col("event_id"), col("user_id"), col("snap_snap_id").as("snap_id"),
+        col("snap_snap_type").as("snap_type"))
+      .orderBy("event_id")
+  }
+
   private val x22: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast(LongType))
@@ -323,6 +342,7 @@ object ExtQueries {
     "x22_packing" -> x22,
     "x23_incremental_dedup" -> x23,
     "x24_decontaminate" -> x24,
+    "x25_asof_join" -> x25,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -586,5 +606,14 @@ object ExtQueries {
          |FROM sh, plist
          |WHERE len(list_intersect(s, ps)) > 0
          |ORDER BY doc_id""".stripMargin,
+    "x25_asof_join" ->
+      // DuckDB's native ASOF JOIN is the independent oracle for the semantics
+      """WITH snaps AS (
+        |  SELECT user_id, ts, max(event_id) AS snap_id, max(event_type) AS snap_type
+        |  FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, s.snap_id, s.snap_type
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -122,6 +122,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("as-of join: >= match, per-key scope, pre-snapshot nulls, equal-ts determinism") {
+    val left = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), // 5 precedes every right row
+      (4L, "b", 20L), // key isolation: must see b's snapshot, not a's
+      (5L, "c", 50L)) // key with no right rows at all
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 10L, "a@10"), ("a", 15L, "a@15"),
+      ("a", 20L, "dup-v1"), ("a", 20L, "dup-v2"), // duplicate ts → deterministic max payload
+      ("b", 19L, "b@19"))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t", Seq("v"), prefix = "r_")
+      .select("id", "r_t", "r_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else (r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === (10L, "a@10")) // equal ts matches (>= semantics)
+    assert(out(2L) === (20L, "dup-v2")) // duplicate right ts resolves to max payload
+    assert(out(3L) === null) // nothing at or before t=5
+    assert(out(4L) === (19L, "b@19"))
+    assert(out(5L) === null)
+  }
+
   test("contamination scan and join forms agree; decontaminate drops flagged docs") {
     val probes = docs.filter(col("doc_id").isin(3L, 7L))
       .select(explode(Dedup.shingles(split(col("text"), "\\s+"), 3)).as("p"))
