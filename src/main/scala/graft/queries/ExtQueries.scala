@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Similarity}
 import graft.streaming.EventStreaming
 
 /** Large-scale training-data-pipeline operators (dedup family, similarity
@@ -286,6 +286,22 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Interval join ([[RangeJoin]]): classify event values into overlapping
+    * brackets through the binned equi-join — never a nested loop. The
+    * oracle is DuckDB's BETWEEN join over the same literal brackets, so
+    * bin-edge handling (values on bracket and bin boundaries) is
+    * hash-checked exactly.
+    */
+  private val x26: Q = (s, d) => {
+    import s.implicits._
+    val brackets = Seq((1L, 0.0, 50.0), (2L, 25.0, 125.0), (3L, 100.0, 1000.0))
+      .toDF("bracket_id", "lo", "hi")
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    RangeJoin.intervalJoin(ev, col("value"), brackets, "lo", "hi", binWidth = 25.0)
+      .select(col("event_id"), col("bracket_id"))
+      .orderBy("event_id", "bracket_id")
+  }
+
   private val x22: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast(LongType))
@@ -343,6 +359,7 @@ object ExtQueries {
     "x23_incremental_dedup" -> x23,
     "x24_decontaminate" -> x24,
     "x25_asof_join" -> x25,
+    "x26_range_join" -> x26,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -615,5 +632,12 @@ object ExtQueries {
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id""".stripMargin,
+    "x26_range_join" ->
+      // BETWEEN join over the same literal brackets
+      """WITH brackets(bracket_id, lo, hi) AS (
+        |  VALUES (1::BIGINT, 0.0, 50.0), (2::BIGINT, 25.0, 125.0), (3::BIGINT, 100.0, 1000.0))
+        |SELECT e.event_id, b.bracket_id
+        |FROM events e JOIN brackets b ON e.value BETWEEN b.lo AND b.hi
+        |ORDER BY event_id, bracket_id""".stripMargin,
   )
 }

@@ -143,6 +143,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(5L) === null)
   }
 
+  test("range join: inclusive bounds, bin-edge values, degenerate and invalid intervals") {
+    val left = Seq((1L, 0.0), (2L, 25.0), (3L, 50.0), (4L, 74.999), (5L, 200.0), (6L, Double.NaN))
+      .toDF("id", "v")
+    val right = Seq(
+      (10L, 0.0, 50.0),    // boundary-inclusive on both ends
+      (11L, 25.0, 25.0),   // degenerate single-point interval on a bin edge
+      (12L, 75.0, 60.0),   // inverted → matches nothing
+      (13L, 150.0, 300.0))
+      .toDF("rid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(left, col("v"), right, "lo", "hi", binWidth = 25.0)
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 10L), (5L, 13L)))
+    // plan shape: the binned formulation must stay an equi-join
+    val plan = RangeJoin.intervalJoin(left, col("v"), right, "lo", "hi", binWidth = 25.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("contamination scan and join forms agree; decontaminate drops flagged docs") {
     val probes = docs.filter(col("doc_id").isin(3L, 7L))
       .select(explode(Dedup.shingles(split(col("text"), "\\s+"), 3)).as("p"))
