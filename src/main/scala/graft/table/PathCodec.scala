@@ -15,7 +15,7 @@ object PathCodec {
   private def escapeComponent(s: String): String = {
     val sb = new StringBuilder
     s.foreach { c =>
-      if (c < ' ' || needsEscape(c)) sb.append(f"%%${c.toInt}%02X")
+      if (c < ' ' || c == '\u007F' || needsEscape(c)) sb.append(f"%%${c.toInt}%02X")
       else sb.append(c)
     }
     sb.toString

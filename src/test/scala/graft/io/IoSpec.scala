@@ -50,5 +50,9 @@ class IoSpec extends SparkTestBase {
     assert(PathCodec.unescape(PathCodec.escape(p)) === p)
     val weird = "f=a/b:c%d"
     assert(PathCodec.unescape(PathCodec.escape(weird)) === weird)
+    // DEL is in Spark's charToEscape (ExternalCatalogUtils) but not < ' '
+    val del = "f=a\u007Fb"
+    assert(PathCodec.escape(del) === "f=a%7Fb")
+    assert(PathCodec.unescape(PathCodec.escape(del)) === del)
   }
 }
