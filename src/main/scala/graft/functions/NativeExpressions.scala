@@ -230,7 +230,7 @@ object NativeExpressions {
     * as the single shingle, exactly like the HOF form and the oracle's
     * list_distinct formulation.
     */
-  case class ShinglesExpr(child: Expression, n: Int)
+  case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -249,7 +249,11 @@ object NativeExpressions {
       val len = arr.numElements()
       val count = math.max(len - n + 1, 1)
       val sep = UTF8String.fromString(" ")
-      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      // LinkedHashSet both dedupes and preserves first-seen order, so the
+      // non-distinct variant just swaps in a plain list
+      val seen: java.util.Collection[UTF8String] =
+        if (distinct) new java.util.LinkedHashSet[UTF8String](count * 2)
+        else new java.util.ArrayList[UTF8String](count)
       var i = 0
       while (i < count) {
         val m = math.min(n, len - i)
@@ -284,4 +288,10 @@ object NativeExpressions {
 
   def word_shingles(words: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(words), n))
+
+  /** Non-distinct word n-grams (the full multiset, first-to-last order) —
+    * repetition statistics need every occurrence, not the set.
+    */
+  def word_ngrams(words: Column, n: Int): Column =
+    ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(words), n, distinct = false))
 }

@@ -140,4 +140,84 @@ object Curation {
       .withColumn("bin", (col("__before") / budget).cast("long"))
       .drop("__before")
   }
+
+  /** Gopher/Dolma-style repetition signals per document: the fraction of the
+    * n-gram MULTISET covered by its single most frequent member
+    * (`top_ngram_frac`) and the fraction that are repeats of an earlier
+    * occurrence (`dup_ngram_frac` = 1 − distinct/total) — the two standard
+    * boilerplate/SEO-spam filters a corpus pipeline applies after dedup.
+    * Shape: explode the multiset, count per (doc, gram), re-aggregate per
+    * doc. Both shuffles key on doc_id(+gram), so work is proportional to
+    * corpus token count and skew is bounded by the longest document, not
+    * corpus size. All ratios are integer divisions in double — bit-identical
+    * across engines.
+    */
+  def repetitionStats(
+      df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val grams = df.select(idCol.as("__id"),
+      explode(graft.functions.NativeExpressions.word_ngrams(
+        split(textCol, "\\s+"), n)).as("__g"))
+    grams.groupBy("__id", "__g").agg(count(lit(1)).as("__cnt"))
+      .groupBy("__id").agg(
+        max(col("__cnt")).as("__top"),
+        sum(col("__cnt")).as("__total"),
+        count(lit(1)).as("__distinct"))
+      .select(col("__id"),
+        (col("__top").cast("double") / col("__total").cast("double"))
+          .as("top_ngram_frac"),
+        (lit(1.0) - col("__distinct").cast("double") / col("__total").cast("double"))
+          .as("dup_ngram_frac"))
+  }
+
+  /** Alphabetic-character fraction — the third standard quality gate (a
+    * page of markup/digits scores near 0). Pure expression in the scan.
+    */
+  def alphaFrac(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Keyword extraction: top-`k` terms per document by tf·idf. `idf` here is
+    * the RATIONAL form N/df (one IEEE division — bit-identical in every
+    * engine) rather than ln(N/df): Java's Math.log and libm disagree by
+    * 1 ulp on ~0.05% of inputs, which would make cross-engine verification
+    * flaky, and for RANKING terms within a fixed corpus the two are
+    * order-equivalent wherever tf ties break the same way (ln is monotone in
+    * df for fixed tf; across different tf values the rankings can differ —
+    * this variant is the contract). Ties break by term asc.
+    *
+    * Shape: explode terms → tf per (doc, term) [shuffle on doc+term] → df
+    * per term [shuffle on term, map-side combined] → broadcast the doc count
+    * → per-doc top-k window [shuffle on doc]. The df table is |vocab| rows —
+    * Spark broadcasts it back onto the tf side automatically.
+    */
+  def tfidfKeywords(
+      df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame = {
+    val terms = df.select(idCol.as("__id"),
+      explode(split(textCol, "\\s+")).as("term"))
+    val tf = terms.groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(idCol).as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * (col("__n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Stratified deterministic sample: EXACTLY `perStratum` rows from every
+    * stratum (fewer iff the stratum is smaller), picked by md5-hash order of
+    * the key — the "balanced eval slice" primitive. Unlike [[hashSample]]
+    * (Bernoulli per row, binomial stratum sizes) the count per stratum is
+    * exact; unlike `df.sample`, re-runs and engines agree bit-for-bit. One
+    * window shuffle on the stratum key.
+    */
+  def stratifiedSample(
+      df: DataFrame, strataCol: Column, keyCol: Column, perStratum: Int): DataFrame =
+    groupQuota(df, strataCol, perStratum,
+      Portable.hash60(keyCol).asc, keyCol.asc)
 }

@@ -325,6 +325,69 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** Repetition quality signals (top-bigram coverage, duplicate-bigram
+    * fraction, alphabetic fraction) — the Gopher/Dolma boilerplate filters.
+    * All ratios are integer-over-integer IEEE divisions, so the oracle
+    * reproduces them bit-for-bit.
+    */
+  private val x27: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val rep = Curation.repetitionStats(docs, col("doc_id"), col("text"), n = 2)
+      .withColumnRenamed("__id", "doc_id")
+    docs.select(col("doc_id"), Curation.alphaFrac(col("text")).as("alpha_frac"))
+      .join(rep, Seq("doc_id"))
+      .select("doc_id", "top_ngram_frac", "dup_ngram_frac", "alpha_frac")
+      .orderBy("doc_id")
+  }
+
+  /** Keyword extraction: top-3 terms per doc by tf·idf (rational idf — see
+    * [[Curation.tfidfKeywords]] for why not ln).
+    */
+  private val x28: Q = (s, d) =>
+    Curation.tfidfKeywords(Tables.documents(s, d), col("doc_id"), col("text"), k = 3)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy("doc_id", "rank")
+
+  /** Stratified sample: exactly 5 docs per source by md5-hash order. */
+  private val x29: Q = (s, d) =>
+    Curation.stratifiedSample(Tables.documents(s, d), col("source"), col("doc_id"),
+        perStratum = 5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** The SQL surface end-to-end: the same operators through
+    * `spark.sql(...)` + the injected `graft_*` functions
+    * ([[graft.functions.GraftExtensions]]) instead of the Column API — a
+    * pure-SQL user gets identical results (the oracle recomputes every
+    * column independently, including the native simhash expression).
+    */
+  private val x30: Q = (s, d) => {
+    Tables.documents(s, d).createOrReplaceTempView("documents_sql")
+    s.sql("""
+      SELECT doc_id,
+        CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
+        graft_lang_id(text) AS lang_pred,
+        graft_fingerprint(text) AS fp_md5,
+        graft_simhash60(split(text, '\\s+')) AS simhash,
+        graft_hash60(doc_id) AS id_hash
+      FROM documents_sql ORDER BY doc_id""")
+  }
+
+  /** Attribution join (batch twin of [[EventStreaming.intervalJoinStream]]):
+    * each purchase pairs with the same user's views from the preceding 30
+    * minutes. Equi-join on user_id with the interval as a join filter; the
+    * streaming twin adds watermarks and is spec-checked to produce the same
+    * pairs.
+    */
+  private val x31: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    EventStreaming.intervalJoinBatch(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"), windowMinutes = 30)
+      .select(col("l_id").as("purchase_id"), col("user_id"), col("r_id").as("view_id"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -360,6 +423,11 @@ object ExtQueries {
     "x24_decontaminate" -> x24,
     "x25_asof_join" -> x25,
     "x26_range_join" -> x26,
+    "x27_repetition" -> x27,
+    "x28_tfidf_keywords" -> x28,
+    "x29_stratified_sample" -> x29,
+    "x30_sql_surface" -> x30,
+    "x31_stream_join" -> x31,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -639,5 +707,79 @@ object ExtQueries {
         |SELECT e.event_id, b.bracket_id
         |FROM events e JOIN brackets b ON e.value BETWEEN b.lo AND b.hi
         |ORDER BY event_id, bracket_id""".stripMargin,
+    "x27_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+        |    for i in generate_series(1, greatest(len(w)-1, 1))]) AS g
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |s AS (SELECT doc_id, max(cnt) AS top, sum(cnt) AS total, count(*) AS nd FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  s.top::DOUBLE / s.total::DOUBLE AS top_ngram_frac,
+        |  1.0 - s.nd::DOUBLE / s.total::DOUBLE AS dup_ngram_frac,
+        |  length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE AS alpha_frac
+        |FROM documents d JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "x28_tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+        |SELECT doc_id, rank, term, tf, df, score FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf::DOUBLE * (n.n::DOUBLE / dfreq.df::DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf::DOUBLE * (n.n::DOUBLE / dfreq.df::DOUBLE) DESC, tf.term ASC)::BIGINT AS rank
+        |  FROM tf JOIN dfreq USING (term), n)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x29_stratified_sample" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.functions.Portable.sqlHash60("doc_id::VARCHAR")} ASC, doc_id ASC) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "x30_sql_surface" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |bits AS (
+        |  SELECT doc_id, i.i AS i,
+        |    2 * ((floor((strpos('0123456789abcdef', substr(md5(word), (i.i // 4) + 1, 1)) - 1)
+        |      / ([8,4,2,1])[(i.i % 4) + 1]))::BIGINT % 2) - 1 AS pm
+        |  FROM tok, (SELECT unnest(generate_series(0, 59)) AS i) i),
+        |sums AS (SELECT doc_id, i, sum(pm) AS sm FROM bits GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN sm > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+        |  FROM sums GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len([x for x in w if list_contains(['the','a','and','of','to','is'], x)]) AS s_en,
+        |    len([x for x in w if list_contains(['der','die','das','und','ist','ein'], x)]) AS s_de,
+        |    len([x for x in w if list_contains(['el','la','los','y','es','un'], x)]) AS s_es,
+        |    len([x for x in w if list_contains(['le','la','les','et','est','un'], x)]) AS s_fr,
+        |    len([x for x in w if list_contains(['de','shi','he','zai','you','wo'], x)]) AS s_zh
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents))
+        |SELECT d.doc_id,
+        |  len(string_split_regex(d.text, '\s+'))::BIGINT AS n_tokens,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+        |    WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS lang_pred,
+        |  md5(array_to_string(string_split_regex(lower(d.text), '\s+'), ' ')) AS fp_md5,
+        |  sh.simhash,
+        |  ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS id_hash
+        |FROM documents d JOIN sh ON d.doc_id = sh.doc_id JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "x31_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, view_id""".stripMargin,
   )
 }

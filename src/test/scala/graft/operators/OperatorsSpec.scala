@@ -271,4 +271,53 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(passthrough.forall(r => orig(r.media_id) === r.media.toSeq))
   }
+
+  test("repetition stats: hand-computed bigram fractions, short-doc edge") {
+    val df = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab ba ab ba ab → top=3/5, distinct=2 → dup=3/5
+      (2L, "x y z w"),          // bigrams: xy yz zw → top=1/3, dup=0
+      (3L, "solo")              // < n words → the whole text as one gram
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(df, col("doc_id"), col("text"), n = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(got(0) === ((1L, 3.0 / 5.0, 1.0 - 2.0 / 5.0)))
+    assert(got(1) === ((2L, 1.0 / 3.0, 0.0)))
+    assert(got(2) === ((3L, 1.0, 0.0)))
+  }
+
+  test("tfidf keywords: rare terms outrank common ones, ties break by term") {
+    val df = Seq(
+      (1L, "common rare common common"), // tf(common)=3 df=3; tf(rare)=1 df=1
+      (2L, "common zebra"),
+      (3L, "common apple")
+    ).toDF("doc_id", "text")
+    val got = Curation.tfidfKeywords(df, col("doc_id"), col("text"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // doc 1: common scores 3*(3/3)=3.0, rare 1*(3/1)=3.0 — tie → 'common' first
+    assert(got.contains((1L, 1L, "common")) && got.contains((1L, 2L, "rare")))
+    // docs 2/3: the unique term scores 3.0 > common's 1.0
+    assert(got.contains((2L, 1L, "zebra")) && got.contains((3L, 1L, "apple")))
+  }
+
+  test("stratified sample: exact per-stratum counts, deterministic, subset of input") {
+    val sampled = Curation.stratifiedSample(docs, col("source"), col("doc_id"), perStratum = 3)
+    val bySource = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.keySet === sizes.keySet)
+    bySource.foreach { case (src, n) => assert(n === math.min(3L, sizes(src))) }
+    val again = Curation.stratifiedSample(docs, col("source"), col("doc_id"), 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("word_ngrams keeps duplicates in order; shingles dedupes") {
+    val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
+    val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
+      .head().getSeq[String](0)
+    assert(raw === Seq("a b", "b a", "a b"))
+    val dedup = df.select(Dedup.shingles(col("w"), 2)).head().getSeq[String](0)
+    assert(dedup === Seq("a b", "b a"))
+  }
 }
