@@ -11,6 +11,9 @@ object Sessions {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // the engine's SQL surface (graft_* functions) — same Catalyst trees
+      // as the Column API, injected into the FunctionRegistry
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

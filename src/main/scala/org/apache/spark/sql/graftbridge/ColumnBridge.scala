@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Expression conversion. `expression` wraps the column
+    * as a lazy ColumnNodeExpression leaf, which only the Dataset API's
+    * analysis path unwraps — a FunctionRegistry builder (injectFunction)
+    * must return a REAL expression tree or the analyzer leaves
+    * UnresolvedFunction nodes inside the opaque leaf and execution dies
+    * with INTERNAL_ERROR "Cannot evaluate expression".
+    */
+  def expressionTree(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
