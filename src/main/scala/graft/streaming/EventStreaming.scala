@@ -120,4 +120,47 @@ object EventStreaming {
     */
   def dedupBatch(events: DataFrame, idCols: Seq[String]): DataFrame =
     events.dropDuplicates(idCols)
+
+  // ------------------------------------------------- stream-stream join
+
+  /** Watermarked stream-stream inner join — the attribution/conversion
+    * shape: each left event pairs with the same user's right events from
+    * the preceding `windowMinutes`. Both sides carry watermarks AND the
+    * join condition bounds right-ts to a closed interval around left-ts, so
+    * the state store provably evicts rows older than watermark + window
+    * (without the time bound Spark would have to keep every row forever).
+    * Physically: one hash shuffle of both streams on user_id, the interval
+    * check runs inside the joiner — same plan family as the batch twin.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col("user_id").as("__ruid"),
+        col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("__ruid") &&
+          col("r_ts") <= col("l_ts") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("l_id", "user_id", "l_ts", "r_id", "r_ts")
+  }
+
+  /** Batch twin: identical condition, no watermarks. The equi-key keeps it
+    * a hash/sort-merge join on user_id (the interval is a join filter, not
+    * the key) — never a nested loop over the cross product.
+    */
+  def intervalJoinBatch(left: DataFrame, right: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("user_id"),
+      col("ts").as("l_ts"))
+    val r = right.select(col("event_id").as("r_id"), col("user_id").as("__ruid"),
+      col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("__ruid") &&
+          col("r_ts") <= col("l_ts") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("l_id", "user_id", "l_ts", "r_id", "r_ts")
+  }
 }

@@ -71,4 +71,29 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(out.toSeq === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("stream-stream interval join matches the batch twin on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      Event(10, ts("2024-01-01 10:30:00"), 1, "purchase", 0.0),
+      Event(11, ts("2024-01-01 12:00:00"), 1, "purchase", 0.0),
+      Event(12, ts("2024-01-01 10:30:00"), 2, "purchase", 0.0))
+    val views = Seq(
+      Event(20, ts("2024-01-01 10:10:00"), 1, "view", 0.0), // within 30 min of 10
+      Event(21, ts("2024-01-01 09:30:00"), 1, "view", 0.0), // too early for 10
+      Event(22, ts("2024-01-01 10:30:00"), 1, "view", 0.0), // simultaneous → matches 10
+      Event(23, ts("2024-01-01 10:20:00"), 3, "view", 0.0)) // other user
+    val ls = MemoryStream[Event]; val rs = MemoryStream[Event]
+    ls.addData(purchases); rs.addData(views)
+    val q = EventStreaming.intervalJoinStream(ls.toDF(), rs.toDF(), windowMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_out").select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === Set((10L, 20L), (10L, 22L)))
+    val batch = EventStreaming.intervalJoinBatch(purchases.toDF(), views.toDF(), 30)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === streamed)
+  }
 }
