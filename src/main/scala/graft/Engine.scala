@@ -87,6 +87,10 @@ object Engine {
   def dropPartitions(spark: SparkSession, tablePath: String, partitions: Seq[String]): Seq[String] =
     KeyedTable.dropPartitions(spark, tablePath, partitions)
 
+  def sizeFiles(spark: SparkSession, tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024, slackFiles: Int = 1): Seq[String] =
+    KeyedTable.sizeFiles(spark, tablePath, targetFileBytes, slackFiles)
+
   def indexStats(spark: SparkSession, tablePath: String, columns: Seq[String]): String =
     graft.table.StatsIndex.build(spark, tablePath, columns)
 

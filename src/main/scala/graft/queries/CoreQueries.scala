@@ -567,6 +567,32 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** T16 file-sizing service: three key-shifted re-appends of the 1995-01
+    * month degenerate that partition's file layout; [[KeyedTable.sizeFiles]]
+    * selects it by pure FS metadata and rewrites ONLY it into target-sized
+    * files. The oracle recomputes the expected content (orders + the three
+    * shifted copies), so the rewrite is hash-checked content-neutral;
+    * file-count mechanics are pinned by KeyedTableSpec.
+    */
+  private val q34: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q34")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q34_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    val hot = s.read.parquet(ordersInput(s, d)).filter(col("o_month") === "1995-01")
+    (1 to 3).foreach { i =>
+      KeyedTable.append(s, tbl,
+        hot.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L)))
+    }
+    KeyedTable.sizeFiles(s, tbl, targetFileBytes = 256L * 1024 * 1024)
+    KeyedTable.read(s, tbl)
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).cast(DoubleType).as("total_price"))
+      .orderBy("o_month")
+  }
+
   private val q31: Q = (s, d) => {
     val tbl = freshTableDir("graft-q31")
     KeyedTable.bootstrap(s, BootstrapConfig(
@@ -628,6 +654,7 @@ object CoreQueries {
     "q31_key_lookup" -> q31,
     "q32_change_stream" -> q32,
     "q33_partition_ttl" -> q33,
+    "q34_file_sizing" -> q34,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -804,5 +831,17 @@ object CoreQueries {
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1995-07'
         |ORDER BY o_orderkey""".stripMargin,
+    "q34_file_sizing" ->
+      // the sizing rewrite must be content-neutral: orders plus the three
+      // key-shifted 1995-01 append copies, aggregated per month
+      """WITH all_rows AS (
+        |  SELECT o_orderdate, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderdate, o_totalprice
+        |  FROM orders, (SELECT unnest([1, 2, 3]) AS i) i
+        |  WHERE strftime(o_orderdate, '%Y-%m') = '1995-01')
+        |SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

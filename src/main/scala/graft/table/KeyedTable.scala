@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -1108,6 +1108,63 @@ object KeyedTable {
       val keys = (partF ++ sortCols).map(col)
       rows.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     }
+  }
+
+  /** File-sizing service (Hudi small-file management / Delta OPTIMIZE
+    * compaction analogue): find partitions whose base layout is degenerate
+    * — more parquet files than the ideal ceil(bytes/targetFileBytes) plus
+    * `slackFiles` — and rewrite ONLY those into ~targetFileBytes files.
+    * Selection is pure FileSystem metadata (names + lengths, no data read);
+    * the rewrite runs through the cluster machinery (compact-first,
+    * archive, a "cluster" commit), so time travel, CDC, and rollback treat
+    * it like any layout rewrite. Steady-state cost tracks the badly-laid-
+    * out fraction of the table, not table size — the property that keeps
+    * continuous ingest viable at 100 TB: every append adds a file per
+    * touched partition, and without sizing, scans eventually drown in
+    * per-file open/footer overhead.
+    *
+    * The rewrite's `maxRecordsPerFile` derives from the offenders' own
+    * observed on-disk bytes/record (output is parquet again, so compression
+    * is comparable), so files land near the byte target without a
+    * configured record count.
+    */
+  def sizeFiles(
+      spark: SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      slackFiles: Int = 1): Seq[String] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val st = CommitLog.requireState(spark, tablePath)
+    val fs = CommitLog.fs(spark, tablePath)
+    val partF = st.latest.partitionFields
+
+    def baseFiles(p: String): Array[FileStatus] = {
+      val dir = if (p.isEmpty) new Path(tablePath)
+        else new Path(s"$tablePath/${PathCodec.escape(p)}")
+      if (!fs.exists(dir)) Array.empty
+      else fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+
+    val candidates = if (partF.isEmpty) Seq("") else st.nativePartitions
+    val offenders = candidates.map(p => (p, baseFiles(p)))
+      .filter { case (_, files) =>
+        files.nonEmpty && {
+          val ideal = math.max(1L,
+            math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toLong)
+          files.length > ideal + slackFiles
+        }
+      }
+    if (offenders.isEmpty) return Seq.empty
+
+    val parts = offenders.map(_._1)
+    val bytes = offenders.flatMap(_._2).map(_.getLen).sum
+    // one count job over just the offender partitions (live deltas, if any,
+    // are folded by clusterBy's compact-first anyway)
+    val rowCount = math.max(1L, readPartitions(spark, tablePath, st, parts).count())
+    val bytesPerRow = math.max(1L, bytes / rowCount)
+    val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
+    clusterBy(spark, tablePath, maxRecords, Some(parts))(
+      (rows, pf) => clusterByPartition(rows, pf))
   }
 
   /** Partition-level retention drop: archive-rename the partition dirs and

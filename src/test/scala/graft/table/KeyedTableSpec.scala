@@ -443,4 +443,40 @@ class KeyedTableSpec extends SparkTestBase {
     assert(!r.success)
     assert(r.errorLog.get.startsWith("Configuration Error:"))
   }
+
+  test("sizeFiles rewrites only degenerate partitions and preserves content") {
+    import java.io.File
+    val in = ordersWithMonth(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    // four small appends into one month → that partition accumulates files
+    val hot = spark.read.parquet(in).filter(col("o_month") === "1995-01")
+    val hotCount = hot.count()
+    (1 to 4).foreach { i =>
+      KeyedTable.append(spark, table,
+        hot.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000L)))
+    }
+    def files(month: String): Array[File] =
+      new File(s"$table/o_month=$month").listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files("1995-01").length >= 5)
+    val before = KeyedTable.read(spark, table)
+      .groupBy("o_month").agg(count(lit(1)), sum("o_totalprice"))
+      .collect().map(_.toString).sorted
+
+    val rewritten = KeyedTable.sizeFiles(spark, table, targetFileBytes = 512L * 1024 * 1024)
+    assert(rewritten === Seq("o_month=1995-01"))
+    assert(files("1995-01").length === 1)
+    // untouched partitions keep their single bootstrap file (not rewritten)
+    assert(KeyedTable.timeline(spark, table)
+      .filter(col("operation") === "cluster").count() === 1)
+    val after = KeyedTable.read(spark, table)
+      .groupBy("o_month").agg(count(lit(1)), sum("o_totalprice"))
+      .collect().map(_.toString).sorted
+    assert(after === before)
+    assert(KeyedTable.read(spark, table)
+      .filter(col("o_month") === "1995-01").count() === hotCount * 5)
+
+    // second pass: layout is now ideal → no-op
+    assert(KeyedTable.sizeFiles(spark, table, 512L * 1024 * 1024).isEmpty)
+  }
 }
