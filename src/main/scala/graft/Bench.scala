@@ -24,10 +24,15 @@ object Bench {
         -1.0
       }
     }
+    // min-of-2 pays for itself only on short queries, where scheduler noise
+    // is a large FRACTION of the time; the multi-second lifecycle services
+    // have low relative variance, and re-running all of them would double a
+    // wall-clock already dominated by honest table I/O
+    val rerunBelow = 5.0
     val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t1 = pass1(name)
-      if (t1 < 0) name -> t1
+      if (t1 < 0 || t1 >= rerunBelow) name -> t1
       else {
         val t2 = timeOnce(name, fn)
         name -> (if (t2 < 0) t2 else math.min(t1, t2))
