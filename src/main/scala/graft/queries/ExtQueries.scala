@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Similarity}
+import graft.operators.{AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Similarity, Stats}
 import graft.streaming.EventStreaming
 
 /** Large-scale training-data-pipeline operators (dedup family, similarity
@@ -388,6 +388,29 @@ object ExtQueries {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Per-source token-count percentiles (p50/p90/p99) through the exact
+    * explicit-interpolation operator ([[Stats.groupPercentiles]]) — the
+    * threshold-picking profile pass. The approximate sketch twin is
+    * spec-checked against this exact form.
+    */
+  private val x32: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    Stats.groupPercentiles(docs, col("source"), col("n_tokens"), Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source", "p")
+  }
+
+  /** Embedding scalar quantization ([[Similarity.scalarQuantize]]): int8
+    * codes + dequant params + max roundtrip error per vector, every
+    * arithmetic step mirrored by the oracle in the same order.
+    */
+  private val x33: Q = (s, d) =>
+    Similarity.scalarQuantize(Tables.embeddings(s, d))
+      .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"),
+        col("offset"), col("scale"), col("max_err"))
+      .orderBy("vec_id")
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -428,6 +451,8 @@ object ExtQueries {
     "x29_stratified_sample" -> x29,
     "x30_sql_surface" -> x30,
     "x31_stream_join" -> x31,
+    "x32_token_percentiles" -> x32,
+    "x33_vec_quantize" -> x33,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -781,5 +806,37 @@ object ExtQueries {
         |  AND p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, view_id""".stripMargin,
+    "x32_token_percentiles" ->
+      // identical rank + explicit interpolation arithmetic as the Spark side
+      """WITH ranked AS (
+        |  SELECT source AS grp, len(string_split_regex(text, '\s+'))::DOUBLE AS v,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY len(string_split_regex(text, '\s+'))) AS rn
+        |  FROM documents),
+        |counts AS (SELECT grp, max(rn) AS n FROM ranked GROUP BY 1),
+        |probes AS (SELECT grp, n, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p FROM counts),
+        |calc AS (SELECT grp, p, (n-1)::DOUBLE * p AS h,
+        |    floor((n-1)::DOUBLE * p)::BIGINT AS lo, ceil((n-1)::DOUBLE * p)::BIGINT AS hi
+        |  FROM probes)
+        |SELECT c.grp AS source, c.p,
+        |  l.v + (h2.v - l.v) * (c.h - c.lo::DOUBLE) AS value
+        |FROM calc c
+        |JOIN ranked l ON l.grp = c.grp AND l.rn = c.lo + 1
+        |JOIN ranked h2 ON h2.grp = c.grp AND h2.rn = c.hi + 1
+        |ORDER BY source, p""".stripMargin,
+    "x33_vec_quantize" ->
+      """SELECT vec_id,
+        |  array_to_string([CASE WHEN rng = 0 THEN 0
+        |    ELSE floor((x::DOUBLE - mn) / rng * 255.0 + 0.5)::BIGINT END
+        |    for x in embedding], ',') AS codes,
+        |  mn AS offset,
+        |  rng / 255.0 AS scale,
+        |  list_max([abs(mn + (CASE WHEN rng = 0 THEN 0.0
+        |    ELSE floor((x::DOUBLE - mn) / rng * 255.0 + 0.5) END) / 255.0 * rng - x::DOUBLE)
+        |    for x in embedding]) AS max_err
+        |FROM (SELECT vec_id, embedding, list_min(embedding)::DOUBLE AS mn,
+        |        list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE AS rng
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
   )
 }

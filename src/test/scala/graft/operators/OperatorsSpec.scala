@@ -312,6 +312,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(again === sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("exact group percentiles: hand-computed interpolation, degenerate groups") {
+    val df = Seq(
+      ("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0), // p50 of 4 → h=1.5 → 25.0
+      ("b", 7.0)                                           // singleton → every p = 7.0
+    ).toDF("g", "v")
+    val got = Stats.groupPercentiles(df, col("g"), col("v"), Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got === Set(
+      ("a", 0.0, 10.0), ("a", 0.5, 25.0), ("a", 1.0, 40.0),
+      ("b", 0.0, 7.0), ("b", 0.5, 7.0), ("b", 1.0, 7.0)))
+  }
+
+  test("approx percentiles track the exact form on the fixture") {
+    val vals = docs.select(col("source"),
+      TextFunctions.tokenCount(col("text")).as("n"))
+    val exact = Stats.groupPercentiles(vals, col("source"), col("n"), Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val approx = Stats.approxGroupPercentiles(vals, col("source"), col("n"), Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, v) =>
+      // GK at accuracy 10000 on ~100-row groups is exact up to interpolation:
+      // it returns a real element, so allow the one-gap slack
+      assert(math.abs(approx(k) - v) <= 2.0, s"$k exact=$v approx=${approx(k)}")
+    }
+  }
+
+  test("scalar quantization: codes in [0,255], error bounded by half a step, constant vectors") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val q = Similarity.scalarQuantize(emb).collect()
+    assert(q.length === emb.count())
+    q.foreach { r =>
+      val codes = r.getSeq[Long](r.fieldIndex("codes"))
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val scale = r.getDouble(r.fieldIndex("scale"))
+      // floor(x+0.5) rounds to nearest code → error ≤ scale/2 (+ float slack)
+      assert(r.getDouble(r.fieldIndex("max_err")) <= scale / 2 + 1e-9)
+    }
+    val const = Seq((1L, Array.fill(8)(2.5f))).toDF("vec_id", "embedding")
+    val cq = Similarity.scalarQuantize(const).head()
+    assert(cq.getSeq[Long](cq.fieldIndex("codes")).forall(_ === 0L))
+    assert(cq.getDouble(cq.fieldIndex("max_err")) === 0.0)
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
