@@ -172,4 +172,34 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** Scalar (per-vector min/max) int8 quantization — the 4×-compression
+    * first step of any large ANN index (float32 → one code byte per
+    * dimension). Emits the code array, the (offset, scale) dequant params,
+    * and the max absolute dequantization error per vector. Pure row-local
+    * expressions in one scan; every arithmetic step (cast, subtract,
+    * divide, ×255, +0.5, floor) is mirrored by the oracle in the same
+    * order, so codes and errors verify bit-for-bit. A constant vector
+    * (max == min) quantizes to all-zero codes by contract.
+    */
+  def scalarQuantize(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mn = array_min(col(vecCol)).cast("double")
+    val mx = array_max(col(vecCol)).cast("double")
+    df.select(col(idCol), col(vecCol), mn.as("offset"), (mx - mn).as("range"))
+      .select(col(idCol), col("offset"),
+        (col("range") / 255.0).as("scale"),
+        transform(col(vecCol), v =>
+          when(col("range") === 0.0, 0L)
+            .otherwise(floor((v.cast("double") - col("offset")) / col("range") * 255.0 + 0.5)
+              .cast("long"))).as("codes"),
+        transform(col(vecCol), v =>
+          abs(col("offset") +
+            when(col("range") === 0.0, 0.0)
+              .otherwise(floor((v.cast("double") - col("offset")) / col("range") * 255.0 + 0.5)) /
+              255.0 * col("range") -
+            v.cast("double"))).as("__errs"))
+      .withColumn("max_err", array_max(col("__errs")))
+      .drop("__errs")
+  }
 }
