@@ -32,6 +32,9 @@ object Engine {
         RunResult(success = false, None, Some(s"Unexpected Error: ${e.getMessage}"))
     }
 
+  def readOptimized(spark: SparkSession, tablePath: String): DataFrame =
+    KeyedTable.readOptimized(spark, tablePath)
+
   def read(spark: SparkSession, tablePath: String): DataFrame =
     KeyedTable.read(spark, tablePath)
 
@@ -70,6 +73,15 @@ object Engine {
 
   def upsertGlobal(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] =
     KeyedTable.upsertGlobal(spark, tablePath, updates)
+
+  def savepoint(spark: SparkSession, tablePath: String, instant: String): String =
+    KeyedTable.savepoint(spark, tablePath, instant)
+
+  def deleteSavepoint(spark: SparkSession, tablePath: String, instant: String): Unit =
+    KeyedTable.deleteSavepoint(spark, tablePath, instant)
+
+  def restore(spark: SparkSession, tablePath: String, instant: String): Seq[String] =
+    KeyedTable.restore(spark, tablePath, instant)
 
   def cleanArchive(spark: SparkSession, tablePath: String, retainLast: Int = KeyedTable.ArchiveRetention): Seq[String] =
     KeyedTable.cleanArchive(spark, tablePath, retainLast)

@@ -567,6 +567,30 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** T17 read-optimized query mode: a delta upsert lands on a MOR table but
+    * is NOT compacted; [[KeyedTable.readOptimized]] must serve exactly the
+    * pre-upsert base state (the oracle is the pristine orders table), while
+    * the snapshot read sees the merge — the freshness/scan-cost trade every
+    * Hudi MOR consumer picks between. MorSpec pins RO == snapshot after
+    * compaction.
+    */
+  private val q35: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q35")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q35_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, tbl, base
+      .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("RO-INVISIBLE")))
+    KeyedTable.readOptimized(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** T16 file-sizing service: three key-shifted re-appends of the 1995-01
     * month degenerate that partition's file layout; [[KeyedTable.sizeFiles]]
     * selects it by pure FS metadata and rewrites ONLY it into target-sized
@@ -655,6 +679,7 @@ object CoreQueries {
     "q32_change_stream" -> q32,
     "q33_partition_ttl" -> q33,
     "q34_file_sizing" -> q34,
+    "q35_read_optimized" -> q35,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -843,5 +868,9 @@ object CoreQueries {
         |SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
         |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_read_optimized" ->
+      // the uncompacted delta upsert must be INVISIBLE to the RO read
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

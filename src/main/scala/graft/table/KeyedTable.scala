@@ -232,6 +232,16 @@ object KeyedTable {
   def read(spark: SparkSession, tablePath: String): DataFrame =
     snapshot(spark, tablePath, CommitLog.requireState(spark, tablePath), restrictTo = None)
 
+  /** Hudi read-optimized query mode: base files only, live MOR delta
+    * batches NOT merged — the state as of the last compaction. Trades
+    * freshness for scan cost (plain columnar read, no merge window), which
+    * is the standard analytics/ETL read against a streaming-ingest MOR
+    * table; on a COW table (or a compacted MOR) it equals [[read]].
+    */
+  def readOptimized(spark: SparkSession, tablePath: String): DataFrame =
+    readBase(spark, tablePath, CommitLog.requireState(spark, tablePath),
+      exclude = Set.empty, restrictTo = None)
+
   private def snapshot(
       spark: SparkSession,
       tablePath: String,
@@ -1051,9 +1061,66 @@ object KeyedTable {
   def cleanArchive(
       spark: SparkSession, tablePath: String, retainLast: Int = ArchiveRetention): Seq[String] = {
     val fs = CommitLog.fs(spark, tablePath)
+    // a savepoint at S pins every archived rewrite AFTER S: readAsOf(S)
+    // serves partition p from the FIRST rewrite after S that touched p, and
+    // every such commit has commitTime > S (archives at or before S describe
+    // strictly older states and stay cleanable)
+    val horizon = savepoints(spark, tablePath).headOption
     val old = Archive.commits(fs, tablePath).dropRight(retainLast)
+      .filter(ct => horizon.forall(sp => ct <= sp))
     old.foreach(ct => fs.delete(Archive.dir(tablePath, ct), true))
     old
+  }
+
+  // ------------------------------------------------------------- savepoints
+
+  private def savepointDir(tablePath: String): Path =
+    new Path(s"$tablePath/${CommitLog.LogDirName}/savepoints")
+
+  /** Hudi savepoint analogue: pin commit `instant` so archive cleaning
+    * never makes it unreadable — `readAsOf(instant)` (and `rollback` to it)
+    * keep working no matter how many rewrites follow. Fails fast if the
+    * instant is not a commit or its snapshot is already unservable (archive
+    * cleaned / overwritten by a later bootstrap). O(1) metadata: a marker
+    * file; the pin itself is enforced by [[cleanArchive]].
+    */
+  def savepoint(spark: SparkSession, tablePath: String, instant: String): String = {
+    val st = CommitLog.requireState(spark, tablePath)
+    if (!st.commits.exists(_.commitTime == instant))
+      throw GraftException.config(s"Cannot savepoint $instant: no such commit.")
+    readAsOf(spark, tablePath, instant) // servability probe — throws if not reconstructable
+    val fs = CommitLog.fs(spark, tablePath)
+    val d = savepointDir(tablePath)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    fs.create(new Path(d, instant), true).close()
+    instant
+  }
+
+  /** Savepointed instants, ascending. */
+  def savepoints(spark: SparkSession, tablePath: String): Seq[String] = {
+    val fs = CommitLog.fs(spark, tablePath)
+    val d = savepointDir(tablePath)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Unpin a savepoint. The next clean (inline after any rewrite, or
+    * explicit) may then drop the archives that served it.
+    */
+  def deleteSavepoint(spark: SparkSession, tablePath: String, instant: String): Unit = {
+    val fs = CommitLog.fs(spark, tablePath)
+    fs.delete(new Path(savepointDir(tablePath), instant), false)
+  }
+
+  /** Hudi restore: roll the table back to a SAVEPOINTED instant (the
+    * guarded form of [[rollback]] — the savepoint guarantees the archives
+    * are intact, so restore cannot die halfway through missing pre-images).
+    */
+  def restore(spark: SparkSession, tablePath: String, instant: String): Seq[String] = {
+    if (!savepoints(spark, tablePath).contains(instant))
+      throw GraftException.config(
+        s"Cannot restore to $instant: not a savepoint (use rollback for unpinned instants).")
+    rollback(spark, tablePath, instant)
   }
 
   /** Clustering (Hudi clustering / OPTIMIZE analogue): rewrite partitions

@@ -517,4 +517,69 @@ class MorSpec extends SparkTestBase {
       .orderBy("o_orderkey").collect().toSeq
     assert(dump(tMor) === dump(tCow))
   }
+
+  test("savepoint pins readAsOf through aggressive cleaning; delete unpins; restore rolls back") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+    val pristine = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq
+
+    KeyedTable.savepoint(spark, table, boot.commitTime)
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(4).as[Long].collect().toSeq
+    // three rewrites + zero-retention cleans: without the pin these would
+    // evict the bootstrap pre-images (exactly the scenario above)
+    ks.take(3).zipWithIndex.foreach { case (k, i) =>
+      KeyedTable.upsert(spark, table, updatesFor(table, Seq(k), s"S$i"))
+      KeyedTable.cleanArchive(spark, table, retainLast = 0)
+    }
+    val asOf = KeyedTable.readAsOf(spark, table, boot.commitTime)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq
+    assert(asOf === pristine)
+
+    // restore = guarded rollback to the savepoint; unpinned instants refuse
+    val e = intercept[GraftException] { KeyedTable.restore(spark, table, "19700101000000000") }
+    assert(e.getMessage.contains("not a savepoint"))
+    KeyedTable.restore(spark, table, boot.commitTime)
+    assert(KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq === pristine)
+
+    // unpin → aggressive clean evicts → readAsOf now fails, savepoint refuses
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ks(3)), "SX"))
+    KeyedTable.deleteSavepoint(spark, table, boot.commitTime)
+    KeyedTable.cleanArchive(spark, table, retainLast = 0)
+    val e2 = intercept[GraftException] { KeyedTable.readAsOf(spark, table, boot.commitTime) }
+    assert(e2.getMessage.contains("archive retention exceeded"))
+    val e3 = intercept[GraftException] { KeyedTable.savepoint(spark, table, boot.commitTime) }
+    assert(e3.getMessage.contains("archive retention exceeded"))
+    val e4 = intercept[GraftException] { KeyedTable.savepoint(spark, table, "nope") }
+    assert(e4.getMessage.contains("no such commit"))
+  }
+
+  test("read-optimized serves the last-compacted state; equals snapshot after compaction") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    val pristine = KeyedTable.readOptimized(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq
+
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(3).as[Long].collect().toSeq
+    KeyedTable.upsert(spark, table, updatesFor(table, ks, "HIDDEN"))
+    // the delta is live: snapshot sees it, RO does not
+    assert(KeyedTable.read(spark, table)
+      .filter(col("o_orderstatus") === "HIDDEN").count() === 3)
+    val ro = KeyedTable.readOptimized(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq
+    assert(ro === pristine)
+
+    KeyedTable.compact(spark, table)
+    val roAfter = KeyedTable.readOptimized(spark, table)
+      .select(col("o_orderkey"), col("o_orderstatus")).orderBy("o_orderkey").collect().toSeq
+    val snapAfter = KeyedTable.read(spark, table)
+      .select(col("o_orderkey"), col("o_orderstatus")).orderBy("o_orderkey").collect().toSeq
+    assert(roAfter === snapAfter)
+    assert(roAfter.count(_.getString(1) == "HIDDEN") === 3)
+  }
 }
