@@ -411,6 +411,22 @@ object ExtQueries {
         col("offset"), col("scale"), col("max_err"))
       .orderBy("vec_id")
 
+  /** Sliding-window aggregation (1 h window, 30 min slide): every event
+    * lands in two windows; the oracle expands the assignment explicitly
+    * with epoch-aligned starts. Streaming twin: [[EventStreaming.slidingAgg]].
+    */
+  private val x34: Q = (s, d) =>
+    // same grouping as slidingAggBatch; the sum goes through DECIMAL so the
+    // result is order-independent and the oracle can hash-match it
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -453,6 +469,7 @@ object ExtQueries {
     "x31_stream_join" -> x31,
     "x32_token_percentiles" -> x32,
     "x33_vec_quantize" -> x33,
+    "x34_sliding_agg" -> x34,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -838,5 +855,18 @@ object ExtQueries {
         |        list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE AS rng
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+    "x34_sliding_agg" ->
+      // explicit window expansion: starts every 30 min, each event in the
+      // two 1-hour windows covering it (epoch-aligned, like Spark's window())
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    unnest([
+        |      to_timestamp((epoch_ns(ts) // 1800000000000) * 1800),
+        |      to_timestamp((epoch_ns(ts) // 1800000000000) * 1800 - 1800)]) AS wstart
+        |  FROM events)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

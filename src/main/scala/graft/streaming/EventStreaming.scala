@@ -33,6 +33,26 @@ object EventStreaming {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Watermarked SLIDING-window count/sum per event type: each event lands
+    * in size/slide overlapping windows (Spark expands the assignment inside
+    * the aggregation — no self-union). State is one row per open (window,
+    * type), evicted by the watermark.
+    */
+  def slidingAgg(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Batch twin of [[slidingAgg]] — identical window assignment (epoch-
+    * aligned starts every `slide`, each event in size/slide windows).
+    */
+  def slidingAggBatch(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState: state =
     * (start, last, count) per user; an EVENT-time timeout (watermark-driven,
     * so batches are data-paced — a processing-time timeout would have the

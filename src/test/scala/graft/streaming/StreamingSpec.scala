@@ -72,6 +72,25 @@ class StreamingSpec extends SparkTestBase {
     assert(out.toSeq === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("sliding-window agg: each event in two windows, streaming matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(fixture)
+    val q = EventStreaming.slidingAgg(stream.toDF(), "1 hour", "30 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("slide_out").start()
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = norm(spark.table("slide_out"))
+    val batch = norm(EventStreaming.slidingAggBatch(fixture.toDF(), "1 hour", "30 minutes"))
+    assert(streamed === batch)
+    // all three clicks (10:00, 10:05, 10:10) land in BOTH covering windows
+    assert(batch.contains(("09:30", "click", 3L)) && batch.contains(("10:00", "click", 3L)))
+    assert(batch.contains(("11:00", "view", 1L)) && batch.contains(("11:30", "view", 1L)))
+  }
+
   test("stream-stream interval join matches the batch twin on the same events") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = Seq(
