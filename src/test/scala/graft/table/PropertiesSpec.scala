@@ -160,6 +160,46 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: savepointed snapshots survive random rewrites with zero-retention cleaning") {
+    val rnd = new Random(77)
+    for (tt <- Seq(TableType.CopyOnWrite, TableType.MergeOnRead)) {
+      val base = (0 until 15).map(i => (i.toLong, 0L, s"b$i", s"p${i % 3}"))
+      val table = bootstrap(base, tt)
+      var pinned = Seq.empty[(String, Seq[(Long, Long, String, String)])]
+      for (step <- 0 until 5) {
+        // pin a random subset of instants as we go
+        if (rnd.nextBoolean()) {
+          val ct = CommitLog.commits(spark, table).last.commitTime
+          KeyedTable.savepoint(spark, table, ct)
+          pinned :+= ct -> stateOf(table)
+        }
+        rnd.nextInt(3) match {
+          case 0 | 1 => KeyedTable.upsert(spark, table, mkDf(randRows(rnd, 6, 18)))
+          case 2 =>
+            val del = KeyedTable.read(spark, table).select("id", "p")
+              .orderBy("id", "p").limit(rnd.nextInt(2) + 1)
+            KeyedTable.delete(spark, table, del)
+        }
+        if (rnd.nextBoolean()) KeyedTable.compact(spark, table)
+        // the most aggressive clean possible — only savepoints protect history
+        KeyedTable.cleanArchive(spark, table, retainLast = 0)
+      }
+      // every pinned snapshot is still exactly reconstructable
+      pinned.foreach { case (ct, st) =>
+        val got = KeyedTable.readAsOf(spark, table, ct)
+          .select("id", "ver", "v", "p").as[(Long, Long, String, String)]
+          .collect().toSeq.sorted
+        assert(got === st, s"$tt savepointed readAsOf($ct)")
+      }
+      // restore to the OLDEST savepoint rewinds exactly (rollback refuses
+      // nothing here: all later commits are rewrites or deltas)
+      pinned.headOption.foreach { case (ct, st) =>
+        KeyedTable.restore(spark, table, ct)
+        assert(stateOf(table) === st, s"$tt restore($ct)")
+      }
+    }
+  }
+
   test("property: resume restores the full count after any partition subset is lost") {
     val rnd = new Random(44)
     val base = (0 until 30).map(i => (i.toLong, 0L, s"b$i", s"p${i % 5}"))
