@@ -427,6 +427,32 @@ object ExtQueries {
         col("event_type"), col("n"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Duplicate-cluster resolution by QUALITY (not min-id): for every
+    * near-dup cluster keep the highest-quality member — the curation policy
+    * real pipelines apply (x16 pins the min-id canonical variant). Pure
+    * composition: LSH pairs → connected components → per-cluster argmax
+    * window on the portable quality score.
+    */
+  private val x35: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val comp = Dedup.connectedComponents(
+        Dedup.minhashNearDups(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5),
+        "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    val scored = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_members"), col("quality"))
+      .orderBy("cluster_id")
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -470,6 +496,7 @@ object ExtQueries {
     "x32_token_percentiles" -> x32,
     "x33_vec_quantize" -> x33,
     "x34_sliding_agg" -> x34,
+    "x35_dedup_best_keep" -> x35,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -868,5 +895,47 @@ object ExtQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x35_dedup_best_keep" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shingles3 AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)),
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, ${jaccardSql("a.s", "b.s")} AS j
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE j >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id),
+         |comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |    0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+         |    + 0.3 * (1.0 - punct_ratio)
+         |    + 0.2 * stop_ratio
+         |    + 0.2 * least(1.0, mean_len / 8.0) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(w)::BIGINT AS n_tokens,
+         |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+         |      len([x for x in w if list_contains(['the','a','an','and','or','of','to','in','is','it'], x)])::DOUBLE
+         |        / len(w)::DOUBLE AS stop_ratio,
+         |      list_reduce(list_prepend(0::BIGINT, [length(x)::BIGINT for x in w]), (p,q) -> p+q)::DOUBLE
+         |        / len(w)::DOUBLE AS mean_len
+         |    FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents))),
+         |m AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, q.quality
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id JOIN q ON d.doc_id = q.doc_id),
+         |sel AS (
+         |  SELECT doc_id, cluster_id, quality,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM m)
+         |SELECT doc_id, cluster_id, n_members, quality FROM sel WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
   )
 }
