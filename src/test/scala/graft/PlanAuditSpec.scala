@@ -1,0 +1,46 @@
+package graft
+
+import graft.SparkTestBase
+
+/** Plan-quality regression gate: no scan/join/agg query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed ONLY where the
+  * build side is a broadcast 1-row aggregate (a scalar shipped with the
+  * plan, not a pair explosion). Guards the property the round-1 audit
+  * checked by hand — a refactor that degrades a bucketed join into an
+  * all-pairs product fails here, at sf0.001, before any benchmark notices.
+  *
+  * Lifecycle queries (q22+) are excluded: their builders mutate temp
+  * tables; their plans are the table machinery's, pinned by their own
+  * specs.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  /** Queries whose BroadcastNestedLoopJoin has a documented BOUNDED build
+    * side — a broadcast scalar or a small fixed set, never a second
+    * corpus-sized relation:
+    *  - q13: 1-row max-ts watermark aggregate
+    *  - x28: 1-row corpus doc count
+    *  - x06: the query-vector set (broadcast by contract; corpus streams)
+    *  - x07: nlist seed centroids + the query-vector set
+    */
+  private val boundedBroadcastOk =
+    Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf")
+
+  private def lifecycle(name: String) =
+    name.matches("q(2[2-9]|3[0-9])_.*")
+
+  test("no cartesian or unbounded nested-loop joins in scan/join/agg query plans") {
+    val d = "/root/testdata/sf0.001"
+    val violations = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!lifecycle(name)) {
+        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          violations += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !boundedBroadcastOk(name))
+          violations += s"$name: BroadcastNestedLoopJoin"
+      }
+    }
+    assert(violations.result().isEmpty, violations.result().mkString("; "))
+  }
+}
