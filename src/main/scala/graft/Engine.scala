@@ -89,6 +89,9 @@ object Engine {
   def sync(spark: SparkSession, srcPath: String, dstPath: String, sinceCommitTime: String): String =
     graft.table.TableSync.sync(spark, srcPath, dstPath, sinceCommitTime)
 
+  def files(spark: SparkSession, tablePath: String): DataFrame =
+    KeyedTable.files(spark, tablePath)
+
   def timeline(spark: SparkSession, tablePath: String): DataFrame =
     KeyedTable.timeline(spark, tablePath)
 

@@ -1072,6 +1072,27 @@ object KeyedTable {
     old
   }
 
+  /** Hudi `show_fsview` analogue: the live base-file layout as a DataFrame
+    * — (partition_path, file_name, bytes) per parquet file, from pure
+    * FileSystem metadata (no data read). The observability twin of
+    * [[sizeFiles]]: `files().groupBy("partition_path").count()` is how an
+    * operator decides whether sizing is due.
+    */
+  def files(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val st = CommitLog.requireState(spark, tablePath)
+    val fs = CommitLog.fs(spark, tablePath)
+    val partF = st.latest.partitionFields
+    val candidates = if (partF.isEmpty) Seq("") else st.nativePartitions
+    candidates.flatMap { p =>
+      val dir = if (p.isEmpty) new Path(tablePath)
+        else new Path(s"$tablePath/${PathCodec.escape(p)}")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (p, f.getPath.getName, f.getLen)).toSeq
+    }.toDF("partition_path", "file_name", "bytes")
+  }
+
   // ------------------------------------------------------------- savepoints
 
   private def savepointDir(tablePath: String): Path =

@@ -463,9 +463,18 @@ class KeyedTableSpec extends SparkTestBase {
       .groupBy("o_month").agg(count(lit(1)), sum("o_totalprice"))
       .collect().map(_.toString).sorted
 
+    // the fsview DataFrame sees the same degenerate layout the FS does
+    val fsview = KeyedTable.files(spark, table)
+      .filter(col("partition_path") === "o_month=1995-01")
+    assert(fsview.count() === files("1995-01").length)
+    assert(fsview.agg(sum("bytes")).head().getLong(0) ===
+      files("1995-01").map(_.length()).sum)
+
     val rewritten = KeyedTable.sizeFiles(spark, table, targetFileBytes = 512L * 1024 * 1024)
     assert(rewritten === Seq("o_month=1995-01"))
     assert(files("1995-01").length === 1)
+    assert(KeyedTable.files(spark, table)
+      .filter(col("partition_path") === "o_month=1995-01").count() === 1)
     // untouched partitions keep their single bootstrap file (not rewritten)
     assert(KeyedTable.timeline(spark, table)
       .filter(col("operation") === "cluster").count() === 1)
