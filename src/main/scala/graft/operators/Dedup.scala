@@ -235,6 +235,66 @@ object Dedup {
     * shingle collisions dense; with realistic vocabularies both work, and
     * minhashNearDups is the true scale path either way.
     */
+  /** Directed n-gram CONTAINMENT join: pairs (a, b), a ≠ b, with
+    * |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold — the asymmetric near-dup
+    * (verbatim quotes, boilerplate, subset pages) that symmetric Jaccard
+    * misses whenever the container is much larger than the contained text.
+    * The prefix filter applies to the CONTAINED side only: C(a→b) ≥ t
+    * forces a match inside a's (|a| − ceil(t·|a|) + 1) rarest tokens, so a
+    * posts that prefix while the container side posts every token (the
+    * candidate index is O(corpus tokens) — inherent to containment, since
+    * nothing bounds the container's size from above; the size filter only
+    * requires |b| ≥ ceil(t·|a|)). Exact verification on candidates.
+    */
+  def ngramContainmentJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      blockCol: Option[String] = None): DataFrame = {
+    val block = blockCol.map(col).getOrElse(lit(1))
+    val t = lit(threshold)
+    val sh = docs.select(col(idCol).as("id"), block.as("blk"),
+        shingles(split(col(textCol), "\\s+"), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val tokDf = sh.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // contained side: rarest-token prefix, same ordering rationale as the
+    // Jaccard prefix join
+    val aPref = sh.select(col("id"), col("blk"), col("sz"), explode(col("sh")).as("tok"))
+      .join(tokDf, "tok")
+      .groupBy("id", "blk", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id").as("a_id"), col("blk"), col("sz").as("a_sz"),
+        explode(slice(transform(col("ord"), _.getField("tok")), lit(1),
+          greatest(col("sz") - ceil(col("sz") * t).cast("int") + 1, lit(1)))).as("tok"))
+    val bAll = sh.select(col("blk"), col("id").as("b_id"), col("sz").as("b_sz"),
+      explode(col("sh")).as("tok"))
+    val cand = aPref.join(bAll, Seq("blk", "tok"))
+      .filter(col("a_id") =!= col("b_id") && col("b_sz") >= ceil(col("a_sz") * t))
+      .select("blk", "a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .select(col("blk"), col("a_id"), col("b_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Quadratic reference form of [[ngramContainmentJoin]] (tests only). */
+  def ngramContainmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(split(col(textCol), "\\s+"), n).as("sh"))
+    val a = sh.select(col("id").as("a_id"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("b_id"), col("sh").as("sh_b"))
+    a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,

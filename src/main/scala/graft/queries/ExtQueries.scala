@@ -453,6 +453,22 @@ object ExtQueries {
       .orderBy("cluster_id")
   }
 
+  /** Directed containment near-dups ([[Dedup.ngramContainmentJoin]]):
+    * 15-word snippets of every doc (id-shifted) are planted as contained
+    * texts; the join must find snippet→source pairs that symmetric Jaccard
+    * misses (small-in-large). The oracle recomputes the exhaustive directed
+    * definition.
+    */
+  private val x36: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val snippets = docs.select((col("doc_id") + 200000).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text"))
+    Dedup.ngramContainmentJoin(docs.unionByName(snippets), "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -497,6 +513,7 @@ object ExtQueries {
     "x33_vec_quantize" -> x33,
     "x34_sliding_agg" -> x34,
     "x35_dedup_best_keep" -> x35,
+    "x36_containment" -> x36,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -937,5 +954,20 @@ object ExtQueries {
          |  FROM m)
          |SELECT doc_id, cluster_id, n_members, quality FROM sel WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin,
+    "x36_containment" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    array_to_string(string_split_regex(text, '\\s+')[1:15], ' ')
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $shingles3 AS s
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM all_docs))
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         |WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin,
   )
 }

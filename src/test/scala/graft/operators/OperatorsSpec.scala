@@ -356,6 +356,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(cq.getDouble(cq.fieldIndex("max_err")) === 0.0)
   }
 
+  test("containment join equals the quadratic directed definition; catches small-in-large") {
+    val snippets = docs.select((col("doc_id") + 200000).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 15)).as("text"))
+    val all = docs.select("doc_id", "text").unionByName(snippets)
+    for (t <- Seq(0.7, 0.9)) {
+      val quad = Dedup.ngramContainmentPairs(all, "doc_id", "text", n = 3, threshold = t)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.ngramContainmentJoin(all, "doc_id", "text", n = 3, threshold = t)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pref === quad, s"threshold $t")
+      // every planted snippet is contained in its source doc...
+      val planted = docs.select("doc_id").collect()
+        .map(r => (r.getLong(0) + 200000, r.getLong(0))).toSet
+      assert(planted.subsetOf(pref), s"threshold $t")
+    }
+    // ...and symmetric Jaccard misses small-in-large at the same threshold
+    val jac = Dedup.ngramJaccardPairs(all, "doc_id", "text", n = 3, threshold = 0.9)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plantedEither = docs.select("doc_id").collect().flatMap { r =>
+      val (s, o) = (r.getLong(0) + 200000, r.getLong(0))
+      Seq((s, o), (o, s))
+    }.toSet
+    assert((jac intersect plantedEither).size < plantedEither.size / 2)
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
