@@ -4,10 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    // headline subset only (SparkEntry.benchQueries): the full 70-query
+    // surface belongs to Verify; timing it all twice blew the round-2
+    // harness budget. Insertion order of the declared list is kept.
+    val bench: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n))
     // warmup pass at the smallest SF: JIT + codegen compilation for every
-    // query's pipeline, so the timed pass below measures steady state
+    // benched query's pipeline, so the timed pass below measures steady state
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    bench.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
     }
     // a failing query must look BROKEN, not fast: its time is recorded as -1
@@ -28,9 +33,9 @@ object Bench {
     // is a large FRACTION of the time; the multi-second lifecycle services
     // have low relative variance, and re-running all of them would double a
     // wall-clock already dominated by honest table I/O
-    val rerunBelow = 5.0
-    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val rerunBelow = 2.0
+    val pass1 = bench.toMap.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val results = bench.map { case (name, fn) =>
       val t1 = pass1(name)
       if (t1 < 0 || t1 >= rerunBelow) name -> t1
       else {
@@ -40,7 +45,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }

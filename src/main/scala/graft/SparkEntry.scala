@@ -18,6 +18,27 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries
 
+  /** Headline benchmark subset ([[Bench]] runs ONLY these; [[Verify]] runs
+    * the full `queries` surface). One representative per operator family —
+    * scan/filter/agg, joins, pagination, the table-lifecycle services
+    * (upsert, incremental, global-index, point lookup, read-optimized), the
+    * dedup/ANN family, and the text/curation pipeline. The round-2 bench
+    * timed ALL queries twice and blew the harness wall-clock budget (rc=124,
+    * empty artifacts); a bench that never finishes measures nothing.
+    */
+  val benchQueries: Seq[String] = Seq(
+    "q01_global_counts", "q02_partition_counts", "q03_distinct_partitions",
+    "q06_filter_in", "q07_projection_pushdown", "q12_history_search",
+    "q13_runaway_sweep", "q18_star_join", "q19_pagination", "q21_salted_join",
+    "q10_upsert_merge", "q22_table_lifecycle", "q23_incremental_read",
+    "q26_global_upsert", "q31_key_lookup", "q35_read_optimized",
+    "x01_dedup_exact", "x02_dedup_minhash_lsh", "x03_dedup_simhash",
+    "x04_dedup_ngram_jaccard", "x05_dedup_embedding", "x06_ann_topk_brute",
+    "x07_ann_ivf", "x08_lang_id", "x10_token_count", "x12_sessionize",
+    "x13_hourly_agg", "x16_dup_clusters", "x21_chunking", "x24_decontaminate",
+    "x25_asof_join", "x26_range_join", "x28_tfidf_keywords",
+    "x32_token_percentiles")
+
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
 }

@@ -173,8 +173,11 @@ object Curation {
     * page of markup/digits scores near 0). Pure expression in the scan.
     */
   def alphaFrac(text: Column): Column =
-    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
-      length(text).cast("double")
+    // empty doc → 0.0, not 0/0: Spark's double division yields NULL while
+    // DuckDB yields NaN, so an unguarded empty doc breaks cross-engine checks
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+        length(text).cast("double"))
 
   /** Keyword extraction: top-`k` terms per document by tf·idf. `idf` here is
     * the RATIONAL form N/df (one IEEE division — bit-identical in every

@@ -803,7 +803,9 @@ object ExtQueries {
         |SELECT d.doc_id,
         |  s.top::DOUBLE / s.total::DOUBLE AS top_ngram_frac,
         |  1.0 - s.nd::DOUBLE / s.total::DOUBLE AS dup_ngram_frac,
-        |  length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE AS alpha_frac
+        |  CASE WHEN length(d.text) = 0 THEN 0.0
+        |    ELSE length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(d.text)::DOUBLE
+        |  END AS alpha_frac
         |FROM documents d JOIN s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "x28_tfidf_keywords" ->

@@ -105,9 +105,11 @@ object EventStreaming {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     val flagged = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // interval comparison (not an epoch cast): TIMESTAMP_NTZ refuses a
+      // direct cast to BIGINT, and the testdata's ts column is tz-naive
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1L)
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
           .otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

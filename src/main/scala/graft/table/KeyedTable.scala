@@ -865,6 +865,12 @@ object KeyedTable {
       }
       fs.delete(new Path(s"$tablePath/${CommitLog.LogDirName}/${c.commitTime}.commit.json"), false)
     }
+    // savepoints of destroyed commits would dangle: savepoints() would list
+    // them, cleanArchive would keep using them as a retention horizon, and a
+    // later restore to one would fail deep in the rollback layer — drop them
+    // with the commits they pinned
+    savepoints(spark, tablePath).filter(_ > toCommitTime)
+      .foreach(sp => deleteSavepoint(spark, tablePath, sp))
     doomed.map(_.commitTime)
   }
 
@@ -1064,7 +1070,17 @@ object KeyedTable {
     // a savepoint at S pins every archived rewrite AFTER S: readAsOf(S)
     // serves partition p from the FIRST rewrite after S that touched p, and
     // every such commit has commitTime > S (archives at or before S describe
-    // strictly older states and stay cleanable)
+    // strictly older states and stay cleanable).
+    // NOTE (documented trade-off): this horizon is deliberately conservative —
+    // while any savepoint exists, retention-based cleaning is SUSPENDED for
+    // all archives newer than the oldest savepoint, including second-and-
+    // later rewrites of the same partition that no readAsOf(S) can need. The
+    // precise rule (per savepoint × partition, keep only the first rewrite
+    // after S that touched p, plus the first compaction after S for archived
+    // deltas) would bound archive growth under long-lived savepoints at the
+    // cost of a commit-log walk per clean; a savepoint here is a short-lived
+    // pin (backup window / pre-migration guard), so over-retention is bytes,
+    // not correctness, and bytes are reclaimed the moment the pin is dropped.
     val horizon = savepoints(spark, tablePath).headOption
     val old = Archive.commits(fs, tablePath).dropRight(retainLast)
       .filter(ct => horizon.forall(sp => ct <= sp))
@@ -1246,8 +1262,13 @@ object KeyedTable {
 
     val parts = offenders.map(_._1)
     val bytes = offenders.flatMap(_._2).map(_.getLen).sum
-    // one count job over just the offender partitions (live deltas, if any,
-    // are folded by clusterBy's compact-first anyway)
+    // one count job over just the offender partitions. readPartitions is a
+    // BASE-FILE read (no delta merge) — deliberately so: the byte numerator
+    // above is base-file bytes, and mixing a delta-merged row count into the
+    // denominator would skew bytesPerRow low and overshoot targetFileBytes
+    // on a MOR table with live deltas. clusterBy's compact-first may add the
+    // delta rows to the rewrite afterwards; that only shifts file COUNT, the
+    // per-file byte target still holds.
     val rowCount = math.max(1L, readPartitions(spark, tablePath, st, parts).count())
     val bytesPerRow = math.max(1L, bytes / rowCount)
     val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
