@@ -30,7 +30,7 @@ object SourceSniffer {
   /** First non-hidden file name in a depth-first walk, mirroring the
     * reference's os.walk-style recursion.
     */
-  private def firstFile(fs: FileSystem, p: Path): Option[String] = {
+  private[io] def firstFile(fs: FileSystem, p: Path): Option[String] = {
     val entries = fs.listStatus(p).sortBy(_.getPath.getName)
     val visible = entries.filterNot { e =>
       val n = e.getPath.getName

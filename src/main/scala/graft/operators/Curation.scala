@@ -212,6 +212,110 @@ object Curation {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  // ------------------------------------------------------------------ URLs
+
+  /** URL dissection with plain regexes — RE2-safe, no lookaround, mirrored
+    * verbatim by the DuckDB oracle. Spark's `parse_url` is JVM-URI
+    * semantics no other engine reproduces bit-for-bit, so portability wins
+    * over the built-in here. Registrable-domain is the last two labels
+    * (no public-suffix list in a zero-egress build — documented
+    * approximation; co.uk-style suffixes group at the suffix).
+    */
+  val UrlHostPattern = "^[a-z]+://([^/?#]+)"
+  val UrlPathPattern = "^[a-z]+://[^/?#]+(/[^?#]*)"
+  val RegistrableDomainPattern = "([^.]+\\.[^.]+)$"
+
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, UrlHostPattern, 1))
+
+  def urlRegistrableDomain(url: Column): Column =
+    regexp_extract(urlHost(url), RegistrableDomainPattern, 1)
+
+  /** Path-segment count: `/docs/en/5` → 3, `/p/` → 1 (trailing slashes are
+    * not a segment), no path or bare `/` → 0.
+    */
+  def urlPathDepth(url: Column): Column = {
+    val path = regexp_replace(regexp_extract(url, UrlPathPattern, 1), "/+$", "")
+    when(length(path) === 0, lit(0L))
+      .otherwise((size(split(path, "/")) - 1).cast("long"))
+  }
+
+  /** Domain blocklist filter — the spam/adult/SEO-farm drop every public
+    * web corpus applies first. The blocklist ships as a literal IN-list
+    * (bounded set, evaluates inside the scan); list too large → broadcast
+    * left_anti join on [[urlRegistrableDomain]] instead.
+    */
+  def domainBlocklistFilter(df: DataFrame, urlCol: Column, blocked: Seq[String]): DataFrame =
+    df.filter(!urlRegistrableDomain(urlCol).isin(blocked: _*))
+
+  // -------------------------------------------------------- quality gating
+
+  /** Stopword set for the quality gate — presence of common function words
+    * is the classic natural-language-vs-gibberish discriminator (Gopher
+    * rule 8). Bounded literal, shared with the oracle.
+    */
+  val QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Gopher-style composite quality gate: per-document signals, the list of
+    * failed rules (`reasons`, sorted and comma-joined so the verdict is one
+    * driver-comparable string), and the final `keep`. All signals are pure
+    * expressions over one tokenization inside the scan — no shuffle, no UDF;
+    * the corpus-scale cost is exactly one pass.
+    *
+    * Rules (names are the reason labels):
+    *   too_few_words     word count < minWords
+    *   too_many_words    word count > maxWords
+    *   mean_word_len     mean word length outside [minMeanLen, maxMeanLen]
+    *   low_alpha         alphabetic-char fraction < minAlpha
+    *   few_stopwords     distinct stopwords present < minStopHits
+    */
+  def qualityGate(
+      df: DataFrame, textCol: Column,
+      minWords: Int = 40, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlpha: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val toks = split(textCol, "\\s+")
+    val wc = size(toks).cast("long")
+    val nonspace = length(regexp_replace(textCol, "\\s+", "")).cast("double")
+    val meanLen = when(wc === 0, lit(0.0)).otherwise(nonspace / wc.cast("double"))
+    val stopHits = QualityStopwords
+      .map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = df
+      .withColumn("wc", wc)
+      .withColumn("mean_wlen", meanLen)
+      .withColumn("alpha_frac", alphaFrac(textCol))
+      .withColumn("stop_hits", stopHits)
+    val rules: Seq[(String, Column)] = Seq(
+      "few_stopwords" -> (col("stop_hits") < minStopHits),
+      "low_alpha" -> (col("alpha_frac") < minAlpha),
+      "mean_word_len" -> (col("mean_wlen") < minMeanLen || col("mean_wlen") > maxMeanLen),
+      "too_few_words" -> (col("wc") < minWords),
+      "too_many_words" -> (col("wc") > maxWords))
+    // rule names are pre-sorted above, so concat_ws of the fired subset is
+    // already in sorted order — same construction as the oracle's
+    val reasons = concat_ws(",",
+      rules.map { case (name, fired) => when(fired, name) }: _*)
+    out.withColumn("reasons", reasons)
+      .withColumn("keep", col("reasons") === "")
+  }
+
+  // ------------------------------------------------------------ vocabulary
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with term
+    * frequency and document frequency. One explode + one hash aggregation
+    * (map-side combined on the token); the top-k is TakeOrderedAndProject —
+    * per-partition heaps of k, never a global sort. Ties break by term asc
+    * so the cut is deterministic across engines.
+    */
+  def vocabulary(df: DataFrame, idCol: Column, textCol: Column, k: Int): DataFrame =
+    df.select(idCol.as("__id"), explode(split(textCol, "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("__id")).as("df"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+
   /** Stratified deterministic sample: EXACTLY `perStratum` rows from every
     * stratum (fewer iff the stratum is smaller), picked by md5-hash order of
     * the key — the "balanced eval slice" primitive. Unlike [[hashSample]]

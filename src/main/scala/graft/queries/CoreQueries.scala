@@ -645,6 +645,62 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** CSV round-trip through the extended (beyond-reference) source layer:
+    * orders is written as headered CSV and read back with the explicit
+    * schema the writer pinned; the oracle reads the original parquet — any
+    * serialize/parse asymmetry (doubles, timestamps, nulls) breaks the
+    * hash. Timestamps travel as formatted strings: CSV has no type system,
+    * so the schema contract IS the fidelity boundary.
+    */
+  private val q36: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q36").toFile
+    tmp.deleteOnExit()
+    val dir = s"$tmp/csv"
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_day"))
+    graft.io.TextSources.writeCsv(src, dir)
+    graft.io.TextSources.read(s, dir, src.schema).orderBy("o_orderkey")
+  }
+
+  /** JSON-lines round-trip, same contract as q36 over the other
+    * landing-zone format.
+    */
+  private val q37: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q37").toFile
+    tmp.deleteOnExit()
+    val dir = s"$tmp/json"
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_day"))
+    graft.io.TextSources.writeJson(src, dir)
+    graft.io.TextSources.read(s, dir, src.schema).orderBy("o_orderkey")
+  }
+
+  /** Schema evolution under oracle check: an upsert batch carries a column
+    * the table has never seen (`o_channel`), restricted to 1995 orders so
+    * the 1996+ partitions keep their ORIGINAL files — the read must
+    * null-fill the new column for them from the commit-log schema alone
+    * (no rewrite of untouched data; that is what makes evolution affordable
+    * at 100 TB). The oracle recomputes the end state.
+    */
+  private val q38: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q38")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q38_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, tbl, base
+      .filter(col("o_orderkey") % 7 === 0 && year(col("o_orderdate")) === 1995)
+      .select(dataCols: _*)
+      .withColumn("o_channel", lit("WEB")))
+    KeyedTable.read(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_channel"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -680,6 +736,9 @@ object CoreQueries {
     "q33_partition_ttl" -> q33,
     "q34_file_sizing" -> q34,
     "q35_read_optimized" -> q35,
+    "q36_csv_roundtrip" -> q36,
+    "q37_json_roundtrip" -> q37,
+    "q38_schema_evolution" -> q38,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -871,6 +930,23 @@ object CoreQueries {
     "q35_read_optimized" ->
       // the uncompacted delta upsert must be INVISIBLE to the RO read
       """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q36_csv_roundtrip" ->
+      // CSV write+read must be loss-free against the parquet original
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q37_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q38_schema_evolution" ->
+      // updated 1995 rows carry the new column; every other row (including
+      // whole untouched partitions on their original files) null-fills it
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1995
+        |       THEN 'WEB' END AS o_channel,
+        |  o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

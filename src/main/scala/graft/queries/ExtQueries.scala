@@ -469,6 +469,43 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
   }
 
+  // -------------------------------------------------------- URL curation
+
+  /** URL dissection + domain blocklist verdict over deterministic per-doc
+    * URLs (the fixture carries no URL column, so one is derived from
+    * source/lang/doc_id — the parse/filter machinery under test is real and
+    * the oracle re-derives the same URLs). Everything is regex-in-scan:
+    * zero shuffles, blocklist ships as a literal.
+    */
+  private val x37: Q = (s, d) => {
+    val blocked = Seq("src3.example.com", "src13.example.com")
+    Tables.documents(s, d)
+      .withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          col("lang"), lit("/"), col("doc_id")))
+      .withColumn("host", Curation.urlHost(col("url")))
+      .withColumn("domain", Curation.urlRegistrableDomain(col("url")))
+      .withColumn("path_depth", Curation.urlPathDepth(col("url")))
+      .withColumn("keep", !col("domain").isin(blocked: _*))
+      .select("doc_id", "host", "domain", "path_depth", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style composite quality gate: signals, failed-rule reasons, and
+    * the keep verdict per document, oracle-mirrored arithmetic throughout.
+    */
+  private val x38: Q = (s, d) =>
+    Curation.qualityGate(Tables.documents(s, d), col("text"))
+      .select("doc_id", "wc", "mean_wlen", "alpha_frac", "stop_hits",
+        "reasons", "keep")
+      .orderBy("doc_id")
+
+  /** Corpus vocabulary: top-100 tokens by term frequency with document
+    * frequency; deterministic tie-break on the term.
+    */
+  private val x39: Q = (s, d) =>
+    Curation.vocabulary(Tables.documents(s, d), col("doc_id"), col("text"), k = 100)
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -514,6 +551,9 @@ object ExtQueries {
     "x34_sliding_agg" -> x34,
     "x35_dedup_best_keep" -> x35,
     "x36_containment" -> x36,
+    "x37_url_blocklist" -> x37,
+    "x38_quality_gate" -> x38,
+    "x39_vocabulary" -> x39,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -971,5 +1011,64 @@ object ExtQueries {
          |    len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment
          |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
          |WHERE containment >= 0.9 ORDER BY a_id, b_id""".stripMargin,
+    "x37_url_blocklist" ->
+      // same derived URLs, same regexes — parse + blocklist verdict mirrored
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com/docs/' || lang || '/'
+        |      || doc_id AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+        |    regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+        |      '/+$', '') AS path
+        |  FROM u)
+        |SELECT doc_id, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  CASE WHEN length(path) = 0 THEN 0::BIGINT
+        |       ELSE len(string_split(path, '/')) - 1 END AS path_depth,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    NOT IN ('src3.example.com', 'src13.example.com') AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "x38_quality_gate" ->
+      // every signal computed with the same operation order as the Spark
+      // side; reasons = the pre-sorted fired-rule names, keep = none fired
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(text, '\s+') AS toks,
+        |    len(string_split_regex(text, '\s+'))::BIGINT AS wc,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nonspace
+        |  FROM documents),
+        |sg AS (
+        |  SELECT doc_id, wc,
+        |    CASE WHEN wc = 0 THEN 0.0
+        |         ELSE nonspace::DOUBLE / wc::DOUBLE END AS mean_wlen,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        |           / length(text)::DOUBLE END AS alpha_frac,
+        |    (list_contains(toks, 'the')::BIGINT + list_contains(toks, 'a')::BIGINT
+        |     + list_contains(toks, 'of')::BIGINT + list_contains(toks, 'and')::BIGINT
+        |     + list_contains(toks, 'to')::BIGINT + list_contains(toks, 'in')::BIGINT
+        |    ) AS stop_hits
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id, wc, mean_wlen, alpha_frac, stop_hits,
+        |    concat_ws(',',
+        |      CASE WHEN stop_hits < 2 THEN 'few_stopwords' END,
+        |      CASE WHEN alpha_frac < 0.8 THEN 'low_alpha' END,
+        |      CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'mean_word_len' END,
+        |      CASE WHEN wc < 40 THEN 'too_few_words' END,
+        |      CASE WHEN wc > 100000 THEN 'too_many_words' END) AS reasons
+        |  FROM sg)
+        |SELECT doc_id, wc, mean_wlen, alpha_frac, stop_hits, reasons,
+        |  reasons = '' AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "x39_vocabulary" ->
+      """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |      FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin,
   )
 }

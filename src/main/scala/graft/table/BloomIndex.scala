@@ -2,7 +2,12 @@ package graft.table
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -82,9 +87,23 @@ object BloomIndex {
           .parquet(files: _*)
           .select(input_file_name().as("f"), col(column).cast("string").as("k"))
           .filter(col("k").isNotNull) // nulls never match a point probe
-        // per-file row counts size each bloom exactly; O(#files) on the driver
-        val counts = keyed.groupBy("f").count().collect()
-          .map(r => normalizePath(r.getString(0)) -> r.getLong(1)).toMap
+        // size each bloom from the parquet FOOTER row count — O(#files)
+        // metadata reads distributed over executors, no data pass (was a
+        // full groupBy-count scan of the key column, doubling build I/O).
+        // Footer counts include null-key rows, so a file with nulls gets a
+        // slightly roomier bloom: overcounting only lowers the effective
+        // fpp, never raises it.
+        val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toArray
+        val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+        val counts = spark.sparkContext.parallelize(files, slices)
+          .map { f =>
+            val conf = new Configuration(false)
+            confEntries.foreach { case (k, v) => conf.set(k, v) }
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+            try normalizePath(f) -> r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+            finally r.close()
+          }.collect().toMap
         val bCounts = spark.sparkContext.broadcast(counts)
         keyed.as[(String, String)].rdd
           .mapPartitions { it =>

@@ -26,6 +26,36 @@ class IoSpec extends SparkTestBase {
     assert(e2.getMessage.startsWith("Configuration Error: No data files found"))
   }
 
+  test("text sources: csv and json round-trip under explicit schema; sniffAny widens, still rejects unknown") {
+    val src = spark.read.parquet(sf("region"))
+
+    val csvDir = s"${tmpDir("tscsv")}/data"
+    TextSources.writeCsv(src, csvDir)
+    assert(TextSources.sniffAny(spark, csvDir) === "csv")
+    val backCsv = TextSources.read(spark, csvDir, src.schema)
+    assert(backCsv.schema === src.schema)
+    assert(backCsv.orderBy("r_regionkey").collect()
+      === src.orderBy("r_regionkey").collect())
+
+    val jsonDir = s"${tmpDir("tsjson")}/data"
+    TextSources.writeJson(src, jsonDir)
+    assert(TextSources.sniffAny(spark, jsonDir) === "json")
+    val backJson = TextSources.read(spark, jsonDir, src.schema)
+    assert(backJson.orderBy("r_regionkey").collect()
+      === src.orderBy("r_regionkey").collect())
+
+    // parquet still flows through the generic branch
+    val pqDir = s"${tmpDir("tspq")}/data"
+    src.write.parquet(pqDir)
+    assert(TextSources.read(spark, pqDir, src.schema).count() === src.count())
+
+    // the extended whitelist is wider than the reference's, not unbounded
+    val bad = tmpDir("tsbad")
+    Files.writeString(Paths.get(bad, "x.txt"), "nope")
+    val e = intercept[GraftException](TextSources.sniffAny(spark, bad))
+    assert(e.getMessage === "Unsupported file format: txt")
+  }
+
   test("partition discovery extracts k=v fields in first-seen order") {
     val d = tmpDir("disc")
     spark.read.parquet(sf("lineitem"))

@@ -382,6 +382,60 @@ class OperatorsSpec extends SparkTestBase {
     assert((jac intersect plantedEither).size < plantedEither.size / 2)
   }
 
+  test("url parsing: host/domain/path-depth edges and blocklist filter") {
+    val urls = Seq(
+      (1L, "https://www.blog.example.com/docs/en/5"),
+      (2L, "http://example.org"),
+      (3L, "https://shop.co/"),
+      (4L, "https://a.b.site.net/x?q=1#frag"),
+      (5L, "https://HOST.Example.COM/p/")).toDF("id", "url")
+    val parsed = urls.select(col("id"),
+        Curation.urlHost(col("url")).as("host"),
+        Curation.urlRegistrableDomain(col("url")).as("dom"),
+        Curation.urlPathDepth(col("url")).as("depth"))
+      .orderBy("id").collect()
+    assert(parsed.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq === Seq(
+      ("www.blog.example.com", "example.com", 3L),
+      ("example.org", "example.org", 0L),
+      ("shop.co", "shop.co", 0L),
+      ("a.b.site.net", "site.net", 1L),
+      ("host.example.com", "example.com", 1L)))
+    val kept = Curation.domainBlocklistFilter(urls, col("url"), Seq("example.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+
+  test("quality gate: each rule fires on its crafted doc, clean doc keeps") {
+    val good = (Seq("the", "a", "of") ++ Seq.fill(50)("sensible")).mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "the a short doc"),                                  // too_few_words
+      (3L, (Seq("the", "a") ++ Seq.fill(60)("# 12 !!")).mkString(" ")), // low_alpha (+ short mean len)
+      (4L, (1 to 50).map(_ => "zzzzzzzzzzzz").mkString(" ")),   // few_stopwords + mean_word_len
+      (5L, "")).toDF("doc_id", "text")
+    val out = Curation.qualityGate(docs, col("text"))
+      .select("doc_id", "keep", "reasons").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((1L, true), (2L, false), (3L, false), (4L, false), (5L, false)))
+    val reasons = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(reasons(2L).contains("too_few_words"))
+    assert(reasons(3L).contains("low_alpha"))
+    assert(reasons(4L) === "few_stopwords,mean_word_len")
+    // reasons list is sorted: construction order is the sorted rule list
+    assert(out.forall(r => { val s = r.getString(2).split(",").toSeq; s == s.sorted }))
+  }
+
+  test("vocabulary: hand-computed tf/df, top-k cut breaks ties by term") {
+    val docs = Seq(
+      (1L, "b a a c"),
+      (2L, "a b d"),
+      (3L, "b")).toDF("doc_id", "text")
+    val v = Curation.vocabulary(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: a=3 b=3 c=1 d=1; df: a=2 b=3; tie a/b broken by term, then c beats d
+    assert(v.toSeq === Seq(("a", 3L, 2L), ("b", 3L, 3L), ("c", 1L, 1L)))
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
