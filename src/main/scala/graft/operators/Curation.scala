@@ -300,6 +300,54 @@ object Curation {
       .withColumn("keep", col("reasons") === "")
   }
 
+  // ----------------------------------------------- line-level boilerplate
+
+  /** C4/RefinedWeb-style line-level boilerplate removal: a line occurring
+    * in more than `maxDfFrac` of documents is boilerplate (nav bars, cookie
+    * banners, legal footers) and is dropped from EVERY document; surviving
+    * lines reassemble in original order. Returns (`__id`, `cleaned`,
+    * `n_lines`) for every input doc — a fully-boilerplate doc comes back
+    * with an empty string, not silently dropped.
+    *
+    * Shape: one posexplode, a line-df hash aggregation (map-side combined;
+    * the df table is |distinct lines| rows), broadcast doc count, and a
+    * per-doc `sort_array(collect_list(struct))` re-assembly — work is
+    * proportional to corpus line count, skew bounded by the longest doc.
+    */
+  def lineDedup(
+      df: DataFrame, idCol: Column, textCol: Column, maxDfFrac: Double): DataFrame = {
+    val ids = df.select(idCol.as("__id"))
+    val lines = df.select(idCol.as("__id"),
+      posexplode(split(textCol, "\n")).as(Seq("__idx", "__line")))
+    val nDocs = df.select(countDistinct(idCol).as("__n"))
+    val lineDf = lines.groupBy("__line").agg(countDistinct(col("__id")).as("__df"))
+    val kept = lines.join(lineDf, "__line").crossJoin(broadcast(nDocs))
+      .filter(col("__df").cast("double") / col("__n").cast("double") <= maxDfFrac)
+    val rebuilt = kept.groupBy("__id").agg(
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__idx"), col("__line")))),
+          s => s.getField("__line"))).as("cleaned"),
+      count(lit(1)).as("n_lines"))
+    ids.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+  }
+
+  // ------------------------------------------------------ mixture sampling
+
+  /** Domain-mixture sampling: per-source keep percentages (the "reweight
+    * the training mixture" primitive — upsample curated sources, downsample
+    * noisy ones). The decision composes [[hashSample]]'s deterministic
+    * per-key hash with a per-source rate from a literal map — stable across
+    * runs and engines, zero shuffles, evaluates inside the scan.
+    */
+  def mixtureSample(
+      df: DataFrame, sourceCol: Column, keyCol: Column,
+      rates: Map[String, Int], defaultRate: Int): DataFrame =
+    df.filter(pmod(Portable.hash60(keyCol), lit(100)) <
+      coalesce(element_at(typedLit(rates), sourceCol), lit(defaultRate)))
+
   // ------------------------------------------------------------ vocabulary
 
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with term

@@ -49,23 +49,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: centroids = the `nlist` lowest-id vectors (deterministic
-    * seeds — a stand-in for k-means, which would just refine the same
-    * structure); every vector is assigned to its nearest centroid; each
-    * query probes the `nprobe` nearest cells and re-ranks exactly.
+  /** Deterministic seed centroids: the `k` lowest-id vectors. */
+  def seedCentroids(
+      corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  /** Lloyd (k-means) refinement of the seed centroids: `iters` rounds of
+    * assign-to-nearest-by-cosine + per-cell mean. Per-dimension sums run in
+    * DECIMAL, so the mean is independent of partitioning and summation
+    * order — centroids are bit-deterministic across runs and cluster
+    * layouts (double sums would drift). Empty cells keep their previous
+    * centroid. Cost per round: one broadcast argmax assignment + one
+    * (cell, dim) shuffle of n·dim rows + a |cells|·dim re-assembly —
+    * the standard distributed-Lloyd shape, linear in corpus size.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    var cents = seedCentroids(corpus, k, idCol, vecCol)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    for (_ <- 1 to iters) {
+      val assigned = c.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        .select(col("cent_id"), col("v"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(col("x").cast(DecimalType(30, 12))) / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv2"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("cv2"), col("cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** IVF-style ANN: coarse-quantize against `nlist` centroids (the
+    * deterministic seeds by default; pass [[kmeansCentroids]] output via
+    * `centroids` for refined cells on clustered corpora); every vector is
+    * assigned to its nearest centroid; each query probes the `nprobe`
+    * nearest cells and re-ranks exactly.
     * Approximate by design: recall depends on nprobe/nlist.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val centroids = c.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = centroids.getOrElse(seedCentroids(corpus, nlist, idCol, vecCol))
 
     // cell assignment: argmax cosine over the broadcast centroid set
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = c.join(broadcast(centroids), lit(true))
+    val assigned = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
       .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
@@ -73,7 +117,7 @@ object Similarity {
     // query → nprobe cells
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id").asc)
-    val probes = q.join(broadcast(centroids), lit(true))
+    val probes = q.join(broadcast(cents), lit(true))
       .select(col("query_id"), col("qv"), col("cent_id"), cosine(col("qv"), col("cv")).as("csim"))
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell"))

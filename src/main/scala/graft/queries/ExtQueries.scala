@@ -506,6 +506,32 @@ object ExtQueries {
   private val x39: Q = (s, d) =>
     Curation.vocabulary(Tables.documents(s, d), col("doc_id"), col("text"), k = 100)
 
+  /** C4-style line-level boilerplate removal: a shared header and footer
+    * line are planted around every doc (the fixture has no multi-line
+    * texts); [[Curation.lineDedup]] must strip exactly those (corpus-wide
+    * df = 100%) and reassemble each doc's own body untouched. The oracle
+    * recomputes line document-frequencies independently.
+    */
+  private val x40: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("t",
+      concat_ws("\n", lit("subscribe to our newsletter"), col("text"),
+        lit("all rights reserved")))
+    Curation.lineDedup(docs, col("doc_id"), col("t"), maxDfFrac = 0.5)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture sampling: per-source keep rates (upsample src2,
+    * downsample src1, default 25%) applied through the portable per-key
+    * hash — the training-mixture reweighting primitive, deterministic in
+    * both engines.
+    */
+  private val x41: Q = (s, d) =>
+    Curation.mixtureSample(Tables.documents(s, d), col("source"), col("doc_id"),
+        rates = Map("src1" -> 5, "src2" -> 80, "src3" -> 50), defaultRate = 25)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ multimodal
 
   /** Binary media column plumbing: metadata extraction at scan time. */
@@ -554,6 +580,8 @@ object ExtQueries {
     "x37_url_blocklist" -> x37,
     "x38_quality_gate" -> x38,
     "x39_vocabulary" -> x39,
+    "x40_line_dedup" -> x40,
+    "x41_mixture_sample" -> x41,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1070,5 +1098,37 @@ object ExtQueries {
         |      FROM documents)
         |WHERE length(term) > 0
         |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+    "x40_line_dedup" ->
+      // independent line-df recomputation: planted header/footer must go,
+      // each doc's own body must survive byte-identical
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'subscribe to our newsletter' || chr(10) || text || chr(10)
+        |      || 'all rights reserved' AS t
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        |l AS (
+        |  SELECT doc_id, unnest([{'idx': i, 'line': ls[i]}
+        |    for i in generate_series(1, len(ls))], recursive := true)
+        |  FROM l0),
+        |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |kept AS (
+        |  SELECT l.doc_id, l.idx, l.line FROM l JOIN f USING (line), n
+        |  WHERE f.df::DOUBLE / n.nd::DOUBLE <= 0.5)
+        |SELECT d.doc_id,
+        |  coalesce(k.cleaned, '') AS cleaned,
+        |  coalesce(k.n_lines, 0::BIGINT) AS n_lines
+        |FROM d LEFT JOIN (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS cleaned,
+        |    count(*) AS n_lines
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "x41_mixture_sample" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE (${graft.functions.Portable.sqlHash60("doc_id::VARCHAR")} % 100) <
+         |  CASE source WHEN 'src1' THEN 5 WHEN 'src2' THEN 80
+         |    WHEN 'src3' THEN 50 ELSE 25 END
+         |ORDER BY doc_id""".stripMargin,
   )
 }

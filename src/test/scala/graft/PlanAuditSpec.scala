@@ -22,9 +22,11 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x28: 1-row corpus doc count
     *  - x06: the query-vector set (broadcast by contract; corpus streams)
     *  - x07: nlist seed centroids + the query-vector set
+    *  - x40: 1-row corpus doc count (line-df threshold)
     */
   private val boundedBroadcastOk =
-    Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf")
+    Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
+      "x40_line_dedup")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|3[0-9])_.*")

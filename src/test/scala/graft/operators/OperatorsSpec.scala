@@ -436,6 +436,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(v.toSeq === Seq(("a", 3L, 2L), ("b", 3L, 3L), ("c", 1L, 1L)))
   }
 
+  test("line dedup: boilerplate lines stripped, body order kept, all-boilerplate doc survives empty") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha body one\nbeta body one\nFOOTER"),
+      (2L, "COOKIE BANNER\ngamma body two\nFOOTER"),
+      (3L, "COOKIE BANNER\nFOOTER")).toDF("doc_id", "text")
+    val out = Curation.lineDedup(docs, col("doc_id"), col("text"), maxDfFrac = 0.67)
+      .orderBy("__id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "alpha body one\nbeta body one", 2L),
+      (2L, "gamma body two", 1L),
+      (3L, "", 0L)))
+  }
+
+  test("mixture sample: per-source rates honored, deterministic, default applies") {
+    val docs = spark.read.parquet(sf("documents"))
+    val rates = Map("src1" -> 0, "src2" -> 100)
+    val out = Curation.mixtureSample(docs, col("source"), col("doc_id"), rates, defaultRate = 30)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src1"))                  // rate 0 drops all
+    assert(bySrc("src2") === totals("src2"))         // rate 100 keeps all
+    // default-rate sources keep a strict, non-empty subset overall
+    val restKept = bySrc.view.filterKeys(k => k != "src2").values.sum
+    val restTotal = totals.view.filterKeys(k => !rates.contains(k)).values.sum
+    assert(restKept > 0 && restKept < restTotal)
+    // deterministic: same result both runs
+    assert(out.orderBy("doc_id").collect() === Curation.mixtureSample(
+      docs, col("source"), col("doc_id"), rates, 30).orderBy("doc_id").collect())
+  }
+
+  test("kmeans centroids: bit-deterministic across runs, refined IVF meets the recall bar") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    def run() = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+      .orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val a = run(); val b = run()
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    assert(a.map(_._2.toSeq).toSeq === b.map(_._2.toSeq).toSeq) // decimal sums: no float drift
+    // refined centroids plug into ivfTopK and keep recall@10 over the bar
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val refined = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+    val approx = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 8,
+        centroids = Some(refined))
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    assert(recalls.forall(_ >= 0.7), s"recalls: $recalls")
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
