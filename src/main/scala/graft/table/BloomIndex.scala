@@ -80,11 +80,29 @@ object BloomIndex {
     val dir = bloomDir(tablePath, ct)
 
     import spark.implicits._
-    val rows: DataFrame =
-      if (files.isEmpty) spark.emptyDataset[BloomRow].toDF()
+    // incremental refresh: a base file is immutable, so its bloom never
+    // changes — rows of the newest same-column sidecar whose file is still
+    // live carry over untouched (same-fpp rows only: a changed fpp forces
+    // a full rebuild), and only files the previous index never saw get
+    // scanned. Steady-state refresh after an append costs O(new files),
+    // not O(table). All-null files never produce a row, so they re-enter
+    // the fresh set each refresh — harmless (their scan finds no keys).
+    val carried: Option[DataFrame] = latestIndex(spark, tablePath, column).map { prev =>
+      spark.read.parquet(bloomDir(tablePath, prev).toString)
+        .filter(col("fpp") === fpp)
+        .join(broadcast(files.map(normalizePath).toDF("__live")),
+          col("file") === col("__live"), "left_semi")
+    }
+    val covered: Set[String] = carried
+      .map(_.select("file").distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val fresh = files.filterNot(f => covered(normalizePath(f)))
+
+    val scanned: DataFrame =
+      if (fresh.isEmpty) spark.emptyDataset[BloomRow].toDF()
       else {
         val keyed = spark.read.schema(schema).option("basePath", tablePath)
-          .parquet(files: _*)
+          .parquet(fresh: _*)
           .select(input_file_name().as("f"), col(column).cast("string").as("k"))
           .filter(col("k").isNotNull) // nulls never match a point probe
         // size each bloom from the parquet FOOTER row count — O(#files)
@@ -95,8 +113,8 @@ object BloomIndex {
         // fpp, never raises it.
         val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
           .map(e => (e.getKey, e.getValue)).toArray
-        val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-        val counts = spark.sparkContext.parallelize(files, slices)
+        val slices = math.max(1, math.min(fresh.size, spark.sparkContext.defaultParallelism))
+        val counts = spark.sparkContext.parallelize(fresh, slices)
           .map { f =>
             val conf = new Configuration(false)
             confEntries.foreach { case (k, v) => conf.set(k, v) }
@@ -127,6 +145,10 @@ object BloomIndex {
         // files whose indexed column is entirely null produce no bloom row:
         // candidateFiles keeps unknown files, so they are read, never lost
       }
+    // the previous sidecar is an INPUT (carried rows stream from it), so
+    // land the new one before the inline cleaner below deletes it
+    val rows = carried.fold(scanned)(c =>
+      scanned.unionByName(c.select(scanned.columns.map(col).toSeq: _*)))
 
     rows.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     writeColumnMarker(fs, dir, column, files.size)

@@ -63,6 +63,33 @@ class BloomIndexSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  test("incremental rebuild: unchanged files' blooms carry over byte-identical, new files scanned") {
+    val table = boot()
+    val ct1 = BloomIndex.build(spark, table)
+    def sidecar(ct: String) = spark.read.parquet(BloomIndex.bloomDir(table, ct).toString)
+      .select("file", "key_count", "bloom").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    val side1 = sidecar(ct1)
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(3)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      .withColumn("o_month", lit("2098-01"))
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    val ct2 = BloomIndex.build(spark, table)
+    val side2 = sidecar(ct2)
+    // every pre-append file's row is the carried original, not a rescan
+    side1.foreach { case (f, v) => assert(side2(f) === v, f) }
+    assert(side2.size > side1.size) // the appended file got its own bloom
+    // and lookups against the refreshed index prune + answer correctly
+    val pr = BloomIndex.candidateFiles(spark, table, Seq("900001"))
+    assert(pr.skippedFiles > 0)
+    assert(BloomIndex.readByKeys(spark, table, Seq("900001")).count() ===
+      batch.filter(col("o_orderkey") === 900001L).count())
+  }
+
   test("global upsert with a bloom index: moves resolve identically to the unindexed path") {
     val tNoIdx = boot()
     val tIdx = boot()
