@@ -8,13 +8,33 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // queries run CONCURRENTLY on the shared session (they are independent:
+    // per-query temp table dirs, no session-conf mutation, view/sink names
+    // unique per query) — local[32] is underutilized by one lifecycle
+    // query's serial commit steps, and the driver's harness budget covers
+    // verify + oracle + bench together, so wall-clock here is the scarce
+    // resource. Worker count via SPARK_GRAFT_VERIFY_PAR; failures print
+    // per-query and never abort the dump.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    SparkEntry.queries.foreach(queue.add)
+    val workers = (1 to math.max(1, par)).map { _ =>
+      val t = new Thread(() => {
+        var item = queue.poll()
+        while (item != null) {
+          val (name, fn) = item
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          item = queue.poll()
+        }
+      })
+      t.setDaemon(true); t.start(); t
     }
+    workers.foreach(_.join())
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
