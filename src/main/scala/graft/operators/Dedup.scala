@@ -183,6 +183,25 @@ object Dedup {
     batch.join(dups.select(col("b_id")), col(idCol) === col("b_id"), "left_anti")
   }
 
+  /** EXACT incremental dedup: batch docs whose content already exists in a
+    * standing corpus are dropped; novel docs survive. Plan shape for a
+    * 100 TB corpus: fingerprint both sides (md5 of content — one narrow
+    * column), stream the corpus ONCE through a left_semi probe against the
+    * broadcast batch fingerprint set ("which of these fingerprints does the
+    * corpus contain"); the tiny hit set re-broadcasts for the batch's
+    * anti-join. The corpus is never shuffled and only its fingerprint
+    * column is read — batch-sized data crosses the network twice.
+    * Within-batch duplicates are out of scope, as in [[dedupAgainst]].
+    */
+  def exactDedupAgainst(
+      corpus: DataFrame, batch: DataFrame, textCol: String): DataFrame = {
+    val batchFps = batch.select(md5(col(textCol)).as("__fp")).distinct()
+    val present = corpus.select(md5(col(textCol)).as("__fp"))
+      .join(broadcast(batchFps), Seq("__fp"), "left_semi")
+      .distinct()
+    batch.join(broadcast(present), md5(col(textCol)) === col("__fp"), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
 
   val SimhashBits = 60

@@ -469,6 +469,23 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Exact incremental dedup against the standing corpus: half the batch is
+    * verbatim corpus copies (must drop), half carries a novel suffix (must
+    * survive). One fingerprint-only corpus scan, no corpus shuffle — the
+    * continuous-ingest gate in front of every pipeline.
+    */
+  private val x42: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val copies = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+    val novel = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" novel-suffix")).as("text"))
+    Dedup.exactDedupAgainst(docs, copies.unionByName(novel), "text")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- URL curation
 
   /** URL dissection + domain blocklist verdict over deterministic per-doc
@@ -582,6 +599,7 @@ object ExtQueries {
     "x39_vocabulary" -> x39,
     "x40_line_dedup" -> x40,
     "x41_mixture_sample" -> x41,
+    "x42_incremental_exact" -> x42,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1130,5 +1148,15 @@ object ExtQueries {
          |  CASE source WHEN 'src1' THEN 5 WHEN 'src2' THEN 80
          |    WHEN 'src3' THEN 50 ELSE 25 END
          |ORDER BY doc_id""".stripMargin,
+    "x42_incremental_exact" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 300000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' novel-suffix'
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, md5(text) AS fp FROM batch
+        |WHERE text NOT IN (SELECT text FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -492,6 +492,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(recalls.forall(_ >= 0.7), s"recalls: $recalls")
   }
 
+  test("exact incremental dedup: corpus copies drop, novel docs survive, plan has no corpus shuffle") {
+    val corpus = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff")).toDF("doc_id", "text")
+    val batch = Seq((10L, "aa bb"), (11L, "cc dd"), (12L, "new stuff"), (13L, "more new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedupAgainst(corpus, batch, "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(12L, 13L))
+    // scale shape: both joins broadcast the batch-sized side — no shuffle
+    // of the corpus, no sort-merge join anywhere
+    val plan = Dedup.exactDedupAgainst(corpus, batch, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
