@@ -346,9 +346,13 @@ object Dedup {
       blockCol: Option[String] = None): DataFrame = {
     val block = blockCol.map(col).getOrElse(lit(1))
     val t = lit(threshold)
+    // persisted: this subtree feeds the token-df count, the prefix build,
+    // and both sides of the candidate verify — without it the
+    // tokenize+shingle scalar work (the dominant cost) runs four times
     val sh = docs.select(col(idCol).as("id"), block.as("blk"),
         shingles(split(col(textCol), "\\s+"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global order = ascending document frequency (ties by token): prefixes
     // then hold each set's RAREST tokens, so inverted-index buckets stay
     // small — a lexicographic order leaves frequent tokens in prefixes and
