@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Table profile: one row per requested column with row count, null
+    * count, exact distinct count, and min/max rendered as strings (numerics
+    * through DECIMAL so both engines print identically). The "what am I
+    * looking at" pass before choosing filters — one aggregation job, no
+    * collect; Spark plans the multi-distinct via Expand, still a single
+    * scan of only the profiled columns.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { case (name, c) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_$name"),
+      countDistinct(c).as(s"__nd_$name"),
+      min(c).cast("string").as(s"__min_$name"),
+      max(c).cast("string").as(s"__max_$name"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(cols.map { case (name, _) => struct(
+        lit(name).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__nulls_$name").as("n_nulls"),
+        col(s"__nd_$name").as("n_distinct"),
+        col(s"__min_$name").as("min_value"),
+        col(s"__max_$name").as("max_value"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   /** Exact per-group percentiles with EXPLICIT linear interpolation
     * (`v_lo + (v_hi − v_lo) · frac`, `h = (n−1)·p` — the same definition as
     * Spark `percentile` and DuckDB `quantile_cont`). Spelled out rather

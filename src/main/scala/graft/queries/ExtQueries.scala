@@ -486,6 +486,17 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Table profile over orders: per-column null/distinct/min/max in one
+    * aggregation pass — numerics render through DECIMAL so both engines
+    * print identical strings.
+    */
+  private val x43: Q = (s, d) =>
+    Stats.profile(Tables.orders(s, d), Seq(
+      "o_custkey" -> col("o_custkey"),
+      "o_orderdate" -> col("o_orderdate"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> col("o_totalprice").cast(DecimalType(18, 2))))
+
   // -------------------------------------------------------- URL curation
 
   /** URL dissection + domain blocklist verdict over deterministic per-doc
@@ -600,6 +611,7 @@ object ExtQueries {
     "x40_line_dedup" -> x40,
     "x41_mixture_sample" -> x41,
     "x42_incremental_exact" -> x42,
+    "x43_profile" -> x43,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1158,5 +1170,32 @@ object ExtQueries {
         |SELECT doc_id, md5(text) AS fp FROM batch
         |WHERE text NOT IN (SELECT text FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x43_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    min(o_custkey)::VARCHAR AS min_value, max(o_custkey)::VARCHAR AS max_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_orderdate),
+        |    min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus)::VARCHAR, max(o_orderstatus)::VARCHAR
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_totalprice::DECIMAL(18,2)),
+        |    min(o_totalprice::DECIMAL(18,2))::VARCHAR,
+        |    max(o_totalprice::DECIMAL(18,2))::VARCHAR
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
   )
 }

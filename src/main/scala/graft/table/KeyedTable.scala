@@ -794,6 +794,89 @@ object KeyedTable {
     touched
   }
 
+  final case class FsckReport(
+      orphanStaging: Seq[String],
+      orphanDeltas: Seq[String],
+      abortedRewrites: Seq[String]) {
+    def clean: Boolean = orphanStaging.isEmpty && orphanDeltas.isEmpty && abortedRewrites.isEmpty
+  }
+
+  /** Crash-recovery sweep (Hudi "rollback of failed commits" analogue). A
+    * writer that died mid-commit can leave, in increasing severity:
+    *  (a) a `staging-<ct>` directory (death before the swap),
+    *  (b) a delta dir whose commit JSON never landed (death between
+    *      Deltas.write and CommitLog.write),
+    *  (c) an `archive/<ct>` of a rewrite whose commit JSON never landed —
+    *      some partitions may already be swapped, some only stashed.
+    * Because the commit JSON is the LAST write of every path, "no JSON"
+    * always means "not committed", and repair restores the pre-commit
+    * state: archived pre-images move back (half-swapped replacements are
+    * deleted), stashed delta batches of an aborted compaction return to the
+    * live set (their own commits are intact), and orphan staging/delta dirs
+    * are removed. Pure FS metadata ops. `repair = false` only reports.
+    * Single-writer assumption, as everywhere in this table format: run
+    * fsck before a new writer starts, not concurrently with one.
+    */
+  def fsck(spark: SparkSession, tablePath: String, repair: Boolean = true): FsckReport = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val fs = CommitLog.fs(spark, tablePath)
+    val committed = st.commits.map(_.commitTime).toSet
+    val log = CommitLog.logDir(tablePath)
+    val staging = fs.listStatus(log).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("staging-")).toSeq
+    val orphanDeltas = Deltas.liveCommits(spark, tablePath).filterNot(committed)
+    val aborted = Archive.commits(fs, tablePath).filterNot(committed)
+    if (repair) {
+      // aborted rewrites first: restoring may re-expose stashed deltas whose
+      // commits ARE in the log (they must not be swept as orphans below)
+      aborted.foreach { ct =>
+        val dd = Archive.dataDir(tablePath, ct)
+        if (fs.exists(dd)) fs.listStatus(dd).foreach { e =>
+          val dest = new Path(tablePath, e.getPath.getName)
+          if (fs.exists(dest)) fs.delete(dest, true)
+          fs.rename(e.getPath, dest)
+        }
+        Archive.archivedDeltaCommits(fs, tablePath, ct).foreach { dc =>
+          val dst = Deltas.dir(tablePath, dc)
+          if (!fs.exists(dst)) {
+            if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+            fs.rename(new Path(Archive.deltasDir(tablePath, ct), dc), dst)
+          }
+        }
+        fs.delete(Archive.dir(tablePath, ct), true)
+      }
+      staging.foreach(p => fs.delete(p, true))
+      orphanDeltas.foreach(c => fs.delete(Deltas.dir(tablePath, c), true))
+    }
+    FsckReport(staging.map(_.getName), orphanDeltas, aborted)
+  }
+
+  /** Inline compaction policy (Hudi NUM_COMMITS / byte-ratio strategy
+    * analogue): compact when the live delta batch count reaches
+    * `maxDeltaCommits` OR live delta bytes exceed `maxDeltaRatio` of base
+    * bytes. The decision reads only FS metadata (directory sizes), so a
+    * writer can call this after every delta commit for Hudi-style inline
+    * compaction without ever scanning data below the thresholds. Returns
+    * the compacted partitions, or None when below thresholds.
+    */
+  def compactIfNeeded(
+      spark: SparkSession,
+      tablePath: String,
+      maxDeltaRatio: Double = 0.10,
+      maxDeltaCommits: Int = 10): Option[Seq[String]] = {
+    val fs = CommitLog.fs(spark, tablePath)
+    val live = Deltas.liveCommits(spark, tablePath)
+    if (live.isEmpty) return None
+    if (live.size >= maxDeltaCommits) return Some(compact(spark, tablePath))
+    val deltaBytes = live.map(c =>
+      fs.getContentSummary(Deltas.dir(tablePath, c)).getLength).sum
+    val baseBytes = StatsIndex.listBaseFiles(fs, tablePath)
+      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    if (deltaBytes >= maxDeltaRatio * math.max(1L, baseBytes))
+      Some(compact(spark, tablePath))
+    else None
+  }
+
   /** Rollback (Hudi restore-to-instant analogue): undo every commit AFTER
     * `toCommitTime`, newest first. A live delta batch is undone by deleting
     * its directory; a rewrite commit (COW upsert/delete, compact, cluster,

@@ -506,6 +506,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("profile: null/distinct/min-max per column, one row per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("b")), (Some(2L), Some("b")))
+      .toDF("k", "s")
+    val out = Stats.profile(df, Seq("k" -> col("k"), "s" -> col("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(out.toSeq === Seq(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
