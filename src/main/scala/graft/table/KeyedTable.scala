@@ -1,5 +1,7 @@
 package graft.table
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1584,21 +1586,49 @@ object KeyedTable {
     }
     fs.delete(new Path(staging), true)
     cleanArchive(spark, tablePath)
-    // per-partition counts for the commit log: count only the swapped-in
-    // partitions, with the log schema so partition-path strings match
-    if (partF.isEmpty) Map("" -> spark.read.schema(schema).parquet(tablePath).count())
+    // per-partition counts for the commit log, from parquet FOOTERS of the
+    // swapped-in partitions — O(#files) metadata reads; re-reading the
+    // just-written data through a count job would decode every row a
+    // second time
+    if (partF.isEmpty) Map("" -> footerCounts(spark, fs,
+      Seq("" -> new Path(tablePath))).values.sum)
     else {
       val existing = touched.filter(p => fs.exists(new Path(s"$tablePath/${PathCodec.escape(p)}")))
       if (existing.isEmpty) Map.empty
-      else spark.read.schema(schema).option("basePath", tablePath)
-        .parquet(existing.map(p => s"$tablePath/${PathCodec.escape(p)}"): _*)
-        .groupBy(MetaColumns.partitionPath(partF).as("__pp"))
-        .agg(count(lit(1)).as("__c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else footerCounts(spark, fs,
+        existing.map(p => p -> new Path(s"$tablePath/${PathCodec.escape(p)}")))
     }
   }
 
   // ------------------------------------------------------------- utilities
+
+  /** Per-key row counts from the parquet FOOTERS of each directory's
+    * visible files — metadata reads distributed over executors, zero data
+    * decode. Keys with no files drop out (matching a grouped count).
+    */
+  private def footerCounts(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[(String, Path)]): Map[String, Long] = {
+    val files = dirs.flatMap { case (key, dir) =>
+      fs.listStatus(dir).filter(_.isFile)
+        .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
+        .map(f => (key, f.getPath.toString))
+    }
+    if (files.isEmpty) return Map.empty
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices)
+      .map { case (key, f) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
+        try (key, r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+        finally r.close()
+      }.reduceByKey(_ + _).collect().toMap
+  }
 
   /** Per-partition counts as ONE grouped aggregate (A3 fused with A1). */
   private def partitionCounts(
