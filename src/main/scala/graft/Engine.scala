@@ -133,4 +133,12 @@ object Engine {
       checkpointDir: String, startAt: Option[String] = None)
       : Option[graft.streaming.ChangeStream.Pull] =
     graft.streaming.ChangeStream.syncTo(spark, srcPath, dstPath, checkpointDir, startAt)
+
+  def fsck(spark: SparkSession, tablePath: String, repair: Boolean = true)
+      : KeyedTable.FsckReport =
+    KeyedTable.fsck(spark, tablePath, repair)
+
+  def compactIfNeeded(spark: SparkSession, tablePath: String,
+      maxDeltaRatio: Double = 0.10, maxDeltaCommits: Int = 10): Option[Seq[String]] =
+    KeyedTable.compactIfNeeded(spark, tablePath, maxDeltaRatio, maxDeltaCommits)
 }

@@ -37,7 +37,7 @@ object SparkEntry {
     "x07_ann_ivf", "x08_lang_id", "x10_token_count", "x12_sessionize",
     "x13_hourly_agg", "x16_dup_clusters", "x21_chunking", "x24_decontaminate",
     "x25_asof_join", "x26_range_join", "x28_tfidf_keywords",
-    "x32_token_percentiles")
+    "x32_token_percentiles", "x40_line_dedup", "x42_incremental_exact")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
