@@ -66,16 +66,29 @@ object Similarity {
     * (cell, dim) shuffle of n·dim rows + a |cells|·dim re-assembly —
     * the standard distributed-Lloyd shape, linear in corpus size.
     */
+  /** Per-metric assignment score (argmax picks the nearest centroid):
+    * cosine similarity, or for L2 the order-equivalent `v·c − ‖c‖²/2`
+    * (argmin ‖v−c‖² with the constant ‖v‖² dropped — no sqrt, no
+    * per-pair subtraction loop).
+    */
+  private def assignScore(metric: String, v: Column, cv: Column): Column = metric match {
+    case "cosine" => cosine(v, cv)
+    case "l2" => dot(v, cv) - lit(0.5) * dot(cv, cv)
+    case other => throw new IllegalArgumentException(s"unknown kmeans metric: $other")
+  }
+
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     var cents = seedCentroids(corpus, k, idCol, vecCol)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
     for (_ <- 1 to iters) {
       val assigned = c.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
+        .select(col("vec_id"), col("v"), col("cent_id"),
+          assignScore(metric, col("v"), col("cv")).as("csim"))
         .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
         .select(col("cent_id"), col("v"))
       val means = assigned
@@ -126,6 +139,95 @@ object Similarity {
     val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     assigned.join(probes, "cell")
       .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (FAISS-style PQ, Jégou et al. 2011):
+    * the corpus splits into `m` subvectors of dim/m dims; each subspace
+    * learns its own `codebookSize` centroids with L2 Lloyd (the metric PQ
+    * theory assumes — deterministic here via [[kmeansCentroids]]' decimal
+    * means). Returns (s, cent_id, cv), |rows| = m·codebookSize — always
+    * broadcastable.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, dim: Int, m: Int, codebookSize: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val d = dim / m
+    (0 until m).map { s =>
+      kmeansCentroids(
+        corpus.select(col(idCol), slice(col(vecCol), s * d + 1, d).as(vecCol)),
+        codebookSize, iters, idCol, vecCol, metric = "l2")
+        .withColumn("s", lit(s))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector as `m` codes — the 100 TB move: a 64-float
+    * embedding becomes m small ints, and ALL downstream scoring works on
+    * codes + the broadcast codebook; full vectors never shuffle. One
+    * posexplode + broadcast codebook join + per-(vector, subspace) argmax
+    * window. Returns (vec_id, s, code).
+    */
+  def pqEncode(
+      corpus: DataFrame, codebooks: DataFrame, dim: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = dim / m
+    val subs = corpus.select(col(idCol).as("vec_id"),
+      posexplode(array((0 until m).map(s => slice(col(vecCol), s * d + 1, d)): _*))
+        .as(Seq("s", "sub")))
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("score").desc, col("cent_id").asc)
+    subs.join(broadcast(codebooks), "s")
+      .withColumn("score", assignScore("l2", col("sub"), col("cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("s"), col("cent_id").as("code"))
+  }
+
+  /** PQ-ADC top-k with exact re-rank: per query, the (s, code) → partial
+    * dot lookup table (m·codebookSize rows) broadcasts with the plan, so
+    * scoring the corpus is a codes-scan + LUT join + one (query, vec) sum
+    * — approximate cosine = Σ q_s·ĉ_s / (‖q‖·√Σ‖ĉ_s‖²). The top
+    * `k·shortlist` ADC candidates per query are then re-ranked with exact
+    * cosine over just those vectors (a bounded semi-join pulls them), the
+    * standard shortlist-refine shape: ADC cheapness at scan time, exact
+    * order where it matters.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      shortlist: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = dim / m
+    val codebooks = pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(corpus, codebooks, dim, m, idCol, vecCol)
+
+    val qsubs = queries.select(col(idCol).as("query_id"),
+        norm(col(vecCol)).as("qnorm"),
+        posexplode(array((0 until m).map(s => slice(col(vecCol), s * d + 1, d)): _*))
+          .as(Seq("s", "qsub")))
+    val lut = qsubs.join(codebooks, "s")
+      .select(col("query_id"), col("qnorm"), col("s"), col("cent_id").as("code"),
+        dot(col("qsub"), col("cv")).as("pdot"), dot(col("cv"), col("cv")).as("cn2"))
+
+    val wShort = Window.partitionBy("query_id").orderBy(col("adc_sim").desc, col("vec_id").asc)
+    val short = codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pdot")).as("num"), sum(col("cn2")).as("den2"), max(col("qnorm")).as("qn"))
+      .withColumn("adc_sim", col("num") / (col("qn") * sqrt(col("den2"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("r", row_number().over(wShort)).filter(col("r") <= k * shortlist)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact re-rank over the bounded shortlist only
+    val cand = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(short.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    short.join(cand, "vec_id").join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)

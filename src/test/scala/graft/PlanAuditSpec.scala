@@ -23,10 +23,11 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x06: the query-vector set (broadcast by contract; corpus streams)
     *  - x07: nlist seed centroids + the query-vector set
     *  - x40: 1-row corpus doc count (line-df threshold)
+    *  - x44: m·codebookSize PQ centroids + the query-vector set
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
-      "x40_line_dedup")
+      "x40_line_dedup", "x44_ann_pq")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|3[0-9])_.*")

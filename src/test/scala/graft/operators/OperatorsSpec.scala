@@ -518,6 +518,23 @@ class OperatorsSpec extends SparkTestBase {
       ("s", 4L, 1L, 2L, "a", "b")))
   }
 
+  test("PQ-ADC with exact re-rank: deterministic, recall@10 over the bar on the fixture") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val queries = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.pqTopK(emb, queries, k = 10, dim = 64, m = 16, shortlist = 10)
+      .select("query_id", "rank", "vec_id").orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run()
+    assert(a.toSeq === run().toSeq) // decimal kmeans + pinned tiebreaks → bit-stable
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = a.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.map { case (q, t) =>
+      q -> approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    assert(recalls.values.forall(_ >= 0.7), s"recalls: $recalls")
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
