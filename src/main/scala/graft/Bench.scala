@@ -4,11 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    // headline subset only (SparkEntry.benchQueries): the full 70-query
+    // headline subset only (SparkEntry.benchQueries): the full query
     // surface belongs to Verify; timing it all twice blew the round-2
     // harness budget. Insertion order of the declared list is kept.
+    // Fail LOUDLY (with the offending names) if the list drifts from the
+    // query map — a bare key-miss here would crash before any timing
+    // output lands, handing the harness empty artifacts with no clue.
+    val allQ = SparkEntry.queries
+    val missing = SparkEntry.benchQueries.filterNot(allQ.contains)
+    require(missing.isEmpty, s"benchQueries not in SparkEntry.queries: ${missing.mkString(", ")}")
     val bench: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n))
+      SparkEntry.benchQueries.map(n => n -> allQ(n))
     // warmup pass at the smallest SF: JIT + codegen compilation for every
     // benched query's pipeline, so the timed pass below measures steady state
     val warmDir = "/root/testdata/sf0.001"

@@ -19,20 +19,23 @@ object Stats {
     */
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { case (name, c) => Seq(
-      sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_$name"),
-      countDistinct(c).as(s"__nd_$name"),
-      min(c).cast("string").as(s"__min_$name"),
-      max(c).cast("string").as(s"__max_$name"))
+    // intermediates are named by POSITION, not by the caller's label — a
+    // label with a dot would otherwise parse as struct-field access on the
+    // re-select and fail analysis
+    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+      countDistinct(c).as(s"__nd_$i"),
+      min(c).cast("string").as(s"__min_$i"),
+      max(c).cast("string").as(s"__max_$i"))
     } :+ count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    row.select(explode(array(cols.map { case (name, _) => struct(
+    row.select(explode(array(cols.zipWithIndex.map { case ((name, _), i) => struct(
         lit(name).as("col_name"),
         col("__n").as("n_rows"),
-        col(s"__nulls_$name").as("n_nulls"),
-        col(s"__nd_$name").as("n_distinct"),
-        col(s"__min_$name").as("min_value"),
-        col(s"__max_$name").as("max_value"))
+        col(s"__nulls_$i").as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_value"),
+        col(s"__max_$i").as("max_value"))
       }: _*)).as("p"))
       .select("p.*")
       .orderBy("col_name")

@@ -528,10 +528,13 @@ object ExtQueries {
     * zero shuffles, blocklist ships as a literal.
     */
   private val x37: Q = (s, d) => {
-    val blocked = Seq("src3.example.com", "src13.example.com")
+    // registrable domain VARIES with the source (example-srcN.com), so the
+    // blocklist genuinely drops rows — a constant-domain derivation would
+    // leave the branch exercised on zero rows
+    val blocked = Seq("example-src3.com", "example-src13.com")
     Tables.documents(s, d)
       .withColumn("url",
-        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+        concat(lit("https://www.example-"), col("source"), lit(".com/docs/"),
           col("lang"), lit("/"), col("doc_id")))
       .withColumn("host", Curation.urlHost(col("url")))
       .withColumn("domain", Curation.urlRegistrableDomain(col("url")))
@@ -1096,7 +1099,7 @@ object ExtQueries {
       // same derived URLs, same regexes — parse + blocklist verdict mirrored
       """WITH u AS (
         |  SELECT doc_id,
-        |    'https://www.' || source || '.example.com/docs/' || lang || '/'
+        |    'https://www.example-' || source || '.com/docs/' || lang || '/'
         |      || doc_id AS url
         |  FROM documents),
         |p AS (
@@ -1110,7 +1113,7 @@ object ExtQueries {
         |  CASE WHEN length(path) = 0 THEN 0::BIGINT
         |       ELSE len(string_split(path, '/')) - 1 END AS path_depth,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-        |    NOT IN ('src3.example.com', 'src13.example.com') AS keep
+        |    NOT IN ('example-src3.com', 'example-src13.com') AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
     "x38_quality_gate" ->
       // every signal computed with the same operation order as the Spark

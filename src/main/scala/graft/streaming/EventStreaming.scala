@@ -103,13 +103,19 @@ object EventStreaming {
     */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // gap arithmetic on SECOND-truncated epochs, exactly like the DuckDB
+    // oracle (epoch_ns // 1e9): full-precision interval comparison would
+    // split differently whenever a gap straddles the boundary only after
+    // truncation (prev=…00.1, ts=+1800.8s → truncated diff exactly 1800 =
+    // same session, real diff 1800.8 > gap). The double cast handles
+    // TIMESTAMP_NTZ too (refuses a direct BIGINT cast); session tz is UTC,
+    // so NTZ wall-clock → epoch matches DuckDB's naive-as-UTC epoch_ns.
+    val sec = col("ts").cast("timestamp").cast("long")
     val flagged = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      // interval comparison (not an epoch cast): TIMESTAMP_NTZ refuses a
-      // direct cast to BIGINT, and the testdata's ts column is tz-naive
+      .withColumn("prev_sec", lag(sec, 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+        when(col("prev_sec").isNull ||
+          sec - col("prev_sec") > gapMinutes * 60L, 1L)
           .otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -111,17 +111,8 @@ object BloomIndex {
         // Footer counts include null-key rows, so a file with nulls gets a
         // slightly roomier bloom: overcounting only lowers the effective
         // fpp, never raises it.
-        val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
-          .map(e => (e.getKey, e.getValue)).toArray
-        val slices = math.max(1, math.min(fresh.size, spark.sparkContext.defaultParallelism))
-        val counts = spark.sparkContext.parallelize(fresh, slices)
-          .map { f =>
-            val conf = new Configuration(false)
-            confEntries.foreach { case (k, v) => conf.set(k, v) }
-            val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-            try normalizePath(f) -> r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
-            finally r.close()
-          }.collect().toMap
+        val counts = StatsIndex.footerRowCounts(
+          spark, fresh.map(f => normalizePath(f) -> f))
         val bCounts = spark.sparkContext.broadcast(counts)
         keyed.as[(String, String)].rdd
           .mapPartitions { it =>

@@ -829,14 +829,48 @@ object KeyedTable {
     val orphanDeltas = Deltas.liveCommits(spark, tablePath).filterNot(committed)
     val aborted = Archive.commits(fs, tablePath).filterNot(committed)
     if (repair) {
+      def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+      // leaf units under `p`: FILES at the top level (unpartitioned root
+      // data) and deepest dirs with no subdirectories (partition leaves —
+      // nested for multi-level partition schemes, so restoring renames the
+      // LEAF, never a shared parent that also holds untouched siblings)
+      def leaves(p: Path, rel: String): Seq[(String, Path)] =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq
+          .filterNot(e => rel.isEmpty && hidden(e.getPath.getName))
+          .flatMap { e =>
+            val r = if (rel.isEmpty) e.getPath.getName else s"$rel/${e.getPath.getName}"
+            if (e.isFile) Seq(r -> e.getPath)
+            else if (fs.listStatus(e.getPath).exists(_.isDirectory)) leaves(e.getPath, r)
+            else Seq(r -> e.getPath)
+          }
       // aborted rewrites first: restoring may re-expose stashed deltas whose
       // commits ARE in the log (they must not be swept as orphans below)
       aborted.foreach { ct =>
-        val dd = Archive.dataDir(tablePath, ct)
-        if (fs.exists(dd)) fs.listStatus(dd).foreach { e =>
-          val dest = new Path(tablePath, e.getPath.getName)
+        val stashed = leaves(Archive.dataDir(tablePath, ct), "")
+        val stashedRels = stashed.map(_._1).toSet
+        // swapped-in content with NO pre-image — a partition the aborted
+        // rewrite CREATED, or its uniquely-named root files — is in no
+        // committed state and not stashed: remove it, or the un-committed
+        // data survives "repair" (and a later committed rewrite would stash
+        // it as a bogus pre-image). Single-writer: anything legitimately on
+        // disk at abort time was stashed by the rewrite or is in the log.
+        if (st.latest.partitionFields.nonEmpty) {
+          val known = st.nativePartitions.map(PathCodec.escape).toSet
+          leaves(new Path(tablePath), "")
+            .filter { case (r, p) => !known(r) && !stashedRels(r) && fs.isDirectory(p) }
+            .foreach { case (_, p) => fs.delete(p, true) }
+        } else {
+          fs.listStatus(new Path(tablePath)).filter(_.isFile)
+            .filterNot(e => hidden(e.getPath.getName))
+            .filterNot(e => stashedRels(e.getPath.getName))
+            .foreach(e => fs.delete(e.getPath, false))
+        }
+        stashed.foreach { case (r, src) =>
+          val dest = new Path(tablePath, r)
           if (fs.exists(dest)) fs.delete(dest, true)
-          fs.rename(e.getPath, dest)
+          if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+          fs.rename(src, dest)
         }
         Archive.archivedDeltaCommits(fs, tablePath, ct).foreach { dc =>
           val dst = Deltas.dir(tablePath, dc)
@@ -1615,19 +1649,7 @@ object KeyedTable {
         .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
         .map(f => (key, f.getPath.toString))
     }
-    if (files.isEmpty) return Map.empty
-    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => (e.getKey, e.getValue)).toArray
-    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(files, slices)
-      .map { case (key, f) =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
-        try (key, r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
-        finally r.close()
-      }.reduceByKey(_ + _).collect().toMap
+    StatsIndex.footerRowCounts(spark, files)
   }
 
   /** Per-partition counts as ONE grouped aggregate (A3 fused with A1). */

@@ -177,6 +177,27 @@ object StatsIndex {
     ct
   }
 
+  /** Σ parquet-footer row counts per key over (key, file) pairs —
+    * distributed metadata reads, zero data decode. Shared by commit-log
+    * partition counting ([[KeyedTable]]) and bloom sizing ([[BloomIndex]]):
+    * the hadoop-conf rehydration must not drift between copies.
+    */
+  private[table] def footerRowCounts(
+      spark: SparkSession, pairs: Seq[(String, String)]): Map[String, Long] = {
+    if (pairs.isEmpty) return Map.empty
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(pairs.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(pairs, slices)
+      .map { case (key, f) =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try (key, r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+        finally r.close()
+      }.reduceByKey(_ + _).collect().toMap
+  }
+
   /** Footer pass for one file: per requested column, fold row-group chunk
     * stats into a file-level min/max. Any irregularity (missing stats,
     * unexpected physical type, truncated values) degrades to

@@ -96,6 +96,29 @@ class FsckSpec extends SparkTestBase {
     assert(after.toSeq === before.toSeq)
   }
 
+  test("fsck removes a partition the aborted rewrite created (no pre-image to restore)") {
+    val table = boot()
+    val fs = fsOf(table)
+    val before = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_month").orderBy("o_orderkey").collect()
+
+    // rewrite marked its archive, swapped a brand-new partition in (nothing
+    // stashed — the partition did not exist before), then died pre-commit
+    val ct = "99990303000000"
+    Archive.mark(fs, table, ct)
+    val created = new Path(s"$table/o_month=2099-12")
+    fs.mkdirs(created)
+    fs.create(new Path(created, "part-aborted.parquet"), true).close()
+
+    val report = KeyedTable.fsck(spark, table)
+    assert(report.abortedRewrites === Seq(ct))
+    assert(!fs.exists(created)) // uncommitted data must not survive repair
+    assert(!Archive.exists(fs, table, ct))
+    assert(KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_month").orderBy("o_orderkey").collect()
+      .toSeq === before.toSeq)
+  }
+
   test("compactIfNeeded: quiet below thresholds, fires on commit count and on byte ratio") {
     val table = boot(TableType.MergeOnRead)
     assert(KeyedTable.compactIfNeeded(spark, table).isEmpty) // no deltas at all
