@@ -348,6 +348,26 @@ object Curation {
     df.filter(pmod(Portable.hash60(keyCol), lit(100)) <
       coalesce(element_at(typedLit(rates), sourceCol), lit(defaultRate)))
 
+  // ----------------------------------------------------------- data splits
+
+  /** Deterministic train/val/test assignment: the portable per-key hash
+    * lands each row in a named split by percentage ranges — stable across
+    * runs, engines, and corpus growth (a doc keeps its split forever, so
+    * val/test never leak into training after a re-run over grown data).
+    * Zero shuffles: the whole decision is one expression in the scan.
+    */
+  def assignSplits(
+      df: DataFrame, keyCol: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split weights must sum to 100, got $splits")
+    val h = pmod(Portable.hash60(keyCol), lit(100))
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(bounds).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), bound), rest) => when(h < bound, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   // ------------------------------------------------------------ vocabulary
 
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with term

@@ -519,6 +519,15 @@ object ExtQueries {
       "o_orderstatus" -> col("o_orderstatus"),
       "o_totalprice" -> col("o_totalprice").cast(DecimalType(18, 2))))
 
+  /** Deterministic 90/5/5 train/val/test assignment by hashed doc_id —
+    * the split every training pipeline fixes once and must never reshuffle.
+    */
+  private val x45: Q = (s, d) =>
+    Curation.assignSplits(Tables.documents(s, d), col("doc_id"),
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
   // -------------------------------------------------------- URL curation
 
   /** URL dissection + domain blocklist verdict over deterministic per-doc
@@ -638,6 +647,7 @@ object ExtQueries {
     "x42_incremental_exact" -> x42,
     "x43_profile" -> x43,
     "x44_ann_pq" -> x44,
+    "x45_data_splits" -> x45,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1228,5 +1238,13 @@ object ExtQueries {
       // vs the exact top-10 the Spark side computes in the same plan
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x45_data_splits" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${graft.functions.Portable.sqlHash60("doc_id::VARCHAR")} % 100 < 90
+         |         THEN 'train'
+         |       WHEN ${graft.functions.Portable.sqlHash60("doc_id::VARCHAR")} % 100 < 95
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

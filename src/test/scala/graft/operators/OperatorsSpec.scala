@@ -535,6 +535,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(recalls.values.forall(_ >= 0.7), s"recalls: $recalls")
   }
 
+  test("split assignment: covers every row, roughly honors weights, deterministic, rejects bad weights") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = Curation.assignSplits(docs, col("doc_id"),
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum === n) // total coverage, no row unassigned
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > n * 8 / 10) // weights roughly honored on 500 docs
+    assert(counts("val") + counts("test") < n / 5)
+    // deterministic across runs
+    assert(out.orderBy("doc_id").collect() === Curation.assignSplits(
+      docs, col("doc_id"), Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .orderBy("doc_id").collect())
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, col("doc_id"), Seq("a" -> 50, "b" -> 40)))
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
