@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName ...] — trailing names restrict the dump
+    // to those queries (local iteration); the driver passes exactly two args
+    val (Array(sfDir, outDir), only) = args.splitAt(2)
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     // queries run CONCURRENTLY on the shared session (they are independent:
@@ -18,7 +20,9 @@ object Verify {
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-    SparkEntry.queries.foreach(queue.add)
+    SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .foreach(queue.add)
     val workers = (1 to math.max(1, par)).map { _ =>
       val t = new Thread(() => {
         var item = queue.poll()

@@ -701,6 +701,30 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** SQL/DataSource surface ([[graft.sources.GraftDataSource]]): bootstrap a
+    * table, register it in the session catalog with `CREATE TABLE ... USING
+    * graft`, and answer entirely through `spark.sql` — the read path SQL-only
+    * consumers (BI tools, notebooks) get. Column pruning and the GROUP BY
+    * both cross the DSv2→engine bridge; the oracle recomputes the aggregate
+    * from the raw fixture, so the whole bridge (commit-log schema, snapshot
+    * assembly, V1Scan hand-off) is hash-checked.
+    */
+  private val q39: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q39")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q39_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    // re-runs in one session (bench iterations) re-point the catalog entry at
+    // this call's fresh table dir
+    s.sql("DROP TABLE IF EXISTS graft_q39_orders")
+    s.sql(s"CREATE TABLE graft_q39_orders USING graft LOCATION '$tbl'")
+    s.sql(
+      """SELECT o_month, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM graft_q39_orders GROUP BY o_month ORDER BY o_month""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -739,6 +763,7 @@ object CoreQueries {
     "q36_csv_roundtrip" -> q36,
     "q37_json_roundtrip" -> q37,
     "q38_schema_evolution" -> q38,
+    "q39_sql_table_read" -> q39,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -948,5 +973,10 @@ object CoreQueries {
         |       THEN 'WEB' END AS o_channel,
         |  o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q39_sql_table_read" ->
+      // the CREATE TABLE USING graft read must reproduce the raw fixture
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
