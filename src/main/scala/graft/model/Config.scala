@@ -9,12 +9,22 @@ package graft.model
   */
 class GraftException(message: String) extends RuntimeException(message)
 
+/** Optimistic-concurrency rejection (Hudi `HoodieWriteConflictException`
+  * analogue): another writer's commit landed after this write's base
+  * instant and touches overlapping partitions. RETRYABLE by contract —
+  * run fsck to clear the loser's staged data, re-read the table state,
+  * and re-apply the write on top of the new tip.
+  */
+class CommitConflictException(message: String) extends GraftException(message)
+
 object GraftException {
   def config(msg: String): GraftException = new GraftException(s"Configuration Error: $msg")
   def permission(msg: String): GraftException = new GraftException(s"Permission Denied: $msg")
   def unsupportedFormat(what: String): GraftException =
     new GraftException(s"Unsupported file format: $what")
   def unexpected(msg: String): GraftException = new GraftException(s"Unexpected Error: $msg")
+  def conflict(msg: String): CommitConflictException =
+    new CommitConflictException(s"Commit Conflict: $msg")
 }
 
 /** COPY_ON_WRITE / MERGE_ON_READ (pyspark_script.py:66, app.py:118).

@@ -149,7 +149,10 @@ object BloomIndex {
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = st.latest.partitionFields,
       partitions = Seq.empty, recordCount = files.size.toLong,
-      schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      // sidecar commit: empty partition list never OCC-conflicts, but a
+      // concurrent bootstrap (wholesale replace) still aborts this publish
+      baseInstant = Some(st.latest.commitTime))
 
     // per-COLUMN inline cleaner: indexes of other columns stay live
     if (fs.exists(bloomRoot(tablePath)))
@@ -244,7 +247,7 @@ object BloomIndex {
     require(values.nonEmpty, "readByValues needs at least one value")
     val st = CommitLog.requireState(spark, tablePath)
     val pred = col(column).cast("string").isin(values: _*)
-    if (Deltas.liveCommits(spark, tablePath).nonEmpty || st.metadataOnlyPartitions.nonEmpty)
+    if (Deltas.committedLive(spark, tablePath, st).nonEmpty || st.metadataOnlyPartitions.nonEmpty)
       return KeyedTable.read(spark, tablePath).filter(pred)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val pr = candidateFiles(spark, tablePath, values, column)

@@ -93,22 +93,127 @@ object CommitLog {
     sdf.format(new java.util.Date(now))
   }
 
-  // ------------------------------------------------------------------ write
+  // -------------------------------------------------------------- inflight
 
-  def write(spark: SparkSession, tablePath: String, info: CommitInfo): Unit = {
+  /** Inflight marker (`<ct>.inflight.json`) — Hudi's `.inflight` timeline
+    * file analogue, recorded when a writer starts mutating the filesystem
+    * (staging write, delta write, archive rename). Atomic create with
+    * overwrite=false, so two writers that somehow allocate the same instant
+    * collide HERE, before either stages data. The marker is observability +
+    * fsck input (a marker without a commit JSON is a dead or conflicted
+    * writer); publish-time conflict validation uses the actual CommitInfo,
+    * never the marker.
+    */
+  def beginInflight(
+      spark: SparkSession,
+      tablePath: String,
+      ct: String,
+      operation: String,
+      partitions: Seq[String]): Unit = {
     val f = fs(spark, tablePath)
     val dir = logDir(tablePath)
     if (!f.exists(dir)) f.mkdirs(dir)
-    // every consumer (state fold, incremental/asOf splits, delta merge)
-    // relies on commit-time strings strictly increasing; a regression —
-    // e.g. a host clock jump, or a pre-UTC-format table written in a zone
-    // ahead of UTC — must fail loudly, never silently misorder history
-    val newest = f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".commit.json")).sorted.lastOption.map(_.stripSuffix(".commit.json"))
-    newest.filter(_ >= info.commitTime).foreach { n =>
-      throw GraftException.config(
-        s"Commit instant ${info.commitTime} is not after the table's latest commit $n " +
-          "(clock skew, or a table written under a different timezone format).")
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("commitTime", ct)
+    root.put("operation", operation)
+    putStrings(root, "partitions", partitions)
+    val out = f.create(new Path(dir, s"$ct.inflight.json"), false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+  }
+
+  /** Instants with an inflight marker (committed or not) — fsck subtracts
+    * the committed set to find dead/conflicted writers.
+    */
+  def inflights(spark: SparkSession, tablePath: String): Seq[String] = {
+    val f = fs(spark, tablePath)
+    val dir = logDir(tablePath)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName).filter(_.endsWith(".inflight.json"))
+      .map(_.stripSuffix(".inflight.json")).toSeq.sorted
+  }
+
+  def clearInflight(spark: SparkSession, tablePath: String, ct: String): Unit = {
+    val f = fs(spark, tablePath)
+    f.delete(new Path(logDir(tablePath), s"$ct.inflight.json"), false)
+  }
+
+  // ------------------------------------------------------------------ write
+
+  /** Serializes the check-then-create publish step for writers in this JVM
+    * (local mode, Verify's concurrent query threads, streaming ingest).
+    * Across processes the commit JSON's atomic create(overwrite=false) still
+    * rejects instant collisions, but the conflict check itself has a
+    * check-to-create window — closing it needs an external lock provider
+    * (ZK/DynamoDB), exactly as Hudi's multi-writer OCC does; same deployment
+    * contract here.
+    */
+  private val publishLock = new Object
+
+  /** Publish a commit with optimistic concurrency validation (Hudi
+    * OCC / SimpleConcurrentFileWritesConflictResolutionStrategy analogue).
+    *
+    * `baseInstant` is the table's latest committed instant observed when the
+    * writer read its state (None on a fresh/overwrite bootstrap, where no
+    * prior state participates). Validation under [[publishLock]]:
+    *
+    *  - the instant itself must be new (immutable timeline) and strictly
+    *    after `baseInstant` (clock-skew guard);
+    *  - any commit that landed AFTER `baseInstant` and touches overlapping
+    *    partitions — or is/meets a `bootstrap` (wholesale replace) — aborts
+    *    this publish with a retryable [[graft.model.CommitConflictException]].
+    *    Index sidecar commits (empty partition list) never conflict.
+    *
+    * Commits over DISJOINT partition sets interleave freely, which means a
+    * slower writer can publish an instant smaller than the table tip. That
+    * keeps per-partition history strictly ordered (the invariant the state
+    * fold, delta merge, and asOf reads rely on) while allowing concurrent
+    * writers — the same model as Hudi's start-time-stamped instants.
+    * Consequence, as in Hudi: an incremental poller that already advanced
+    * past instant T can miss a late publish < T; pollers that need a total
+    * order must quiesce writers or poll behind the oldest inflight marker.
+    */
+  def write(
+      spark: SparkSession,
+      tablePath: String,
+      info: CommitInfo,
+      baseInstant: Option[String]): Unit = publishLock.synchronized {
+    val f = fs(spark, tablePath)
+    val dir = logDir(tablePath)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val existing = commits(spark, tablePath)
+    if (existing.exists(_.commitTime == info.commitTime))
+      throw GraftException.conflict(
+        s"Commit instant ${info.commitTime} already exists at $tablePath — instants are immutable.")
+    baseInstant match {
+      case Some(b) =>
+        if (info.commitTime <= b)
+          throw GraftException.config(
+            s"Commit instant ${info.commitTime} is not after its base instant $b " +
+              "(clock skew, or a table written under a different timezone format).")
+        val mine = info.partitions.map(_.path).toSet
+        val clash = existing.filter(_.commitTime > b).filter { c =>
+          info.operation == "bootstrap" || c.operation == "bootstrap" ||
+            c.partitions.exists(p => mine.contains(p.path))
+        }
+        if (clash.nonEmpty) {
+          clearInflight(spark, tablePath, info.commitTime)
+          throw GraftException.conflict(
+            s"Commit ${info.commitTime} (${info.operation}) of partitions " +
+              s"[${mine.toSeq.sorted.mkString(", ")}] conflicts with concurrently landed " +
+              s"instant(s) ${clash.map(c => s"${c.commitTime} (${c.operation})").mkString(", ")} " +
+              s"published after its base instant $b. Retryable: run fsck to clear this " +
+              "writer's staged data, re-read the table state, and re-apply the write.")
+        }
+      case None =>
+        // no base snapshot (fresh/overwrite bootstrap): keep the strict
+        // monotonicity guard — every consumer relies on commit-time strings
+        // increasing, and nothing legitimately landed "since"
+        existing.lastOption.filter(_.commitTime >= info.commitTime).foreach { n =>
+          throw GraftException.config(
+            s"Commit instant ${info.commitTime} is not after the table's latest commit ${n.commitTime} " +
+              "(clock skew, or a table written under a different timezone format).")
+        }
     }
     val root: ObjectNode = mapper.createObjectNode()
     root.put("commitTime", info.commitTime)
@@ -132,6 +237,7 @@ object CommitLog {
     val out = f.create(new Path(dir, s"${info.commitTime}.commit.json"), false)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
+    clearInflight(spark, tablePath, info.commitTime)
   }
 
   private def putStrings(n: ObjectNode, field: String, vs: Seq[String]): Unit = {

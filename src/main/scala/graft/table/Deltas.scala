@@ -44,6 +44,19 @@ object Deltas {
     else fs.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 
+  /** Live AND committed delta batches — what readers merge and compaction
+    * folds. A delta directory without its commit JSON (the writer died or
+    * lost an OCC conflict between [[write]] and the publish) must be
+    * invisible to every consumer except fsck, which sweeps it — otherwise
+    * uncommitted rows leak into snapshots between the failure and the sweep,
+    * breaking commit atomicity.
+    */
+  def committedLive(
+      spark: SparkSession, tablePath: String, st: CommitLog.TableState): Seq[String] = {
+    val committed = st.commits.map(_.commitTime).toSet
+    liveCommits(spark, tablePath).filter(committed)
+  }
+
   /** Write one delta batch. `rows` must already carry the meta columns and
     * the [[DeletedCol]] marker.
     */

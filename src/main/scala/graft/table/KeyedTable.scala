@@ -117,6 +117,8 @@ object KeyedTable {
 
     // a fresh bootstrap replaces the table wholesale
     fs.delete(new Path(cfg.tablePath), true)
+    CommitLog.beginInflight(spark, cfg.tablePath, ct, "bootstrap",
+      (nativeCounts ++ metaCounts).map(_._1))
 
     if (nativeCounts.nonEmpty) {
       val nativeSet = nativeCounts.map(_._1).toSet
@@ -133,7 +135,10 @@ object KeyedTable {
       precombineField = cfg.precombineField, partitionFields = cfg.partitionFields,
       partitions = nativeCounts.map(entryOf("native")) ++ metaCounts.map(entryOf("metadata_only")),
       recordCount = partCounts.map(_._2).sum, schemaDdl = schemaDdl,
-      sourcePath = if (metaCounts.nonEmpty) Some(cfg.dataFilePath) else None))
+      sourcePath = if (metaCounts.nonEmpty) Some(cfg.dataFilePath) else None),
+      // wholesale replace: the pre-existing log (if any) was just deleted, so
+      // no base snapshot participates — strict monotonic guard applies
+      baseInstant = None)
 
     (nativeCounts ++ metaCounts).map(_._1)
   }
@@ -154,9 +159,11 @@ object KeyedTable {
     if (cfg.partitionFields.isEmpty)
       return freshWrite(spark, cfg, input, partCounts, ct) // resume is partition-wise only
 
+    val base = CommitLog.state(spark, cfg.tablePath).map(_.latest.commitTime)
     val toWrite = resumeTargets(spark, cfg, existing, partCounts)
     if (toWrite.isEmpty) return Seq.empty // "No missing or incomplete partitions found."
 
+    CommitLog.beginInflight(spark, cfg.tablePath, ct, "resume", toWrite)
     val slice = input.filter(ppCol(cfg.partitionFields).isin(toWrite: _*))
     writeData(slice, cfg.keyFields, cfg.partitionFields, ct, cfg.tablePath,
       mode = "overwrite", dynamicOverwrite = true)
@@ -169,7 +176,7 @@ object KeyedTable {
       partitions = toWrite.map(p => PartitionEntry(p, "native", countsByP.getOrElse(p, 0L))),
       recordCount = toWrite.map(countsByP.getOrElse(_, 0L)).sum,
       schemaDdl = MetaColumns.withMeta(input, cfg.keyFields, cfg.partitionFields, ct).schema.toDDL,
-      sourcePath = None))
+      sourcePath = None), baseInstant = base)
     toWrite
   }
 
@@ -249,7 +256,7 @@ object KeyedTable {
       tablePath: String,
       st: TableState,
       restrictTo: Option[Set[String]]): DataFrame = {
-    val live = Deltas.liveCommits(spark, tablePath)
+    val live = Deltas.committedLive(spark, tablePath, st)
     if (live.isEmpty) return readBase(spark, tablePath, st, exclude = Set.empty, restrictTo)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val deltaParts = Deltas.touchedPartitions(st, live)
@@ -359,7 +366,7 @@ object KeyedTable {
     val upserts = readIncremental(spark, tablePath, sinceCommitTime)
       .select(cols: _*).withColumn(ChangeOp, lit("upsert"))
 
-    val live = Deltas.liveCommits(spark, tablePath).toSet
+    val live = Deltas.committedLive(spark, tablePath, st).toSet
     // commits that can REMOVE rows: deletes and global upserts (a partition
     // move removes the old-partition copy). Plain delta_commit upsert
     // batches written by THIS version never carry tombstones and so don't
@@ -481,6 +488,7 @@ object KeyedTable {
         .select(evolved.fieldNames.map(col).toSeq: _*)
         .withColumn(Deltas.DeletedCol, lit(true))
       val rows = updMeta.withColumn(Deltas.DeletedCol, lit(false)).unionByName(tombMeta)
+      CommitLog.beginInflight(spark, tablePath, ct, "upsert_global", touched)
       Deltas.write(rows, tablePath, ct, partF)
       moved.unpersist()
       val counts = partitionCountsOf(
@@ -493,7 +501,8 @@ object KeyedTable {
         tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
         partitionFields = partF,
         partitions = counts.keys.toSeq.sorted.map(p => PartitionEntry(p, "delta", counts(p))),
-        recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
+        recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None),
+        baseInstant = Some(st.latest.commitTime))
       return counts.keys.toSeq.sorted
     }
 
@@ -521,7 +530,7 @@ object KeyedTable {
       tablePath: String,
       st: TableState,
       updMeta: DataFrame): DataFrame = {
-    if (Deltas.liveCommits(spark, tablePath).nonEmpty || st.metadataOnlyPartitions.nonEmpty ||
+    if (Deltas.committedLive(spark, tablePath, st).nonEmpty || st.metadataOnlyPartitions.nonEmpty ||
         BloomIndex.latestIndex(spark, tablePath).isEmpty)
       return read(spark, tablePath)
     val ks = updMeta.select(MetaColumns.RecordKey).distinct().limit(MaxBloomProbeKeys + 1)
@@ -588,13 +597,15 @@ object KeyedTable {
     val base = padToSchema(readPartitions(spark, tablePath, st, touched), evolved)
     val merged = base.join(updMeta.select(antiJoinKeys.map(col): _*), antiJoinKeys, "left_anti")
       .unionByName(updMeta)
+    CommitLog.beginInflight(spark, tablePath, ct, operation, touched)
     val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
     CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = operation, tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
     touched
   }
 
@@ -712,6 +723,10 @@ object KeyedTable {
       .withColumn(Deltas.DeletedCol, lit(delete))
       .select(evolved.fieldNames.map(col).toSeq :+ col(Deltas.DeletedCol): _*)
 
+    // touched partitions aren't known until the delta files exist; the
+    // marker records the instant + operation, publish validates real paths
+    CommitLog.beginInflight(spark, tablePath, ct,
+      if (delete) "delete" else "delta_commit", Seq.empty)
     Deltas.write(rows, tablePath, ct, partF)
 
     val counts = partitionCountsOf(
@@ -722,7 +737,8 @@ object KeyedTable {
       tableName = st.latest.tableName, tableType = st.latest.tableType,
       keyFields = keyF, precombineField = precombine, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "delta", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
     touched
   }
 
@@ -749,6 +765,7 @@ object KeyedTable {
     val remaining = base.join(
       keys.select((keyF ++ partF).map(col): _*).distinct(), keyF ++ partF, "left_anti")
 
+    CommitLog.beginInflight(spark, tablePath, ct, "delete", touched)
     val counts = stageAndSwap(spark, tablePath, remaining,
       StructType.fromDDL(st.latest.schemaDdl), partF, touched, ct)
     CommitLog.write(spark, tablePath, CommitInfo(
@@ -756,7 +773,8 @@ object KeyedTable {
       tableType = st.latest.tableType, keyFields = keyF,
       precombineField = st.latest.precombineField, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
     touched
   }
 
@@ -768,7 +786,9 @@ object KeyedTable {
     */
   def compact(spark: SparkSession, tablePath: String): Seq[String] = {
     val st = CommitLog.requireState(spark, tablePath)
-    val live = Deltas.liveCommits(spark, tablePath)
+    // committed only: folding an uncommitted orphan batch into base files
+    // would durably commit a dead/conflicted writer's data
+    val live = Deltas.committedLive(spark, tablePath, st)
     if (live.isEmpty) return Seq.empty
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val partF = st.latest.partitionFields
@@ -779,6 +799,7 @@ object KeyedTable {
       readPartitions(spark, tablePath, st, touched),
       Deltas.read(spark, tablePath, schema, live),
       st.latest.precombineField)
+    CommitLog.beginInflight(spark, tablePath, ct, "compact", touched)
     val counts = stageAndSwap(spark, tablePath, merged, schema, partF, touched, ct)
 
     CommitLog.write(spark, tablePath, CommitInfo(
@@ -786,7 +807,8 @@ object KeyedTable {
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
 
     // absorbed delta batches move into this compaction's archive (not
     // deleted): readAsOf before the compaction re-merges them, and rolling
@@ -799,8 +821,10 @@ object KeyedTable {
   final case class FsckReport(
       orphanStaging: Seq[String],
       orphanDeltas: Seq[String],
-      abortedRewrites: Seq[String]) {
-    def clean: Boolean = orphanStaging.isEmpty && orphanDeltas.isEmpty && abortedRewrites.isEmpty
+      abortedRewrites: Seq[String],
+      staleInflights: Seq[String] = Seq.empty) {
+    def clean: Boolean = orphanStaging.isEmpty && orphanDeltas.isEmpty &&
+      abortedRewrites.isEmpty && staleInflights.isEmpty
   }
 
   /** Crash-recovery sweep (Hudi "rollback of failed commits" analogue). A
@@ -815,9 +839,11 @@ object KeyedTable {
     * state: archived pre-images move back (half-swapped replacements are
     * deleted), stashed delta batches of an aborted compaction return to the
     * live set (their own commits are intact), and orphan staging/delta dirs
-    * are removed. Pure FS metadata ops. `repair = false` only reports.
-    * Single-writer assumption, as everywhere in this table format: run
-    * fsck before a new writer starts, not concurrently with one.
+    * are removed, along with the `<ct>.inflight.json` markers of writers
+    * that died or lost an OCC conflict ([[CommitLog.write]]). Pure FS
+    * metadata ops. `repair = false` only reports.
+    * Run fsck before a new writer starts, not concurrently with one —
+    * OCC protects commit publication, not recovery sweeps.
     */
   def fsck(spark: SparkSession, tablePath: String, repair: Boolean = true): FsckReport = {
     val st = CommitLog.requireState(spark, tablePath)
@@ -828,6 +854,9 @@ object KeyedTable {
       .filter(_.getName.startsWith("staging-")).toSeq
     val orphanDeltas = Deltas.liveCommits(spark, tablePath).filterNot(committed)
     val aborted = Archive.commits(fs, tablePath).filterNot(committed)
+    // inflight markers of dead or OCC-conflicted writers: no commit JSON ever
+    // landed for them (publish clears the marker of a successful commit)
+    val staleInflights = CommitLog.inflights(spark, tablePath).filterNot(committed)
     if (repair) {
       def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
       // leaf units under `p`: FILES at the top level (unpartitioned root
@@ -883,8 +912,9 @@ object KeyedTable {
       }
       staging.foreach(p => fs.delete(p, true))
       orphanDeltas.foreach(c => fs.delete(Deltas.dir(tablePath, c), true))
+      staleInflights.foreach(CommitLog.clearInflight(spark, tablePath, _))
     }
-    FsckReport(staging.map(_.getName), orphanDeltas, aborted)
+    FsckReport(staging.map(_.getName), orphanDeltas, aborted, staleInflights)
   }
 
   /** Inline compaction policy (Hudi NUM_COMMITS / byte-ratio strategy
@@ -901,7 +931,7 @@ object KeyedTable {
       maxDeltaRatio: Double = 0.10,
       maxDeltaCommits: Int = 10): Option[Seq[String]] = {
     val fs = CommitLog.fs(spark, tablePath)
-    val live = Deltas.liveCommits(spark, tablePath)
+    val live = Deltas.committedLive(spark, tablePath, CommitLog.requireState(spark, tablePath))
     if (live.isEmpty) return None
     if (live.size >= maxDeltaCommits) return Some(compact(spark, tablePath))
     val deltaBytes = live.map(c =>
@@ -1044,7 +1074,7 @@ object KeyedTable {
         upper.map(v => col(column) <= lit(v).cast(dt))).flatten
         .reduceOption(_ && _).getOrElse(col(column).isNotNull)
     }.reduce(_ && _)
-    if (Deltas.liveCommits(spark, tablePath).nonEmpty)
+    if (Deltas.committedLive(spark, tablePath, st).nonEmpty)
       return snapshot(spark, tablePath, st, restrictTo = None).filter(pred)
     val cols = schema.fieldNames.map(col).toSeq
     val pruned = StatsIndex.prune(spark, tablePath, ranges)
@@ -1141,8 +1171,11 @@ object KeyedTable {
     // rows appended into surviving files after asOf drop out here
     val base = base0.filter(col(MetaColumns.CommitTime) <= asOf)
 
-    // deltas at asOf: live and ≤ asOf, or stashed by a post-asOf compaction
-    val liveDirs = Deltas.liveCommits(spark, tablePath).filter(_ <= asOf)
+    // deltas at asOf: live committed and ≤ asOf, or stashed by a post-asOf
+    // compaction (an orphan dir of a dead/conflicted writer is no commit)
+    val committedSet = all.map(_.commitTime).toSet
+    val liveDirs = Deltas.liveCommits(spark, tablePath)
+      .filter(c => c <= asOf && committedSet(c))
       .map(c => c -> Deltas.dir(tablePath, c).toString)
     val archDirs = later.filter(_.operation == "compact").flatMap { c =>
       Archive.archivedDeltaCommits(fs, tablePath, c.commitTime).filter(_ <= asOf)
@@ -1423,7 +1456,7 @@ object KeyedTable {
       throw GraftException.config(
         s"Cannot drop non-native partition(s) ${notNative.mkString(", ")}: " +
           "materialize METADATA_ONLY partitions / compact delta-only partitions first.")
-    val live = Deltas.liveCommits(spark, tablePath)
+    val live = Deltas.committedLive(spark, tablePath, st)
     if (live.nonEmpty) {
       val clash = partitions.toSet intersect Deltas.touchedPartitions(st, live).toSet
       if (clash.nonEmpty)
@@ -1432,6 +1465,7 @@ object KeyedTable {
     }
     val fs = CommitLog.fs(spark, tablePath)
     val ct = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tablePath, ct, "delete_partition", partitions.sorted)
     Archive.mark(fs, tablePath, ct)
     partitions.foreach { p =>
       val dir = new Path(s"$tablePath/${PathCodec.escape(p)}")
@@ -1443,7 +1477,8 @@ object KeyedTable {
       precombineField = st.latest.precombineField, partitionFields = partF,
       // recordCount 0: counting would defeat the O(metadata) contract
       partitions = partitions.sorted.map(p => PartitionEntry(p, "dropped", 0L)),
-      recordCount = 0L, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = 0L, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
     cleanArchive(spark, tablePath)
     partitions.sorted
   }
@@ -1464,6 +1499,7 @@ object KeyedTable {
 
     val rows = readPartitions(spark, tablePath, st, targets)
     val clustered = shape(rows, partF)
+    CommitLog.beginInflight(spark, tablePath, ct, "cluster", targets)
     val counts = stageAndSwap(spark, tablePath, clustered, schema, partF, targets, ct,
       writeOptions = if (maxRecordsPerFile > 0) Map("maxRecordsPerFile" -> maxRecordsPerFile.toString)
         else Map.empty,
@@ -1474,7 +1510,8 @@ object KeyedTable {
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
       partitions = targets.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
     targets
   }
 
@@ -1500,9 +1537,13 @@ object KeyedTable {
         .collect().map(_.getString(0)).toSeq.sorted
 
     // materialize commits its OWN instant, so this append's instant must be
-    // issued AFTER it — the commit log refuses non-increasing instants
+    // issued AFTER it — the commit log refuses non-increasing instants.
+    // Re-read the tip afterwards so materialize's own commit (this writer's)
+    // is part of the append's base, not a false OCC conflict.
     materialize(spark, tablePath, st, touched.filter(st.partitionModes.get(_).contains("metadata_only")))
+    val base = CommitLog.requireState(spark, tablePath).latest.commitTime
     val ct = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tablePath, ct, op.name, touched)
     val rowsMeta = MetaColumns.withMeta(rows, keyF, partF, ct)
 
     val w = clusterByPartition(rowsMeta, partF).write.mode("append").format("parquet")
@@ -1514,7 +1555,8 @@ object KeyedTable {
       tableType = st.latest.tableType, keyFields = keyF,
       precombineField = st.latest.precombineField, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      baseInstant = Some(base))
     touched
   }
 
@@ -1525,6 +1567,7 @@ object KeyedTable {
       spark: SparkSession, tablePath: String, st: TableState, parts: Seq[String]): Unit = {
     if (parts.isEmpty) return
     val ct = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tablePath, ct, "materialize", parts)
     val slice = readPartitions(spark, tablePath, st, parts) // already carries meta cols
     stageAndSwap(spark, tablePath, slice, StructType.fromDDL(st.latest.schemaDdl),
       st.latest.partitionFields, parts, ct)
@@ -1533,7 +1576,8 @@ object KeyedTable {
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = st.latest.partitionFields,
       partitions = parts.map(p => PartitionEntry(p, "native", 0L)),
-      recordCount = 0L, schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      recordCount = 0L, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
   }
 
   /** Read only the given partitions of the live table (native from their

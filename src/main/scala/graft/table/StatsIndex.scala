@@ -168,7 +168,10 @@ object StatsIndex {
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = st.latest.partitionFields,
       partitions = Seq.empty, recordCount = files.size.toLong,
-      schemaDdl = st.latest.schemaDdl, sourcePath = None))
+      schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      // sidecar commit: empty partition list never OCC-conflicts, but a
+      // concurrent bootstrap (wholesale replace) still aborts this publish
+      baseInstant = Some(st.latest.commitTime))
 
     // inline cleaner: only the newest sidecar is consulted, older ones are dead
     if (fs.exists(statsRoot(tablePath)))

@@ -1,0 +1,191 @@
+package graft.table
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.model.{BootstrapConfig, CommitConflictException, TableType}
+import graft.table.CommitLog.{CommitInfo, PartitionEntry}
+
+/** Optimistic concurrency control (Hudi multi-writer OCC analogue):
+  * disjoint-partition writers interleave freely, overlapping writers get a
+  * retryable conflict, losers never leak data into reads, and fsck clears
+  * their leftovers. The deterministic cases emulate a slow writer by running
+  * its exact write sequence (inflight marker → delta write → publish) with
+  * an instant allocated BEFORE the fast writer ran — the interleaving the
+  * reference invites by launching concurrent background jobs
+  * (app.py:216-223).
+  */
+class ConcurrencySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bootstrapMor(dir: String, name: String): (String, String) = {
+    val tbl = s"$dir/tbl"
+    val in = s"$dir/in"
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(in)
+    val boot = KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = tbl, tableName = name,
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+    (tbl, boot.commitTime)
+  }
+
+  /** Emulate writer A mid-flight: marker + delta batch under instant `ct`,
+    * data targeting `month`, not yet published. Returns the CommitInfo its
+    * publish would carry.
+    */
+  private def stageDelta(tbl: String, ct: String, month: String, status: String): CommitInfo = {
+    val st = CommitLog.requireState(spark, tbl)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val dataCols = schema.fieldNames.filterNot(_.startsWith("_")).toSeq
+    val batch = KeyedTable.read(spark, tbl)
+      .filter(col("o_month") === month && col("o_orderkey") % 5 === 0)
+      .select(dataCols.map(col): _*)
+      .withColumn("o_orderstatus", lit(status))
+    val rows = MetaColumns.withMeta(batch, st.latest.keyFields, st.latest.partitionFields, ct)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .withColumn(Deltas.DeletedCol, lit(false))
+    // commit-log partition paths are hive-style ("o_month=1995-01")
+    val pp = s"o_month=$month"
+    CommitLog.beginInflight(spark, tbl, ct, "delta_commit", Seq(pp))
+    Deltas.write(rows, tbl, ct, st.latest.partitionFields)
+    val n = spark.read.schema(Deltas.schemaOf(schema))
+      .parquet(Deltas.dir(tbl, ct).toString).count()
+    CommitInfo(
+      commitTime = ct, operation = "delta_commit", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField,
+      partitionFields = st.latest.partitionFields,
+      partitions = Seq(PartitionEntry(pp, "delta", n)),
+      recordCount = n, schemaDdl = st.latest.schemaDdl, sourcePath = None)
+  }
+
+  test("overlapping writers: loser aborts retryably, never leaks, fsck clears it") {
+    val (tbl, c0) = bootstrapMor(tmpDir("occ-overlap"), "occ_overlap")
+    val month = "1995-01"
+
+    // writer A allocates its instant and stages, but is slow to publish
+    val ctA = CommitLog.newCommitTime()
+    val infoA = stageDelta(tbl, ctA, month, "AA")
+    assert(CommitLog.inflights(spark, tbl) == Seq(ctA))
+
+    // writer B (same partition) starts and lands first, via the public API
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === month && col("o_orderkey") % 2 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("BB")))
+
+    // A's staged-but-uncommitted delta must be invisible to readers NOW
+    assert(KeyedTable.read(spark, tbl).filter(col("o_orderstatus") === "AA").count() == 0)
+
+    // A publishes against its stale base instant → retryable conflict
+    val e = intercept[CommitConflictException] {
+      CommitLog.write(spark, tbl, infoA, baseInstant = Some(c0))
+    }
+    assert(e.getMessage.contains("Retryable"))
+
+    // still invisible, B's commit intact
+    val snap = KeyedTable.read(spark, tbl)
+    assert(snap.filter(col("o_orderstatus") === "AA").count() == 0)
+    assert(snap.filter(col("o_orderstatus") === "BB").count() > 0)
+
+    // the loser cleared its own marker when the conflict was raised; a
+    // CRASHED writer leaves its marker behind — emulate one for the sweep
+    assert(CommitLog.inflights(spark, tbl).isEmpty)
+    val ctDead = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tbl, ctDead, "delta_commit", Seq(s"o_month=$month"))
+
+    // fsck reports + clears the loser's delta dir and the dead marker
+    val report = KeyedTable.fsck(spark, tbl, repair = false)
+    assert(report.orphanDeltas == Seq(ctA) && report.staleInflights == Seq(ctDead))
+    val repaired = KeyedTable.fsck(spark, tbl)
+    assert(repaired.orphanDeltas == Seq(ctA) && repaired.staleInflights == Seq(ctDead))
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+
+    // the retry path: re-apply through the public API on the new tip
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === month && col("o_orderkey") % 5 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("AA")))
+    assert(KeyedTable.read(spark, tbl).filter(col("o_orderstatus") === "AA").count() > 0)
+  }
+
+  test("disjoint writers interleave: slower writer publishes under the tip") {
+    val (tbl, c0) = bootstrapMor(tmpDir("occ-disjoint"), "occ_disjoint")
+
+    val ctA = CommitLog.newCommitTime()
+    val infoA = stageDelta(tbl, ctA, "1995-02", "AA")
+
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === "1995-01" && col("o_orderkey") % 2 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("BB")))
+
+    // B landed with a NEWER instant; A's publish of an older instant on a
+    // disjoint partition must succeed (per-partition ordering is intact)
+    CommitLog.write(spark, tbl, infoA, baseInstant = Some(c0))
+
+    val snap = KeyedTable.read(spark, tbl)
+    assert(snap.filter(col("o_orderstatus") === "AA" && col("o_month") === "1995-02").count() > 0)
+    assert(snap.filter(col("o_orderstatus") === "BB" && col("o_month") === "1995-01").count() > 0)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+  }
+
+  test("same instant cannot be staged twice") {
+    val (tbl, _) = bootstrapMor(tmpDir("occ-instant"), "occ_instant")
+    val ct = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tbl, ct, "delta_commit", Seq("1995-01"))
+    intercept[java.io.IOException] {
+      CommitLog.beginInflight(spark, tbl, ct, "delta_commit", Seq("1995-02"))
+    }
+    CommitLog.clearInflight(spark, tbl, ct)
+  }
+
+  test("concurrent threads on disjoint partitions all succeed; same-partition conflicts retry to convergence") {
+    val (tbl, _) = bootstrapMor(tmpDir("occ-threads"), "occ_threads")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+
+    def writer(month: String, status: String): java.util.concurrent.Future[Boolean] =
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            assert(attempts <= 5, s"writer $status did not converge")
+            try {
+              KeyedTable.upsert(spark, tbl, KeyedTable.read(spark, tbl)
+                .filter(col("o_month") === month && col("o_orderkey") % 3 === 0)
+                .select(dataCols: _*).withColumn("o_orderstatus", lit(status)))
+              done = true
+            } catch {
+              case _: CommitConflictException => KeyedTable.fsck(spark, tbl)
+            }
+          }
+          true
+        }
+      })
+
+    // two disjoint months and one deliberate same-month contender
+    val fs = Seq(writer("1995-03", "T1"), writer("1995-04", "T2"))
+    start.countDown()
+    fs.foreach(_.get(300, TimeUnit.SECONDS))
+    val f3 = writer("1995-03", "T3"); start.countDown(); f3.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+
+    val snap = KeyedTable.read(spark, tbl)
+    // T3 overwrote T1 rows (same keys, later commit wins at read-merge)
+    assert(snap.filter(col("o_orderstatus") === "T3").count() > 0)
+    assert(snap.filter(col("o_orderstatus") === "T2").count() > 0)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+  }
+}
