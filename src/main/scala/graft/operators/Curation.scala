@@ -316,7 +316,11 @@ object Curation {
     */
   def lineDedup(
       df: DataFrame, idCol: Column, textCol: Column, maxDfFrac: Double): DataFrame = {
-    val ids = df.select(idCol.as("__id"))
+    // duplicate ids collapse to one output row (their line multisets merge):
+    // distinct here keeps the ids→rebuilt left join from multiplying rows,
+    // and the line document-frequency below already counts DISTINCT docs —
+    // same unique-id contract as dedupAgainst, made explicit
+    val ids = df.select(idCol.as("__id")).distinct()
     val lines = df.select(idCol.as("__id"),
       posexplode(split(textCol, "\n")).as(Seq("__idx", "__line")))
     val nDocs = df.select(countDistinct(idCol).as("__n"))

@@ -372,12 +372,20 @@ object Dedup {
       .filter(col("a_id") < col("b_id") &&
         col("b_sz") >= ceil(col("a_sz") * t) && col("a_sz") >= ceil(col("b_sz") * t))
       .select("blk", "a_id", "b_id").distinct()
-    cand
+    val out = cand
       .join(sh.select(col("id").as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(sh.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .select(col("blk"), col("a_id"), col("b_id"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // materialize (pairs above threshold — small) so the shingle cache can
+      // be RELEASED now: a lazy return would pin `sh` in the session
+      // CacheManager for the session's lifetime, and long-lived sessions
+      // (Verify runs the whole surface concurrently) accumulate every call's
+      // cache. Same persist/unpersist pairing as dupClusters.
+      .localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   // ------------------------------------------------- dup-cluster resolution

@@ -1,17 +1,25 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The Spark-side contract is real and tested — schema, partitioning, batch
-  * shape (iterator-per-partition, the same shape a vectorized/arrow decode
-  * runs in), checksum/size metadata derived with codegen'd expressions. The
-  * actual codec is STUBBED (`decodeStub`): this container ships no
-  * image/audio libraries, so decode is a deterministic fake over the bytes;
-  * swap `decodeStub` for a real codec binding in production.
+  * Image decode/resize are REAL: `javax.imageio` (JDK built-in — PNG, JPEG,
+  * BMP, GIF) decodes inside the same iterator-per-partition loop a
+  * vectorized/arrow codec pipeline runs in, and resize is a genuine
+  * nearest-neighbor resample + PNG re-encode. Video ships as a
+  * length-prefixed PNG frame-sequence container (`video/x-frameseq`) so the
+  * per-frame path exercises the same real codec; production video/audio
+  * formats need an external codec binding (ffmpeg JNI etc.) wired into the
+  * same [[decode]] seam — this container ships none, and such media decodes
+  * to None rather than fake numbers.
   */
 object Multimodal {
 
@@ -27,7 +35,15 @@ object Multimodal {
       checksum: String,
       width: Int,
       height: Int,
-      frames: Int)
+      frames: Int,
+      channel_sum: Long)
+
+  /** Decoded media: dimensions, frame count, and the sum of all RGB channel
+    * values over every pixel of every frame — the "pixel checksum" that
+    * pins the decode end-to-end (a codec that returns the right dims but
+    * wrong pixels fails it).
+    */
+  final case class Decoded(width: Int, height: Int, frames: Int, channelSum: Long)
 
   /** Build a media table from any source with an id and a payload column.
     * Metadata (size, checksum) is computed with expressions at scan time —
@@ -42,39 +58,103 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
       .withColumn("checksum", md5(col("media")))
 
-  /** STUB — deterministic fake decode standing in for an image/audio codec.
-    * Real implementation: decode `bytes` with an actual codec (e.g. a JNI
-    * binding) inside the same mapPartitions loop. Kept pure so tests are
-    * stable.
+  // ----------------------------------------------------------------- codecs
+
+  /** Deterministic solid-color PNG — the fixture-derivation encoder (the
+    * driver fixtures carry no image bytes, so queries/tests synthesize
+    * real PNGs with closed-form expected decode results).
     */
-  def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = bytes.length
-    mediaType match {
-      case t if t.startsWith("image") => ((n % 640) + 1, (n % 480) + 1, 1)
-      case t if t.startsWith("video") => ((n % 640) + 1, (n % 480) + 1, (n % 300) + 1)
-      case t if t.startsWith("audio") => (0, 0, (n % 48000) + 1)
-      case _ => (0, 0, 0)
+  def syntheticPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "syntheticPng needs positive dims")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
     }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
+  /** Length-prefixed concatenation of per-frame images — the
+    * `video/x-frameseq` container (each frame is a REAL encoded image).
+    */
+  def frameSeq(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def splitFrameSeq(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (in.available() >= 4) {
+      val n = in.readInt()
+      if (n < 0 || n > in.available()) return frames.result() // truncated tail
+      val buf = new Array[Byte](n)
+      in.readFully(buf)
+      frames += buf
+    }
+    frames.result()
+  }
+
+  private def channelSumOf(img: BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val c = img.getRGB(x, y)
+        sum += ((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** REAL decode. image types → javax.imageio; `video/x-frameseq` → per-frame
+    * javax.imageio (dims from the first frame, channel sum over all).
+    * Undecodable bytes or media types this container has no codec for
+    * (real video containers, audio) → None — never fabricated numbers.
+    */
+  def decode(mediaType: String, bytes: Array[Byte]): Option[Decoded] =
+    mediaType match {
+      case t if t.startsWith("image") =>
+        Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+          .map(img => Decoded(img.getWidth, img.getHeight, 1, channelSumOf(img)))
+      case "video/x-frameseq" =>
+        val imgs = splitFrameSeq(bytes)
+          .flatMap(f => Option(ImageIO.read(new ByteArrayInputStream(f))))
+        imgs.headOption.map(h =>
+          Decoded(h.getWidth, h.getHeight, imgs.size, imgs.map(channelSumOf).sum))
+      case _ => None
+    }
+
   /** Feature extraction over the binary column: runs per partition over an
-    * iterator of rows — the decode-batch shape. Everything except the codec
-    * call is production-real (encoders, partition sizing left to the caller
-    * via `repartition`).
+    * iterator of rows — the decode-batch shape, with the real codec inside
+    * the loop. Undecodable media keeps its metadata (size, checksum) with
+    * zeroed decode fields.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("media_id"), col("media_type"), col("media")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, f) = decodeStub(r.media_type, r.media)
+          val d = decode(r.media_type, r.media).getOrElse(Decoded(0, 0, 0, 0L))
           MediaFeatures(
             media_id = r.media_id,
             media_type = r.media_type,
             n_bytes = r.media.length.toLong,
             checksum = java.security.MessageDigest.getInstance("MD5")
               .digest(r.media).map("%02x".format(_)).mkString,
-            width = w, height = h, frames = f)
+            width = d.width, height = d.height, frames = d.frames,
+            channel_sum = d.channelSum)
         }
       }
   }
@@ -84,7 +164,7 @@ object Multimodal {
     * known (posexplode keeps it distributed).
     */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
-    features.filter(col("media_type").startsWith("video"))
+    features.filter(col("media_type").startsWith("video") && col("frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frame_idx"))
 
@@ -95,26 +175,33 @@ object Multimodal {
       width: Int,
       height: Int)
 
-  /** STUB — deterministic fake resize standing in for a real scaler: the
-    * payload is resampled byte-wise to the target pixel count so output
-    * sizes, schema, and distribution are production-shaped; swap the body
-    * for a real codec+scaler binding.
+  /** REAL resize: decode → nearest-neighbor resample onto a target-sized
+    * RGB raster → PNG re-encode. Deterministic (integer source-pixel
+    * mapping, no interpolation rounding).
     */
-  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val outLen = math.max(targetW * targetH / 64, 1) // fake bytes-per-pixel packing
-    val out = new Array[Byte](outLen)
-    var i = 0
-    while (i < outLen) {
-      out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / outLen).toInt)
-      i += 1
+  def resizePng(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { src =>
+      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < targetH) {
+        val sy = (y.toLong * src.getHeight / targetH).toInt
+        var x = 0
+        while (x < targetW) {
+          val sx = (x.toLong * src.getWidth / targetW).toInt
+          dst.setRGB(x, y, src.getRGB(sx, sy) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", bos)
+      bos.toByteArray
     }
-    out
-  }
 
   /** Batch resize of image-typed rows to fixed dimensions — the
-    * iterator-per-partition shape a vectorized decode-resize-encode pipeline
-    * runs in; only the codec call is stubbed. Non-image rows pass through
-    * untouched.
+    * iterator-per-partition decode-resize-encode pipeline, all real.
+    * Non-image rows (and undecodable payloads) pass through untouched with
+    * whatever dims their decode yields (0 when none).
     */
   def resizeImages(spark: SparkSession, media: DataFrame,
       targetW: Int, targetH: Int): Dataset[ResizedRow] = {
@@ -122,12 +209,14 @@ object Multimodal {
     media.select(col("media_id"), col("media_type"), col("media")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          if (r.media_type.startsWith("image")) {
-            val (w, h) = (targetW, targetH)
-            ResizedRow(r.media_id, r.media_type, resizeStub(r.media, w, h), w, h)
-          } else {
-            val (w, h, _) = decodeStub(r.media_type, r.media)
-            ResizedRow(r.media_id, r.media_type, r.media, w, h)
+          val resized =
+            if (r.media_type.startsWith("image")) resizePng(r.media, targetW, targetH)
+            else None
+          resized match {
+            case Some(bytes) => ResizedRow(r.media_id, r.media_type, bytes, targetW, targetH)
+            case None =>
+              val d = decode(r.media_type, r.media).getOrElse(Decoded(0, 0, 0, 0L))
+              ResizedRow(r.media_id, r.media_type, r.media, d.width, d.height)
           }
         }
       }

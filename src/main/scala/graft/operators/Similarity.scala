@@ -227,10 +227,15 @@ object Similarity {
       .join(broadcast(short.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    short.join(cand, "vec_id").join(broadcast(q), "query_id")
+    val out = short.join(cand, "vec_id").join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
+      // materialize (k rows per query) so the codebook cache is released
+      // instead of pinning the session CacheManager for its lifetime
+      .localCheckpoint()
+    codebooks.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs: EXACT all pairs with cosine ≥ threshold,
@@ -250,7 +255,8 @@ object Similarity {
     * IVF-cell multi-probe at any setting — emits ≥86% of all pairs and just
     * adds band-duplication overhead. When the corpus clusters (real
     * embedding corpora), use [[cosineNearDupsCells]] for the sub-quadratic
-    * approximate path.
+    * approximate path — oracle-gated by x46's subset + recall bar against
+    * this exact pair set.
     */
   def cosineNearDups(
       corpus: DataFrame, threshold: Double,

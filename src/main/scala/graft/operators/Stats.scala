@@ -23,7 +23,9 @@ object Stats {
     // label with a dot would otherwise parse as struct-field access on the
     // re-select and fail analysis
     val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) => Seq(
-      sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+      // coalesce: sum over ZERO rows is NULL — an empty table must profile
+      // as 0 nulls, not null nulls (downstream getLong would NPE)
+      coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$i"),
       countDistinct(c).as(s"__nd_$i"),
       min(c).cast("string").as(s"__min_$i"),
       max(c).cast("string").as(s"__max_$i"))

@@ -277,19 +277,39 @@ object CoreQueries {
     * per (session, sf dir) and share — each query still builds and mutates
     * its OWN table; only the immutable staging input is reused.
     */
+  /** All per-query scratch dirs live under ONE per-run root, removed
+    * recursively by a shutdown hook — `File.deleteOnExit` cannot delete
+    * non-empty directories, so the previous per-dir registration leaked
+    * every written table/CSV/JSON tree into the system temp dir on each
+    * verify/bench run.
+    */
+  private lazy val runRoot: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft-run-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(r.toFile)
+    }))
+    r
+  }
+
+  private[queries] def scratchDir(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(runRoot, prefix).toFile
+
   private val ordersInputCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ordersInput(s: SparkSession, d: String): String =
     ordersInputCache.getOrElseUpdate(d, {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-orders-in").toFile
-      tmp.deleteOnExit()
+      val tmp = scratchDir("graft-orders-in")
       Tables.orders(s, d).withColumn("o_month", month(col("o_orderdate")))
         .write.mode("overwrite").parquet(s"$tmp/in")
       s"$tmp/in"
     })
 
   private def freshTableDir(prefix: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory(prefix).toFile
-    tmp.deleteOnExit()
+    val tmp = scratchDir(prefix)
     s"$tmp/tbl"
   }
 
@@ -438,8 +458,7 @@ object CoreQueries {
     * the change feed or its application breaks the hash.
     */
   private val q28: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q28").toFile
-    tmp.deleteOnExit()
+    val tmp = scratchDir("graft-q28")
     def boot(path: String, tt: TableType) = KeyedTable.bootstrap(s, BootstrapConfig(
       dataFilePath = ordersInput(s, d), tablePath = path, tableName = "q28_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
@@ -518,8 +537,7 @@ object CoreQueries {
     * hash-checked.
     */
   private val q32: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q32").toFile
-    tmp.deleteOnExit()
+    val tmp = scratchDir("graft-q32")
     def boot(path: String, tt: TableType) = KeyedTable.bootstrap(s, BootstrapConfig(
       dataFilePath = ordersInput(s, d), tablePath = path, tableName = "q32_orders",
       keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
@@ -634,8 +652,7 @@ object CoreQueries {
     * original parquet — any ORC read/write asymmetry breaks the hash.
     */
   private val q27: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q27").toFile
-    tmp.deleteOnExit()
+    val tmp = scratchDir("graft-q27")
     val orcDir = s"$tmp/orc"
     Tables.orders(s, d).write.mode("overwrite").orc(orcDir)
     val fmt = graft.io.SourceSniffer.sniff(s, orcDir)
@@ -653,8 +670,7 @@ object CoreQueries {
     * so the schema contract IS the fidelity boundary.
     */
   private val q36: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q36").toFile
-    tmp.deleteOnExit()
+    val tmp = scratchDir("graft-q36")
     val dir = s"$tmp/csv"
     val src = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
@@ -667,8 +683,7 @@ object CoreQueries {
     * landing-zone format.
     */
   private val q37: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q37").toFile
-    tmp.deleteOnExit()
+    val tmp = scratchDir("graft-q37")
     val dir = s"$tmp/json"
     val src = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),

@@ -58,10 +58,38 @@ object ExtQueries {
       .select("src", "a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
 
-  /** Embedding-cosine near-dup pairs. */
+  /** Embedding-cosine near-dup pairs — the EXACT all-pairs contract
+    * (intrinsically O(n²) compute, distributed as a blocked equi-join). At
+    * corpus scale use the sub-quadratic cell-blocked path instead, which
+    * x46 gates with a recall bar against this exact set.
+    */
   private val x05: Q = (s, d) =>
     Similarity.cosineNearDups(Tables.embeddings(s, d), threshold = 0.4)
       .orderBy("a_id", "b_id")
+
+  /** The SCALE path for embedding near-dup ([[Similarity.cosineNearDupsCells]],
+    * SemDeDup-style IVF-cell blocking, sub-quadratic when the corpus
+    * clusters) under an x07-style quality bar: its pair set must be a
+    * SUBSET of the exact x05 set (it computes exact cosines on candidates,
+    * so a false positive means broken arithmetic) and pair-recall vs exact
+    * must clear the 0.6 floor measured on this deliberately uniform
+    * worst-case fixture (clustered real corpora do better). The oracle
+    * can't run the approximate algorithm, but it CAN pin both booleans.
+    */
+  private val x46: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val exact = Similarity.cosineNearDups(emb, threshold = 0.4).select("a_id", "b_id")
+    val approx = Similarity.cosineNearDupsCells(emb, threshold = 0.4, nlist = 32, nprobe = 4)
+      .select("a_id", "b_id")
+    val hits = approx.join(exact, Seq("a_id", "b_id")).agg(count(lit(1)).as("n_hits"))
+    val nApprox = approx.agg(count(lit(1)).as("n_approx"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    // 1-row aggregates: broadcast cross joins, the audited-safe shape
+    nExact.crossJoin(nApprox).crossJoin(hits)
+      .select(
+        (col("n_hits") === col("n_approx")).as("subset_ok"),
+        (col("n_hits") >= col("n_exact") * 0.6).as("recall_ok"))
+  }
 
   // ------------------------------------------------------------ similarity
 
@@ -530,21 +558,36 @@ object ExtQueries {
 
   // -------------------------------------------------------- URL curation
 
-  /** URL dissection + domain blocklist verdict over deterministic per-doc
-    * URLs (the fixture carries no URL column, so one is derived from
-    * source/lang/doc_id — the parse/filter machinery under test is real and
-    * the oracle re-derives the same URLs). Everything is regex-in-scan:
-    * zero shuffles, blocklist ships as a literal.
+  /** The driver fixture carries no URL column, so a documents-with-url
+    * TABLE is staged once per (session, sf dir) — the URL becomes a real
+    * stored parquet column the query reads back, not an expression
+    * synthesized inside the query under test. The oracle re-derives the
+    * same deterministic URLs from `documents` (it can only see the driver's
+    * fixture tables), exactly as the lifecycle oracles recompute table end
+    * states.
+    */
+  private val docsUrlCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def documentsWithUrl(s: SparkSession, d: String): String =
+    docsUrlCache.getOrElseUpdate(d, {
+      val tmp = CoreQueries.scratchDir("graft-docs-url")
+      Tables.documents(s, d)
+        .withColumn("url",
+          concat(lit("https://www.example-"), col("source"), lit(".com/docs/"),
+            col("lang"), lit("/"), col("doc_id")))
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+      s"$tmp/docs"
+    })
+
+  /** URL dissection + domain blocklist verdict over the staged url column.
+    * Everything is regex-in-scan: zero shuffles, blocklist ships as a
+    * literal.
     */
   private val x37: Q = (s, d) => {
     // registrable domain VARIES with the source (example-srcN.com), so the
     // blocklist genuinely drops rows — a constant-domain derivation would
     // leave the branch exercised on zero rows
     val blocked = Seq("example-src3.com", "example-src13.com")
-    Tables.documents(s, d)
-      .withColumn("url",
-        concat(lit("https://www.example-"), col("source"), lit(".com/docs/"),
-          col("lang"), lit("/"), col("doc_id")))
+    s.read.parquet(documentsWithUrl(s, d))
       .withColumn("host", Curation.urlHost(col("url")))
       .withColumn("domain", Curation.urlRegistrableDomain(col("url")))
       .withColumn("path_depth", Curation.urlPathDepth(col("url")))
@@ -602,6 +645,34 @@ object ExtQueries {
       .select("media_id", "media_type", "n_bytes", "checksum")
       .orderBy("media_id")
 
+  /** REAL image decode + resize under oracle check: deterministic solid
+    * PNGs are synthesized per doc (dims and color closed-form in doc_id),
+    * decoded with javax.imageio in the mapPartitions codec loop, resized
+    * 8×6 nearest-neighbor, re-encoded, and decoded AGAIN — the oracle
+    * predicts every decoded dimension and RGB channel sum from the
+    * derivation formulas alone, so a codec that returns right sizes but
+    * wrong pixels (or a resample that shifts a solid color) hash-fails.
+    */
+  private val x47: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      Multimodal.MediaRow(id, "image/png",
+        Multimodal.syntheticPng(((id % 31) + 1).toInt, ((id % 17) + 1).toInt,
+          (id % 256).toInt, (id * 3 % 256).toInt, (id * 7 % 256).toInt))
+    }).toDF()
+    val feats = Multimodal.extractFeatures(s, media)
+      .select("media_id", "width", "height", "frames", "channel_sum")
+    val rfeats = Multimodal.extractFeatures(s,
+        Multimodal.toMediaTable(
+          Multimodal.resizeImages(s, media, targetW = 8, targetH = 6).toDF(),
+          "media_id", "media", "image/png"))
+      .select(col("media_id"), col("width").as("r_width"), col("height").as("r_height"),
+        col("channel_sum").as("r_channel_sum"))
+    feats.join(rfeats, "media_id").orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -648,6 +719,8 @@ object ExtQueries {
     "x43_profile" -> x43,
     "x44_ann_pq" -> x44,
     "x45_data_splits" -> x45,
+    "x46_dedup_embedding_cells" -> x46,
+    "x47_image_decode" -> x47,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -782,10 +855,10 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x12_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, ts, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |  SELECT user_id, ts, epoch_ns(ts) // 1000 AS us FROM events),
         |f AS (
-        |  SELECT user_id, ts, sec,
-        |    CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |g AS (
         |  SELECT user_id, ts,
@@ -1246,5 +1319,24 @@ object ExtQueries {
          |         THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x46_dedup_embedding_cells" ->
+      // quality-bar oracle: the cell-blocked approximate pair set must be a
+      // subset of the exact x05 set with pair-recall ≥ 0.6 (uniform-fixture
+      // floor); the Spark side computes both sets in one plan
+      "SELECT true AS subset_ok, true AS recall_ok",
+    "x47_image_decode" ->
+      // every decoded dimension/channel-sum is predicted from the synthesis
+      // formulas: w=(id%31)+1, h=(id%17)+1, solid RGB (id%256, id*3%256,
+      // id*7%256); resize to 8×6 keeps the solid color → sum = 48·(r+g+b)
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 31 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 17 + 1 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS frames,
+        |  CAST((doc_id % 31 + 1) * (doc_id % 17 + 1) *
+        |       ((doc_id % 256) + (doc_id * 3 % 256) + (doc_id * 7 % 256)) AS BIGINT) AS channel_sum,
+        |  CAST(8 AS INTEGER) AS r_width,
+        |  CAST(6 AS INTEGER) AS r_height,
+        |  CAST(48 * ((doc_id % 256) + (doc_id * 3 % 256) + (doc_id * 7 % 256)) AS BIGINT) AS r_channel_sum
+        |FROM documents WHERE doc_id < 500 ORDER BY media_id""".stripMargin,
   )
 }

@@ -64,6 +64,12 @@ object EventStreaming {
       gapMinutes: Int): Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    // MICROSECOND-precision epoch (Timestamp.getTime is millis and would
+    // merge sessions whose gap exceeds the threshold only by a sub-milli
+    // fraction) — must match sessionizeBatch's unix_micros arithmetic
+    def epochUs(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
@@ -74,12 +80,12 @@ object EventStreaming {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => epochUs(e.ts))
             val closed = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts.getTime - s.lastTs.getTime <= gapMs =>
+                case Some(s) if epochUs(e.ts) - epochUs(s.lastTs) <= gapUs =>
                   cur = Some(SessionState(s.startTs, e.ts, s.cnt + 1))
                 case Some(s) =>
                   closed += SessionOut(userId, s.startTs, s.lastTs, s.cnt)
@@ -103,19 +109,19 @@ object EventStreaming {
     */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
-    // gap arithmetic on SECOND-truncated epochs, exactly like the DuckDB
-    // oracle (epoch_ns // 1e9): full-precision interval comparison would
-    // split differently whenever a gap straddles the boundary only after
-    // truncation (prev=…00.1, ts=+1800.8s → truncated diff exactly 1800 =
-    // same session, real diff 1800.8 > gap). The double cast handles
-    // TIMESTAMP_NTZ too (refuses a direct BIGINT cast); session tz is UTC,
-    // so NTZ wall-clock → epoch matches DuckDB's naive-as-UTC epoch_ns.
-    val sec = col("ts").cast("timestamp").cast("long")
+    // gap arithmetic at MICROSECOND precision on both sides (unix_micros in
+    // Spark, epoch_ns // 1000 in DuckDB — both floor nanos to micros): full
+    // timestamp precision is kept, so a real gap exceeding the threshold by
+    // any sub-second fraction (e.g. 1800.8s vs a 30-min gap) splits the
+    // session identically in both engines. The double cast handles
+    // TIMESTAMP_NTZ (refuses a direct unix_micros); session tz is UTC, so
+    // NTZ wall-clock → epoch matches DuckDB's naive-as-UTC epoch.
+    val us = unix_micros(col("ts").cast("timestamp"))
     val flagged = events
-      .withColumn("prev_sec", lag(sec, 1).over(byUser))
+      .withColumn("prev_us", lag(us, 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_sec").isNull ||
-          sec - col("prev_sec") > gapMinutes * 60L, 1L)
+        when(col("prev_us").isNull ||
+          us - col("prev_us") > gapMinutes * 60000000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

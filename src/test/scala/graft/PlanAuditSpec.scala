@@ -24,10 +24,11 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x07: nlist seed centroids + the query-vector set
     *  - x40: 1-row corpus doc count (line-df threshold)
     *  - x44: m·codebookSize PQ centroids + the query-vector set
+    *  - x46: nlist seed centroids (cells assignment) + 1-row count aggregates
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
-      "x40_line_dedup", "x44_ann_pq")
+      "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|3[0-9])_.*")

@@ -239,35 +239,66 @@ class OperatorsSpec extends SparkTestBase {
       TextFunctions.LangProfiles.map(_._1).toSet + "und"))
   }
 
-  test("multimodal plumbing: metadata, stubbed decode, frame sampling") {
-    val media = Multimodal.toMediaTable(docs.limit(10), "doc_id", "text", "video/fake")
+  test("multimodal: REAL frameseq video decode (per-frame imageio) + frame sampling") {
+    // video = length-prefixed real PNG frames; id i gets (i % 3) + 1 frames
+    // of a 4×3 solid color with closed-form channel sum
+    val vids = (0L until 10L).map { i =>
+      val nF = (i % 3).toInt + 1
+      val png = Multimodal.syntheticPng(4, 3, (i % 256).toInt, (i * 3 % 256).toInt, (i * 7 % 256).toInt)
+      (i, Multimodal.frameSeq(Seq.fill(nF)(png)))
+    }.toDF("id", "payload")
+    val media = Multimodal.toMediaTable(vids, "id", "payload", "video/x-frameseq")
     assert(media.schema("media").dataType === org.apache.spark.sql.types.BinaryType)
-    val feats = Multimodal.extractFeatures(spark, media)
-    val rows = feats.collect()
+    val rows = Multimodal.extractFeatures(spark, media).collect()
     assert(rows.length === 10)
-    assert(rows.forall(f => f.n_bytes > 0 && f.checksum.length === 32 && f.frames >= 1))
+    rows.foreach { f =>
+      val i = f.media_id
+      val expFrames = (i % 3).toInt + 1
+      val perFrame = 12L * ((i % 256) + (i * 3 % 256) + (i * 7 % 256))
+      assert(f.width === 4 && f.height === 3 && f.frames === expFrames)
+      assert(f.channel_sum === perFrame * expFrames)
+      assert(f.n_bytes > 0 && f.checksum.length === 32)
+    }
     // expression-side checksum (scan-time) equals the mapPartitions-side one
     val exprSums = media.select("media_id", "checksum").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows.forall(f => exprSums(f.media_id) === f.checksum))
-    val frames = Multimodal.sampleFrames(feats.toDF(), stride = 10)
-    assert(frames.count() > 0)
+    val frames = Multimodal.sampleFrames(Multimodal.extractFeatures(spark, media).toDF(), stride = 1)
+    assert(frames.count() === rows.map(_.frames.toLong).sum)
   }
 
-  test("multimodal resize: images rescale to target dims, non-images pass through") {
-    val imgs = Multimodal.toMediaTable(docs.limit(5), "doc_id", "text", "image/fake")
-    val resized = Multimodal.resizeImages(spark, imgs, targetW = 64, targetH = 64).collect()
-    assert(resized.length === 5)
-    assert(resized.forall(r => r.width === 64 && r.height === 64))
-    assert(resized.forall(_.media.length === 64 * 64 / 64)) // stub packing
+  test("multimodal: REAL imageio decode + nearest-neighbor resize; undecodable → honest zeros") {
+    val imgs = (0L until 5L).map { i =>
+      (i, Multimodal.syntheticPng(10, 5, (i % 256).toInt, (i * 3 % 256).toInt, (i * 7 % 256).toInt))
+    }.toDF("id", "payload")
+    val media = Multimodal.toMediaTable(imgs, "id", "payload", "image/png")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    feats.foreach { f =>
+      val i = f.media_id
+      assert(f.width === 10 && f.height === 5 && f.frames === 1)
+      assert(f.channel_sum === 50L * ((i % 256) + (i * 3 % 256) + (i * 7 % 256)))
+    }
+    // real resize: re-decode the resized PNG — solid color survives NN exactly
+    val resized = Multimodal.resizeImages(spark, media, targetW = 4, targetH = 2)
+    val rfeats = Multimodal.extractFeatures(spark,
+      Multimodal.toMediaTable(resized.toDF(), "media_id", "media", "image/png")).collect()
+    rfeats.foreach { f =>
+      val i = f.media_id
+      assert(f.width === 4 && f.height === 2)
+      assert(f.channel_sum === 8L * ((i % 256) + (i * 3 % 256) + (i * 7 % 256)))
+    }
     // deterministic: same input → same bytes
-    val again = Multimodal.resizeImages(spark, imgs, 64, 64).collect()
-    assert(resized.sortBy(_.media_id).map(_.media.toSeq).toSeq ===
-      again.sortBy(_.media_id).map(_.media.toSeq).toSeq)
+    val r1 = resized.collect()
+    val r2 = Multimodal.resizeImages(spark, media, 4, 2).collect()
+    assert(r1.sortBy(_.media_id).map(_.media.toSeq).toSeq ===
+      r2.sortBy(_.media_id).map(_.media.toSeq).toSeq)
 
-    val vids = Multimodal.toMediaTable(docs.limit(3), "doc_id", "text", "video/fake")
-    val passthrough = Multimodal.resizeImages(spark, vids, 64, 64).collect()
-    val orig = vids.select("media_id", "media").collect()
+    // text bytes are NOT an image: decode yields honest zeros, resize passes through
+    val fake = Multimodal.toMediaTable(docs.limit(3), "doc_id", "text", "image/fake")
+    val fakeFeats = Multimodal.extractFeatures(spark, fake).collect()
+    assert(fakeFeats.forall(f => f.width === 0 && f.height === 0 && f.frames === 0 && f.channel_sum === 0L))
+    val passthrough = Multimodal.resizeImages(spark, fake, 64, 64).collect()
+    val orig = fake.select("media_id", "media").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(passthrough.forall(r => orig(r.media_id) === r.media.toSeq))
   }
