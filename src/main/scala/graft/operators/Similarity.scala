@@ -80,27 +80,49 @@ object Similarity {
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine"): DataFrame =
+    kmeansCentroidsGrouped(
+      corpus.select(lit(0).as("g"), col(idCol).as("vec_id"), col(vecCol).as("v")),
+      seedCentroids(corpus, k, idCol, vecCol)
+        .select(lit(0).as("g"), col("cent_id"), col("cv")),
+      iters, metric).drop("g")
+
+  /** One-pass grouped Lloyd: refine per-group centroids `(g, cent_id, cv)`
+    * over grouped vectors `(g, vec_id, v)`. Every group trains in the SAME
+    * jobs — one data scan per iteration regardless of group count, which is
+    * what lets PQ's `m` subspaces train together instead of serially.
+    * Assignment is a broadcast join + map-side `max_by` partial aggregation:
+    * the n·k scored candidates collapse to n rows inside each scan task
+    * before any shuffle (a per-row window would shuffle all n·k rows, each
+    * carrying its vector). Per-dimension sums run in DECIMAL so the means
+    * are independent of partitioning and summation order — centroids are
+    * bit-deterministic across runs and cluster layouts. Empty cells keep
+    * their previous centroid. Centroids are localCheckpoint'd every round
+    * (they are tiny) so lineage stays flat and downstream reuse of the
+    * returned frame never re-trains.
+    */
+  def kmeansCentroidsGrouped(
+      data: DataFrame, seeds: DataFrame, iters: Int, metric: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    var cents = seedCentroids(corpus, k, idCol, vecCol)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    var cents = seeds.localCheckpoint()
     for (_ <- 1 to iters) {
-      val assigned = c.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("v"), col("cent_id"),
+      val assigned = data.join(broadcast(cents), "g")
+        .select(col("g"), col("vec_id"), col("v"), col("cent_id"),
           assignScore(metric, col("v"), col("cv")).as("csim"))
-        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-        .select(col("cent_id"), col("v"))
+        .groupBy("g", "vec_id")
+        .agg(max_by(col("cent_id"), struct(col("csim"), lit(-1L) * col("cent_id")))
+          .as("cent_id"), first(col("v")).as("v")) // v is constant per (g, vec_id)
       val means = assigned
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos")
+        .select(col("g"), col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("g", "cent_id", "pos")
         .agg((sum(col("x").cast(DecimalType(30, 12))) / count(lit(1)))
           .cast("float").as("m"))
-        .groupBy("cent_id")
+        .groupBy("g", "cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv2"))
-      cents = cents.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("cv2"), col("cv")).as("cv"))
+      cents = cents.join(means, Seq("g", "cent_id"), "left")
+        .select(col("g"), col("cent_id"), coalesce(col("cv2"), col("cv")).as("cv"))
+        .localCheckpoint()
     }
     cents
   }
@@ -120,12 +142,13 @@ object Similarity {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     val cents = centroids.getOrElse(seedCentroids(corpus, nlist, idCol, vecCol))
 
-    // cell assignment: argmax cosine over the broadcast centroid set
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    // cell assignment: argmax cosine over the broadcast centroid set —
+    // map-side max_by collapses the n·k scored rows to n inside the scan
     val assigned = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("csim"), lit(-1L) * col("cent_id")))
+        .as("cell"), first(col("v")).as("v")) // v is constant per vec_id
 
     // query → nprobe cells
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -158,12 +181,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val d = dim / m
-    (0 until m).map { s =>
-      kmeansCentroids(
-        corpus.select(col(idCol), slice(col(vecCol), s * d + 1, d).as(vecCol)),
-        codebookSize, iters, idCol, vecCol, metric = "l2")
-        .withColumn("s", lit(s))
-    }.reduce(_ unionByName _)
+    def subvecs(df: DataFrame, idAs: String, vecAs: String) = df.select(
+      posexplode(array((0 until m).map(s => slice(col(vecCol), s * d + 1, d)): _*))
+        .as(Seq("g", vecAs)), col(idCol).as(idAs))
+    // all m subspaces train in the same grouped-Lloyd jobs: one corpus scan
+    // per iteration instead of m serial per-subspace trainings
+    kmeansCentroidsGrouped(
+      subvecs(corpus, "vec_id", "v").select(col("g"), col("vec_id"), col("v")),
+      subvecs(corpus.orderBy(idCol).limit(codebookSize), "cent_id", "cv")
+        .select(col("g"), col("cent_id"), col("cv")),
+      iters, metric = "l2")
+      .withColumnRenamed("g", "s")
   }
 
   /** Encode every vector as `m` codes — the 100 TB move: a 64-float
@@ -179,11 +207,14 @@ object Similarity {
     val subs = corpus.select(col(idCol).as("vec_id"),
       posexplode(array((0 until m).map(s => slice(col(vecCol), s * d + 1, d)): _*))
         .as(Seq("s", "sub")))
-    val w = Window.partitionBy("vec_id", "s").orderBy(col("score").desc, col("cent_id").asc)
+    // map-side max_by argmax: n·m·k scored candidates collapse to n·m rows
+    // inside the scan tasks; nothing vector-sized ever shuffles
     subs.join(broadcast(codebooks), "s")
-      .withColumn("score", assignScore("l2", col("sub"), col("cv")))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("vec_id"), col("s"), col("cent_id").as("code"))
+      .select(col("vec_id"), col("s"), col("cent_id"),
+        assignScore("l2", col("sub"), col("cv")).as("score"))
+      .groupBy("vec_id", "s")
+      .agg(max_by(col("cent_id"), struct(col("score"), lit(-1L) * col("cent_id")))
+        .as("code"))
   }
 
   /** PQ-ADC top-k with exact re-rank: per query, the (s, code) → partial
@@ -201,8 +232,9 @@ object Similarity {
       shortlist: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val d = dim / m
+    // codebooks come back localCheckpoint'd from the trainer (m·codebookSize
+    // rows): both uses below read the materialized rows, never re-train
     val codebooks = pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = pqEncode(corpus, codebooks, dim, m, idCol, vecCol)
 
     val qsubs = queries.select(col(idCol).as("query_id"),
@@ -231,10 +263,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
-      // materialize (k rows per query) so the codebook cache is released
-      // instead of pinning the session CacheManager for its lifetime
-      .localCheckpoint()
-    codebooks.unpersist()
     out
   }
 
