@@ -1110,10 +1110,8 @@ object KeyedTable {
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val partF = st.latest.partitionFields
     val cols = schema.fieldNames.map(col).toSeq
-    val rewriteOps = Set("upsert", "upsert_global", "delete", "compact", "cluster",
-      "materialize", "delete_partition")
     def firstRewriteAfter(p: String): Option[CommitInfo] =
-      later.find(c => rewriteOps(c.operation) &&
+      later.find(c => RewriteOps(c.operation) &&
         c.partitions.exists(e => e.path == p && (e.mode == "native" || e.mode == "dropped")))
     def retentionError(p: String, ct: String) = GraftException.config(
       s"Cannot read as of $asOf: pre-image of partition '$p' (archived by commit $ct) " +
@@ -1215,27 +1213,53 @@ object KeyedTable {
     * horizon fail explicitly. Auto-run inline after every rewrite commit,
     * like Hudi's inline cleaner. Returns the cleaned commit times.
     */
+  /** Commit operations that replace partition data through stageAndSwap and
+    * therefore archive a pre-image — the commits time travel, rollback, and
+    * savepoint retention reason about.
+    */
+  private val RewriteOps = Set("upsert", "upsert_global", "delete", "compact", "cluster",
+    "materialize", "delete_partition")
+
   val ArchiveRetention = 10
   def cleanArchive(
       spark: SparkSession, tablePath: String, retainLast: Int = ArchiveRetention): Seq[String] = {
     val fs = CommitLog.fs(spark, tablePath)
-    // a savepoint at S pins every archived rewrite AFTER S: readAsOf(S)
-    // serves partition p from the FIRST rewrite after S that touched p, and
-    // every such commit has commitTime > S (archives at or before S describe
-    // strictly older states and stay cleanable).
-    // NOTE (documented trade-off): this horizon is deliberately conservative —
-    // while any savepoint exists, retention-based cleaning is SUSPENDED for
-    // all archives newer than the oldest savepoint, including second-and-
-    // later rewrites of the same partition that no readAsOf(S) can need. The
-    // precise rule (per savepoint × partition, keep only the first rewrite
-    // after S that touched p, plus the first compaction after S for archived
-    // deltas) would bound archive growth under long-lived savepoints at the
-    // cost of a commit-log walk per clean; a savepoint here is a short-lived
-    // pin (backup window / pre-migration guard), so over-retention is bytes,
-    // not correctness, and bytes are reclaimed the moment the pin is dropped.
-    val horizon = savepoints(spark, tablePath).headOption
-    val old = Archive.commits(fs, tablePath).dropRight(retainLast)
-      .filter(ct => horizon.forall(sp => ct <= sp))
+    val candidates = Archive.commits(fs, tablePath).dropRight(retainLast)
+    val sps = savepoints(spark, tablePath)
+    // Precise savepoint pinning: readAsOf(S) serves partition p from the
+    // FIRST rewrite after S that touched p (between S and that rewrite only
+    // append-type commits can have touched p), and serves delta commits ≤ S
+    // from the post-S compaction that stashed them. So per savepoint S, pin:
+    //   - per partition native at S, the first post-S rewrite touching it;
+    //   - every post-S compaction holding archived delta batches ≤ S.
+    // Second-and-later rewrites of an already-pinned partition are cleanable
+    // even under a live savepoint — archive growth stays bounded by
+    // #partitions-at-S per savepoint, not by write traffic. [[restore]] is
+    // written against exactly this retention set (it swaps straight to the
+    // state at S instead of undoing commits one by one). Archives at or
+    // before S describe strictly older states and are never needed for S.
+    val pinned: Set[String] =
+      if (sps.isEmpty || candidates.isEmpty) Set.empty
+      else {
+        val all = CommitLog.commits(spark, tablePath)
+        sps.iterator.flatMap { sp =>
+          val atS = CommitLog.stateOf(all.filter(_.commitTime <= sp))
+          val unseen = scala.collection.mutable.Set[String](atS.nativePartitions: _*)
+          all.filter(_.commitTime > sp).flatMap { c =>
+            val isFirst = RewriteOps(c.operation) && {
+              val hit = c.partitions.exists(e =>
+                (e.mode == "native" || e.mode == "dropped") && unseen.contains(e.path))
+              c.partitions.foreach(e =>
+                if (e.mode == "native" || e.mode == "dropped") unseen.remove(e.path))
+              hit
+            }
+            val pinsDeltas = c.operation == "compact" &&
+              Archive.archivedDeltaCommits(fs, tablePath, c.commitTime).exists(_ <= sp)
+            if (isFirst || pinsDeltas) Some(c.commitTime) else None
+          }
+        }.toSet
+      }
+    val old = candidates.filterNot(pinned)
     old.foreach(ct => fs.delete(Archive.dir(tablePath, ct), true))
     old
   }
@@ -1301,15 +1325,93 @@ object KeyedTable {
     fs.delete(new Path(savepointDir(tablePath), instant), false)
   }
 
-  /** Hudi restore: roll the table back to a SAVEPOINTED instant (the
-    * guarded form of [[rollback]] — the savepoint guarantees the archives
-    * are intact, so restore cannot die halfway through missing pre-images).
+  /** Hudi restore: roll the table back to a SAVEPOINTED instant. Unlike
+    * [[rollback]] (which undoes commits one at a time and therefore needs
+    * EVERY doomed rewrite's archive), restore swaps each partition straight
+    * to its state at the savepoint — the pre-image archived by the FIRST
+    * post-savepoint rewrite that touched it — which is exactly the set
+    * [[cleanArchive]]'s savepoint pinning guarantees to retain. Between the
+    * savepoint and that first rewrite only append-type commits could have
+    * touched the partition, and those are refused (their rows interleave
+    * into shared files), so the first pre-image IS the savepointed state.
+    * O(#partitions) rename metadata ops, no data rewrite.
     */
   def restore(spark: SparkSession, tablePath: String, instant: String): Seq[String] = {
     if (!savepoints(spark, tablePath).contains(instant))
       throw GraftException.config(
         s"Cannot restore to $instant: not a savepoint (use rollback for unpinned instants).")
-    rollback(spark, tablePath, instant)
+    val all = CommitLog.commits(spark, tablePath)
+    val later = all.filter(_.commitTime > instant)
+    if (later.isEmpty) return Seq.empty
+    val fs = CommitLog.fs(spark, tablePath)
+
+    val blocked = later.filter(c => !RewriteOps(c.operation) &&
+      !c.operation.startsWith("index_") && c.operation != "delta_commit")
+    if (blocked.nonEmpty)
+      throw GraftException.config(
+        s"Cannot restore to $instant past commit(s) " +
+          s"${blocked.map(c => s"${c.commitTime}(${c.operation})").mkString(", ")}: " +
+          "append-type or overwrite commits cannot be undone by directory swaps.")
+
+    val atS = CommitLog.stateOf(all.filter(_.commitTime <= instant))
+    val now = CommitLog.stateOf(all)
+    val partF = atS.latest.partitionFields
+    def firstRewriteAfter(p: String): Option[CommitInfo] =
+      later.find(c => RewriteOps(c.operation) &&
+        c.partitions.exists(e => e.path == p && (e.mode == "native" || e.mode == "dropped")))
+    def retentionError(p: String, ct: String) = GraftException.config(
+      s"Cannot restore to $instant: pre-image of partition '$p' " +
+        s"(archived by commit $ct) has been cleaned — archive retention exceeded.")
+
+    if (partF.isEmpty) {
+      firstRewriteAfter("").foreach { c =>
+        val ad = Archive.dataDir(tablePath, c.commitTime)
+        if (!fs.exists(ad)) throw retentionError("", c.commitTime)
+        fs.listStatus(new Path(tablePath)).filter(_.isFile)
+          .filterNot(f => f.getPath.getName.startsWith(".") || f.getPath.getName.startsWith("_"))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(ad).filter(_.isFile)
+          .foreach(f => fs.rename(f.getPath, new Path(tablePath, f.getPath.getName)))
+      }
+    } else {
+      // partitions that came into existence after the savepoint disappear
+      (now.nativePartitions.toSet -- atS.nativePartitions.toSet).foreach(p =>
+        fs.delete(new Path(s"$tablePath/${PathCodec.escape(p)}"), true))
+      // partitions native at the savepoint: swap in the first post-savepoint
+      // pre-image; partitions no rewrite touched are already the S state
+      atS.nativePartitions.foreach { p =>
+        firstRewriteAfter(p).foreach { c =>
+          val arch = new Path(Archive.dataDir(tablePath, c.commitTime), PathCodec.escape(p))
+          if (!fs.exists(arch)) throw retentionError(p, c.commitTime)
+          val liveDir = new Path(s"$tablePath/${PathCodec.escape(p)}")
+          if (fs.exists(liveDir)) fs.delete(liveDir, true)
+          if (!fs.exists(liveDir.getParent)) fs.mkdirs(liveDir.getParent)
+          fs.rename(arch, liveDir)
+        }
+      }
+    }
+
+    // delta batches after the savepoint vanish; batches ≤ S absorbed by a
+    // post-S compaction are re-exposed from that compaction's archive
+    Deltas.liveCommits(spark, tablePath).filter(_ > instant)
+      .foreach(c => fs.delete(Deltas.dir(tablePath, c), true))
+    later.filter(_.operation == "compact").foreach { c =>
+      Archive.archivedDeltaCommits(fs, tablePath, c.commitTime).filter(_ <= instant).foreach { dc =>
+        val destD = Deltas.dir(tablePath, dc)
+        if (!fs.exists(destD.getParent)) fs.mkdirs(destD.getParent)
+        fs.rename(new Path(Archive.deltasDir(tablePath, c.commitTime), dc), destD)
+      }
+    }
+
+    later.foreach { c =>
+      fs.delete(StatsIndex.statsDir(tablePath, c.commitTime), true)
+      fs.delete(BloomIndex.bloomDir(tablePath, c.commitTime), true)
+      fs.delete(Archive.dir(tablePath, c.commitTime), true)
+      fs.delete(new Path(s"$tablePath/${CommitLog.LogDirName}/${c.commitTime}.commit.json"), false)
+    }
+    savepoints(spark, tablePath).filter(_ > instant)
+      .foreach(sp => deleteSavepoint(spark, tablePath, sp))
+    later.map(_.commitTime)
   }
 
   /** Clustering (Hudi clustering / OPTIMIZE analogue): rewrite partitions

@@ -557,6 +557,79 @@ class MorSpec extends SparkTestBase {
     assert(e4.getMessage.contains("no such commit"))
   }
 
+  test("savepoint retention is precise: later rewrites of a pinned partition are cleaned") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    val boot = KeyedTable.bootstrap(spark, cfg(in, table).copy(tableType = TableType.CopyOnWrite))
+    val pristine = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq
+    KeyedTable.savepoint(spark, table, boot.commitTime)
+
+    // two keys in the SAME partition and one in another
+    val rows = KeyedTable.read(spark, table).groupBy("o_month")
+      .agg(collect_list("o_orderkey").as("ks")).orderBy(desc("o_month"))
+      .as[(String, Seq[Long])].collect()
+    val (mA, ksA) = rows.find(_._2.size >= 2).get
+    val kOther = rows.find(_._1 != mA).get._2.head
+
+    val c1 = KeyedTable.upsert(spark, table, updatesFor(table, Seq(ksA(0)), "S0"))
+    val cts = CommitLog.commits(spark, table).map(_.commitTime)
+    val ct1 = cts.last
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ksA(1)), "S1")) // same partition again
+    val ct2 = CommitLog.commits(spark, table).map(_.commitTime).last
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(kOther), "S2")) // different partition
+    val ct3 = CommitLog.commits(spark, table).map(_.commitTime).last
+    assert(c1 === Seq(s"o_month=$mA"))
+
+    val fs = CommitLog.fs(spark, table)
+    val cleaned = KeyedTable.cleanArchive(spark, table, retainLast = 0)
+    // ct1 pins mA's pre-image (first rewrite after S), ct3 pins the other
+    // partition's; ct2 — a SECOND rewrite of mA — is cleanable despite the
+    // live savepoint
+    assert(cleaned === Seq(ct2))
+    assert(Archive.exists(fs, table, ct1))
+    assert(!Archive.exists(fs, table, ct2))
+    assert(Archive.exists(fs, table, ct3))
+
+    // readAsOf(S) still serves the exact savepointed state
+    assert(KeyedTable.readAsOf(spark, table, boot.commitTime)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq === pristine)
+
+    // restore works against the precise retention set (ct2's archive is gone)
+    KeyedTable.restore(spark, table, boot.commitTime)
+    assert(KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect().toSeq === pristine)
+    assert(CommitLog.commits(spark, table).map(_.commitTime) === Seq(boot.commitTime))
+  }
+
+  test("savepoint pins the post-savepoint compaction that absorbed pre-savepoint deltas") {
+    val in = ordersIn(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, cfg(in, table)) // MOR
+    val ks = KeyedTable.read(spark, table).select("o_orderkey")
+      .orderBy("o_orderkey").limit(3).as[Long].collect().toSeq
+
+    // delta commit ≤ S, then savepoint, then a compaction that absorbs it
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ks(0)), "PRE"))
+    val sp = CommitLog.commits(spark, table).map(_.commitTime).last
+    KeyedTable.savepoint(spark, table, sp)
+    KeyedTable.compact(spark, table)
+    val ctCompact = CommitLog.commits(spark, table).map(_.commitTime).last
+
+    // a later delta + compaction holds only post-S deltas → cleanable
+    KeyedTable.upsert(spark, table, updatesFor(table, Seq(ks(1)), "POST"))
+    KeyedTable.compact(spark, table)
+    val ctCompact2 = CommitLog.commits(spark, table).map(_.commitTime).last
+
+    val fs = CommitLog.fs(spark, table)
+    KeyedTable.cleanArchive(spark, table, retainLast = 0)
+    assert(Archive.exists(fs, table, ctCompact)) // pinned: holds the PRE delta
+    val _ = ctCompact2 // may or may not be pinned (first rewrite of ITS partition)
+    val asOf = KeyedTable.readAsOf(spark, table, sp)
+    assert(asOf.filter(col("o_orderkey") === ks(0)).head().getAs[String]("o_orderstatus") === "PRE")
+    assert(asOf.filter(col("o_orderkey") === ks(1)).head().getAs[String]("o_orderstatus") !== "POST")
+  }
+
   test("read-optimized serves the last-compacted state; equals snapshot after compaction") {
     val in = ordersIn(tmpDir("in"))
     val table = tmpDir("tbl")
