@@ -14,15 +14,22 @@ object Validate {
     * (validate_fields_in_schema, pyspark_script.py:121-144). Error strings
     * follow the reference's shapes.
     */
-  def fieldsInSchema(schema: StructType, cfg: BootstrapConfig): Unit = {
+  def fieldsInSchema(schema: StructType, cfg: BootstrapConfig): Unit =
+    fieldsInSchema(schema, cfg.keyFields, cfg.precombineField, cfg.partitionFields)
+
+  def fieldsInSchema(
+      schema: StructType,
+      keyFields: Seq[String],
+      precombineField: String,
+      partitionFields: Seq[String]): Unit = {
     val names = schema.fieldNames.toSet
     val errors = Seq.newBuilder[String]
-    cfg.keyFields.filterNot(names.contains).foreach { k =>
+    keyFields.filterNot(names.contains).foreach { k =>
       errors += s"Key field '$k' not found in schema."
     }
-    if (!names.contains(cfg.precombineField))
-      errors += s"Precombine field '${cfg.precombineField}' not found in schema."
-    cfg.partitionFields.filterNot(names.contains).foreach { p =>
+    if (!names.contains(precombineField))
+      errors += s"Precombine field '$precombineField' not found in schema."
+    partitionFields.filterNot(names.contains).foreach { p =>
       errors += s"Partition field '$p' not found in schema."
     }
     val errs = errors.result()

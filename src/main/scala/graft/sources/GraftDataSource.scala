@@ -5,17 +5,18 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.model.GraftException
-import graft.table.KeyedTable
+import graft.model.{GraftException, TableType, WriteOperation}
+import graft.table.{CommitLog, KeyedTable, MetaColumns}
 
 /** SQL/DataSource access to the keyed table — the surface that makes graft
   * tables visible to SQL-only consumers (BI tools, notebooks), matching the
@@ -49,25 +50,65 @@ import graft.table.KeyedTable
   * `DataSource.resolveRelation` path — Hudi's own Spark DefaultSource makes
   * the same dual registration for the same reason.
   */
-class GraftDataSource extends TableProvider with RelationProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // true so V2 CTAS (CreateTableAsSelectExec) can pass the query schema to
+  // the session catalog; the engine itself always serves the authoritative
+  // schema from the commit log (getTable ignores the provided one)
+  override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.sourceDf(SparkSession.active, GraftDataSource.readOptions(options.asScala.toMap)).schema
+  /** Empty schema for a not-yet-created table: `df.write.format("graft")`
+    * probes getTable before the V1 write fallback, and a throw here would
+    * make first-time creation impossible. Reads of a missing table still
+    * fail with the engine's own error — at scan build instead of analysis.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = GraftDataSource.readOptions(options.asScala.toMap)
+    val spark = SparkSession.active
+    if (!CommitLog.exists(spark, opts.path)) new StructType()
+    else GraftDataSource.sourceDf(spark, opts).schema
+  }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftTable(GraftDataSource.readOptions(properties.asScala.toMap))
+      properties: JMap[String, String]): Table = {
+    val params = properties.asScala.toMap
+    new GraftTable(GraftDataSource.readOptions(params), params, Option(schema))
+  }
 
   // DSv1 fallback: the session catalog's V1 resolution path for
   // `CREATE TABLE ... USING graft` tables.
   override def createRelation(ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
-    new GraftRelation(ctx, GraftDataSource.readOptions(parameters))
+    new GraftRelation(ctx, GraftDataSource.readOptions(parameters), parameters)
+
+  /** DSv1 write path: `df.write.format("graft").mode(...)` and V1 CTAS
+    * (`CREATE TABLE ... USING graft AS SELECT`). SaveMode mapping —
+    * Overwrite re-creates (options may override the existing table's key
+    * config), Append upserts/appends per the `op` option (creating the
+    * table first if the path is new), ErrorIfExists/Ignore behave per
+    * contract.
+    */
+  override def createRelation(
+      ctx: SQLContext, mode: SaveMode, parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val ropts = GraftDataSource.readOptions(parameters)
+    val exists = CommitLog.exists(spark, ropts.path)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw GraftException.config(
+          s"graft table already exists at ${ropts.path} (SaveMode.ErrorIfExists).")
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        GraftDataSource.executeWrite(spark, parameters, data,
+          overwrite = m == SaveMode.Overwrite || !exists)
+    }
+    new GraftRelation(ctx, ropts, parameters)
+  }
 }
 
 object GraftDataSource {
@@ -120,6 +161,60 @@ object GraftDataSource {
     case _ => None
   }
 
+  /** Shared write dispatch for every SQL/DataFrame write surface (DSv1
+    * CreatableRelationProvider, V1 catalog InsertableRelation, DSv2
+    * V1Write bridge).
+    *
+    *  - `overwrite` (or a brand-new path) → [[KeyedTable.create]]: a
+    *    bootstrap-from-DataFrame. Key config comes from write options
+    *    (`keyFields`, `precombineField`, `partitionFields`, `tableType`,
+    *    `tableName`), falling back to the existing table's commit-log
+    *    config on re-create.
+    *  - append to an existing table → the `op` option selects the engine
+    *    write: `upsert` (default — the keyed-table semantic: INSERT INTO a
+    *    keyed table must not duplicate keys), `insert` (in-batch dedup +
+    *    append), or `bulk_insert` (raw append).
+    *
+    * Meta columns riding in (a CTAS from another graft table, or an
+    * INSERT whose column list let Spark null-fill them) are stripped —
+    * the engine stamps its own.
+    */
+  private[sources] def executeWrite(
+      spark: SparkSession,
+      params: Map[String, String],
+      data: DataFrame,
+      overwrite: Boolean): Unit = {
+    val ci = params.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = ci.getOrElse("path",
+      throw GraftException.config("graft write requires a path (save(path) or LOCATION)."))
+    val df = data.drop(MetaColumns.all.filter(data.columns.contains): _*)
+    def csv(name: String): Option[Seq[String]] =
+      ci.get(name).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+    if (overwrite || !CommitLog.exists(spark, path)) {
+      val prior = CommitLog.state(spark, path).map(_.latest)
+      def need[A](opt: Option[A], what: String): A = opt.getOrElse(
+        throw GraftException.config(
+          s"graft write creating a table at $path requires option $what."))
+      KeyedTable.create(spark, path, df,
+        tableName = ci.get("tablename").orElse(prior.map(_.tableName))
+          .getOrElse(new org.apache.hadoop.fs.Path(path).getName),
+        keyFields = need(csv("keyfields").orElse(prior.map(_.keyFields)), "keyFields"),
+        precombineField = need(
+          ci.get("precombinefield").orElse(prior.map(_.precombineField)), "precombineField"),
+        partitionFields = csv("partitionfields").orElse(prior.map(_.partitionFields))
+          .getOrElse(Seq.empty),
+        tableType = ci.get("tabletype").map(TableType.parse)
+          .orElse(prior.map(p => TableType.parse(p.tableType))).getOrElse(TableType.CopyOnWrite))
+    } else ci.getOrElse("op", "upsert") match {
+      case "upsert" => KeyedTable.upsert(spark, path, df)
+      case "insert" => KeyedTable.append(spark, path, df, WriteOperation.Insert)
+      case "bulk_insert" => KeyedTable.append(spark, path, df, WriteOperation.BulkInsert)
+      case other => throw GraftException.config(
+        s"graft write op must be upsert, insert, or bulk_insert, got '$other'.")
+    }
+  }
+
   /** Inner DataFrame with pushed filters and pruned columns applied. An empty
     * pruned schema (count(*) over the source) selects zero columns — the row
     * count survives, no data columns are read.
@@ -138,15 +233,48 @@ object GraftDataSource {
   }
 }
 
-private[sources] class GraftTable(opts: GraftDataSource.ReadOptions) extends Table with SupportsRead {
+private[sources] class GraftTable(
+    opts: GraftDataSource.ReadOptions, params: Map[String, String],
+    provided: Option[StructType] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     opts.asOf.map(t => s"graft:${opts.path}@$t").getOrElse(s"graft:${opts.path}")
-  override def schema(): StructType =
-    GraftDataSource.sourceDf(SparkSession.active, opts).schema
+  /** Commit-log schema once the table exists; before that (a CTAS validating
+    * the table it is about to create) echo the caller-provided schema.
+    */
+  override def schema(): StructType = {
+    val spark = SparkSession.active
+    if (!CommitLog.exists(spark, opts.path))
+      provided.filter(_.nonEmpty).getOrElse(new StructType())
+    else GraftDataSource.sourceDf(spark, opts).schema
+  }
+  // V1_BATCH_WRITE (not BATCH_WRITE): DataFrameWriter.save then takes its
+  // V1 fallback into createRelation, while V2 relation INSERTs execute
+  // through the V1Write bridge below — the write-side mirror of V1Scan.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(opts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(params ++ info.options.asScala)
+}
+
+/** Write-side twin of [[GraftV1Scan]]: a [[V1Write]] whose InsertableRelation
+  * dispatches into the engine's own write path ([[GraftDataSource.executeWrite]]).
+  * `truncate()` marks INSERT OVERWRITE → table re-create.
+  */
+private[sources] class GraftWriteBuilder(params: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ov: Boolean): Unit =
+        GraftDataSource.executeWrite(
+          data.sparkSession, params, data, overwrite || ov)
+    }
+  }
 }
 
 private[sources] class GraftScanBuilder(opts: GraftDataSource.ReadOptions)
@@ -198,10 +326,14 @@ private[sources] class GraftV1Scan(df: DataFrame) extends V1Scan {
 
 /** DSv1 relation for the session-catalog path; pruning and filters reach the
   * inner plan exactly as in the V2 scan, and `unhandledFilters` keeps the
-  * default (all) so Spark re-applies every predicate post-scan.
+  * default (all) so Spark re-applies every predicate post-scan. The
+  * [[InsertableRelation]] face serves `INSERT INTO` / `INSERT OVERWRITE` on
+  * catalog tables (`CREATE TABLE ... USING graft`), routed through the same
+  * write dispatch as every other surface.
   */
-private[sources] class GraftRelation(ctx: SQLContext, opts: GraftDataSource.ReadOptions)
-    extends BaseRelation with PrunedFilteredScan {
+private[sources] class GraftRelation(
+    ctx: SQLContext, opts: GraftDataSource.ReadOptions, params: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
@@ -213,4 +345,8 @@ private[sources] class GraftRelation(ctx: SQLContext, opts: GraftDataSource.Read
     GraftDataSource.prunedDf(ctx.sparkSession, opts, Some(wanted), filters.toIndexedSeq)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GraftDataSource.executeWrite(
+      ctx.sparkSession, params + ("path" -> opts.path), data, overwrite)
 }

@@ -89,6 +89,44 @@ object KeyedTable {
     BootstrapResult(ct, report.inputCount, report.tableCount, written, report)
   }
 
+  /** Create a keyed table directly from a DataFrame — the CTAS /
+    * DataFrameWriter path of the SQL surface ([[graft.sources.GraftDataSource]]).
+    * Equivalent to a FULL_RECORD bootstrap of `df` (wholesale replace +
+    * 'bootstrap' commit); the reference reaches the same state only through
+    * its file-based bootstrap (pyspark_script.py:294-429), so this is the
+    * write-surface twin of [[bootstrap]] for callers that already hold a
+    * plan instead of a path.
+    */
+  def create(
+      spark: SparkSession,
+      tablePath: String,
+      df: DataFrame,
+      tableName: String,
+      keyFields: Seq[String],
+      precombineField: String,
+      partitionFields: Seq[String] = Seq.empty,
+      tableType: TableType = TableType.CopyOnWrite): Seq[String] = {
+    Validate.fieldsInSchema(df.schema, keyFields, precombineField, partitionFields)
+    val partCounts = partitionCounts(spark, df, partitionFields)
+    if (partCounts.map(_._2).sum == 0L)
+      throw GraftException.config("Input DataFrame is empty. Nothing to write.")
+    val ct = CommitLog.newCommitTime()
+    val fs = CommitLog.fs(spark, tablePath)
+    fs.delete(new Path(tablePath), true)
+    CommitLog.beginInflight(spark, tablePath, ct, "bootstrap", partCounts.map(_._1))
+    writeData(df, keyFields, partitionFields, ct, tablePath,
+      mode = "append", dynamicOverwrite = false)
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "bootstrap", tableName = tableName,
+      tableType = tableType.name, keyFields = keyFields,
+      precombineField = precombineField, partitionFields = partitionFields,
+      partitions = partCounts.map(pc => PartitionEntry(pc._1, "native", pc._2)),
+      recordCount = partCounts.map(_._2).sum,
+      schemaDdl = MetaColumns.withMeta(df, keyFields, partitionFields, ct).schema.toDDL,
+      sourcePath = None), baseInstant = None)
+    partCounts.map(_._1)
+  }
+
   /** Fresh (non-resume) write: FULL_RECORD overwrite (S5/H3), METADATA_ONLY
     * registration (H1/H2), or the regex split (H4) sending matching
     * partitions to `regexMode` and the rest to the opposite mode.

@@ -88,6 +88,76 @@ class GraftSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_spec")
   }
 
+  test("df.write.format('graft') creates a table; append upserts by key") {
+    val dir = tmpDir("graft-write")
+    val tbl = s"$dir/tbl"
+    val src = spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+
+    // create via DataFrameWriter (no pre-existing table)
+    src.write.format("graft")
+      .option("keyFields", "o_orderkey").option("precombineField", "o_orderdate")
+      .option("partitionFields", "o_month").option("tableName", "w_orders")
+      .save(tbl)
+    val created = KeyedTable.read(spark, tbl)
+    assert(created.count() === src.count())
+    assert(graft.table.CommitLog.commits(spark, tbl).map(_.operation) === Seq("bootstrap"))
+
+    // append mode = upsert: existing keys replaced, not duplicated
+    val k = created.agg(min("o_orderkey")).head().getLong(0)
+    val upd = created.filter(col("o_orderkey") === k)
+      .select(created.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("W2"))
+    upd.write.format("graft").mode("append").save(tbl)
+    val after = KeyedTable.read(spark, tbl)
+    assert(after.count() === src.count())
+    assert(after.filter(col("o_orderkey") === k).head()
+      .getAs[String]("o_orderstatus") === "W2")
+
+    // errorIfExists refuses; ignore no-ops; overwrite re-creates reusing config
+    intercept[GraftException] { upd.write.format("graft").save(tbl) }
+    upd.withColumn("o_orderstatus", lit("IGNORED"))
+      .write.format("graft").mode("ignore").save(tbl)
+    assert(KeyedTable.read(spark, tbl).filter(col("o_orderstatus") === "IGNORED").count() === 0)
+    src.limit(100).write.format("graft").mode("overwrite").save(tbl)
+    val re = KeyedTable.read(spark, tbl)
+    assert(re.count() === 100)
+    val st = graft.table.CommitLog.requireState(spark, tbl).latest
+    assert(st.keyFields === Seq("o_orderkey") && st.tableName === "w_orders")
+  }
+
+  test("INSERT INTO a catalog graft table upserts; CTAS creates") {
+    val tbl = bootstrapOrders(tmpDir("graft-insert"), "ins_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_ins_spec")
+    spark.sql(s"CREATE TABLE graft_ins_spec USING graft LOCATION '$tbl'")
+    try {
+      val before = spark.table("graft_ins_spec")
+      val n = before.count()
+      val k = before.agg(min("o_orderkey")).head().getLong(0)
+      val upd = before.filter(col("o_orderkey") === k)
+        .withColumn("o_orderstatus", lit("SQLUP"))
+      upd.createOrReplaceTempView("graft_ins_upd")
+      spark.sql("INSERT INTO graft_ins_spec SELECT * FROM graft_ins_upd")
+      val after = spark.table("graft_ins_spec")
+      assert(after.count() === n) // upsert, not duplicate
+      assert(after.filter(col("o_orderkey") === k).head()
+        .getAs[String]("o_orderstatus") === "SQLUP")
+
+      // CTAS: derive a new graft table purely in SQL
+      val dir2 = tmpDir("graft-ctas")
+      spark.sql("DROP TABLE IF EXISTS graft_ctas_spec")
+      spark.sql(
+        s"""CREATE TABLE graft_ctas_spec USING graft LOCATION '$dir2/tbl'
+           |OPTIONS (keyFields 'o_orderkey', precombineField 'o_orderdate',
+           |         partitionFields 'o_month')
+           |AS SELECT * FROM graft_ins_spec WHERE o_month >= '1995-06'""".stripMargin)
+      val want = after.filter(col("o_month") >= "1995-06").count()
+      assert(spark.table("graft_ctas_spec").count() === want)
+      assert(KeyedTable.read(spark, s"$dir2/tbl").count() === want)
+      spark.sql("DROP TABLE IF EXISTS graft_ctas_spec")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ins_spec")
+  }
+
   test("option validation fails loudly") {
     intercept[GraftException] {
       GraftDataSource.readOptions(Map("path" -> "/x", "mode" -> "nope"))
