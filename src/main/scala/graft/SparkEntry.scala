@@ -31,13 +31,16 @@ object SparkEntry {
     "q06_filter_in", "q07_projection_pushdown", "q12_history_search",
     "q13_runaway_sweep", "q18_star_join", "q19_pagination", "q21_salted_join",
     "q10_upsert_merge", "q22_table_lifecycle", "q23_incremental_read",
-    "q26_global_upsert", "q31_key_lookup", "q35_read_optimized",
+    "q24_time_travel", "q26_global_upsert", "q28_table_sync",
+    "q31_key_lookup", "q33_partition_ttl", "q35_read_optimized",
+    "q39_sql_table_read",
     "x01_dedup_exact", "x02_dedup_minhash_lsh", "x03_dedup_simhash",
     "x04_dedup_ngram_jaccard", "x05_dedup_embedding", "x06_ann_topk_brute",
     "x07_ann_ivf", "x08_lang_id", "x10_token_count", "x12_sessionize",
     "x13_hourly_agg", "x16_dup_clusters", "x21_chunking", "x24_decontaminate",
     "x25_asof_join", "x26_range_join", "x28_tfidf_keywords",
-    "x32_token_percentiles", "x40_line_dedup", "x42_incremental_exact")
+    "x32_token_percentiles", "x40_line_dedup", "x42_incremental_exact",
+    "x44_ann_pq", "x46_dedup_embedding_cells", "x47_image_decode")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
