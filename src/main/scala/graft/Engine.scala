@@ -141,4 +141,11 @@ object Engine {
   def compactIfNeeded(spark: SparkSession, tablePath: String,
       maxDeltaRatio: Double = 0.10, maxDeltaCommits: Int = 10): Option[Seq[String]] =
     KeyedTable.compactIfNeeded(spark, tablePath, maxDeltaRatio, maxDeltaCommits)
+
+  def syncAgg(spark: SparkSession, tablePath: String, destPath: String,
+      groupCols: Seq[String], sumCols: Seq[String]): graft.table.IncrementalAgg.SyncResult =
+    graft.table.IncrementalAgg.sync(spark, tablePath, destPath, groupCols, sumCols)
+
+  def readAgg(spark: SparkSession, destPath: String): DataFrame =
+    graft.table.IncrementalAgg.result(spark, destPath)
 }

@@ -740,6 +740,48 @@ object CoreQueries {
         |FROM graft_q39_orders GROUP BY o_month ORDER BY o_month""".stripMargin)
   }
 
+  /** Incrementally-maintained aggregate rollup: build the rollup, mutate the
+    * table (upsert + delete over a bounded partition set), re-sync — the
+    * second sync must touch only the mutated partitions — and answer from
+    * the rollup state. The oracle recomputes the aggregate from scratch over
+    * the equivalent end state, so the hash-match proves incremental
+    * maintenance ≡ full recompute (including the delete, which partial-sum
+    * deltas alone could not handle).
+    */
+  private val q40: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q40")
+    val agg = s"${scratchDir("graft-q40-agg")}/rollup"
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q40_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+    val groupCols = Seq("o_orderpriority")
+    val sumCols = Seq("o_totalprice")
+    graft.table.IncrementalAgg.sync(s, tbl, agg, groupCols, sumCols)
+
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, tbl, base
+      .filter(col("o_orderkey") % 10 === 0 && col("o_month").isin("1995-01", "1995-02"))
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("A"))
+      .withColumn("o_totalprice", (col("o_totalprice").cast(dec) + lit(100)).cast(DoubleType)))
+    KeyedTable.delete(s, tbl, KeyedTable.read(s, tbl)
+      .filter(col("o_orderkey") % 97 === 0 && col("o_month") === "1995-03")
+      .select("o_orderkey", "o_month"))
+
+    val second = graft.table.IncrementalAgg.sync(s, tbl, agg, groupCols, sumCols)
+    // the commit log must bound maintenance to the mutated partitions
+    require(second.touched.nonEmpty && second.touched.forall(p =>
+      Set("o_month=1995-01", "o_month=1995-02", "o_month=1995-03").contains(p)),
+      s"incremental sync touched unexpected partitions: ${second.touched.mkString(",")}")
+
+    graft.table.IncrementalAgg.result(s, agg)
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sum_o_totalprice").cast(DoubleType).as("sum_total"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -779,6 +821,7 @@ object CoreQueries {
     "q37_json_roundtrip" -> q37,
     "q38_schema_evolution" -> q38,
     "q39_sql_table_read" -> q39,
+    "q40_incremental_agg" -> q40,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -993,5 +1036,16 @@ object CoreQueries {
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_incremental_agg" ->
+      // full recompute of the mutated end state; hash-match proves the
+      // incrementally-maintained rollup ≡ recompute
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(
+        |    CASE WHEN o_orderkey % 10 = 0 AND strftime(o_orderdate, '%Y-%m') IN ('1995-01','1995-02')
+        |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS DOUBLE)
+        |         ELSE o_totalprice END AS DECIMAL(30,4))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |WHERE NOT (o_orderkey % 97 = 0 AND strftime(o_orderdate, '%Y-%m') = '1995-03')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -360,6 +360,16 @@ object KeyedTable {
     }
   }
 
+  /** Restricted snapshot read: only `partitions`, with the same delta-merge
+    * semantics as [[read]]. The restriction bounds file listing and scan to
+    * the given partitions — the primitive incremental consumers (e.g.
+    * [[IncrementalAgg]]) use to touch O(changed) data on a huge table.
+    */
+  def readPartitions(
+      spark: SparkSession, tablePath: String, partitions: Seq[String]): DataFrame =
+    snapshot(spark, tablePath, CommitLog.requireState(spark, tablePath),
+      restrictTo = Some(partitions.toSet))
+
   /** Incremental query (Hudi `hoodie.datasource.query.type=incremental`
     * analogue): rows whose commit time is strictly greater than
     * `sinceCommitTime`. The commit log bounds the scan to partitions some
