@@ -167,6 +167,31 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Cluster-balanced (diversity-preserving) downsampling: assign every
+    * vector to its nearest seed centroid and keep at most `k` per cell in
+    * portable-hash order — a corpus downsample that preserves cluster
+    * coverage instead of letting dense regions dominate (the embedding-space
+    * analogue of stratified sampling x29; the coverage-first cousin of
+    * SemDeDup-style pruning). Assignment is the broadcast + map-side max_by
+    * shape (nothing vector-sized shuffles); the exact-k pick costs one
+    * shuffle on the cell id, same as every exact-quota sampler here.
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame, k: Int, nlist: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val cents = seedCentroids(corpus, nlist, idCol, vecCol)
+    val assigned = c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("csim"), lit(-1L) * col("cent_id"))).as("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(graft.functions.Portable.hash60(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+    assigned.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("cell"), col("vec_id"))
+  }
+
   // ------------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks (FAISS-style PQ, Jégou et al. 2011):

@@ -91,6 +91,15 @@ object ExtQueries {
         (col("n_hits") >= col("n_exact") * 0.6).as("recall_ok"))
   }
 
+  /** Cluster-balanced diversity sampling: nearest-seed-centroid cell
+    * assignment + exact per-cell quota in portable-hash order. Fully
+    * deterministic (seed centroids, bit-mirrored cosine fold, md5-hash
+    * pick), so the oracle reproduces the sample exactly.
+    */
+  private val x48: Q = (s, d) =>
+    Similarity.clusterBalancedSample(Tables.embeddings(s, d), k = 10, nlist = 8)
+      .orderBy("cell", "vec_id")
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -721,6 +730,7 @@ object ExtQueries {
     "x45_data_splits" -> x45,
     "x46_dedup_embedding_cells" -> x46,
     "x47_image_decode" -> x47,
+    "x48_diverse_sample" -> x48,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1338,5 +1348,21 @@ object ExtQueries {
         |  CAST(6 AS INTEGER) AS r_height,
         |  CAST(48 * ((doc_id % 256) + (doc_id * 3 % 256) + (doc_id * 7 % 256)) AS BIGINT) AS r_channel_sum
         |FROM documents WHERE doc_id < 500 ORDER BY media_id""".stripMargin,
+    "x48_diverse_sample" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cent_id ASC) AS r
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE r = 1)
+         |SELECT cell, vec_id FROM (
+         |  SELECT cell, vec_id, row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${graft.functions.Portable.sqlHash60("vec_id::VARCHAR")} ASC, vec_id ASC) AS rn
+         |  FROM assigned)
+         |WHERE rn <= 10 ORDER BY cell, vec_id""".stripMargin,
   )
 }

@@ -25,13 +25,14 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x40: 1-row corpus doc count (line-df threshold)
     *  - x44: m·codebookSize PQ centroids + the query-vector set
     *  - x46: nlist seed centroids (cells assignment) + 1-row count aggregates
+    *  - x48: nlist seed centroids (cell assignment for the quota sampler)
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
-      "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells")
+      "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells", "x48_diverse_sample")
 
   private def lifecycle(name: String) =
-    name.matches("q(2[2-9]|3[0-9])_.*")
+    name.matches("q(2[2-9]|[3-9][0-9])_.*")
 
   test("no cartesian or unbounded nested-loop joins in scan/join/agg query plans") {
     val d = "/root/testdata/sf0.001"
