@@ -142,6 +142,9 @@ object Engine {
       maxDeltaRatio: Double = 0.10, maxDeltaCommits: Int = 10): Option[Seq[String]] =
     KeyedTable.compactIfNeeded(spark, tablePath, maxDeltaRatio, maxDeltaCommits)
 
+  def upsertPartial(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] =
+    KeyedTable.upsertPartial(spark, tablePath, updates)
+
   def syncAgg(spark: SparkSession, tablePath: String, destPath: String,
       groupCols: Seq[String], sumCols: Seq[String]): graft.table.IncrementalAgg.SyncResult =
     graft.table.IncrementalAgg.sync(spark, tablePath, destPath, groupCols, sumCols)

@@ -782,6 +782,34 @@ object CoreQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Partial-update upsert: the patch batch carries ONLY key/partition/
+    * precombine + the one column it changes; absent columns must keep their
+    * table values, and brand-new keys insert with nulls in the absent
+    * columns. The oracle recomputes the end state, so preserve-vs-overwrite
+    * resolution is hash-checked column by column.
+    */
+  private val q41: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q41")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q41_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+
+    val hit = KeyedTable.read(s, tbl)
+      .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
+      .select("o_orderkey", "o_month", "o_orderdate")
+    val patch = hit.withColumn("o_orderstatus", lit("P"))
+      .unionByName(hit
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+        .withColumn("o_orderstatus", lit("NEW")))
+    KeyedTable.upsertPartial(s, tbl, patch)
+
+    KeyedTable.read(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -822,6 +850,7 @@ object CoreQueries {
     "q38_schema_evolution" -> q38,
     "q39_sql_table_read" -> q39,
     "q40_incremental_agg" -> q40,
+    "q41_partial_upsert" -> q41,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1047,5 +1076,18 @@ object CoreQueries {
         |FROM orders
         |WHERE NOT (o_orderkey % 97 = 0 AND strftime(o_orderdate, '%Y-%m') = '1995-03')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q41_partial_upsert" ->
+      // patched rows keep o_totalprice/o_orderpriority (absent from the
+      // patch); new keys insert them as NULL
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |         THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice, o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'NEW', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND year(o_orderdate) = 1995)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

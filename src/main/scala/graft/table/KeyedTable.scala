@@ -697,6 +697,60 @@ object KeyedTable {
       antiJoinKeys = keyF ++ partF, operation = "upsert")
   }
 
+  /** Partial-update upsert (Hudi `OverwriteNonDefaultsWithLatestAvroPayload`
+    * analogue, Delta `MERGE ... UPDATE SET c = coalesce(src.c, tgt.c)`
+    * shape): for matched (key, partition) rows, NULL columns in the batch
+    * PRESERVE the table's current value and non-null columns overwrite;
+    * unmatched keys insert as-is (their null columns stay null). The patch
+    * is resolved EAGERLY against the touched partitions' merged snapshot,
+    * so the written batch carries full rows — every read path (snapshot,
+    * MOR delta merge, time travel, CDC, sync) is untouched and both table
+    * types inherit the semantics through the ordinary [[upsert]]. Cost: one
+    * restricted snapshot read of the touched partitions + one key-shuffle
+    * left join — bounded by the batch's partitions, never table size.
+    * Patch batches cannot evolve the schema (unknown columns are refused:
+    * a "patch" with a column the table lacks is almost always a typo).
+    */
+  def upsertPartial(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val precombine = st.latest.precombineField
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val dataCols = schema.fieldNames.filterNot(MetaColumns.all.contains).toSeq
+
+    val unknown = updates.columns.filterNot(dataCols.contains)
+    if (unknown.nonEmpty)
+      throw GraftException.config(
+        s"upsertPartial batch carries unknown column(s): ${unknown.mkString(", ")} " +
+          "(patch writes cannot evolve the schema).")
+    val joinKeys = keyF ++ partF
+    val missing = (joinKeys :+ precombine).distinct.filterNot(updates.columns.contains)
+    if (missing.nonEmpty)
+      throw GraftException.config(
+        s"upsertPartial batch must carry key/partition/precombine column(s): ${missing.mkString(", ")}.")
+
+    val padded = dataCols.foldLeft(updates) { (df, c) =>
+      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(schema(c).dataType))
+      else df.withColumn(c, lit(null).cast(schema(c).dataType))
+    }.select(dataCols.map(col): _*)
+    val batch = Upsert.dedupByKey(padded, keyF, precombine, partF)
+
+    val touched: Seq[String] =
+      if (partF.isEmpty) Seq("")
+      else batch.select(ppCol(partF).as("__pp")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted // bounded by #touched partitions
+
+    val baseSel = joinKeys.map(col) ++
+      dataCols.filterNot(joinKeys.contains).map(c => col(c).as(s"__b_$c"))
+    val patched = batch
+      .join(readPartitions(spark, tablePath, touched).select(baseSel: _*), joinKeys, "left")
+      .select(dataCols.map(c =>
+        if (joinKeys.contains(c)) col(c)
+        else coalesce(col(c), col(s"__b_$c")).as(c)): _*)
+    upsert(spark, tablePath, patched)
+  }
+
   /** Add-column schema evolution (Hudi's default evolution rule on write):
     * batch columns not in the table schema are appended (nullable); type
     * changes are rejected; batch-missing columns are null-padded (Hudi's
