@@ -14,6 +14,8 @@ object Sessions {
       // the engine's SQL surface (graft_* functions) — same Catalyst trees
       // as the Column API, injected into the FunctionRegistry
       .withExtensions(new graft.functions.GraftExtensions)
+      // SQL maintenance surface: CALL graft.system.compact(...) etc.
+      .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

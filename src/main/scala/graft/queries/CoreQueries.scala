@@ -810,6 +810,36 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The whole table lifecycle through pure SQL: a catalog table over the
+    * bootstrapped MOR table, an INSERT INTO that upserts by key, a CALL to
+    * the maintenance catalog to compact, and a SQL read of the end state —
+    * no Scala API anywhere after bootstrap. The oracle recomputes the end
+    * state, so the DSv1 insert path, the procedure catalog, and the
+    * compaction swap are all behind one hash.
+    */
+  private val q42: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q42")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q42_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+    s.sql("DROP TABLE IF EXISTS graft_q42_orders")
+    s.sql(s"CREATE TABLE graft_q42_orders USING graft LOCATION '$tbl'")
+    s.sql(
+      """INSERT INTO graft_q42_orders
+        |SELECT o_orderkey, o_custkey, 'SQL' AS o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 5 AS DOUBLE) AS o_totalprice,
+        |  o_orderdate, o_orderpriority, o_month,
+        |  _hoodie_commit_time, _hoodie_record_key, _hoodie_partition_path
+        |FROM graft_q42_orders
+        |WHERE o_orderkey % 10 = 0 AND year(o_orderdate) = 1995""".stripMargin)
+    s.sql(s"CALL graft.system.compact(table => '$tbl')").collect()
+    require(graft.table.Deltas.liveCommits(s, tbl).isEmpty, "compact CALL left live deltas")
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM graft_q42_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -851,6 +881,7 @@ object CoreQueries {
     "q39_sql_table_read" -> q39,
     "q40_incremental_agg" -> q40,
     "q41_partial_upsert" -> q41,
+    "q42_sql_maintenance" -> q42,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1089,5 +1120,13 @@ object CoreQueries {
         |  SELECT o_orderkey + 10000000, 'NEW', NULL, NULL
         |  FROM orders WHERE o_orderkey % 10 = 0 AND year(o_orderdate) = 1995)
         |ORDER BY o_orderkey""".stripMargin,
+    "q42_sql_maintenance" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |       THEN 'SQL' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 5 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

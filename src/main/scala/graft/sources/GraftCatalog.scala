@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.GraftException
+import graft.table.KeyedTable
+
+/** SQL maintenance surface: a [[ProcedureCatalog]] exposing every table
+  * service as `CALL graft.system.<proc>(...)` — the Iceberg-style procedure
+  * catalog, so operators of a deployment never need the Scala API for
+  * compaction, retention, savepoints, repair, or layout maintenance. The
+  * reference drives these flows through its HTTP backend (app.py:216-223
+  * background jobs); SQL CALL is the engine-native equivalent. Register
+  * with `spark.sql.catalog.graft=graft.sources.GraftCatalog` (preset by
+  * [[graft.Sessions]]).
+  *
+  * Every procedure returns its outcome as rows of one `result` STRING
+  * column (touched partitions, cleaned instants, report lines), so `CALL`
+  * output is inspectable in plain SQL. Procedure args are table PATHS, not
+  * catalog names — the same addressing every other engine surface uses.
+  */
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("system")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.all.keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
+    if (!ok)
+      throw GraftException.config(s"Unknown procedure namespace: ${ident.namespace.mkString(".")}")
+    GraftProcedures.all.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw GraftException.config(s"Unknown procedure: ${ident.name}"))
+  }
+}
+
+private[sources] object GraftProcedures {
+
+  private val outSchema = StructType.fromDDL("result STRING")
+
+  /** One-in / strings-out procedure scaffold: binds positionally against the
+    * declared parameters, converts UTF8Strings, and returns the body's lines
+    * through a [[LocalScan]] (procedure outcomes are bounded metadata lists,
+    * never data-sized).
+    */
+  private def proc(
+      procName: String, params: Seq[(String, DataType)], doc: String)(
+      body: (SparkSession, Seq[Any]) => Seq[String]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = doc
+        override def parameters(): Array[ProcedureParameter] =
+          params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): JIterator[Scan] = {
+          val args = params.zipWithIndex.map { case ((_, t), i) =>
+            if (input.isNullAt(i)) null
+            else input.get(i, t) match {
+              case s: UTF8String => s.toString
+              case v => v
+            }
+          }
+          val outRows: Array[InternalRow] = body(SparkSession.active, args)
+            .map(s => InternalRow(UTF8String.fromString(s)): InternalRow).toArray
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = outRows
+            override def readSchema(): StructType = outSchema
+          }).iterator()
+        }
+      }
+    }
+
+  private def csv(s: Any): Seq[String] =
+    s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  val all: Map[String, UnboundProcedure] = Seq(
+    proc("compact", Seq("table" -> StringType),
+      "Fold MOR delta batches into base files") { (s, a) =>
+      KeyedTable.compact(s, a(0).toString)
+    },
+    proc("compact_if_needed", Seq("table" -> StringType),
+      "Inline compaction policy: compact when delta count/bytes exceed thresholds") { (s, a) =>
+      KeyedTable.compactIfNeeded(s, a(0).toString).getOrElse(Seq("not needed"))
+    },
+    proc("clean_archive", Seq("table" -> StringType, "retain_last" -> IntegerType),
+      "Drop archived pre-images beyond the retention window (savepoints stay pinned)") { (s, a) =>
+      KeyedTable.cleanArchive(s, a(0).toString, a(1).asInstanceOf[Int])
+    },
+    proc("rollback", Seq("table" -> StringType, "instant" -> StringType),
+      "Undo every commit after the instant (within archive retention)") { (s, a) =>
+      KeyedTable.rollback(s, a(0).toString, a(1).toString)
+    },
+    proc("savepoint", Seq("table" -> StringType, "instant" -> StringType),
+      "Pin a commit against archive cleaning") { (s, a) =>
+      Seq(KeyedTable.savepoint(s, a(0).toString, a(1).toString))
+    },
+    proc("delete_savepoint", Seq("table" -> StringType, "instant" -> StringType),
+      "Unpin a savepoint") { (s, a) =>
+      KeyedTable.deleteSavepoint(s, a(0).toString, a(1).toString)
+      Seq(a(1).toString)
+    },
+    proc("restore", Seq("table" -> StringType, "instant" -> StringType),
+      "Swap the table back to a savepointed instant") { (s, a) =>
+      KeyedTable.restore(s, a(0).toString, a(1).toString)
+    },
+    proc("fsck", Seq("table" -> StringType),
+      "Repair crashed-writer leftovers; reports what was swept") { (s, a) =>
+      val r = KeyedTable.fsck(s, a(0).toString)
+      if (r.clean) Seq("clean")
+      else r.orphanStaging.map(p => s"orphan_staging: $p") ++
+        r.orphanDeltas.map(p => s"orphan_delta: $p") ++
+        r.abortedRewrites.map(p => s"aborted_rewrite: $p") ++
+        r.staleInflights.map(p => s"stale_inflight: $p")
+    },
+    proc("size_files", Seq("table" -> StringType, "target_bytes" -> LongType),
+      "Rewrite small-file partitions toward the target file size") { (s, a) =>
+      KeyedTable.sizeFiles(s, a(0).toString, a(1).asInstanceOf[Long])
+    },
+    proc("drop_partitions", Seq("table" -> StringType, "partitions" -> StringType),
+      "Archive-drop whole partitions (comma-separated paths) — O(metadata) TTL") { (s, a) =>
+      KeyedTable.dropPartitions(s, a(0).toString, csv(a(1)))
+    },
+    proc("cluster_sort", Seq("table" -> StringType, "columns" -> StringType),
+      "Linear-sort clustering on the given columns") { (s, a) =>
+      KeyedTable.clusterSort(s, a(0).toString, csv(a(1)))
+    },
+    proc("cluster_zorder", Seq("table" -> StringType, "columns" -> StringType),
+      "Z-order clustering on the given columns") { (s, a) =>
+      KeyedTable.clusterZ(s, a(0).toString, csv(a(1)))
+    },
+    proc("index_stats", Seq("table" -> StringType, "columns" -> StringType),
+      "Build the file-level min/max stats index for the given columns") { (s, a) =>
+      Seq(graft.table.StatsIndex.build(s, a(0).toString, csv(a(1))))
+    },
+    proc("index_bloom", Seq("table" -> StringType),
+      "Build the per-file record-key bloom index") { (s, a) =>
+      Seq(graft.table.BloomIndex.build(s, a(0).toString))
+    },
+    proc("sync_table", Seq("src" -> StringType, "dst" -> StringType, "since" -> StringType),
+      "Incrementally replicate the source's change feed into the destination") { (s, a) =>
+      Seq(graft.table.TableSync.sync(s, a(0).toString, a(1).toString, a(2).toString))
+    },
+    proc("sync_agg", Seq("table" -> StringType, "dest" -> StringType,
+      "group_cols" -> StringType, "sum_cols" -> StringType),
+      "Bring an incrementally-maintained aggregate rollup up to the table tip") { (s, a) =>
+      val r = graft.table.IncrementalAgg.sync(s, a(0).toString, a(1).toString, csv(a(2)), csv(a(3)))
+      s"watermark: ${r.watermark}" +: r.touched
+    },
+    proc("timeline", Seq("table" -> StringType),
+      "The commit timeline (instant, operation, record count) as rows") { (s, a) =>
+      graft.table.CommitLog.commits(s, a(0).toString)
+        .map(c => s"${c.commitTime} ${c.operation} records=${c.recordCount} partitions=${c.partitions.size}")
+    },
+  ).map(p => p.name() -> p).toMap
+}

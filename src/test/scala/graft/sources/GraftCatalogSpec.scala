@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model._
+import graft.table.{CommitLog, KeyedTable}
+
+/** CALL graft.system.<proc> — the SQL maintenance surface. */
+class GraftCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bootstrapOrders(dir: String, tt: TableType): String = {
+    val tbl = s"$dir/tbl"
+    val in = s"$dir/in"
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(in)
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = tbl, tableName = "cat_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = tt))
+    tbl
+  }
+
+  private def callRows(sql: String): Seq[String] =
+    spark.sql(sql).as[String].collect().toSeq
+
+  test("compact, timeline, savepoint lifecycle via pure SQL CALLs") {
+    val tbl = bootstrapOrders(tmpDir("cat"), TableType.MergeOnRead)
+    val base = KeyedTable.read(spark, tbl)
+    val k = base.agg(min("o_orderkey")).head().getLong(0)
+    KeyedTable.upsert(spark, tbl, base.filter(col("o_orderkey") === k)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("SQL")))
+
+    val touched = callRows(s"CALL graft.system.compact(table => '$tbl')")
+    assert(touched.nonEmpty)
+    assert(graft.table.Deltas.liveCommits(spark, tbl).isEmpty)
+
+    val tl = callRows(s"CALL graft.system.timeline('$tbl')")
+    assert(tl.size === 3 && tl.exists(_.contains("compact")))
+
+    val sp = CommitLog.commits(spark, tbl).map(_.commitTime).last
+    assert(callRows(s"CALL graft.system.savepoint('$tbl', '$sp')") === Seq(sp))
+    assert(KeyedTable.savepoints(spark, tbl) === Seq(sp))
+    callRows(s"CALL graft.system.delete_savepoint('$tbl', '$sp')")
+    assert(KeyedTable.savepoints(spark, tbl).isEmpty)
+
+    val fsck = callRows(s"CALL graft.system.fsck('$tbl')")
+    assert(fsck === Seq("clean"))
+  }
+
+  test("index + drop_partitions + clean_archive via SQL CALLs") {
+    val tbl = bootstrapOrders(tmpDir("cat2"), TableType.CopyOnWrite)
+    val statsCt = callRows(
+      s"CALL graft.system.index_stats('$tbl', 'o_custkey,o_totalprice')")
+    assert(statsCt.size === 1)
+    val bloomCt = callRows(s"CALL graft.system.index_bloom('$tbl')")
+    assert(bloomCt.size === 1)
+
+    val month = KeyedTable.read(spark, tbl)
+      .select("o_month").orderBy("o_month").head().getString(0)
+    val dropped = callRows(
+      s"CALL graft.system.drop_partitions('$tbl', 'o_month=$month')")
+    assert(dropped === Seq(s"o_month=$month"))
+    assert(KeyedTable.read(spark, tbl).filter(col("o_month") === month).count() === 0)
+
+    val cleaned = callRows(s"CALL graft.system.clean_archive('$tbl', 0)")
+    assert(cleaned.nonEmpty) // the drop's archive goes
+    intercept[Exception] { // unknown procedure fails loudly
+      spark.sql(s"CALL graft.system.nope('$tbl')").collect()
+    }
+  }
+
+  test("SHOW PROCEDURES lists the surface") {
+    val names = spark.sql("SHOW PROCEDURES IN graft.system")
+      .select("procedure_name").as[String].collect().toSet
+    assert(Set("compact", "rollback", "fsck", "sync_agg", "timeline").subsetOf(names))
+  }
+}
