@@ -388,6 +388,56 @@ object Curation {
       .orderBy(col("tf").desc, col("term").asc)
       .limit(k)
 
+  /** CCNet-style n-gram language-model quality score: train an add-one-
+    * smoothed bigram LM on the corpus itself and score every document by its
+    * average per-bigram negative log-likelihood (low = fluent/typical,
+    * high = garbled/outlier — the signal CCNet thresholds with a KenLM).
+    *
+    * Shape: token explode (corpus tokens) → bigram + unigram count
+    * aggregations (map-side combined) → two equi-joins scoring each pair →
+    * per-doc reassembly. Everything is linear in corpus tokens; the vocab
+    * count is a broadcast 1-row aggregate.
+    *
+    * Engine portability: the per-doc double sum folds the per-position
+    * log-probs IN DOCUMENT ORDER on both engines (sort_array(collect_list)
+    * + aggregate here, list(... ORDER BY pos) + list_reduce in DuckDB) so
+    * float non-associativity cannot diverge, and the final score rounds
+    * through DECIMAL(18,6) — ln() may legally differ in the last ulp
+    * between libms, and six decimals is far above that noise while far
+    * below any semantic use of the score. Documents with fewer than two
+    * tokens carry no bigram evidence and are excluded.
+    */
+  def ngramLmScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val docs = df.select(idCol.as("doc_id"), split(textCol, "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = docs.select(col("doc_id"),
+      posexplode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"),
+        col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+    val unigrams = docs.select(explode(col("ws")).as("w"))
+    val uc = unigrams.groupBy("w").agg(count(lit(1)).as("c1"))
+    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = unigrams.agg(countDistinct(col("w")).as("v"))
+
+    pairs
+      .join(bc, Seq("w1", "w2"))
+      .join(uc.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            s => s.getField("lp")),
+          lit(0.0), (acc, x) => acc + x).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("s") / col("n_bigrams")).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("avg_nll"))
+  }
+
   /** Stratified deterministic sample: EXACTLY `perStratum` rows from every
     * stratum (fewer iff the stratum is smaller), picked by md5-hash order of
     * the key — the "balanced eval slice" primitive. Unlike [[hashSample]]

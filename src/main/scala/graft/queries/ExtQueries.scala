@@ -100,6 +100,14 @@ object ExtQueries {
     Similarity.clusterBalancedSample(Tables.embeddings(s, d), k = 10, nlist = 8)
       .orderBy("cell", "vec_id")
 
+  /** CCNet-style corpus-LM quality score: add-one bigram LM trained on the
+    * corpus itself; per-doc average negative log-likelihood. Document-order
+    * folds + DECIMAL(18,6) render keep the doubles engine-portable.
+    */
+  private val x49: Q = (s, d) =>
+    graft.operators.Curation.ngramLmScore(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -731,6 +739,7 @@ object ExtQueries {
     "x46_dedup_embedding_cells" -> x46,
     "x47_image_decode" -> x47,
     "x48_diverse_sample" -> x48,
+    "x49_lm_quality" -> x49,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1364,5 +1373,27 @@ object ExtQueries {
          |    ORDER BY ${graft.functions.Portable.sqlHash60("vec_id::VARCHAR")} ASC, vec_id ASC) AS rn
          |  FROM assigned)
          |WHERE rn <= 10 ORDER BY cell, vec_id""".stripMargin,
+    "x49_lm_quality" ->
+      """WITH docs AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |pairs AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'w1': ws[i], 'w2': ws[i+1]}
+        |    for i in generate_series(1, len(ws) - 1)], recursive := true)
+        |  FROM docs),
+        |uni AS (SELECT unnest(ws) AS w FROM docs),
+        |uc AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |lps AS (
+        |  SELECT p.doc_id, p.pos, ln((bc.c2 + 1)::DOUBLE / (uc.c1 + v.v)) AS lp
+        |  FROM pairs p JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)), (a, b) -> a + b) AS s
+        |  FROM lps GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, CAST(-s / n_bigrams AS DECIMAL(18,6)) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }
