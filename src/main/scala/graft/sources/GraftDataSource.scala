@@ -215,16 +215,43 @@ object GraftDataSource {
     }
   }
 
+  /** Range/equality bounds extractable from pushed filters — the shapes the
+    * engine's stats index can prune files with. Strict comparisons map to
+    * their INCLUSIVE bound: pruning with a superset range is always safe
+    * (extra files survive pruning, no row escapes) and the strict predicate
+    * is still applied as a residual filter.
+    */
+  private[sources] def toRanges(filters: Seq[Filter]): Seq[(String, Option[Any], Option[Any])] = {
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(conjuncts).collect {
+      case EqualTo(a, v) if v != null && !a.contains(".") => (a, Some(v), Some(v))
+      case GreaterThan(a, v) if v != null && !a.contains(".") => (a, Some(v), None)
+      case GreaterThanOrEqual(a, v) if v != null && !a.contains(".") => (a, Some(v), None)
+      case LessThan(a, v) if v != null && !a.contains(".") => (a, None, Some(v))
+      case LessThanOrEqual(a, v) if v != null && !a.contains(".") => (a, None, Some(v))
+    }
+  }
+
   /** Inner DataFrame with pushed filters and pruned columns applied. An empty
     * pruned schema (count(*) over the source) selects zero columns — the row
-    * count survives, no data columns are read.
+    * count survives, no data columns are read. Snapshot reads with range/
+    * equality predicates route through [[KeyedTable.readWhere]], so a SQL
+    * consumer's `WHERE x BETWEEN ...` skips files via the table's stats
+    * index exactly like the Scala API (readWhere degrades to the plain
+    * snapshot when no index exists or live deltas force a merge).
     */
   private[sources] def prunedDf(
       spark: SparkSession,
       opts: ReadOptions,
       pruneTo: Option[StructType],
       filters: Seq[Filter]): DataFrame = {
-    val base = sourceDf(spark, opts)
+    val ranges = if (opts.asOf.isEmpty && opts.mode == "snapshot") toRanges(filters) else Seq.empty
+    val base =
+      if (ranges.nonEmpty) KeyedTable.readWhere(spark, opts.path, ranges)
+      else sourceDf(spark, opts)
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
     pruneTo match {
       case Some(s) => filtered.select(s.fieldNames.toIndexedSeq.map(col): _*)

@@ -158,6 +158,46 @@ class GraftSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ins_spec")
   }
 
+  test("range predicates route through the stats index; answers unchanged") {
+    val dir = tmpDir("graft-skip")
+    val tbl = s"$dir/tbl"
+    val in = s"$dir/in"
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(in)
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = tbl, tableName = "skip_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+    KeyedTable.clusterSort(spark, tbl, Seq("o_custkey"))
+    graft.table.StatsIndex.build(spark, tbl, Seq("o_custkey"))
+
+    def q(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("o_custkey") >= 100 && col("o_custkey") < 200)
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey").collect().toSeq
+    val expected = q(KeyedTable.read(spark, tbl))
+    assert(q(spark.read.format("graft").load(tbl)) === expected)
+
+    // strict '<' maps to an inclusive prune bound + residual strictness
+    val ranges = GraftDataSource.toRanges(Seq(
+      org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("o_custkey", 100L),
+        org.apache.spark.sql.sources.LessThan("o_custkey", 200L))))
+    assert(ranges === Seq(("o_custkey", Some(100L), None), ("o_custkey", None, Some(200L))))
+
+    // a live delta forces the merged-snapshot fallback — still correct
+    val base = KeyedTable.read(spark, tbl)
+    val k = base.filter(col("o_custkey") >= 100 && col("o_custkey") < 200)
+      .agg(min("o_orderkey")).head().getLong(0)
+    KeyedTable.upsert(spark, tbl, base.filter(col("o_orderkey") === k)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("DX")))
+    val viaSql = spark.read.format("graft").load(tbl)
+      .filter(col("o_custkey") >= 100 && col("o_custkey") < 200)
+    assert(viaSql.filter(col("o_orderkey") === k).head()
+      .getAs[String]("o_orderstatus") === "DX")
+  }
+
   test("option validation fails loudly") {
     intercept[GraftException] {
       GraftDataSource.readOptions(Map("path" -> "/x", "mode" -> "nope"))
