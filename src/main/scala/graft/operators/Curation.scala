@@ -438,6 +438,55 @@ object Curation {
           .as("avg_nll"))
   }
 
+  /** Domain drift between corpus slices: Jensen–Shannon divergence of the
+    * whitespace-token distributions for every pair of `groupCol` values —
+    * the monitoring signal that tells a pipeline one source shifted (new
+    * crawl, new template, silent corruption) before a model sees it.
+    *
+    * Shape: one token explode → (group, token) counts (map-side combined) →
+    * per-group totals (broadcast |groups| rows) → self-join of the count
+    * table on token over group pairs → per-pair aggregation. Work is linear
+    * in |vocab|·|group pairs| with |groups| typically tiny.
+    *
+    * Engine portability: each per-token JS term (½·p·ln(p/m) + ½·q·ln(q/m),
+    * a double) is rounded through DECIMAL(20,8) BEFORE summation, so the
+    * pair total is an exact decimal sum — order-independent and immune to
+    * libm ulp differences in ln(). The ≤0.5e-8·|vocab| rounding bias is
+    * orders below any drift threshold a pipeline would act on. Absent
+    * tokens contribute ½·p·ln(2) from the present side (the JS convention
+    * with q=0), handled by the full-outer token join.
+    */
+  def domainDrift(df: DataFrame, groupCol: Column, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tokens = df.select(groupCol.as("g"), explode(split(textCol, "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = tokens.groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val totals = tokens.groupBy("g").agg(count(lit(1)).as("n"))
+    val withP = counts.join(broadcast(totals), "g")
+      .select(col("g"), col("w"), (col("c").cast("double") / col("n")).as("p"))
+
+    // (pair, token) relation via two broadcast pair-joins + one full outer on
+    // (pair, token): a token absent from one side arrives with a null p
+    val pairs = broadcast(totals.select(col("g").as("src_a"))
+      .crossJoin(totals.select(col("g").as("src_b")))
+      .filter(col("src_a") < col("src_b")))
+    val left = withP.join(pairs, col("g") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("w"), col("p").as("pa"))
+    val right = withP.join(pairs, col("g") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("w"), col("p").as("pb"))
+    val m = (coalesce(col("pa"), lit(0.0)) + coalesce(col("pb"), lit(0.0))) / 2
+    val term =
+      when(col("pa").isNotNull, col("pa") * log(col("pa") / m) / 2).otherwise(0.0) +
+        when(col("pb").isNotNull, col("pb") * log(col("pb") / m) / 2).otherwise(0.0)
+    left.join(right, Seq("src_a", "src_b", "w"), "full_outer")
+      .select(col("src_a"), col("src_b"),
+        term.cast(DecimalType(20, 8)).as("t"),
+        when(col("pa").isNotNull && col("pb").isNotNull, 1L).otherwise(0L).as("shared"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("t")).as("js_divergence"),
+        count(lit(1)).as("n_tokens"), sum(col("shared")).as("n_shared"))
+  }
+
   /** Stratified deterministic sample: EXACTLY `perStratum` rows from every
     * stratum (fewer iff the stratum is smaller), picked by md5-hash order of
     * the key — the "balanced eval slice" primitive. Unlike [[hashSample]]

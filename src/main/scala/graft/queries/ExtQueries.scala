@@ -108,6 +108,14 @@ object ExtQueries {
     graft.operators.Curation.ngramLmScore(Tables.documents(s, d), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** Domain drift: Jensen–Shannon divergence between every pair of sources'
+    * token distributions. Per-token terms round through DECIMAL(20,8)
+    * before the (then-exact) sum, so the oracle matches bit-for-bit.
+    */
+  private val x50: Q = (s, d) =>
+    graft.operators.Curation.domainDrift(Tables.documents(s, d), col("source"), col("text"))
+      .orderBy("src_a", "src_b")
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -740,6 +748,7 @@ object ExtQueries {
     "x47_image_decode" -> x47,
     "x48_diverse_sample" -> x48,
     "x49_lm_quality" -> x49,
+    "x50_domain_drift" -> x50,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1395,5 +1404,38 @@ object ExtQueries {
         |  FROM lps GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, CAST(-s / n_bigrams AS DECIMAL(18,6)) AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "x50_domain_drift" ->
+      """WITH tok AS (
+        |  SELECT g, w FROM (
+        |    SELECT source AS g, unnest(string_split_regex(text, '\s+')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0),
+        |counts AS (SELECT g, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |totals AS (SELECT g, count(*) AS n FROM tok GROUP BY 1),
+        |p AS (SELECT c.g, c.w, c.c::DOUBLE / t.n AS p FROM counts c JOIN totals t USING (g)),
+        |pairs AS (
+        |  SELECT a.g AS src_a, b.g AS src_b
+        |  FROM totals a CROSS JOIN totals b WHERE a.g < b.g),
+        |l AS (SELECT src_a, src_b, w, p AS pa FROM p JOIN pairs ON p.g = pairs.src_a),
+        |r AS (SELECT src_a, src_b, w, p AS pb FROM p JOIN pairs ON p.g = pairs.src_b),
+        |j AS (
+        |  SELECT coalesce(l.src_a, r.src_a) AS src_a,
+        |         coalesce(l.src_b, r.src_b) AS src_b, l.pa AS pa, r.pb AS pb
+        |  FROM l FULL OUTER JOIN r
+        |    ON l.src_a = r.src_a AND l.src_b = r.src_b AND l.w = r.w),
+        |terms AS (
+        |  SELECT src_a, src_b,
+        |    CAST(
+        |      (CASE WHEN pa IS NOT NULL
+        |            THEN pa * ln(pa / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2)) / 2
+        |            ELSE 0 END) +
+        |      (CASE WHEN pb IS NOT NULL
+        |            THEN pb * ln(pb / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2)) / 2
+        |            ELSE 0 END) AS DECIMAL(20,8)) AS t,
+        |    CASE WHEN pa IS NOT NULL AND pb IS NOT NULL THEN 1 ELSE 0 END AS shared
+        |  FROM j)
+        |SELECT src_a, src_b, sum(t) AS js_divergence,
+        |  count(*) AS n_tokens, sum(shared)::BIGINT AS n_shared
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
