@@ -40,7 +40,8 @@ object SparkEntry {
     "x13_hourly_agg", "x16_dup_clusters", "x21_chunking", "x24_decontaminate",
     "x25_asof_join", "x26_range_join", "x28_tfidf_keywords",
     "x32_token_percentiles", "x40_line_dedup", "x42_incremental_exact",
-    "x44_ann_pq", "x46_dedup_embedding_cells", "x47_image_decode")
+    "x44_ann_pq", "x46_dedup_embedding_cells", "x47_image_decode",
+    "q42_sql_maintenance", "x49_lm_quality", "x50_domain_drift")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
