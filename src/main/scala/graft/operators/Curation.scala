@@ -487,6 +487,38 @@ object Curation {
         count(lit(1)).as("n_tokens"), sum(col("shared")).as("n_shared"))
   }
 
+  /** Cross-source duplicate overlap matrix: for every pair of `groupCol`
+    * values, how many DISTINCT document texts appear in both — the
+    * contamination-triage view that tells a pipeline which sources mirror
+    * each other (and therefore which dedup pass pays for itself). Reported
+    * with per-source distinct counts and the overlap Jaccard.
+    *
+    * Shape: md5 fingerprint in the scan → (group, fp) distinct (one
+    * shuffle) → self-equi-join on fp (a fingerprint in k sources meets
+    * k(k-1)/2 times — bounded by |sources|², never corpus size) → broadcast
+    * pair enumeration fills in zero-overlap pairs. Jaccard renders through
+    * DECIMAL(18,6): integer inputs, one correctly-rounded division, same
+    * digits in every engine.
+    */
+  def overlapMatrix(df: DataFrame, groupCol: Column, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val fps = df.select(groupCol.as("g"), md5(textCol).as("fp")).distinct()
+    val totals = fps.groupBy("g").agg(count(lit(1)).as("n"))
+    val shared = fps.select(col("g").as("src_a"), col("fp"))
+      .join(fps.select(col("g").as("src_b"), col("fp")), "fp")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    broadcast(totals.select(col("g").as("src_a"), col("n").as("n_a")))
+      .crossJoin(broadcast(totals.select(col("g").as("src_b"), col("n").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))))
+          .cast(DecimalType(18, 6)).as("overlap_jaccard"))
+  }
+
   /** Stratified deterministic sample: EXACTLY `perStratum` rows from every
     * stratum (fewer iff the stratum is smaller), picked by md5-hash order of
     * the key — the "balanced eval slice" primitive. Unlike [[hashSample]]

@@ -116,6 +116,17 @@ object ExtQueries {
     graft.operators.Curation.domainDrift(Tables.documents(s, d), col("source"), col("text"))
       .orderBy("src_a", "src_b")
 
+  /** Cross-source duplicate overlap matrix over documents ∪ a planted
+    * 'mirror' source (every 5th doc re-tagged) so real overlap exists.
+    */
+  private val x51: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("source", "doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select(lit("mirror").as("source"), (col("doc_id") + 100000).as("doc_id"), col("text"))
+    graft.operators.Curation.overlapMatrix(docs.unionByName(planted), col("source"), col("text"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -749,6 +760,7 @@ object ExtQueries {
     "x48_diverse_sample" -> x48,
     "x49_lm_quality" -> x49,
     "x50_domain_drift" -> x50,
+    "x51_overlap_matrix" -> x51,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1437,5 +1449,25 @@ object ExtQueries {
         |SELECT src_a, src_b, sum(t) AS js_divergence,
         |  count(*) AS n_tokens, sum(shared)::BIGINT AS n_shared
         |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x51_overlap_matrix" ->
+      """WITH all_docs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror', text FROM documents WHERE doc_id % 5 = 0),
+        |fps AS (SELECT DISTINCT source AS g, md5(text) AS fp FROM all_docs),
+        |totals AS (SELECT g, count(*) AS n FROM fps GROUP BY 1),
+        |shared AS (
+        |  SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT ta.g AS src_a, tb.g AS src_b, ta.n AS n_a, tb.n AS n_b,
+        |  coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+        |  CAST(coalesce(s.n_shared, 0)::DOUBLE
+        |       / (ta.n + tb.n - coalesce(s.n_shared, 0)) AS DECIMAL(18,6))
+        |    AS overlap_jaccard
+        |FROM totals ta CROSS JOIN totals tb
+        |LEFT JOIN shared s ON s.src_a = ta.g AND s.src_b = tb.g
+        |WHERE ta.g < tb.g
+        |ORDER BY src_a, src_b""".stripMargin,
   )
 }

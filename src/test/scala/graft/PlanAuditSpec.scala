@@ -27,12 +27,12 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x46: nlist seed centroids (cells assignment) + 1-row count aggregates
     *  - x48: nlist seed centroids (cell assignment for the quota sampler)
     *  - x49: 1-row vocabulary-size aggregate
-    *  - x50: |groups|-row per-source totals (the group-pair enumeration)
+    *  - x50/x51: |groups|-row per-source totals (the group-pair enumeration)
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
       "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells", "x48_diverse_sample",
-      "x49_lm_quality", "x50_domain_drift")
+      "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|[3-9][0-9])_.*")
