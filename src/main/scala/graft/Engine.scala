@@ -145,6 +145,13 @@ object Engine {
   def upsertPartial(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] =
     KeyedTable.upsertPartial(spark, tablePath, updates)
 
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: String): Seq[String] =
+    KeyedTable.deleteWhere(spark, tablePath, predicate)
+
+  def updateWhere(spark: SparkSession, tablePath: String, predicate: String,
+      sets: Map[String, String]): Seq[String] =
+    KeyedTable.updateWhere(spark, tablePath, predicate, sets)
+
   def syncAgg(spark: SparkSession, tablePath: String, destPath: String,
       groupCols: Seq[String], sumCols: Seq[String]): graft.table.IncrementalAgg.SyncResult =
     graft.table.IncrementalAgg.sync(spark, tablePath, destPath, groupCols, sumCols)

@@ -840,6 +840,30 @@ object CoreQueries {
         |FROM graft_q42_orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Row-level SQL DML through the procedure catalog: UPDATE ... SET via
+    * `update_where` (all SET expressions against the pre-update row) and
+    * DELETE FROM via `delete_where`, on a MOR table, compacted, read back.
+    * Oracle recomputes the end state.
+    */
+  private val q43: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q43")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q43_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+    s.sql(
+      s"""CALL graft.system.update_where('$tbl',
+         |  'o_orderkey % 10 = 0 AND year(o_orderdate) = 1995',
+         |  'o_orderstatus = ''D''; o_totalprice = CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 9 AS DOUBLE)')""".stripMargin).collect()
+    s.sql(
+      s"""CALL graft.system.delete_where('$tbl',
+         |  'o_orderkey % 97 = 0 AND year(o_orderdate) = 1996')""".stripMargin).collect()
+    s.sql(s"CALL graft.system.compact(table => '$tbl')").collect()
+    KeyedTable.read(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -882,6 +906,7 @@ object CoreQueries {
     "q40_incremental_agg" -> q40,
     "q41_partial_upsert" -> q41,
     "q42_sql_maintenance" -> q42,
+    "q43_predicate_dml" -> q43,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1128,5 +1153,15 @@ object CoreQueries {
         |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 5 AS DOUBLE)
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q43_predicate_dml" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |       THEN 'D' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 9 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -167,6 +167,22 @@ private[sources] object GraftProcedures {
       val r = graft.table.IncrementalAgg.sync(s, a(0).toString, a(1).toString, csv(a(2)), csv(a(3)))
       s"watermark: ${r.watermark}" +: r.touched
     },
+    proc("delete_where", Seq("table" -> StringType, "predicate" -> StringType),
+      "Delete every row matching the SQL predicate (DELETE FROM ... WHERE)") { (s, a) =>
+      KeyedTable.deleteWhere(s, a(0).toString, a(1).toString)
+    },
+    proc("update_where", Seq("table" -> StringType, "predicate" -> StringType,
+      "assignments" -> StringType),
+      "Apply 'col = expr; col2 = expr2' to rows matching the SQL predicate " +
+        "(UPDATE ... SET ... WHERE); all expressions see the pre-update row") { (s, a) =>
+      val sets = a(2).toString.split(";").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i <= 0) throw GraftException.config(
+          s"update_where assignment must be 'col = expr', got '$kv'.")
+        kv.take(i).trim -> kv.drop(i + 1).trim
+      }.toMap
+      KeyedTable.updateWhere(s, a(0).toString, a(1).toString, sets)
+    },
     proc("timeline", Seq("table" -> StringType),
       "The commit timeline (instant, operation, record count) as rows") { (s, a) =>
       graft.table.CommitLog.commits(s, a(0).toString)

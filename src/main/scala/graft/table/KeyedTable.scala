@@ -751,6 +751,59 @@ object KeyedTable {
     upsert(spark, tablePath, patched)
   }
 
+  /** Predicate delete (SQL `DELETE FROM ... WHERE` semantics): remove every
+    * row matching `predicate`, a SQL boolean expression over table columns.
+    * One snapshot read pruned by the predicate and projected to key +
+    * partition columns resolves the doomed keys; the ordinary key-wise
+    * [[delete]] does the rest (COW partition rewrite / MOR tombstones), so
+    * cost is bounded by the partitions the predicate actually hits.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: String): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val keys = read(spark, tablePath).filter(expr(predicate))
+      .select((keyF ++ partF).map(col): _*)
+    if (keys.isEmpty) Seq.empty else delete(spark, tablePath, keys)
+  }
+
+  /** Predicate update (SQL `UPDATE ... SET ... WHERE` semantics, the
+    * reference's runaway-sweep bulk update §2.7 as a table service): apply
+    * `sets` (column → SQL expression, evaluated over the matching row) to
+    * every row matching `predicate`, via one predicate-pruned snapshot read
+    * + the ordinary [[upsert]]. Key, partition, and meta columns cannot be
+    * assigned — a partition/key change is a row MOVE, which is
+    * [[upsertGlobal]]'s contract, not an in-place update.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      tablePath: String,
+      predicate: String,
+      sets: Map[String, String]): Seq[String] = {
+    require(sets.nonEmpty, "updateWhere needs at least one SET assignment")
+    val st = CommitLog.requireState(spark, tablePath)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val illegal = sets.keys.filter(c =>
+      keyF.contains(c) || partF.contains(c) || MetaColumns.all.contains(c))
+    if (illegal.nonEmpty)
+      throw GraftException.config(
+        s"updateWhere cannot assign key/partition/meta column(s): ${illegal.mkString(", ")} " +
+          "(a key or partition change is a row move — use upsertGlobal).")
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val dataCols = schema.fieldNames.filterNot(MetaColumns.all.contains).toSeq
+    val unknown = sets.keys.filterNot(dataCols.contains)
+    if (unknown.nonEmpty)
+      throw GraftException.config(
+        s"updateWhere SET references unknown column(s): ${unknown.mkString(", ")}.")
+    // one projection so every SET expression evaluates against the OLD row
+    // (SQL UPDATE semantics — assignments must not see each other)
+    val updates = read(spark, tablePath).filter(expr(predicate))
+      .select(dataCols.map(c =>
+        sets.get(c).map(e => expr(e).cast(schema(c).dataType).as(c)).getOrElse(col(c))): _*)
+    if (updates.isEmpty) Seq.empty else upsert(spark, tablePath, updates)
+  }
+
   /** Add-column schema evolution (Hudi's default evolution rule on write):
     * batch columns not in the table schema are appended (nullable); type
     * changes are rejected; batch-missing columns are null-padded (Hudi's

@@ -73,6 +73,32 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("update_where evaluates SET against the pre-update row; delete_where removes") {
+    val tbl = bootstrapOrders(tmpDir("cat3"), TableType.CopyOnWrite)
+    val before = KeyedTable.read(spark, tbl)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey").limit(1).head()
+    val (k, cust, price) = (before.getLong(0), before.getLong(1), before.getDouble(2))
+
+    // swap-style assignment: both RHS must see the OLD row
+    callRows(
+      s"""CALL graft.system.update_where('$tbl', 'o_orderkey = $k',
+         |  'o_custkey = CAST(o_totalprice AS BIGINT); o_totalprice = CAST(o_custkey AS DOUBLE)')""".stripMargin)
+    val after = KeyedTable.read(spark, tbl).filter(col("o_orderkey") === k).head()
+    assert(after.getAs[Long]("o_custkey") === price.toLong)
+    assert(after.getAs[Double]("o_totalprice") === cust.toDouble)
+
+    val n = KeyedTable.read(spark, tbl).count()
+    callRows(s"CALL graft.system.delete_where('$tbl', 'o_orderkey = $k')")
+    assert(KeyedTable.read(spark, tbl).count() === n - 1)
+
+    // key/partition assignment refused
+    val e = intercept[Exception] {
+      callRows(s"CALL graft.system.update_where('$tbl', 'true', 'o_month = ''x''')")
+    }
+    assert(e.getMessage.contains("row move"))
+  }
+
   test("SHOW PROCEDURES lists the surface") {
     val names = spark.sql("SHOW PROCEDURES IN graft.system")
       .select("procedure_name").as[String].collect().toSet
