@@ -74,9 +74,13 @@ private[sources] object GraftProcedures {
           params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): JIterator[Scan] = {
-          val args = params.zipWithIndex.map { case ((_, t), i) =>
-            if (input.isNullAt(i)) null
-            else input.get(i, t) match {
+          val args = params.zipWithIndex.map { case ((n, t), i) =>
+            // no procedure here takes an optional argument, and a silently
+            // unboxed NULL (null.asInstanceOf[Int] == 0) would turn e.g.
+            // clean_archive(t, NULL) into retain-nothing — refuse loudly
+            if (input.isNullAt(i))
+              throw GraftException.config(s"$procName argument '$n' must not be NULL.")
+            input.get(i, t) match {
               case s: UTF8String => s.toString
               case v => v
             }
@@ -93,6 +97,28 @@ private[sources] object GraftProcedures {
 
   private def csv(s: Any): Seq[String] =
     s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Split `col = expr; col2 = expr2` on semicolons OUTSIDE single-quoted
+    * SQL string literals (an expr like `note = 'a;b'` must stay whole), then
+    * on the first '=' of each piece.
+    */
+  private[sources] def parseAssignments(s: String): Map[String, String] = {
+    val pieces = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach { ch =>
+      if (ch == '\'') { inQuote = !inQuote; cur += ch }
+      else if (ch == ';' && !inQuote) { pieces += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    pieces += cur.toString
+    pieces.result().map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i <= 0) throw GraftException.config(
+        s"update_where assignment must be 'col = expr', got '$kv'.")
+      kv.take(i).trim -> kv.drop(i + 1).trim
+    }.toMap
+  }
 
   val all: Map[String, UnboundProcedure] = Seq(
     proc("compact", Seq("table" -> StringType),
@@ -175,13 +201,8 @@ private[sources] object GraftProcedures {
       "assignments" -> StringType),
       "Apply 'col = expr; col2 = expr2' to rows matching the SQL predicate " +
         "(UPDATE ... SET ... WHERE); all expressions see the pre-update row") { (s, a) =>
-      val sets = a(2).toString.split(";").map(_.trim).filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        if (i <= 0) throw GraftException.config(
-          s"update_where assignment must be 'col = expr', got '$kv'.")
-        kv.take(i).trim -> kv.drop(i + 1).trim
-      }.toMap
-      KeyedTable.updateWhere(s, a(0).toString, a(1).toString, sets)
+      KeyedTable.updateWhere(s, a(0).toString, a(1).toString,
+        parseAssignments(a(2).toString))
     },
     proc("timeline", Seq("table" -> StringType),
       "The commit timeline (instant, operation, record count) as rows") { (s, a) =>

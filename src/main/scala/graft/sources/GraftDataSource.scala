@@ -69,7 +69,7 @@ class GraftDataSource extends TableProvider with RelationProvider
     val opts = GraftDataSource.readOptions(options.asScala.toMap)
     val spark = SparkSession.active
     if (!CommitLog.exists(spark, opts.path)) new StructType()
-    else GraftDataSource.sourceDf(spark, opts).schema
+    else GraftDataSource.sourceSchema(spark, opts)
   }
 
   override def getTable(
@@ -136,6 +136,25 @@ object GraftDataSource {
       case None if opts.mode == "read_optimized" => KeyedTable.readOptimized(spark, opts.path)
       case None => KeyedTable.read(spark, opts.path)
     }
+
+  /** `sourceDf(...).schema`, cached per (path, table tip, asOf, mode):
+    * every analysis of every query over a catalog graft table asks for the
+    * relation schema, and building the full snapshot plan (O(#partitions)
+    * existence checks, MOR merge plan) each time is measurable driver
+    * latency. The schema must come from the REAL plan — the commit-log DDL
+    * alone differs in attribute nullability (unions/merges widen it), which
+    * breaks INSERT analysis — so cache the exact computation instead,
+    * invalidated by the tip instant whenever the table advances.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Option[String], String), StructType]()
+
+  private[sources] def sourceSchema(spark: SparkSession, opts: ReadOptions): StructType = {
+    val tip = graft.table.CommitLog.requireState(spark, opts.path).latest.commitTime
+    if (schemaCache.size > 256) schemaCache.clear()
+    schemaCache.computeIfAbsent((opts.path, tip, opts.asOf, opts.mode),
+      _ => sourceDf(spark, opts).schema)
+  }
 
   /** Best-effort Filter→Column translation for pushdown into the inner plan.
     * Unsupported shapes return None and are simply not pushed — Spark
@@ -273,7 +292,7 @@ private[sources] class GraftTable(
     val spark = SparkSession.active
     if (!CommitLog.exists(spark, opts.path))
       provided.filter(_.nonEmpty).getOrElse(new StructType())
-    else GraftDataSource.sourceDf(spark, opts).schema
+    else GraftDataSource.sourceSchema(spark, opts)
   }
   // V1_BATCH_WRITE (not BATCH_WRITE): DataFrameWriter.save then takes its
   // V1 fallback into createRelation, while V2 relation INSERTs execute
@@ -364,7 +383,7 @@ private[sources] class GraftRelation(
 
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
-    GraftDataSource.sourceDf(ctx.sparkSession, opts).schema
+    GraftDataSource.sourceSchema(ctx.sparkSession, opts)
   override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {

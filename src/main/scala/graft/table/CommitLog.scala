@@ -104,12 +104,21 @@ object CommitLog {
     * writer); publish-time conflict validation uses the actual CommitInfo,
     * never the marker.
     */
+  /** Record a writer at stage time. `baseCommits` is the EXACT set of commit
+    * instants in the writer's base snapshot — publish-time conflict
+    * detection checks overlapping commits against this set rather than
+    * instant order, because disjoint-partition writers may legally publish
+    * instants BELOW the tip: "instant > base" cannot distinguish a commit
+    * the writer built on from one that landed (out of instant order) after
+    * its base read.
+    */
   def beginInflight(
       spark: SparkSession,
       tablePath: String,
       ct: String,
       operation: String,
-      partitions: Seq[String]): Unit = {
+      partitions: Seq[String],
+      baseCommits: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, tablePath)
     val dir = logDir(tablePath)
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -117,9 +126,42 @@ object CommitLog {
     root.put("commitTime", ct)
     root.put("operation", operation)
     putStrings(root, "partitions", partitions)
+    putStrings(root, "baseCommits", baseCommits)
     val out = f.create(new Path(dir, s"$ct.inflight.json"), false)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
+  }
+
+  /** Operation + partitions recorded in `ct`'s inflight marker. */
+  def inflightInfo(
+      spark: SparkSession, tablePath: String, ct: String): Option[(String, Seq[String])] = {
+    val f = fs(spark, tablePath)
+    val p = new Path(logDir(tablePath), s"$ct.inflight.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val node = try mapper.readTree(in) finally in.close()
+      val parts = Seq.newBuilder[String]
+      Option(node.get("partitions")).foreach(_.elements()
+        .forEachRemaining(e => parts += e.asText()))
+      Some(node.get("operation").asText() -> parts.result())
+    }
+  }
+
+  /** The base-commit set recorded in `ct`'s inflight marker, if present. */
+  def inflightBaseCommits(spark: SparkSession, tablePath: String, ct: String): Option[Set[String]] = {
+    val f = fs(spark, tablePath)
+    val p = new Path(logDir(tablePath), s"$ct.inflight.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val node = try mapper.readTree(in) finally in.close()
+      Option(node.get("baseCommits")).map { arr =>
+        val b = Set.newBuilder[String]
+        arr.elements().forEachRemaining(e => b += e.asText())
+        b.result()
+      }.filter(_.nonEmpty)
+    }
   }
 
   /** Instants with an inflight marker (committed or not) — fsck subtracts
@@ -192,7 +234,17 @@ object CommitLog {
             s"Commit instant ${info.commitTime} is not after its base instant $b " +
               "(clock skew, or a table written under a different timezone format).")
         val mine = info.partitions.map(_.path).toSet
-        val clash = existing.filter(_.commitTime > b).filter { c =>
+        // "not in my base snapshot" is the exact novelty test; the marker
+        // records that set at stage time. Instant order alone would miss a
+        // conflicting commit published out of instant order (allowed for
+        // disjoint writers) after this writer read its base. Fallback for
+        // markerless publishes: anything after the base instant.
+        val novel: CommitInfo => Boolean =
+          inflightBaseCommits(spark, tablePath, info.commitTime) match {
+            case Some(known) => c => !known.contains(c.commitTime)
+            case None => c => c.commitTime > b
+          }
+        val clash = existing.filter(novel).filter { c =>
           info.operation == "bootstrap" || c.operation == "bootstrap" ||
             c.partitions.exists(p => mine.contains(p.path))
         }

@@ -56,15 +56,17 @@ object IncrementalAgg {
 
   private def readState(spark: SparkSession, destPath: String): Option[State] = {
     val fs = CommitLog.fs(spark, destPath)
-    val f = stateFile(destPath)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
+    // the tmp file is fully written+closed before the publish delete+rename;
+    // if a crash hit the window between them, the tmp IS the newest state
+    val f = Seq(stateFile(destPath), new Path(destPath, "_aggstate.json.tmp"))
+      .find(fs.exists(_))
+    f.map { p =>
+      val in = fs.open(p)
       val node = try mapper.readTree(in) finally in.close()
-      Some(State(
+      State(
         node.get("since").asText(), node.get("dataDir").asText(),
         node.get("groupCols").elements().asScala.map(_.asText()).toSeq,
-        node.get("sumCols").elements().asScala.map(_.asText()).toSeq))
+        node.get("sumCols").elements().asScala.map(_.asText()).toSeq)
     }
   }
 
@@ -106,12 +108,16 @@ object IncrementalAgg {
     require(groupCols.nonEmpty, "IncrementalAgg needs at least one group column")
     val st = CommitLog.requireState(spark, tablePath)
     val tip = st.latest.commitTime
-    val prior = readState(spark, destPath)
-    prior.filter(p => p.groupCols != groupCols || p.sumCols != sumCols).foreach(p =>
+    val prior0 = readState(spark, destPath)
+    prior0.filter(p => p.groupCols != groupCols || p.sumCols != sumCols).foreach(p =>
       throw GraftException.config(
         s"IncrementalAgg at $destPath maintains groupCols=${p.groupCols.mkString(",")} " +
           s"sumCols=${p.sumCols.mkString(",")}; cannot sync different columns " +
           "(build a new rollup instead)."))
+    // a rollback/restore of the base table moves the tip BELOW the stored
+    // watermark; incremental maintenance cannot subtract unknown history, so
+    // rebuild from scratch instead of silently serving pre-rollback state
+    val prior = prior0.filter(_.since <= tip)
 
     val touched: Seq[String] = prior match {
       case None => st.partitionModes.keys.toSeq.sorted
@@ -133,7 +139,7 @@ object IncrementalAgg {
     val newDir = s"partials_$tip"
     next.write.mode("overwrite").parquet(new Path(destPath, newDir).toString)
     writeState(spark, destPath, State(tip, newDir, groupCols, sumCols))
-    prior.filter(_.dataDir != newDir).foreach(p =>
+    prior0.filter(_.dataDir != newDir).foreach(p =>
       CommitLog.fs(spark, destPath).delete(new Path(destPath, p.dataDir), true))
     SyncResult(touched, tip)
   }

@@ -112,10 +112,19 @@ object KeyedTable {
       throw GraftException.config("Input DataFrame is empty. Nothing to write.")
     val ct = CommitLog.newCommitTime()
     val fs = CommitLog.fs(spark, tablePath)
+    // stage the whole write NEXT TO the table and swap with one rename: the
+    // input plan may read FROM this very table (INSERT OVERWRITE t
+    // SELECT ... FROM t), so deleting before writing would destroy the
+    // source mid-plan; staging also means a crash mid-write leaves the old
+    // table intact
+    val staging = new Path(s"$tablePath.staging-create-$ct")
+    fs.delete(staging, true)
+    writeData(df, keyFields, partitionFields, ct, staging.toString,
+      mode = "overwrite", dynamicOverwrite = false)
     fs.delete(new Path(tablePath), true)
+    if (!fs.rename(staging, new Path(tablePath)))
+      throw GraftException.unexpected(s"Could not move staged table into place at $tablePath")
     CommitLog.beginInflight(spark, tablePath, ct, "bootstrap", partCounts.map(_._1))
-    writeData(df, keyFields, partitionFields, ct, tablePath,
-      mode = "append", dynamicOverwrite = false)
     CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "bootstrap", tableName = tableName,
       tableType = tableType.name, keyFields = keyFields,
@@ -201,7 +210,9 @@ object KeyedTable {
     val toWrite = resumeTargets(spark, cfg, existing, partCounts)
     if (toWrite.isEmpty) return Seq.empty // "No missing or incomplete partitions found."
 
-    CommitLog.beginInflight(spark, cfg.tablePath, ct, "resume", toWrite)
+    CommitLog.beginInflight(spark, cfg.tablePath, ct, "resume", toWrite,
+      baseCommits = CommitLog.state(spark, cfg.tablePath)
+        .map(_.commits.map(_.commitTime)).getOrElse(Seq.empty))
     val slice = input.filter(ppCol(cfg.partitionFields).isin(toWrite: _*))
     writeData(slice, cfg.keyFields, cfg.partitionFields, ct, cfg.tablePath,
       mode = "overwrite", dynamicOverwrite = true)
@@ -536,7 +547,8 @@ object KeyedTable {
         .select(evolved.fieldNames.map(col).toSeq: _*)
         .withColumn(Deltas.DeletedCol, lit(true))
       val rows = updMeta.withColumn(Deltas.DeletedCol, lit(false)).unionByName(tombMeta)
-      CommitLog.beginInflight(spark, tablePath, ct, "upsert_global", touched)
+      CommitLog.beginInflight(spark, tablePath, ct, "upsert_global", touched,
+        baseCommits = st.commits.map(_.commitTime))
       Deltas.write(rows, tablePath, ct, partF)
       moved.unpersist()
       val counts = partitionCountsOf(
@@ -544,7 +556,7 @@ object KeyedTable {
       // committed under its own operation name (not plain delta_commit):
       // readChanges scans only delete/upsert_global batches for tombstones,
       // so ordinary upsert batches never gate the CDC retention horizon
-      CommitLog.write(spark, tablePath, CommitInfo(
+      publishRewrite(spark, tablePath, CommitInfo(
         commitTime = ct, operation = "upsert_global", tableName = st.latest.tableName,
         tableType = st.latest.tableType, keyFields = keyF, precombineField = precombine,
         partitionFields = partF,
@@ -645,9 +657,10 @@ object KeyedTable {
     val base = padToSchema(readPartitions(spark, tablePath, st, touched), evolved)
     val merged = base.join(updMeta.select(antiJoinKeys.map(col): _*), antiJoinKeys, "left_anti")
       .unionByName(updMeta)
-    CommitLog.beginInflight(spark, tablePath, ct, operation, touched)
+    CommitLog.beginInflight(spark, tablePath, ct, operation, touched,
+      baseCommits = st.commits.map(_.commitTime))
     val counts = stageAndSwap(spark, tablePath, merged, evolved, partF, touched, ct)
-    CommitLog.write(spark, tablePath, CommitInfo(
+    publishRewrite(spark, tablePath, CommitInfo(
       commitTime = ct, operation = operation, tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
@@ -762,8 +775,11 @@ object KeyedTable {
     val st = CommitLog.requireState(spark, tablePath)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
+    // materialized once (key+partition columns only): the emptiness probe,
+    // delete's touched-partition collect, and its anti-join all reuse the
+    // resolved keys instead of re-running the predicate scan
     val keys = read(spark, tablePath).filter(expr(predicate))
-      .select((keyF ++ partF).map(col): _*)
+      .select((keyF ++ partF).map(col): _*).localCheckpoint()
     if (keys.isEmpty) Seq.empty else delete(spark, tablePath, keys)
   }
 
@@ -797,10 +813,12 @@ object KeyedTable {
       throw GraftException.config(
         s"updateWhere SET references unknown column(s): ${unknown.mkString(", ")}.")
     // one projection so every SET expression evaluates against the OLD row
-    // (SQL UPDATE semantics — assignments must not see each other)
+    // (SQL UPDATE semantics — assignments must not see each other);
+    // materialized once so the emptiness probe and upsert's passes reuse it
     val updates = read(spark, tablePath).filter(expr(predicate))
       .select(dataCols.map(c =>
         sets.get(c).map(e => expr(e).cast(schema(c).dataType).as(c)).getOrElse(col(c))): _*)
+      .localCheckpoint()
     if (updates.isEmpty) Seq.empty else upsert(spark, tablePath, updates)
   }
 
@@ -881,19 +899,28 @@ object KeyedTable {
     // touched partitions aren't known until the delta files exist; the
     // marker records the instant + operation, publish validates real paths
     CommitLog.beginInflight(spark, tablePath, ct,
-      if (delete) "delete" else "delta_commit", Seq.empty)
+      if (delete) "delete" else "delta_commit", Seq.empty,
+      baseCommits = st.commits.map(_.commitTime))
     Deltas.write(rows, tablePath, ct, partF)
 
     val counts = partitionCountsOf(
       spark.read.schema(Deltas.schemaOf(evolved)).parquet(Deltas.dir(tablePath, ct).toString), partF)
     val touched = counts.keys.toSeq.sorted
-    CommitLog.write(spark, tablePath, CommitInfo(
+    try CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = if (delete) "delete" else "delta_commit",
       tableName = st.latest.tableName, tableType = st.latest.tableType,
       keyFields = keyF, precombineField = precombine, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "delta", counts.getOrElse(p, 0L))),
       recordCount = counts.values.sum, schemaDdl = evolved.toDDL, sourcePath = None),
       baseInstant = Some(st.latest.commitTime))
+    catch {
+      // readers only consult committed delta batches, so the orphan dir is
+      // invisible either way — but the losing writer cleans up after itself
+      // instead of waiting for an fsck sweep
+      case e: CommitConflictException =>
+        CommitLog.fs(spark, tablePath).delete(Deltas.dir(tablePath, ct), true)
+        throw e
+    }
     touched
   }
 
@@ -920,10 +947,11 @@ object KeyedTable {
     val remaining = base.join(
       keys.select((keyF ++ partF).map(col): _*).distinct(), keyF ++ partF, "left_anti")
 
-    CommitLog.beginInflight(spark, tablePath, ct, "delete", touched)
+    CommitLog.beginInflight(spark, tablePath, ct, "delete", touched,
+      baseCommits = st.commits.map(_.commitTime))
     val counts = stageAndSwap(spark, tablePath, remaining,
       StructType.fromDDL(st.latest.schemaDdl), partF, touched, ct)
-    CommitLog.write(spark, tablePath, CommitInfo(
+    publishRewrite(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "delete", tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = keyF,
       precombineField = st.latest.precombineField, partitionFields = partF,
@@ -954,10 +982,11 @@ object KeyedTable {
       readPartitions(spark, tablePath, st, touched),
       Deltas.read(spark, tablePath, schema, live),
       st.latest.precombineField)
-    CommitLog.beginInflight(spark, tablePath, ct, "compact", touched)
+    CommitLog.beginInflight(spark, tablePath, ct, "compact", touched,
+      baseCommits = st.commits.map(_.commitTime))
     val counts = stageAndSwap(spark, tablePath, merged, schema, partF, touched, ct)
 
-    CommitLog.write(spark, tablePath, CommitInfo(
+    publishRewrite(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "compact", tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
@@ -1013,64 +1042,112 @@ object KeyedTable {
     // landed for them (publish clears the marker of a successful commit)
     val staleInflights = CommitLog.inflights(spark, tablePath).filterNot(committed)
     if (repair) {
-      def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
-      // leaf units under `p`: FILES at the top level (unpartitioned root
-      // data) and deepest dirs with no subdirectories (partition leaves —
-      // nested for multi-level partition schemes, so restoring renames the
-      // LEAF, never a shared parent that also holds untouched siblings)
-      def leaves(p: Path, rel: String): Seq[(String, Path)] =
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq
-          .filterNot(e => rel.isEmpty && hidden(e.getPath.getName))
-          .flatMap { e =>
-            val r = if (rel.isEmpty) e.getPath.getName else s"$rel/${e.getPath.getName}"
-            if (e.isFile) Seq(r -> e.getPath)
-            else if (fs.listStatus(e.getPath).exists(_.isDirectory)) leaves(e.getPath, r)
-            else Seq(r -> e.getPath)
-          }
       // aborted rewrites first: restoring may re-expose stashed deltas whose
       // commits ARE in the log (they must not be swept as orphans below)
-      aborted.foreach { ct =>
-        val stashed = leaves(Archive.dataDir(tablePath, ct), "")
-        val stashedRels = stashed.map(_._1).toSet
-        // swapped-in content with NO pre-image — a partition the aborted
-        // rewrite CREATED, or its uniquely-named root files — is in no
-        // committed state and not stashed: remove it, or the un-committed
-        // data survives "repair" (and a later committed rewrite would stash
-        // it as a bogus pre-image). Single-writer: anything legitimately on
-        // disk at abort time was stashed by the rewrite or is in the log.
-        if (st.latest.partitionFields.nonEmpty) {
-          val known = st.nativePartitions.map(PathCodec.escape).toSet
-          leaves(new Path(tablePath), "")
-            .filter { case (r, p) => !known(r) && !stashedRels(r) && fs.isDirectory(p) }
-            .foreach { case (_, p) => fs.delete(p, true) }
-        } else {
-          fs.listStatus(new Path(tablePath)).filter(_.isFile)
-            .filterNot(e => hidden(e.getPath.getName))
-            .filterNot(e => stashedRels(e.getPath.getName))
-            .foreach(e => fs.delete(e.getPath, false))
-        }
-        stashed.foreach { case (r, src) =>
-          val dest = new Path(tablePath, r)
-          if (fs.exists(dest)) fs.delete(dest, true)
-          if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
-          fs.rename(src, dest)
-        }
-        Archive.archivedDeltaCommits(fs, tablePath, ct).foreach { dc =>
-          val dst = Deltas.dir(tablePath, dc)
-          if (!fs.exists(dst)) {
-            if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
-            fs.rename(new Path(Archive.deltasDir(tablePath, ct), dc), dst)
-          }
-        }
-        fs.delete(Archive.dir(tablePath, ct), true)
-      }
+      aborted.foreach(ct => undoAbortedRewrite(spark, tablePath, st, ct))
       staging.foreach(p => fs.delete(p, true))
       orphanDeltas.foreach(c => fs.delete(Deltas.dir(tablePath, c), true))
-      staleInflights.foreach(CommitLog.clearInflight(spark, tablePath, _))
+      staleInflights.foreach { ct =>
+        // an aborted append interleaved commit-stamped `append-<ct>-*` files
+        // into shared partition dirs — the marker's partitions bound the sweep
+        CommitLog.inflightInfo(spark, tablePath, ct).foreach { case (opName, parts) =>
+          if (opName == WriteOperation.Insert.name || opName == WriteOperation.BulkInsert.name) {
+            val dirs =
+              if (parts.forall(_.isEmpty)) Seq(new Path(tablePath))
+              else parts.map(p => new Path(s"$tablePath/${PathCodec.escape(p)}"))
+            dirs.filter(fs.exists).foreach(d =>
+              fs.listStatus(d)
+                .filter(f => f.isFile && f.getPath.getName.startsWith(s"append-$ct-"))
+                .foreach(f => fs.delete(f.getPath, false)))
+          }
+        }
+        CommitLog.clearInflight(spark, tablePath, ct)
+      }
     }
     FsckReport(staging.map(_.getName), orphanDeltas, aborted, staleInflights)
   }
+
+  /** Undo ONE aborted rewrite `ct` (no commit JSON): remove swapped-in
+    * content with no pre-image — a partition the aborted rewrite CREATED, or
+    * its uniquely-named root files, which are in no committed state and not
+    * stashed — restore stashed pre-images, re-expose stashed delta batches,
+    * and drop the archive dir. Shared by [[fsck]] and the OCC conflict
+    * self-heal in [[publishRewrite]]: a losing writer must not leave its
+    * uncommitted merge visible (hiding the winner's committed data) until a
+    * repair sweep happens to run.
+    */
+  private def undoAbortedRewrite(
+      spark: SparkSession, tablePath: String, st: TableState, ct: String): Unit = {
+    val fs = CommitLog.fs(spark, tablePath)
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    // leaf units under `p`: FILES at the top level (unpartitioned root
+    // data) and deepest dirs with no subdirectories (partition leaves —
+    // nested for multi-level partition schemes, so restoring renames the
+    // LEAF, never a shared parent that also holds untouched siblings)
+    def leaves(p: Path, rel: String): Seq[(String, Path)] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filterNot(e => rel.isEmpty && hidden(e.getPath.getName))
+        .flatMap { e =>
+          val r = if (rel.isEmpty) e.getPath.getName else s"$rel/${e.getPath.getName}"
+          if (e.isFile) Seq(r -> e.getPath)
+          else if (fs.listStatus(e.getPath).exists(_.isDirectory)) leaves(e.getPath, r)
+          else Seq(r -> e.getPath)
+        }
+    val stashed = leaves(Archive.dataDir(tablePath, ct), "")
+    val stashedRels = stashed.map(_._1).toSet
+    if (st.latest.partitionFields.nonEmpty) {
+      val known = st.nativePartitions.map(PathCodec.escape).toSet
+      leaves(new Path(tablePath), "")
+        .filter { case (r, p) => !known(r) && !stashedRels(r) && fs.isDirectory(p) }
+        .foreach { case (_, p) => fs.delete(p, true) }
+    } else {
+      fs.listStatus(new Path(tablePath)).filter(_.isFile)
+        .filterNot(e => hidden(e.getPath.getName))
+        .filterNot(e => stashedRels(e.getPath.getName))
+        .foreach(e => fs.delete(e.getPath, false))
+    }
+    stashed.foreach { case (r, src) =>
+      val dest = new Path(tablePath, r)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.exists(dest.getParent)) fs.mkdirs(dest.getParent)
+      fs.rename(src, dest)
+    }
+    Archive.archivedDeltaCommits(fs, tablePath, ct).foreach { dc =>
+      val dst = Deltas.dir(tablePath, dc)
+      if (!fs.exists(dst)) {
+        if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+        fs.rename(new Path(Archive.deltasDir(tablePath, ct), dc), dst)
+      }
+    }
+    fs.delete(Archive.dir(tablePath, ct), true)
+  }
+
+  /** Publish a rewrite commit; on an OCC conflict, immediately undo the
+    * swap this writer performed (restore the pre-images it archived — the
+    * winner's committed data among them) before rethrowing, so a losing
+    * writer's uncommitted rows are never visible past the exception. The
+    * retry contract in [[graft.model.CommitConflictException]] still holds;
+    * fsck remains the backstop for writers that die without reaching this.
+    */
+  private def publishRewrite(
+      spark: SparkSession, tablePath: String, info: CommitInfo,
+      baseInstant: Option[String]): Unit =
+    try CommitLog.write(spark, tablePath, info, baseInstant)
+    catch {
+      case e: CommitConflictException =>
+        val fs = CommitLog.fs(spark, tablePath)
+        // only a writer that actually swapped (and therefore archived — every
+        // stageAndSwap stashes or marks) has anything to restore; running the
+        // undo without an archive would treat live data as swapped-in content
+        if (Archive.exists(fs, tablePath, info.commitTime))
+          undoAbortedRewrite(spark, tablePath,
+            CommitLog.requireState(spark, tablePath), info.commitTime)
+        // a MOR global-upsert conflict instead leaves its (uncommitted,
+        // reader-invisible) delta batch behind — clean that up too
+        fs.delete(Deltas.dir(tablePath, info.commitTime), true)
+        throw e
+    }
 
   /** Inline compaction policy (Hudi NUM_COMMITS / byte-ratio strategy
     * analogue): compact when the live delta batch count reaches
@@ -1722,13 +1799,14 @@ object KeyedTable {
     }
     val fs = CommitLog.fs(spark, tablePath)
     val ct = CommitLog.newCommitTime()
-    CommitLog.beginInflight(spark, tablePath, ct, "delete_partition", partitions.sorted)
+    CommitLog.beginInflight(spark, tablePath, ct, "delete_partition", partitions.sorted,
+      baseCommits = st.commits.map(_.commitTime))
     Archive.mark(fs, tablePath, ct)
     partitions.foreach { p =>
       val dir = new Path(s"$tablePath/${PathCodec.escape(p)}")
       if (fs.exists(dir)) Archive.stash(fs, tablePath, ct, PathCodec.escape(p), dir)
     }
-    CommitLog.write(spark, tablePath, CommitInfo(
+    publishRewrite(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "delete_partition", tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
@@ -1756,13 +1834,14 @@ object KeyedTable {
 
     val rows = readPartitions(spark, tablePath, st, targets)
     val clustered = shape(rows, partF)
-    CommitLog.beginInflight(spark, tablePath, ct, "cluster", targets)
+    CommitLog.beginInflight(spark, tablePath, ct, "cluster", targets,
+      baseCommits = st.commits.map(_.commitTime))
     val counts = stageAndSwap(spark, tablePath, clustered, schema, partF, targets, ct,
       writeOptions = if (maxRecordsPerFile > 0) Map("maxRecordsPerFile" -> maxRecordsPerFile.toString)
         else Map.empty,
       preShaped = true)
 
-    CommitLog.write(spark, tablePath, CommitInfo(
+    publishRewrite(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "cluster", tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
@@ -1798,22 +1877,56 @@ object KeyedTable {
     // Re-read the tip afterwards so materialize's own commit (this writer's)
     // is part of the append's base, not a false OCC conflict.
     materialize(spark, tablePath, st, touched.filter(st.partitionModes.get(_).contains("metadata_only")))
-    val base = CommitLog.requireState(spark, tablePath).latest.commitTime
+    val baseState = CommitLog.requireState(spark, tablePath)
+    val base = baseState.latest.commitTime
     val ct = CommitLog.newCommitTime()
-    CommitLog.beginInflight(spark, tablePath, ct, op.name, touched)
+    CommitLog.beginInflight(spark, tablePath, ct, op.name, touched,
+      baseCommits = baseState.commits.map(_.commitTime))
     val rowsMeta = MetaColumns.withMeta(rows, keyF, partF, ct)
 
-    val w = clusterByPartition(rowsMeta, partF).write.mode("append").format("parquet")
-    (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(tablePath)
+    // stage first, then move files in under commit-stamped names
+    // (`append-<ct>-N.parquet`): appended rows interleave into SHARED
+    // partition dirs, so without an identifying name an aborted append
+    // (OCC loss or crash before publish) would leak uncommitted rows into
+    // every read with nothing able to find them again. The stamped names
+    // make the abort paths exact: a conflict deletes its own files below,
+    // and fsck sweeps `append-<ct>-*` for inflight markers with no commit.
+    val fs = CommitLog.fs(spark, tablePath)
+    val stagingDir = new Path(s"$tablePath/${CommitLog.LogDirName}/staging-append-$ct")
+    val w = clusterByPartition(rowsMeta, partF).write.mode("overwrite").format("parquet")
+    (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(stagingDir.toString)
+    val staged = touched.flatMap { p =>
+      val dir = if (p.isEmpty) stagingDir else new Path(stagingDir, PathCodec.escape(p))
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .toSeq.map(p -> _.getPath)
+    }
+    val moved = staged.zipWithIndex.map { case ((p, src), i) =>
+      val destDir = if (p.isEmpty) new Path(tablePath)
+        else new Path(s"$tablePath/${PathCodec.escape(p)}")
+      if (!fs.exists(destDir)) fs.mkdirs(destDir)
+      val dest = new Path(destDir, s"append-$ct-$i.parquet")
+      fs.rename(src, dest)
+      dest
+    }
 
-    val counts = partitionCountsOf(rowsMeta, partF)
-    CommitLog.write(spark, tablePath, CommitInfo(
+    val counts =
+      if (moved.isEmpty) Map.empty[String, Long]
+      else partitionCountsOf(spark.read.parquet(moved.map(_.toString): _*), partF)
+    try CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = op.name, tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = keyF,
       precombineField = st.latest.precombineField, partitionFields = partF,
       partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
       recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None),
       baseInstant = Some(base))
+    catch {
+      case e: CommitConflictException =>
+        moved.foreach(fs.delete(_, false))
+        fs.delete(stagingDir, true)
+        throw e
+    }
+    fs.delete(stagingDir, true)
     touched
   }
 
@@ -1824,11 +1937,12 @@ object KeyedTable {
       spark: SparkSession, tablePath: String, st: TableState, parts: Seq[String]): Unit = {
     if (parts.isEmpty) return
     val ct = CommitLog.newCommitTime()
-    CommitLog.beginInflight(spark, tablePath, ct, "materialize", parts)
+    CommitLog.beginInflight(spark, tablePath, ct, "materialize", parts,
+      baseCommits = st.commits.map(_.commitTime))
     val slice = readPartitions(spark, tablePath, st, parts) // already carries meta cols
     stageAndSwap(spark, tablePath, slice, StructType.fromDDL(st.latest.schemaDdl),
       st.latest.partitionFields, parts, ct)
-    CommitLog.write(spark, tablePath, CommitInfo(
+    publishRewrite(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "materialize", tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = st.latest.partitionFields,

@@ -158,6 +158,24 @@ class GraftSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ins_spec")
   }
 
+  test("INSERT OVERWRITE from the table itself stages before replacing") {
+    val tbl = bootstrapOrders(tmpDir("graft-selfow"), "selfow_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_selfow_spec")
+    spark.sql(s"CREATE TABLE graft_selfow_spec USING graft LOCATION '$tbl'")
+    try {
+      val want = spark.table("graft_selfow_spec")
+        .filter(col("o_month") >= "1995-06").count()
+      assert(want > 0)
+      // the SELECT reads the very table being overwritten — a delete-first
+      // implementation would destroy the source mid-plan
+      spark.sql(
+        """INSERT OVERWRITE graft_selfow_spec
+          |SELECT * FROM graft_selfow_spec WHERE o_month >= '1995-06'""".stripMargin)
+      assert(spark.table("graft_selfow_spec").count() === want)
+      assert(KeyedTable.read(spark, tbl).count() === want)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_selfow_spec")
+  }
+
   test("range predicates route through the stats index; answers unchanged") {
     val dir = tmpDir("graft-skip")
     val tbl = s"$dir/tbl"

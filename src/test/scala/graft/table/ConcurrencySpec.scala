@@ -38,7 +38,9 @@ class ConcurrencySpec extends SparkTestBase {
     * data targeting `month`, not yet published. Returns the CommitInfo its
     * publish would carry.
     */
-  private def stageDelta(tbl: String, ct: String, month: String, status: String): CommitInfo = {
+  private def stageDelta(
+      tbl: String, ct: String, month: String, status: String,
+      baseCommits: Seq[String] = Seq.empty): CommitInfo = {
     val st = CommitLog.requireState(spark, tbl)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val dataCols = schema.fieldNames.filterNot(_.startsWith("_")).toSeq
@@ -51,7 +53,7 @@ class ConcurrencySpec extends SparkTestBase {
       .withColumn(Deltas.DeletedCol, lit(false))
     // commit-log partition paths are hive-style ("o_month=1995-01")
     val pp = s"o_month=$month"
-    CommitLog.beginInflight(spark, tbl, ct, "delta_commit", Seq(pp))
+    CommitLog.beginInflight(spark, tbl, ct, "delta_commit", Seq(pp), baseCommits)
     Deltas.write(rows, tbl, ct, st.latest.partitionFields)
     val n = spark.read.schema(Deltas.schemaOf(schema))
       .parquet(Deltas.dir(tbl, ct).toString).count()
@@ -133,6 +135,72 @@ class ConcurrencySpec extends SparkTestBase {
     val snap = KeyedTable.read(spark, tbl)
     assert(snap.filter(col("o_orderstatus") === "AA" && col("o_month") === "1995-02").count() > 0)
     assert(snap.filter(col("o_orderstatus") === "BB" && col("o_month") === "1995-01").count() > 0)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+  }
+
+  test("conflict detected against a commit published BELOW the writer's base instant") {
+    val (tbl, c0) = bootstrapMor(tmpDir("occ-ooo"), "occ_ooo")
+    val month = "1995-01"
+
+    // slow writer C allocates its instant early and stages on month M
+    val ctC = CommitLog.newCommitTime()
+    val infoC = stageDelta(tbl, ctC, month, "CC", baseCommits = Seq(c0))
+
+    // writer D lands on a DIFFERENT month with a newer instant
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === "1995-02" && col("o_orderkey") % 2 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("DD")))
+    val d = CommitLog.commits(spark, tbl).map(_.commitTime).last
+    assert(ctC < d)
+
+    // writer A reads its base NOW (sees c0 and d, not C) and stages on M
+    val ctA = CommitLog.newCommitTime()
+    val infoA = stageDelta(tbl, ctA, month, "AA", baseCommits = Seq(c0, d))
+
+    // C publishes: disjoint from d, legal, lands with an instant BELOW d
+    CommitLog.write(spark, tbl, infoC, baseInstant = Some(c0))
+    assert(CommitLog.commits(spark, tbl).map(_.commitTime).sorted.indexOf(ctC) == 1)
+
+    // A's base instant is d > ctC — an instant-order check would miss C's
+    // commit entirely; the marker's base-commit set catches it
+    val e = intercept[CommitConflictException] {
+      CommitLog.write(spark, tbl, infoA, baseInstant = Some(d))
+    }
+    assert(e.getMessage.contains(ctC))
+    // A's staged delta never became visible; C's did
+    val snap = KeyedTable.read(spark, tbl)
+    assert(snap.filter(col("o_orderstatus") === "AA").count() == 0)
+    assert(snap.filter(col("o_orderstatus") === "CC").count() > 0)
+    KeyedTable.fsck(spark, tbl)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+  }
+
+  test("fsck sweeps a crashed append's commit-stamped files out of shared partition dirs") {
+    val (tbl, _) = bootstrapMor(tmpDir("occ-append"), "occ_append")
+    val month = "1995-01"
+    val pp = s"o_month=$month"
+    val before = KeyedTable.read(spark, tbl).count()
+
+    // emulate an append that died after moving files in but before publish:
+    // marker present, a stamped data file interleaved in the partition dir
+    val fs = CommitLog.fs(spark, tbl)
+    val ct = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tbl, ct, "bulk_insert", Seq(pp))
+    val partDir = new org.apache.hadoop.fs.Path(s"$tbl/$pp")
+    val existing = fs.listStatus(partDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, existing, fs,
+      new org.apache.hadoop.fs.Path(partDir, s"append-$ct-0.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+
+    // the leak is visible (that's the failure mode) …
+    assert(KeyedTable.read(spark, tbl).count() > before)
+    // … and fsck identifies the dead writer and removes exactly its files
+    val report = KeyedTable.fsck(spark, tbl)
+    assert(report.staleInflights == Seq(ct))
+    assert(KeyedTable.read(spark, tbl).count() == before)
     assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
   }
 
