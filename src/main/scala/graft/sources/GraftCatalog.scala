@@ -209,5 +209,14 @@ private[sources] object GraftProcedures {
       graft.table.CommitLog.commits(s, a(0).toString)
         .map(c => s"${c.commitTime} ${c.operation} records=${c.recordCount} partitions=${c.partitions.size}")
     },
+    proc("files", Seq("table" -> StringType),
+      "fsview: one row per live base file (partition, name, bytes)") { (s, a) =>
+      KeyedTable.files(s, a(0).toString).collect().toSeq
+        .map(r => s"${r.getString(0)} ${r.getString(1)} bytes=${r.getLong(2)}")
+    },
+    proc("savepoints", Seq("table" -> StringType),
+      "Savepointed instants, ascending") { (s, a) =>
+      KeyedTable.savepoints(s, a(0).toString)
+    },
   ).map(p => p.name() -> p).toMap
 }

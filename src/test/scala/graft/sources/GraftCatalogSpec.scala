@@ -49,6 +49,12 @@ class GraftCatalogSpec extends SparkTestBase {
 
     val fsck = callRows(s"CALL graft.system.fsck('$tbl')")
     assert(fsck === Seq("clean"))
+
+    val files = callRows(s"CALL graft.system.files('$tbl')")
+    assert(files.nonEmpty && files.forall(_.contains(" bytes=")))
+    intercept[Exception] { // NULL args are refused, never unboxed to 0
+      spark.sql(s"CALL graft.system.clean_archive('$tbl', NULL)").collect()
+    }
   }
 
   test("index + drop_partitions + clean_archive via SQL CALLs") {
