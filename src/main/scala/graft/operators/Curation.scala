@@ -519,6 +519,56 @@ object Curation {
           .cast(DecimalType(18, 6)).as("overlap_jaccard"))
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents whose
+    * whitespace-token counts fit a global `budget` — the data-selection
+    * primitive ("the best N tokens") behind quality-pruned training mixes.
+    *
+    * An exact greedy-by-quality selection needs a global quality order with
+    * a running token sum — a single-partition window over the corpus.
+    * Instead quality quantizes into 1000 buckets: per-bucket token totals
+    * aggregate map-side and collect (≤1001 rows at ANY scale), the driver
+    * finds the cutoff bucket, every doc above the cutoff is kept by a scan
+    * filter, and only the CUTOFF bucket's docs pay an ordered window (by
+    * the portable hash, for determinism) to fill the remaining budget
+    * exactly. The budget bound is exact; quantization only blurs which
+    * quality-ties fill the last bucket. Selection is the strict
+    * quality-ordered prefix: buckets below the first overflow are excluded
+    * even if a smaller one would still fit.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: Column, textCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val scored = df.select(idCol.as("doc_id"), textCol.as("text"))
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket",
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000).cast("long"))
+      .select("doc_id", "n_tokens", "bucket")
+
+    val totals = scored.groupBy("bucket").agg(sum(col("n_tokens")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    var cum = 0L
+    var cutoff = Option.empty[Long]
+    totals.foreach { case (b, t) =>
+      if (cutoff.isEmpty) {
+        if (cum + t <= budget) cum += t
+        else cutoff = Some(b)
+      }
+    }
+    cutoff match {
+      case None => scored // everything fits
+      case Some(cb) =>
+        val remaining = budget - cum
+        val w = Window.partitionBy(lit(1))
+          .orderBy(Portable.hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inCut = scored.filter(col("bucket") === cb)
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .filter(col("__cum") <= remaining).drop("__cum")
+        scored.filter(col("bucket") > cb).unionByName(inCut)
+    }
+  }
+
   /** Stratified deterministic sample: EXACTLY `perStratum` rows from every
     * stratum (fewer iff the stratum is smaller), picked by md5-hash order of
     * the key — the "balanced eval slice" primitive. Unlike [[hashSample]]

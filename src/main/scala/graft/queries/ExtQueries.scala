@@ -127,6 +127,14 @@ object ExtQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Token-budget selection: the strict quality-ordered prefix of the
+    * corpus fitting 20k whitespace tokens, quantized-bucket algorithm.
+    */
+  private val x52: Q = (s, d) =>
+    graft.operators.Curation.tokenBudgetSelect(
+        Tables.documents(s, d), col("doc_id"), col("text"), budget = 20000L)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -761,6 +769,7 @@ object ExtQueries {
     "x49_lm_quality" -> x49,
     "x50_domain_drift" -> x50,
     "x51_overlap_matrix" -> x51,
+    "x52_token_budget" -> x52,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1469,5 +1478,40 @@ object ExtQueries {
         |LEFT JOIN shared s ON s.src_a = ta.g AND s.src_b = tb.g
         |WHERE ta.g < tb.g
         |ORDER BY src_a, src_b""".stripMargin,
+    "x52_token_budget" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor((0.3 * least(1.0, n_tokens::DOUBLE / 100.0)
+         |      + 0.3 * (1.0 - punct_ratio)
+         |      + 0.2 * stop_ratio
+         |      + 0.2 * least(1.0, mean_len / 8.0)) * 1000) AS BIGINT) AS bucket
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(w)::BIGINT AS n_tokens,
+         |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |        / length(text)::DOUBLE AS punct_ratio,
+         |      len([x for x in w if list_contains(['the','a','an','and','or','of','to','in','is','it'], x)])::DOUBLE
+         |        / len(w)::DOUBLE AS stop_ratio,
+         |      list_reduce(list_prepend(0::BIGINT, [length(x)::BIGINT for x in w]), (p,q) -> p+q)::DOUBLE
+         |        / len(w)::DOUBLE AS mean_len
+         |    FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w FROM documents))
+         |  WHERE n_tokens > 0),
+         |bt AS (SELECT bucket, sum(n_tokens) AS toks FROM scored GROUP BY 1),
+         |c AS (SELECT bucket,
+         |  sum(toks) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS cum FROM bt),
+         |fullb AS (SELECT bucket FROM c WHERE cum <= 20000),
+         |cut AS (SELECT max(bucket) AS cb FROM c WHERE cum > 20000),
+         |rem AS (SELECT 20000 - coalesce((SELECT max(cum) FROM c WHERE cum <= 20000), 0) AS r)
+         |SELECT doc_id, n_tokens, bucket FROM (
+         |  SELECT s.doc_id, s.n_tokens, s.bucket FROM scored s JOIN fullb USING (bucket)
+         |  UNION ALL
+         |  SELECT doc_id, n_tokens, bucket FROM (
+         |    SELECT s.doc_id, s.n_tokens, s.bucket,
+         |      sum(s.n_tokens) OVER (
+         |        ORDER BY ${graft.functions.Portable.sqlHash60("s.doc_id::VARCHAR")} ASC, s.doc_id ASC
+         |        ROWS UNBOUNDED PRECEDING) AS cum2
+         |    FROM scored s, cut WHERE s.bucket = cut.cb), rem
+         |  WHERE cum2 <= rem.r)
+         |ORDER BY doc_id""".stripMargin,
   )
 }
