@@ -585,6 +585,31 @@ class OperatorsSpec extends SparkTestBase {
       Curation.assignSplits(docs, col("doc_id"), Seq("a" -> 50, "b" -> 40)))
   }
 
+  test("token-budget selection: exact bound, quality-prefix order, everything-fits passthrough") {
+    val all = Curation.tokenBudgetSelect(docs, col("doc_id"), col("text"), budget = Long.MaxValue / 2)
+      .collect()
+    assert(all.length === docs.count()) // everything fits → whole corpus
+
+    val budget = all.map(_.getAs[Long]("n_tokens")).sum / 3
+    val sel = Curation.tokenBudgetSelect(docs, col("doc_id"), col("text"), budget).collect()
+    assert(sel.nonEmpty && sel.length < all.length)
+    // the budget bound is exact, never exceeded
+    assert(sel.map(_.getAs[Long]("n_tokens")).sum <= budget)
+    // strict quality-prefix: every selected bucket ≥ every unselected bucket
+    val selIds = sel.map(_.getAs[Long]("doc_id")).toSet
+    val minSel = sel.map(_.getAs[Long]("bucket")).min
+    val maxUnsel = all.filterNot(r => selIds(r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("bucket")).max
+    assert(maxUnsel <= minSel)
+    // deterministic across runs
+    val again = Curation.tokenBudgetSelect(docs, col("doc_id"), col("text"), budget)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again === selIds)
+    intercept[IllegalArgumentException] {
+      Curation.tokenBudgetSelect(docs, col("doc_id"), col("text"), 0L)
+    }
+  }
+
   test("word_ngrams keeps duplicates in order; shingles dedupes") {
     val df = Seq((1L, Seq("a", "b", "a", "b"))).toDF("id", "w")
     val raw = df.select(graft.functions.NativeExpressions.word_ngrams(col("w"), 2))
