@@ -23,14 +23,50 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .foreach(queue.add)
+    // Diagnostic sidecar: per-query canonical hash of the EXACT parquet the
+    // driver's oracle compare will read (columns sorted by name, rows sorted
+    // by their rendered form, cells rendered deterministically — doubles as
+    // raw IEEE-754 bits so no formatter ambiguity). A committed copy of this
+    // file from a local run lets a future hash-mismatch be localized: if the
+    // driver's spark_check.json matches the committed one, Spark produced
+    // identical results in both environments and the divergence is on the
+    // oracle/compare side.
+    val checks = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+    def cell(v: Any): String = v match {
+      case null => "\\N"
+      case d: Double => java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
+      case f: Float => java.lang.Integer.toHexString(java.lang.Float.floatToIntBits(f))
+      case b: java.math.BigDecimal => b.toPlainString
+      case b: scala.math.BigDecimal => b.bigDecimal.toPlainString
+      case a: Array[Byte] => a.map(x => f"$x%02x").mkString
+      case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ",", "]")
+      case r: org.apache.spark.sql.Row =>
+        (0 until r.length).map(i => cell(r.get(i))).mkString("{", ",", "}")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => cell(k) + "=" + cell(x) }.toSeq.sorted.mkString("<", ",", ">")
+      case other => other.toString
+    }
+    def canonicalHash(name: String): Unit = {
+      val df = spark.read.parquet(s"$outDir/$name")
+      val cols = df.columns.sorted
+      val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect()
+        .map(r => (0 until r.length).map(i => cell(r.get(i))).mkString("\u0001"))
+        .sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rows.mkString("\n").getBytes("UTF-8"))
+      checks.put(name, (rows.length.toLong, md.map(b => f"$b%02x").mkString))
+    }
     val workers = (1 to math.max(1, par)).map { _ =>
       val t = new Thread(() => {
         var item = queue.poll()
         while (item != null) {
           val (name, fn) = item
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            canonicalHash(name)
+          } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
           item = queue.poll()
@@ -39,6 +75,13 @@ object Verify {
       t.setDaemon(true); t.start(); t
     }
     workers.foreach(_.join())
+    val checkJson = {
+      import scala.jdk.CollectionConverters._
+      checks.asScala.toSeq.sortBy(_._1)
+        .map { case (n, (rows, h)) => s""""$n": {"rows": $rows, "hash": "$h"}""" }
+        .mkString("{", ",\n ", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/spark_check.json"), checkJson)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

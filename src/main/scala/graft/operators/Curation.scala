@@ -398,16 +398,33 @@ object Curation {
     * per-doc reassembly. Everything is linear in corpus tokens; the vocab
     * count is a broadcast 1-row aggregate.
     *
-    * Engine portability: the per-doc double sum folds the per-position
-    * log-probs IN DOCUMENT ORDER on both engines (sort_array(collect_list)
-    * + aggregate here, list(... ORDER BY pos) + list_reduce in DuckDB) so
-    * float non-associativity cannot diverge, and the final score rounds
-    * through DECIMAL(18,6) — ln() may legally differ in the last ulp
-    * between libms, and six decimals is far above that noise while far
-    * below any semantic use of the score. Documents with fewer than two
+    * Engine portability (the hashed surface is PURE INTEGER): alongside the
+    * double-precision `avg_nll` (for library callers; NOT oracle-hashed —
+    * libm ln() differs across engines/builds by enough to flip any decimal
+    * render, which hash-failed a driver round), each bigram's surprisal
+    * −log2 P = log2(d/m) (d = c1+v, m = c2+1, d ≥ m) is quantized to
+    * quarter-bits with EXACT integer arithmetic and no libm anywhere:
+    * floor(4·log2(d/m)) = floor(log2(d⁴/m⁴)) = max{k : 2^k ≤ d⁴ div m⁴},
+    * found by joining the per-bigram integer threshold t = d⁴ div m⁴
+    * against a broadcast 127-row powers-of-two table. d⁴ is computed in
+    * DECIMAL(38,0) (exact for d < 10⁹ unigram occurrences; HUGEINT on
+    * the DuckDB side), and the floor-division uses the pmod identity so no
+    * decimal rounding mode is ever exercised. The per-doc render
+    * `avg_nll_qbits_e4 = (10000·Σqb) div (4·n)` is BIGINT floor division in
+    * both engines — identical by construction, no float, no decimal, no
+    * rounding-mode semantics left to diverge. Documents with fewer than two
     * tokens carry no bigram evidence and are excluded.
+    *
+    * Skew: both count aggregations are two-level (Spark's partial
+    * HashAggregate map-side combines per task, so a Zipf-head token's final
+    * task receives ≤ #map-tasks rows, never corpus-proportional rows). The
+    * only corpus-proportional shuffle on a token key is the pairs⨝score
+    * join; its build side is DISTINCT bigrams (scored once each), and AQE
+    * skew-join splits a head bigram's instance partition at runtime.
     */
   def ngramLmScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
     val docs = df.select(idCol.as("doc_id"), split(textCol, "\\s+").as("ws"))
       .filter(size(col("ws")) >= 2)
     val pairs = docs.select(col("doc_id"),
@@ -421,21 +438,51 @@ object Curation {
     val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val vocab = unigrams.agg(countDistinct(col("w")).as("v"))
 
-    pairs
-      .join(bc, Seq("w1", "w2"))
+    // 2^k for k = 0..126 as exact DECIMAL(38,0) (2^126 ≈ 8.5e37 exceeds any
+    // t = d⁴ div m⁴ with d < 1e9, so qb never silently caps; built
+    // driver-side from BigInt, NOT pow(2,k), whose double result is inexact
+    // past 2^53).
+    val pow2 = {
+      import spark.implicits._
+      broadcast((0 to 126).map(k => (k.toLong, (BigInt(1) << k).toString))
+        .toDF("k", "p2s")
+        .select(col("k"), col("p2s").cast(DecimalType(38, 0)).as("p2")))
+    }
+
+    // Score each DISTINCT bigram once (|vocab²|-bounded, far smaller than
+    // the instance stream): double lp for avg_nll, exact integer qb for the
+    // portable render.
+    val score = bc
       .join(uc.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("pos"),
-        log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+      .select(col("w1"), col("w2"),
+        log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("lp"),
+        (col("c2") + lit(1L)).cast(DecimalType(9, 0)).as("m"),
+        (col("c1") + col("v")).cast(DecimalType(9, 0)).as("d"))
+      .withColumn("m4", col("m") * col("m") * col("m") * col("m"))
+      .withColumn("d4", col("d") * col("d") * col("d") * col("d"))
+      // exact floor(d⁴/m⁴): the pmod identity makes the dividend exactly
+      // divisible, so the decimal Divide returns the integer quotient
+      // without exercising any rounding mode
+      .withColumn("t",
+        ((col("d4") - pmod(col("d4"), col("m4"))) / col("m4")).cast(DecimalType(38, 0)))
+      .join(pow2, col("p2") <= col("t"))
+      .groupBy("w1", "w2", "lp").agg(max(col("k")).as("qb"))
+
+    pairs
+      .join(score, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("qb")).as("s_qb"),
+        // document-order fold keeps the double reproducible run-to-run on
+        // THIS engine; it is not part of the hashed oracle surface
         aggregate(
           transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
             s => s.getField("lp")),
           lit(0.0), (acc, x) => acc + x).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
-        (-col("s") / col("n_bigrams")).cast(org.apache.spark.sql.types.DecimalType(18, 6))
-          .as("avg_nll"))
+        (-col("s") / col("n_bigrams")).as("avg_nll"),
+        expr("(10000 * s_qb) div (4 * n_bigrams)").as("avg_nll_qbits_e4"))
   }
 
   /** Domain drift between corpus slices: Jensen–Shannon divergence of the
@@ -448,22 +495,34 @@ object Curation {
     * table on token over group pairs → per-pair aggregation. Work is linear
     * in |vocab|·|group pairs| with |groups| typically tiny.
     *
-    * Engine portability: each per-token JS term (½·p·ln(p/m) + ½·q·ln(q/m),
-    * a double) is rounded through DECIMAL(20,8) BEFORE summation, so the
-    * pair total is an exact decimal sum — order-independent and immune to
-    * libm ulp differences in ln(). The ≤0.5e-8·|vocab| rounding bias is
-    * orders below any drift threshold a pipeline would act on. Absent
-    * tokens contribute ½·p·ln(2) from the present side (the JS convention
-    * with q=0), handled by the full-outer token join.
+    * Engine portability (the hashed surface is PURE INTEGER): the JS
+    * divergence needs libm ln(), whose value can differ across
+    * engines/builds by enough to flip ANY fixed-point render (a per-term
+    * DECIMAL(20,8) round hash-failed a driver round), so `js_divergence` is
+    * emitted as a plain DOUBLE for library callers and is NOT the oracle
+    * surface. The portable drift measure emitted beside it is the L1
+    * distance of the two token distributions quantized to parts-per-billion
+    * with exact integer floor division:
+    * `l1_ppb = Σ_w |（10⁹·c_a) div n_a − (10⁹·c_b) div n_b|` — BIGINT maths
+    * identical by construction in every engine (L1/2 = total-variation
+    * distance, as standard a drift signal as JS). Exact while per-source
+    * token counts stay below 9.2·10⁹ (10⁹·c must fit a 64-bit long);
+    * beyond that, drop the resolution a digit.
+    *
+    * Skew: the only raw-token shuffle is the (g, w) count, which Spark
+    * executes as a two-level aggregation (partial map-side combine), so a
+    * Zipf-head token's final task receives ≤ #map-tasks rows. The pair join
+    * operates on per-(pair, token) DISTINCT count rows — one row per side
+    * per token — so no instance-level hotspot exists there at any scale.
     */
   def domainDrift(df: DataFrame, groupCol: Column, textCol: Column): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val tokens = df.select(groupCol.as("g"), explode(split(textCol, "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
     val counts = tokens.groupBy("g", "w").agg(count(lit(1)).as("c"))
     val totals = tokens.groupBy("g").agg(count(lit(1)).as("n"))
     val withP = counts.join(broadcast(totals), "g")
-      .select(col("g"), col("w"), (col("c").cast("double") / col("n")).as("p"))
+      .select(col("g"), col("w"), (col("c").cast("double") / col("n")).as("p"),
+        expr("(1000000000 * c) div n").as("p_ppb"))
 
     // (pair, token) relation via two broadcast pair-joins + one full outer on
     // (pair, token): a token absent from one side arrives with a null p
@@ -471,19 +530,23 @@ object Curation {
       .crossJoin(totals.select(col("g").as("src_b")))
       .filter(col("src_a") < col("src_b")))
     val left = withP.join(pairs, col("g") === col("src_a"))
-      .select(col("src_a"), col("src_b"), col("w"), col("p").as("pa"))
+      .select(col("src_a"), col("src_b"), col("w"),
+        col("p").as("pa"), col("p_ppb").as("pa_ppb"))
     val right = withP.join(pairs, col("g") === col("src_b"))
-      .select(col("src_a"), col("src_b"), col("w"), col("p").as("pb"))
+      .select(col("src_a"), col("src_b"), col("w"),
+        col("p").as("pb"), col("p_ppb").as("pb_ppb"))
     val m = (coalesce(col("pa"), lit(0.0)) + coalesce(col("pb"), lit(0.0))) / 2
     val term =
       when(col("pa").isNotNull, col("pa") * log(col("pa") / m) / 2).otherwise(0.0) +
         when(col("pb").isNotNull, col("pb") * log(col("pb") / m) / 2).otherwise(0.0)
     left.join(right, Seq("src_a", "src_b", "w"), "full_outer")
-      .select(col("src_a"), col("src_b"),
-        term.cast(DecimalType(20, 8)).as("t"),
+      .select(col("src_a"), col("src_b"), term.as("t"),
+        abs(coalesce(col("pa_ppb"), lit(0L)) - coalesce(col("pb_ppb"), lit(0L)))
+          .as("l1_term"),
         when(col("pa").isNotNull && col("pb").isNotNull, 1L).otherwise(0L).as("shared"))
       .groupBy("src_a", "src_b")
       .agg(sum(col("t")).as("js_divergence"),
+        sum(col("l1_term")).as("l1_ppb"),
         count(lit(1)).as("n_tokens"), sum(col("shared")).as("n_shared"))
   }
 
@@ -496,12 +559,14 @@ object Curation {
     * Shape: md5 fingerprint in the scan → (group, fp) distinct (one
     * shuffle) → self-equi-join on fp (a fingerprint in k sources meets
     * k(k-1)/2 times — bounded by |sources|², never corpus size) → broadcast
-    * pair enumeration fills in zero-overlap pairs. Jaccard renders through
-    * DECIMAL(18,6): integer inputs, one correctly-rounded division, same
-    * digits in every engine.
+    * pair enumeration fills in zero-overlap pairs. The Jaccard renders as
+    * `overlap_ppm = (10⁶·n_shared) div (n_a + n_b − n_shared)` — BIGINT
+    * floor division of integer inputs, identical by construction in every
+    * engine (a DOUBLE-division→DECIMAL cast of the same ratio hash-failed a
+    * driver round despite provably terminating values, so the hashed
+    * surface carries no float and no decimal at all).
     */
   def overlapMatrix(df: DataFrame, groupCol: Column, textCol: Column): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val fps = df.select(groupCol.as("g"), md5(textCol).as("fp")).distinct()
     val totals = fps.groupBy("g").agg(count(lit(1)).as("n"))
     val shared = fps.select(col("g").as("src_a"), col("fp"))
@@ -512,11 +577,9 @@ object Curation {
       .crossJoin(broadcast(totals.select(col("g").as("src_b"), col("n").as("n_b"))))
       .filter(col("src_a") < col("src_b"))
       .join(shared, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))))
-          .cast(DecimalType(18, 6)).as("overlap_jaccard"))
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        expr("(1000000 * n_shared) div (n_a + n_b - n_shared)").as("overlap_ppm"))
   }
 
   /** Token-budget corpus selection: keep the highest-quality documents whose

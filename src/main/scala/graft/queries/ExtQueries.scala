@@ -101,19 +101,22 @@ object ExtQueries {
       .orderBy("cell", "vec_id")
 
   /** CCNet-style corpus-LM quality score: add-one bigram LM trained on the
-    * corpus itself; per-doc average negative log-likelihood. Document-order
-    * folds + DECIMAL(18,6) render keep the doubles engine-portable.
+    * corpus itself. The hashed surface is the PURE-INTEGER quarter-bit
+    * surprisal render (exact integer log2 via a pow2 table — no libm, no
+    * decimals); the double `avg_nll` stays a library-only column.
     */
   private val x49: Q = (s, d) =>
     graft.operators.Curation.ngramLmScore(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select("doc_id", "n_bigrams", "avg_nll_qbits_e4")
       .orderBy("doc_id")
 
-  /** Domain drift: Jensen–Shannon divergence between every pair of sources'
-    * token distributions. Per-token terms round through DECIMAL(20,8)
-    * before the (then-exact) sum, so the oracle matches bit-for-bit.
+  /** Domain drift between every pair of sources' token distributions. The
+    * hashed surface is the PURE-INTEGER ppb-quantized L1 distance; the
+    * libm-dependent JS divergence stays a library-only double column.
     */
   private val x50: Q = (s, d) =>
     graft.operators.Curation.domainDrift(Tables.documents(s, d), col("source"), col("text"))
+      .select("src_a", "src_b", "l1_ppb", "n_tokens", "n_shared")
       .orderBy("src_a", "src_b")
 
   /** Cross-source duplicate overlap matrix over documents ∪ a planted
@@ -1404,7 +1407,9 @@ object ExtQueries {
          |  FROM assigned)
          |WHERE rn <= 10 ORDER BY cell, vec_id""".stripMargin,
     "x49_lm_quality" ->
-      """WITH docs AS (
+      """WITH RECURSIVE pow2(k, p2) AS (
+        |  SELECT 0, 1::HUGEINT UNION ALL SELECT k + 1, p2 * 2 FROM pow2 WHERE k < 126),
+        |docs AS (
         |  SELECT doc_id, ws FROM (
         |    SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents)
         |  WHERE len(ws) >= 2),
@@ -1416,14 +1421,19 @@ object ExtQueries {
         |uc AS (SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1),
         |bc AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
         |v AS (SELECT count(DISTINCT w) AS v FROM uni),
-        |lps AS (
-        |  SELECT p.doc_id, p.pos, ln((bc.c2 + 1)::DOUBLE / (uc.c1 + v.v)) AS lp
-        |  FROM pairs p JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v),
+        |score AS (
+        |  SELECT w1, w2, (uc.c1 + v.v)::HUGEINT AS d, (bc.c2 + 1)::HUGEINT AS m
+        |  FROM bc JOIN uc USING (w1) CROSS JOIN v),
+        |qb AS (
+        |  SELECT w1, w2, max(k) AS qb
+        |  FROM (SELECT w1, w2, (d*d*d*d) // (m*m*m*m) AS t FROM score) s
+        |  JOIN pow2 ON p2 <= t
+        |  GROUP BY 1, 2),
         |agg AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)), (a, b) -> a + b) AS s
-        |  FROM lps GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, CAST(-s / n_bigrams AS DECIMAL(18,6)) AS avg_nll
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(qb)::BIGINT AS s_qb
+        |  FROM pairs p JOIN qb USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  ((10000 * s_qb) // (4 * n_bigrams))::BIGINT AS avg_nll_qbits_e4
         |FROM agg ORDER BY doc_id""".stripMargin,
     "x50_domain_drift" ->
       """WITH tok AS (
@@ -1433,31 +1443,24 @@ object ExtQueries {
         |  WHERE len(w) > 0),
         |counts AS (SELECT g, w, count(*) AS c FROM tok GROUP BY 1, 2),
         |totals AS (SELECT g, count(*) AS n FROM tok GROUP BY 1),
-        |p AS (SELECT c.g, c.w, c.c::DOUBLE / t.n AS p FROM counts c JOIN totals t USING (g)),
+        |p AS (SELECT c.g, c.w, ((1000000000 * c.c) // t.n)::BIGINT AS p_ppb
+        |      FROM counts c JOIN totals t USING (g)),
         |pairs AS (
         |  SELECT a.g AS src_a, b.g AS src_b
         |  FROM totals a CROSS JOIN totals b WHERE a.g < b.g),
-        |l AS (SELECT src_a, src_b, w, p AS pa FROM p JOIN pairs ON p.g = pairs.src_a),
-        |r AS (SELECT src_a, src_b, w, p AS pb FROM p JOIN pairs ON p.g = pairs.src_b),
+        |l AS (SELECT src_a, src_b, w, p_ppb AS pa_ppb FROM p JOIN pairs ON p.g = pairs.src_a),
+        |r AS (SELECT src_a, src_b, w, p_ppb AS pb_ppb FROM p JOIN pairs ON p.g = pairs.src_b),
         |j AS (
         |  SELECT coalesce(l.src_a, r.src_a) AS src_a,
-        |         coalesce(l.src_b, r.src_b) AS src_b, l.pa AS pa, r.pb AS pb
+        |         coalesce(l.src_b, r.src_b) AS src_b, l.pa_ppb AS pa_ppb, r.pb_ppb AS pb_ppb
         |  FROM l FULL OUTER JOIN r
-        |    ON l.src_a = r.src_a AND l.src_b = r.src_b AND l.w = r.w),
-        |terms AS (
-        |  SELECT src_a, src_b,
-        |    CAST(
-        |      (CASE WHEN pa IS NOT NULL
-        |            THEN pa * ln(pa / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2)) / 2
-        |            ELSE 0 END) +
-        |      (CASE WHEN pb IS NOT NULL
-        |            THEN pb * ln(pb / ((coalesce(pa, 0) + coalesce(pb, 0)) / 2)) / 2
-        |            ELSE 0 END) AS DECIMAL(20,8)) AS t,
-        |    CASE WHEN pa IS NOT NULL AND pb IS NOT NULL THEN 1 ELSE 0 END AS shared
-        |  FROM j)
-        |SELECT src_a, src_b, sum(t) AS js_divergence,
-        |  count(*) AS n_tokens, sum(shared)::BIGINT AS n_shared
-        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |    ON l.src_a = r.src_a AND l.src_b = r.src_b AND l.w = r.w)
+        |SELECT src_a, src_b,
+        |  sum(abs(coalesce(pa_ppb, 0) - coalesce(pb_ppb, 0)))::BIGINT AS l1_ppb,
+        |  count(*) AS n_tokens,
+        |  sum(CASE WHEN pa_ppb IS NOT NULL AND pb_ppb IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_shared
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x51_overlap_matrix" ->
       """WITH all_docs AS (
         |  SELECT source, text FROM documents
@@ -1471,9 +1474,8 @@ object ExtQueries {
         |  GROUP BY 1, 2)
         |SELECT ta.g AS src_a, tb.g AS src_b, ta.n AS n_a, tb.n AS n_b,
         |  coalesce(s.n_shared, 0)::BIGINT AS n_shared,
-        |  CAST(coalesce(s.n_shared, 0)::DOUBLE
-        |       / (ta.n + tb.n - coalesce(s.n_shared, 0)) AS DECIMAL(18,6))
-        |    AS overlap_jaccard
+        |  ((1000000 * coalesce(s.n_shared, 0)) // (ta.n + tb.n - coalesce(s.n_shared, 0)))::BIGINT
+        |    AS overlap_ppm
         |FROM totals ta CROSS JOIN totals tb
         |LEFT JOIN shared s ON s.src_a = ta.g AND s.src_b = tb.g
         |WHERE ta.g < tb.g

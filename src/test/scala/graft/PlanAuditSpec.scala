@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x44: m·codebookSize PQ centroids + the query-vector set
     *  - x46: nlist seed centroids (cells assignment) + 1-row count aggregates
     *  - x48: nlist seed centroids (cell assignment for the quota sampler)
-    *  - x49: 1-row vocabulary-size aggregate
+    *  - x49: 1-row vocabulary-size aggregate + the 127-row pow2 table
+    *    (the exact-integer-log2 range join)
     *  - x50/x51: |groups|-row per-source totals (the group-pair enumeration)
     */
   private val boundedBroadcastOk =

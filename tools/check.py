@@ -9,7 +9,7 @@ columns by name (as the driver does) and rows by all columns, then compares
 cell-by-cell. Exact match required; float near-misses are reported with the
 max abs diff so decimal-vs-double drift is visible.
 """
-import duckdb, json, math, sys
+import duckdb, hashlib, json, math, sys
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -30,6 +30,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Per-query diagnostic record (written to out/local_check.json): row
+    # counts and md5 of the canonically-rendered sorted rows for BOTH the
+    # spark parquet and the local-DuckDB oracle, as seen through THIS
+    # DuckDB's value space. Commit a copy alongside the round artifacts: a
+    # future driver-side hash mismatch can then be localized (driver-spark
+    # vs local-spark via Verify's spark_check.json; local-spark vs
+    # local-oracle here) instead of being invisible to the local gate.
+    local = {}
+
+    def rows_md5(rows):
+        return hashlib.md5(
+            "\n".join(repr(r) for r in rows).encode("utf-8")).hexdigest()
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -58,6 +70,10 @@ def main():
         gidx = [gotcols.index(c) for c in sorted(gotcols)]
         erows = sorted([tuple(norm(r[i]) for i in eidx) for r in exp], key=repr)
         grows = sorted([tuple(norm(r[i]) for i in gidx) for r in got], key=repr)
+        local[name] = {
+            "spark_rows": len(grows), "oracle_rows": len(erows),
+            "spark_md5": rows_md5(grows), "oracle_md5": rows_md5(erows),
+        }
         if len(erows) != len(grows):
             print(f"FAIL {name}: rowcount oracle={len(erows)} spark={len(grows)}")
             n_fail += 1
@@ -72,11 +88,15 @@ def main():
                 if bad is None:
                     bad = (i, a, b)
         if bad:
+            local[name]["first_mismatch"] = {
+                "row": bad[0], "oracle": repr(bad[1]), "spark": repr(bad[2])}
             print(f"FAIL {name}: first mismatch row {bad[0]}:\n  oracle: {bad[1]}\n  spark:  {bad[2]}\n  max float diff: {maxdiff}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(erows)} rows)")
             n_pass += 1
+    with open(f"{out}/local_check.json", "w") as f:
+        json.dump(local, f, indent=1, sort_keys=True)
     print(f"== {n_pass} passed, {n_fail} failed ==")
     sys.exit(1 if n_fail else 0)
 
