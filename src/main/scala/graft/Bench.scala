@@ -21,29 +21,54 @@ object Bench {
     bench.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => }
     }
+    // drop every relation the warmup cached before any timing starts
+    spark.catalog.clearCache()
+    System.gc()
     // a failing query must look BROKEN, not fast: its time is recorded as -1
     // and its name lands in "errors", so a regression can't hide as a speedup.
     // Each query is timed twice and the MIN reported — machine noise at this
     // box is ±20% run-to-run, and min-of-n is the standard least-noise
     // steady-state estimator (both passes run after the warmup).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    var timed = 0
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         -1.0
       }
+      // Measurement hygiene: each query must see the session the DRIVER's
+      // single-shot run would see, not one carrying the previous 40 queries'
+      // cached relations — accumulated CacheManager entries inflated four
+      // mid-run queries by 5-7s each in a past driver round. clearCache
+      // drops SQL-cached relations (untimed); a periodic GC lets the
+      // ContextCleaner release localCheckpoint blocks whose frames are no
+      // longer referenced.
+      spark.catalog.clearCache()
+      timed += 1
+      if (timed % 8 == 0) System.gc()
+      t
     }
-    // min-of-2 pays for itself only on short queries, where scheduler noise
-    // is a large FRACTION of the time; the multi-second lifecycle services
-    // have low relative variance, and re-running all of them would double a
-    // wall-clock already dominated by honest table I/O
+    // min-of-2 pays for itself on short queries, where scheduler noise is a
+    // large FRACTION of the time. Queries under 2s always re-run; the 2-10s
+    // band re-runs cheapest-first under a wall-clock budget so the total
+    // stays inside the harness window (the round-2 timeout is the
+    // cautionary tale) while the band most exposed to session noise still
+    // gets a second sample.
     val rerunBelow = 2.0
+    val bandBudgetSec = 25.0
     val pass1 = bench.toMap.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val bandPicked: Set[String] = {
+      var left = bandBudgetSec
+      pass1.toSeq.filter { case (_, t) => t >= rerunBelow && t < 10.0 }
+        .sortBy(_._2)
+        .takeWhile { case (_, t) => val ok = t <= left; if (ok) left -= t; ok }
+        .map(_._1).toSet
+    }
     val results = bench.map { case (name, fn) =>
       val t1 = pass1(name)
-      if (t1 < 0 || t1 >= rerunBelow) name -> t1
+      if (t1 < 0 || (t1 >= rerunBelow && !bandPicked(name))) name -> t1
       else {
         val t2 = timeOnce(name, fn)
         name -> (if (t2 < 0) t2 else math.min(t1, t2))

@@ -132,11 +132,16 @@ object Dedup {
     val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("cid")).distinct()
     val shCand = docs.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
       .select(col(idCol).as("id"), shingles(split(col(textCol), "\\s+"), shingleN).as("sh"))
-    cand
+    val out = cand
       .join(shCand.select(col("id").as("a_id"), col("sh").as("sh_a")), "a_id")
       .join(shCand.select(col("id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .select(col("a_id"), col("b_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // materialize (verified pairs — small) so the candidate cache releases
+      // NOW instead of pinning the session CacheManager for its lifetime
+      .localCheckpoint()
+    cand.unpersist()
+    out
   }
 
   /** Incremental near-dup detection: which BATCH docs duplicate a CORPUS
@@ -162,11 +167,15 @@ object Dedup {
       df.join(broadcast(ids), col(idCol) === col("cid"), "left_semi")
         .select(col(idCol).as(side), shingles(split(col(textCol), "\\s+"), shingleN).as(s"sh_$side"))
     }
-    cand
+    val out = cand
       .join(shCand(corpus, "a_id"), "a_id")
       .join(shCand(batch, "b_id"), "b_id")
       .select(col("a_id"), col("b_id"), jaccard(col("sh_a_id"), col("sh_b_id")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // materialize + release, same CacheManager-hygiene pairing as above
+      .localCheckpoint()
+    cand.unpersist()
+    out
   }
 
   /** Keep only the batch docs that are NOT near-dups of any corpus doc —
