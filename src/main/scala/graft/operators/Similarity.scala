@@ -66,6 +66,16 @@ object Similarity {
     * (cell, dim) shuffle of n·dim rows + a |cells|·dim re-assembly —
     * the standard distributed-Lloyd shape, linear in corpus size.
     */
+  /** Deterministic map-side argmax: the id whose `score` is greatest, ties
+    * broken by SMALLEST id — as one `min(struct(−score, id))` partial
+    * aggregate. Type-agnostic in the id: no arithmetic ever touches it, so
+    * caller-supplied string/date centroid ids work (a `−1·id` tie-break
+    * would throw a runtime cast under ANSI mode for non-numeric ids, and
+    * struct ordering handles any orderable type).
+    */
+  private def argmaxById(score: Column, id: Column): Column =
+    min(struct((-score).as("s"), id.as("i"))).getField("i")
+
   /** Per-metric assignment score (argmax picks the nearest centroid):
     * cosine similarity, or for L2 the order-equivalent `v·c − ‖c‖²/2`
     * (argmin ‖v−c‖² with the constant ‖v‖² dropped — no sqrt, no
@@ -91,7 +101,7 @@ object Similarity {
     * over grouped vectors `(g, vec_id, v)`. Every group trains in the SAME
     * jobs — one data scan per iteration regardless of group count, which is
     * what lets PQ's `m` subspaces train together instead of serially.
-    * Assignment is a broadcast join + map-side `max_by` partial aggregation:
+    * Assignment is a broadcast join + map-side argmax partial aggregation:
     * the n·k scored candidates collapse to n rows inside each scan task
     * before any shuffle (a per-row window would shuffle all n·k rows, each
     * carrying its vector). Per-dimension sums run in DECIMAL so the means
@@ -110,7 +120,7 @@ object Similarity {
         .select(col("g"), col("vec_id"), col("v"), col("cent_id"),
           assignScore(metric, col("v"), col("cv")).as("csim"))
         .groupBy("g", "vec_id")
-        .agg(max_by(col("cent_id"), struct(col("csim"), lit(-1L) * col("cent_id")))
+        .agg(argmaxById(col("csim"), col("cent_id"))
           .as("cent_id"), first(col("v")).as("v")) // v is constant per (g, vec_id)
       val means = assigned
         .select(col("g"), col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -147,7 +157,7 @@ object Similarity {
     val assigned = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
       .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), struct(col("csim"), lit(-1L) * col("cent_id")))
+      .agg(argmaxById(col("csim"), col("cent_id"))
         .as("cell"), first(col("v")).as("v")) // v is constant per vec_id
 
     // query → nprobe cells
@@ -184,7 +194,7 @@ object Similarity {
     val assigned = c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cent_id"), cosine(col("v"), col("cv")).as("csim"))
       .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), struct(col("csim"), lit(-1L) * col("cent_id"))).as("cell"))
+      .agg(argmaxById(col("csim"), col("cent_id")).as("cell"))
     val w = Window.partitionBy("cell")
       .orderBy(graft.functions.Portable.hash60(col("vec_id").cast("string")).asc,
         col("vec_id").asc)
@@ -238,7 +248,7 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("cent_id"),
         assignScore("l2", col("sub"), col("cv")).as("score"))
       .groupBy("vec_id", "s")
-      .agg(max_by(col("cent_id"), struct(col("score"), lit(-1L) * col("cent_id")))
+      .agg(argmaxById(col("score"), col("cent_id"))
         .as("code"))
   }
 

@@ -192,6 +192,76 @@ object CommitLog {
     */
   private val publishLock = new Object
 
+  /** Pre-swap OCC guard: run IMMEDIATELY before a rewrite's destructive
+    * swap (after its staging write), under [[publishLock]]. Re-validates
+    * this writer against the live log so a doomed writer aborts BEFORE
+    * touching live data rather than at publish time — in the interleaving
+    * where two overlapping rewrites both swap and the LOSER swapped first,
+    * the loser's post-publish self-heal would restore its stashed pre-image
+    * over the winner's committed partition data, and the winner's archive
+    * would hold the loser's uncommitted rows as a poisoned pre-image.
+    * Aborting before the swap leaves nothing to heal.
+    *
+    *  - This writer's own inflight marker must still exist: a concurrent
+    *    create()/INSERT OVERWRITE replaced the whole table (log included)
+    *    out from under us otherwise.
+    *  - Any committed instant NOT in the marker's baseCommits that touches
+    *    an overlapping partition — or is/meets a bootstrap — conflicts: the
+    *    same novelty test [[write]] applies, moved ahead of the swap.
+    *  - Any OTHER writer's marker with an EARLIER instant and overlapping
+    *    partitions (or a bootstrap on either side) has priority, so exactly
+    *    one of two overlapping in-flight writers proceeds, deterministically
+    *    the earlier one. A dead writer's stale marker blocks overlapping
+    *    rewrites until fsck clears it — the same recovery contract its
+    *    half-done swap would have required anyway.
+    *
+    * In-JVM writers are fully serialized by [[publishLock]]; across
+    * processes the guard shrinks the race to the marker-read→swap window,
+    * which only an external lock provider closes (see [[TableLock]]).
+    * Index-sidecar writers (empty partition list) never participate.
+    */
+  def assertSwapSafe(
+      spark: SparkSession,
+      tablePath: String,
+      ct: String,
+      touched: Seq[String],
+      isBootstrap: Boolean = false): Unit = publishLock.synchronized {
+    val f = fs(spark, tablePath)
+    if (!f.exists(new Path(logDir(tablePath), s"$ct.inflight.json")))
+      throw GraftException.conflict(
+        s"Writer $ct: inflight marker vanished before swap at $tablePath — the table was " +
+          "replaced or repaired concurrently. Retryable: re-read the table state and re-apply.")
+    val mine = touched.toSet
+    val committedInfos = commits(spark, tablePath)
+    inflightBaseCommits(spark, tablePath, ct).foreach { known =>
+      val clash = committedInfos.filter(c => !known.contains(c.commitTime))
+        .filter(c => isBootstrap || c.operation == "bootstrap" ||
+          c.partitions.exists(p => mine.contains(p.path)))
+      if (clash.nonEmpty) {
+        clearInflight(spark, tablePath, ct)
+        throw GraftException.conflict(
+          s"Writer $ct (pre-swap) conflicts with concurrently landed instant(s) " +
+            s"${clash.map(c => s"${c.commitTime} (${c.operation})").mkString(", ")} at $tablePath. " +
+            "Retryable: no live data was touched; re-read the table state and re-apply the write.")
+      }
+    }
+    val committed = committedInfos.map(_.commitTime).toSet
+    val rivals = inflights(spark, tablePath)
+      .filter(o => o < ct && !committed.contains(o))
+      .flatMap(o => inflightInfo(spark, tablePath, o).map(o -> _))
+      .filter { case (_, (op, parts)) =>
+        isBootstrap || op == "bootstrap" || parts.exists(mine.contains)
+      }
+    if (rivals.nonEmpty) {
+      clearInflight(spark, tablePath, ct)
+      throw GraftException.conflict(
+        s"Writer $ct yields before swap to earlier in-flight writer(s) " +
+          s"${rivals.map(_._1).mkString(", ")} on overlapping partitions at $tablePath. " +
+          "Retryable once they finish; if one belongs to a dead writer, run fsck to clear " +
+          "its marker.")
+    }
+  }
+
   /** Publish a commit with optimistic concurrency validation (Hudi
     * OCC / SimpleConcurrentFileWritesConflictResolutionStrategy analogue).
     *

@@ -114,10 +114,16 @@ object IncrementalAgg {
         s"IncrementalAgg at $destPath maintains groupCols=${p.groupCols.mkString(",")} " +
           s"sumCols=${p.sumCols.mkString(",")}; cannot sync different columns " +
           "(build a new rollup instead)."))
-    // a rollback/restore of the base table moves the tip BELOW the stored
-    // watermark; incremental maintenance cannot subtract unknown history, so
-    // rebuild from scratch instead of silently serving pre-rollback state
-    val prior = prior0.filter(_.since <= tip)
+    // A rollback/restore of the base table deletes the watermark commit from
+    // the log; incremental maintenance cannot subtract unknown history, so
+    // rebuild from scratch instead of silently serving pre-rollback state.
+    // The guard is EXISTENCE of the stored watermark instant in the commit
+    // log, not `since <= tip`: if a rollback is followed by any new commit
+    // before the next sync, the new instant exceeds the old watermark and a
+    // tip-comparison would wrongly accept partials that still bake in the
+    // rolled-back changes. (A log truncated by archival also fails the
+    // existence check — a conservative full rebuild, never a wrong answer.)
+    val prior = prior0.filter(p => st.commits.exists(_.commitTime == p.since))
 
     val touched: Seq[String] = prior match {
       case None => st.partitionModes.keys.toSeq.sorted

@@ -112,7 +112,7 @@ object KeyedTable {
       throw GraftException.config("Input DataFrame is empty. Nothing to write.")
     val ct = CommitLog.newCommitTime()
     val fs = CommitLog.fs(spark, tablePath)
-    // stage the whole write NEXT TO the table and swap with one rename: the
+    // stage the whole write NEXT TO the table and swap with renames: the
     // input plan may read FROM this very table (INSERT OVERWRITE t
     // SELECT ... FROM t), so deleting before writing would destroy the
     // source mid-plan; staging also means a crash mid-write leaves the old
@@ -121,10 +121,50 @@ object KeyedTable {
     fs.delete(staging, true)
     writeData(df, keyFields, partitionFields, ct, staging.toString,
       mode = "overwrite", dynamicOverwrite = false)
-    fs.delete(new Path(tablePath), true)
-    if (!fs.rename(staging, new Path(tablePath)))
-      throw GraftException.unexpected(s"Could not move staged table into place at $tablePath")
-    CommitLog.beginInflight(spark, tablePath, ct, "bootstrap", partCounts.map(_._1))
+    val tp = new Path(tablePath)
+    val priorCommits = CommitLog.commits(spark, tablePath)
+    if (fs.exists(tp)) {
+      // Replace an existing table without a delete-then-rename window (a
+      // crash between the two would lose table AND commit log with nothing
+      // for fsck to restore). Marker first — in the OLD log, so a crashed
+      // create is fsck-visible and concurrent rewriters' swap guards see the
+      // bootstrap coming; then the guard (any commit landed since this
+      // create read its base, or any older in-flight writer, aborts the
+      // overwrite instead of silently clobbering them); then the old table
+      // moves ASIDE to `<table>.replaced-<ct>` and staging promotes. fsck's
+      // sibling sweep restores `.replaced-<ct>` when no committed table
+      // landed, and deletes it once one did.
+      CommitLog.beginInflight(spark, tablePath, ct, "bootstrap", partCounts.map(_._1),
+        baseCommits = priorCommits.map(_.commitTime))
+      try CommitLog.assertSwapSafe(spark, tablePath, ct, partCounts.map(_._1),
+        isBootstrap = true)
+      catch { case e: Throwable => fs.delete(staging, true); throw e }
+      val replaced = new Path(s"$tablePath.replaced-$ct")
+      fs.delete(replaced, true)
+      if (!fs.rename(tp, replaced))
+        throw GraftException.unexpected(s"Could not move previous table aside at $tablePath")
+      if (!fs.rename(staging, tp)) {
+        fs.rename(replaced, tp) // restore the old table before failing
+        fs.delete(staging, true)
+        throw GraftException.unexpected(s"Could not move staged table into place at $tablePath")
+      }
+      writeCreateCommit(spark, tablePath, ct, df, tableName, keyFields, precombineField,
+        partitionFields, tableType, partCounts)
+      fs.delete(replaced, true)
+    } else {
+      if (!fs.rename(staging, tp))
+        throw GraftException.unexpected(s"Could not move staged table into place at $tablePath")
+      writeCreateCommit(spark, tablePath, ct, df, tableName, keyFields, precombineField,
+        partitionFields, tableType, partCounts)
+    }
+    partCounts.map(_._1)
+  }
+
+  private def writeCreateCommit(
+      spark: SparkSession, tablePath: String, ct: String, df: DataFrame,
+      tableName: String, keyFields: Seq[String], precombineField: String,
+      partitionFields: Seq[String], tableType: TableType,
+      partCounts: Seq[(String, Long)]): Unit =
     CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "bootstrap", tableName = tableName,
       tableType = tableType.name, keyFields = keyFields,
@@ -133,8 +173,6 @@ object KeyedTable {
       recordCount = partCounts.map(_._2).sum,
       schemaDdl = MetaColumns.withMeta(df, keyFields, partitionFields, ct).schema.toDDL,
       sourcePath = None), baseInstant = None)
-    partCounts.map(_._1)
-  }
 
   /** Fresh (non-resume) write: FULL_RECORD overwrite (S5/H3), METADATA_ONLY
     * registration (H1/H2), or the regex split (H4) sending matching
@@ -1006,9 +1044,48 @@ object KeyedTable {
       orphanStaging: Seq[String],
       orphanDeltas: Seq[String],
       abortedRewrites: Seq[String],
-      staleInflights: Seq[String] = Seq.empty) {
+      staleInflights: Seq[String] = Seq.empty,
+      createSiblings: Seq[String] = Seq.empty) {
     def clean: Boolean = orphanStaging.isEmpty && orphanDeltas.isEmpty &&
-      abortedRewrites.isEmpty && staleInflights.isEmpty
+      abortedRewrites.isEmpty && staleInflights.isEmpty && createSiblings.isEmpty
+  }
+
+  /** Crashed-create recovery: [[create]] stages at `<table>.staging-create-
+    * <ct>` and moves the old table aside to `<table>.replaced-<ct>` before
+    * promoting, so every crash window leaves either a healthy table or a
+    * restorable sibling. Here:
+    *  - if the table path is missing its commit log (a crash after the old
+    *    table moved aside, before the new bootstrap commit landed), the
+    *    NEWEST `.replaced-<ct>` pre-image is restored wholesale — the
+    *    half-promoted data had no commit, so by the no-JSON-means-
+    *    uncommitted rule the create never happened;
+    *  - every remaining sibling (stale stagings from any crash window;
+    *    replaced pre-images once a committed table exists) is swept.
+    * Returns the sibling names seen. Runs before the main fsck body, which
+    * needs a readable commit log.
+    */
+  private def recoverCreateSiblings(
+      spark: SparkSession, tablePath: String, repair: Boolean): Seq[String] = {
+    val fs = CommitLog.fs(spark, tablePath)
+    val tp = new Path(tablePath)
+    val parent = tp.getParent
+    if (parent == null || !fs.exists(parent)) return Seq.empty
+    val name = tp.getName
+    def siblings() = fs.listStatus(parent).map(_.getPath).toSeq.filter { p =>
+      p.getName.startsWith(s"$name.staging-create-") ||
+        p.getName.startsWith(s"$name.replaced-")
+    }
+    val seen = siblings().map(_.getName)
+    if (seen.isEmpty || !repair) return seen
+    if (CommitLog.commits(spark, tablePath).isEmpty) {
+      siblings().filter(_.getName.startsWith(s"$name.replaced-")).sortBy(_.getName)
+        .lastOption.foreach { r =>
+          if (fs.exists(tp)) fs.delete(tp, true)
+          fs.rename(r, tp)
+        }
+    }
+    siblings().foreach(p => fs.delete(p, true))
+    seen
   }
 
   /** Crash-recovery sweep (Hudi "rollback of failed commits" analogue). A
@@ -1030,6 +1107,9 @@ object KeyedTable {
     * OCC protects commit publication, not recovery sweeps.
     */
   def fsck(spark: SparkSession, tablePath: String, repair: Boolean = true): FsckReport = {
+    // first: crashed-create siblings — the main body needs a readable log,
+    // which this step restores if a create died between move-aside and commit
+    val createSiblings = recoverCreateSiblings(spark, tablePath, repair)
     val st = CommitLog.requireState(spark, tablePath)
     val fs = CommitLog.fs(spark, tablePath)
     val committed = st.commits.map(_.commitTime).toSet
@@ -1064,7 +1144,7 @@ object KeyedTable {
         CommitLog.clearInflight(spark, tablePath, ct)
       }
     }
-    FsckReport(staging.map(_.getName), orphanDeltas, aborted, staleInflights)
+    FsckReport(staging.map(_.getName), orphanDeltas, aborted, staleInflights, createSiblings)
   }
 
   /** Undo ONE aborted rewrite `ct` (no commit JSON): remove swapped-in
@@ -2009,6 +2089,12 @@ object KeyedTable {
     val shaped = if (preShaped) df else clusterByPartition(df, partF)
     val w = shaped.write.mode("overwrite").format("parquet").options(writeOptions)
     (if (partF.nonEmpty) w.partitionBy(partF: _*) else w).save(staging)
+
+    // pre-swap OCC guard: a writer doomed to lose at publish aborts HERE,
+    // with only its staging to discard — after the swap, losing requires
+    // the undo self-heal, which a second overlapping swapper can poison
+    try CommitLog.assertSwapSafe(spark, tablePath, ct, touched)
+    catch { case e: Throwable => fs.delete(new Path(staging), true); throw e }
 
     // replaced data is ARCHIVED (renamed under .graft/archive/<ct>), not
     // deleted — the pre-images are what readAsOf and rollback-across-rewrites

@@ -256,4 +256,49 @@ class ConcurrencySpec extends SparkTestBase {
     assert(snap.filter(col("o_orderstatus") === "T2").count() > 0)
     assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
   }
+
+  test("a rewrite yields BEFORE its swap to an earlier overlapping in-flight writer") {
+    // COW table: its upserts REWRITE partitions through stageAndSwap, the
+    // path the pre-swap guard protects (MOR upserts only append deltas)
+    val dir = tmpDir("yield")
+    val tbl = s"$dir/tbl"
+    val in = s"$dir/in"
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(in)
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = tbl, tableName = "yield_t",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.CopyOnWrite))
+    val month = KeyedTable.read(spark, tbl)
+      .select("o_month").orderBy("o_month").head().getString(0)
+    val dataCols = KeyedTable.read(spark, tbl).columns
+      .filterNot(_.startsWith("_")).map(col).toSeq
+
+    // an EARLIER writer's marker on the same partition (a concurrent rewrite
+    // mid-swap, or a dead one): the later rewrite must abort before touching
+    // live data — the interleaving where the later writer swaps over the
+    // earlier one's work is what poisons both archives
+    val rivalCt = "19700101000000000"
+    CommitLog.beginInflight(spark, tbl, rivalCt, "upsert", Seq(s"o_month=$month"))
+    val batch = KeyedTable.read(spark, tbl)
+      .filter(col("o_month") === month && col("o_orderkey") % 7 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("Y"))
+    val preRead = KeyedTable.read(spark, tbl)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect()
+
+    val e = intercept[CommitConflictException] {
+      KeyedTable.upsert(spark, tbl, batch)
+    }
+    assert(e.getMessage.contains("yields before swap"))
+    // nothing leaked: no archive, no staging, reads unchanged
+    assert(KeyedTable.read(spark, tbl)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect() === preRead)
+
+    // clearing the rival (fsck's job for a dead writer) unblocks the retry
+    KeyedTable.fsck(spark, tbl)
+    KeyedTable.upsert(spark, tbl, batch)
+    assert(KeyedTable.read(spark, tbl).filter(col("o_orderstatus") === "Y").count() > 0)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+  }
 }

@@ -156,4 +156,58 @@ class FsckSpec extends SparkTestBase {
     assert(byRatio.nonEmpty)
     assert(Deltas.liveCommits(spark, table).isEmpty)
   }
+
+  test("crashed create: fsck restores the moved-aside table; stale siblings sweep") {
+    val table = boot()
+    val fs = fsOf(table)
+    val before = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect()
+
+    // crash window: create() moved the old table aside and promoted its
+    // staging, but died before the bootstrap commit landed — the live path
+    // holds data with NO commit log, the pre-image sits in `.replaced-<ct>`
+    val replaced = new Path(s"$table.replaced-99990101000000000")
+    assert(fs.rename(new Path(table), replaced))
+    fs.mkdirs(new Path(table))
+    fs.createNewFile(new Path(table, "part-00000.parquet"))
+
+    val report = KeyedTable.fsck(spark, table)
+    assert(report.createSiblings.exists(_.contains("replaced")))
+    assert(!fs.exists(replaced))
+    val after = KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect()
+    assert(after === before)
+
+    // stale siblings of FINISHED or earlier-crashed creates on a healthy
+    // table (a staging from a death before the swap; a replaced pre-image
+    // whose create committed) are swept, and the table is untouched
+    val staleStaging = new Path(s"$table.staging-create-99990101000000001")
+    val staleReplaced = new Path(s"$table.replaced-99990101000000002")
+    fs.mkdirs(staleStaging)
+    fs.mkdirs(staleReplaced)
+    val report2 = KeyedTable.fsck(spark, table)
+    assert(report2.createSiblings.size === 2)
+    assert(!fs.exists(staleStaging) && !fs.exists(staleReplaced))
+    assert(KeyedTable.read(spark, table)
+      .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").collect() === before)
+    assert(KeyedTable.fsck(spark, table).clean)
+  }
+
+  test("create over an existing table survives: old table moves aside, commit lands, siblings gone") {
+    val table = boot()
+    val fs = fsOf(table)
+    val rows = KeyedTable.read(spark, table)
+    val dataCols = rows.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    val smaller = rows.select(dataCols: _*).filter(col("o_orderkey") % 2 === 0)
+    val expect = smaller.count()
+    KeyedTable.create(spark, table, smaller, "orders_t",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"))
+    assert(KeyedTable.read(spark, table).count() === expect)
+    // no sibling litter after a successful overwrite-create
+    val parent = new Path(table).getParent
+    val leftovers = fs.listStatus(parent).map(_.getPath.getName)
+      .filter(n => n.startsWith(s"${new Path(table).getName}.staging-create-") ||
+        n.startsWith(s"${new Path(table).getName}.replaced-"))
+    assert(leftovers.isEmpty)
+  }
 }

@@ -79,6 +79,39 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(rollup(dest) === recompute(table))
   }
 
+  test("rollback followed by a NEW commit still forces a full rebuild") {
+    val in = ordersIn(tmpDir("in"))
+    val (table, dest) = (tmpDir("tbl"), s"${tmpDir("agg")}/rollup")
+    KeyedTable.bootstrap(spark, cfg(in, table))
+    val gs = Seq("o_orderpriority"); val ss = Seq("o_totalprice")
+    val bootTip = CommitLog.requireState(spark, table).latest.commitTime
+    val base = KeyedTable.read(spark, table)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    val months = base.select("o_month").distinct().orderBy("o_month")
+      .collect().map(_.getString(0))
+
+    // commit 2 touches month A; sync bakes it into the stored partials
+    KeyedTable.upsert(spark, table, base
+      .filter(col("o_month") === months.head && col("o_orderkey") % 3 === 0)
+      .select(dataCols: _*)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(dec) + lit(1000)).cast(DoubleType)))
+    IncrementalAgg.sync(spark, table, dest, gs, ss)
+
+    // roll the table back past the watermark, then land a NEW commit on a
+    // DIFFERENT month: the tip now EXCEEDS the stored watermark, so a
+    // tip-only staleness guard would sync just month B and keep serving
+    // month A partials that still bake in the rolled-back +1000 rows
+    KeyedTable.rollback(spark, table, bootTip)
+    KeyedTable.upsert(spark, table, base
+      .filter(col("o_month") === months.last && col("o_orderkey") % 4 === 0)
+      .select(dataCols: _*)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(dec) + lit(7)).cast(DoubleType)))
+    IncrementalAgg.sync(spark, table, dest, gs, ss)
+    assert(rollup(dest) === recompute(table))
+  }
+
   test("column mismatch and missing state fail loudly") {
     val in = ordersIn(tmpDir("in"))
     val (table, dest) = (tmpDir("tbl"), s"${tmpDir("agg")}/rollup")
