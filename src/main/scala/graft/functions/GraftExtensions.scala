@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.IntegerType
   * codegen, fold, and push down identically — there is no UDF boundary.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    // native SQL row-level DML (DELETE FROM / UPDATE on graft tables) —
+    // rewritten onto the engine's predicate DML after resolution
+    ext.injectPostHocResolutionRule(spark => new graft.sources.GraftDml.DmlRule(spark))
+  }
 }
 
 object GraftExtensions {

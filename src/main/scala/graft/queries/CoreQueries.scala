@@ -864,6 +864,34 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Row-level SQL DML as PLAIN STATEMENTS — `UPDATE t SET ... WHERE` and
+    * `DELETE FROM t WHERE` typed directly against a catalog graft table (no
+    * CALL), lowered by the extensions rule onto the same predicate-DML
+    * engine path q43 drives through procedures. The reference's runaway
+    * sweep is exactly this statement shape (app.py:96-102). COW table this
+    * time, so the statement → keyed rewrite → swap path is behind the hash.
+    */
+  private val q44: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q44")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q44_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.CopyOnWrite))
+    s.sql("DROP TABLE IF EXISTS graft_q44_orders")
+    s.sql(s"CREATE TABLE graft_q44_orders USING graft LOCATION '$tbl'")
+    s.sql(
+      """UPDATE graft_q44_orders
+        |SET o_orderstatus = 'S',
+        |    o_totalprice = CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 3 AS DOUBLE)
+        |WHERE o_orderkey % 10 = 0 AND year(o_orderdate) = 1995""".stripMargin)
+    s.sql(
+      """DELETE FROM graft_q44_orders
+        |WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1996""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM graft_q44_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -907,6 +935,7 @@ object CoreQueries {
     "q41_partial_upsert" -> q41,
     "q42_sql_maintenance" -> q42,
     "q43_predicate_dml" -> q43,
+    "q44_sql_dml" -> q44,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1159,6 +1188,16 @@ object CoreQueries {
         |       THEN 'D' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
         |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 9 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q44_sql_dml" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |       THEN 'S' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 AND year(o_orderdate) = 1995
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 3 AS DOUBLE)
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)

@@ -283,6 +283,7 @@ private[sources] class GraftTable(
     opts: GraftDataSource.ReadOptions, params: Map[String, String],
     provided: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
+  private[sources] def path: String = opts.path
   override def name(): String =
     opts.asOf.map(t => s"graft:${opts.path}@$t").getOrElse(s"graft:${opts.path}")
   /** Commit-log schema once the table exists; before that (a CTAS validating
@@ -381,6 +382,7 @@ private[sources] class GraftRelation(
     ctx: SQLContext, opts: GraftDataSource.ReadOptions, params: Map[String, String])
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  private[sources] def path: String = opts.path
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
     GraftDataSource.sourceSchema(ctx.sparkSession, opts)

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.{BootstrapConfig, GraftException}
+import graft.table.{CommitLog, KeyedTable}
+
+/** Native SQL row-level DML: DELETE FROM / UPDATE as plain statements on
+  * session-catalog graft tables, lowered onto the engine's predicate DML
+  * (same commit semantics as the Scala API / CALL procedures).
+  */
+class GraftDmlSpec extends SparkTestBase {
+
+  private def bootstrapOrders(dir: String, name: String): String = {
+    val tbl = s"$dir/tbl"
+    val in = s"$dir/in"
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(in)
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = tbl, tableName = name,
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    tbl
+  }
+
+  test("DELETE FROM as a plain SQL statement deletes through the engine") {
+    val tbl = bootstrapOrders(tmpDir("dml-del"), "dml_del")
+    spark.sql("DROP TABLE IF EXISTS dml_del_t")
+    spark.sql(s"CREATE TABLE dml_del_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl).count()
+      val doomed = KeyedTable.read(spark, tbl)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000).count()
+      assert(doomed > 0 && doomed < before)
+
+      spark.sql("DELETE FROM dml_del_t WHERE o_orderstatus = 'F' AND o_totalprice > 150000")
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.count() === before - doomed)
+      assert(after.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+        .count() === 0)
+      // it went through the ordinary keyed delete commit: operation recorded,
+      // time travel still serves the pre-delete snapshot
+      val st = CommitLog.requireState(spark, tbl)
+      assert(st.latest.operation === "delete")
+      val bootCt = st.commits.head.commitTime
+      assert(KeyedTable.readAsOf(spark, tbl, bootCt).count() === before)
+    } finally spark.sql("DROP TABLE IF EXISTS dml_del_t")
+  }
+
+  test("UPDATE ... SET as a plain SQL statement patches through the engine") {
+    val tbl = bootstrapOrders(tmpDir("dml-upd"), "dml_upd")
+    spark.sql("DROP TABLE IF EXISTS dml_upd_t")
+    spark.sql(s"CREATE TABLE dml_upd_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl).count()
+      val hit = KeyedTable.read(spark, tbl).filter(col("o_orderpriority") === "1-URGENT")
+      val hitCount = hit.count()
+      val oldSum = hit.agg(sum(col("o_totalprice"))).head().getDouble(0)
+      assert(hitCount > 0)
+
+      // assignments see the OLD row (classic UPDATE semantics), expressions
+      // and multiple SETs allowed — the reference's runaway sweep shape
+      spark.sql(
+        """UPDATE dml_upd_t
+          |SET o_orderstatus = 'X', o_totalprice = o_totalprice + 1
+          |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.count() === before) // an update never changes cardinality
+      val patched = after.filter(col("o_orderpriority") === "1-URGENT")
+      assert(patched.count() === hitCount)
+      assert(patched.filter(col("o_orderstatus") =!= "X").count() === 0)
+      val newSum = patched.agg(sum(col("o_totalprice"))).head().getDouble(0)
+      assert(math.abs(newSum - (oldSum + hitCount)) < 1e-3)
+      assert(CommitLog.requireState(spark, tbl).latest.operation === "upsert")
+    } finally spark.sql("DROP TABLE IF EXISTS dml_upd_t")
+  }
+
+  test("UPDATE refusals: key/partition assignment and meta-column predicates") {
+    val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
+    spark.sql("DROP TABLE IF EXISTS dml_ref_t")
+    spark.sql(s"CREATE TABLE dml_ref_t USING graft LOCATION '$tbl'")
+    try {
+      val e1 = intercept[GraftException] {
+        spark.sql("UPDATE dml_ref_t SET o_orderkey = 0 WHERE o_orderstatus = 'F'")
+      }
+      assert(e1.getMessage.contains("cannot assign key/partition/meta"))
+      val e2 = intercept[GraftException] {
+        spark.sql("UPDATE dml_ref_t SET o_month = '1999-01' WHERE o_orderstatus = 'F'")
+      }
+      assert(e2.getMessage.contains("cannot assign key/partition/meta"))
+      val e3 = intercept[GraftException] {
+        spark.sql("DELETE FROM dml_ref_t WHERE _hoodie_commit_time = '0'")
+      }
+      assert(e3.getMessage.contains("meta column"))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_ref_t")
+  }
+}
