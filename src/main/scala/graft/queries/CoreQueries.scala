@@ -892,6 +892,40 @@ object CoreQueries {
         |FROM graft_q44_orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** MERGE INTO as pure SQL — the statement spelling of the engine's core
+    * keyed upsert (J4/H7): a real table of 3/4 of the orders, then one
+    * MERGE whose source updates every even key (matched → column patch)
+    * and inserts the even keys the table never had (not matched → new
+    * rows). The oracle recomputes the end state relationally, so the merge
+    * condition routing, first-match clause semantics, the patch path, and
+    * the insert path all sit behind one hash.
+    */
+  private val q45: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q45")
+    val ord = s.read.parquet(ordersInput(s, d))
+    KeyedTable.create(s, tbl, ord.filter(col("o_orderkey") % 4 =!= 0),
+      "q45_orders", Seq("o_orderkey"), "o_orderdate", Seq("o_month"))
+    s.sql("DROP TABLE IF EXISTS graft_q45_orders")
+    s.sql(s"CREATE TABLE graft_q45_orders USING graft LOCATION '$tbl'")
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), lit("MG").as("st"),
+        (col("o_totalprice").cast(dec) + lit(50)).cast(DoubleType).as("price"),
+        col("o_orderdate"), col("o_orderpriority"), col("o_month"))
+      .createOrReplaceTempView("graft_q45_src")
+    s.sql(
+      """MERGE INTO graft_q45_orders t
+        |USING graft_q45_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st, o_totalprice = s.price
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority, o_month)
+        |  VALUES (s.o_orderkey, s.o_custkey, s.st, s.price, s.o_orderdate,
+        |          s.o_orderpriority, s.o_month)""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM graft_q45_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -936,6 +970,7 @@ object CoreQueries {
     "q42_sql_maintenance" -> q42,
     "q43_predicate_dml" -> q43,
     "q44_sql_dml" -> q44,
+    "q45_sql_merge" -> q45,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1201,6 +1236,20 @@ object CoreQueries {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |WHERE NOT (o_orderkey % 97 = 0 AND year(o_orderdate) = 1996)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q45_sql_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, 'MG' AS st,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 50 AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT b.o_orderkey,
+        |    coalesce(s.st, b.o_orderstatus) AS o_orderstatus,
+        |    coalesce(s.price, b.o_totalprice) AS o_totalprice
+        |  FROM (SELECT * FROM orders WHERE o_orderkey % 4 <> 0) b
+        |  LEFT JOIN src s USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, st, price FROM src WHERE o_orderkey % 4 = 0)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

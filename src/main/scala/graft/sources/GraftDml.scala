@@ -1,15 +1,18 @@
 package graft.sources
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.model.GraftException
-import graft.table.KeyedTable
+import graft.table.{CommitLog, KeyedTable, MetaColumns}
 
 /** Native SQL row-level DML for graft tables: `DELETE FROM t WHERE ...` and
   * `UPDATE t SET ... WHERE ...` typed as plain SQL statements (no CALL)
@@ -89,6 +92,99 @@ object GraftDml {
     }
   }
 
+  // ------------------------------------------------------------------ MERGE
+
+  /** One WHEN clause, pre-rendered at rule time to side-prefixed SQL
+    * (`__t`.`col` / `__s`.`col`) so the command re-binds it against its own
+    * aliased join of engine snapshot × statement source.
+    */
+  private[sources] final case class MergeClause(
+      kind: String, // "update" | "delete" | "insert"
+      condSql: Option[String],
+      sets: Map[String, String])
+
+  /** MERGE INTO on a graft table — the SQL spelling of the engine's core
+    * keyed upsert (J4/H7). Lowered onto existing engine writes, all
+    * computed against the PRE-merge snapshot and then applied:
+    *
+    *  - WHEN MATCHED UPDATE SET → a column patch via
+    *    [[KeyedTable.upsertPartial]] (assignments may reference both sides;
+    *    unassigned columns keep their old values),
+    *  - WHEN MATCHED DELETE → [[KeyedTable.delete]] of the matched keys,
+    *  - WHEN NOT MATCHED INSERT → [[KeyedTable.upsert]] of the new rows
+    *    (values may reference the source side only).
+    *
+    * Multiple WHEN MATCHED / WHEN NOT MATCHED clauses apply SQL-style
+    * first-match-wins per row. `UPDATE/INSERT *` expands by column name.
+    * Documented divergences from strict ANSI MERGE, both inherited from the
+    * keyed-table contract: several source rows matching one target key are
+    * precombine-resolved instead of raising a cardinality error (Hudi's
+    * behavior), and `SET c = NULL` keeps the old value (a partial patch
+    * cannot distinguish explicit NULL from absent). WHEN NOT MATCHED BY
+    * SOURCE and schema-evolving merges are refused loudly.
+    */
+  final case class GraftMergeCommand(
+      path: String,
+      source: LogicalPlan,
+      mergeCondSql: String,
+      matched: Seq[MergeClause],
+      notMatched: Seq[MergeClause])
+      extends LeafRunnableCommand {
+
+    /** first-match-wins eligibility chain over this clause list */
+    private def chained(clauses: Seq[MergeClause]): Seq[(MergeClause, String)] = {
+      var prior = Seq.empty[String]
+      clauses.map { c =>
+        val own = c.condSql.getOrElse("true")
+        val eligible =
+          (prior.map(p => s"NOT (coalesce(($p), false))") :+ s"coalesce(($own), false)")
+            .mkString(" AND ")
+        prior :+= own
+        c -> eligible
+      }
+    }
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      val st = CommitLog.requireState(spark, path)
+      val keyF = st.latest.keyFields
+      val partF = st.latest.partitionFields
+      val precombine = st.latest.precombineField
+      val src = ColumnBridge.ofRows(spark, source).alias("__s")
+      val tgt = KeyedTable.read(spark, path).alias("__t")
+
+      // every batch is computed (materialized) against the PRE-merge
+      // snapshot before any write mutates the table
+      val joined = tgt.join(src, expr(mergeCondSql), "inner")
+      val matchedBatches = chained(matched).map { case (c, eligible) =>
+        val rows = joined.filter(expr(eligible))
+        c.kind match {
+          case "delete" =>
+            val keep = (keyF ++ partF).distinct
+            "delete" -> rows.select(keep.map(n => expr(s"`__t`.`$n`").as(n)): _*)
+              .localCheckpoint()
+          case "update" =>
+            val carry = (keyF ++ partF :+ precombine).distinct.filterNot(c.sets.contains)
+            val cols = carry.map(n => expr(s"`__t`.`$n`").as(n)) ++
+              c.sets.toSeq.sortBy(_._1).map { case (n, sql) => expr(sql).as(n) }
+            "update" -> rows.select(cols: _*).localCheckpoint()
+        }
+      }
+      val antiSrc = src.join(tgt, expr(mergeCondSql), "left_anti")
+      val insertBatches = chained(notMatched).map { case (c, eligible) =>
+        val cols = c.sets.toSeq.sortBy(_._1).map { case (n, sql) => expr(sql).as(n) }
+        antiSrc.filter(expr(eligible)).select(cols: _*).localCheckpoint()
+      }
+
+      matchedBatches.foreach {
+        case ("delete", b) if !b.isEmpty => KeyedTable.delete(spark, path, b)
+        case ("update", b) if !b.isEmpty => KeyedTable.upsertPartial(spark, path, b)
+        case _ => ()
+      }
+      insertBatches.filter(!_.isEmpty).foreach(b => KeyedTable.upsert(spark, path, b))
+      Seq.empty
+    }
+  }
+
   class DmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case d @ DeleteFromTable(GraftRel(path), condition) if d.resolved =>
@@ -103,7 +199,95 @@ object GraftDml {
           }
         }.toMap
         GraftUpdateCommand(path, toSql(condition.getOrElse(Literal.TrueLiteral)), sets)
+      case m: MergeIntoTable if m.resolved =>
+        m.targetTable match {
+          case GraftRel(path) => rewriteMerge(path, m)
+          case _ => plan
+        }
       case _ => plan
+    }
+
+    private def rewriteMerge(path: String, m: MergeIntoTable): LogicalPlan = {
+      if (m.notMatchedBySourceActions.nonEmpty)
+        throw GraftException.config(
+          "MERGE on a graft table does not support WHEN NOT MATCHED BY SOURCE " +
+            "(use deleteWhere/updateWhere for source-absent sweeps).")
+      if (m.schemaEvolutionEnabled)
+        throw GraftException.config(
+          "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables " +
+            "(write the evolving batch through upsert, which evolves add-only).")
+      val tgtAttrs = m.targetTable.outputSet
+      val srcAttrs = m.sourceTable.outputSet
+      val tgtNames = m.targetTable.output.map(_.name)
+      val srcNames = m.sourceTable.output.map(_.name).toSet
+
+      def sideSql(e: Expression): String = {
+        val meta = e.collect {
+          case a: Attribute if MetaColumns.all.contains(a.name) => a.name
+        }.distinct
+        if (meta.nonEmpty)
+          throw GraftException.config(
+            s"MERGE on a graft table cannot reference meta column(s): ${meta.mkString(", ")}.")
+        e.transform {
+          case a: AttributeReference if tgtAttrs.contains(a) =>
+            UnresolvedAttribute(Seq("__t", a.name))
+          case a: AttributeReference if srcAttrs.contains(a) =>
+            UnresolvedAttribute(Seq("__s", a.name))
+        }.sql
+      }
+      def srcOnlySql(e: Expression, what: String): String = {
+        val stray = e.collect {
+          case a: AttributeReference if tgtAttrs.contains(a) => a.name
+        }.distinct
+        if (stray.nonEmpty)
+          throw GraftException.config(
+            s"MERGE $what may reference source columns only; found target column(s): " +
+              stray.mkString(", ") + ".")
+        sideSql(e)
+      }
+      def named(a: Assignment, what: String): String = a.key match {
+        case attr: Attribute => attr.name
+        case other => throw GraftException.config(
+          s"MERGE $what supports plain column assignments, got '${other.sql}'.")
+      }
+      def starSets(srcPrefixOnly: Boolean): Map[String, String] = {
+        val dataCols = tgtNames.filterNot(MetaColumns.all.contains)
+        val missing = dataCols.filterNot(srcNames.contains)
+        if (missing.nonEmpty)
+          throw GraftException.config(
+            s"MERGE * expansion: source is missing target column(s): ${missing.mkString(", ")}.")
+        dataCols.map(n => n -> s"`__s`.`$n`").toMap
+      }
+
+      val matched = m.matchedActions.map {
+        case u: UpdateAction =>
+          MergeClause("update", u.condition.map(sideSql),
+            u.assignments.map(a => named(a, "UPDATE SET") -> sideSql(a.value)).toMap)
+        case UpdateStarAction(cond) =>
+          MergeClause("update", cond.map(sideSql), starSets(srcPrefixOnly = false))
+        case DeleteAction(cond) =>
+          MergeClause("delete", cond.map(sideSql), Map.empty)
+        case other => throw GraftException.config(
+          s"MERGE matched action not supported on graft tables: $other.")
+      }
+      matched.filter(_.kind == "update").foreach { c =>
+        val illegal = c.sets.keys.filter(MetaColumns.all.contains).toSeq
+        if (illegal.nonEmpty)
+          throw GraftException.config(
+            s"MERGE UPDATE cannot assign meta column(s): ${illegal.mkString(", ")}.")
+      }
+      val notMatched = m.notMatchedActions.map {
+        case InsertAction(cond, assignments) =>
+          MergeClause("insert", cond.map(e => srcOnlySql(e, "NOT MATCHED condition")),
+            assignments.map(a =>
+              named(a, "INSERT") -> srcOnlySql(a.value, "INSERT values")).toMap)
+        case InsertStarAction(cond) =>
+          MergeClause("insert", cond.map(e => srcOnlySql(e, "NOT MATCHED condition")),
+            starSets(srcPrefixOnly = true))
+        case other => throw GraftException.config(
+          s"MERGE not-matched action not supported on graft tables: $other.")
+      }
+      GraftMergeCommand(path, m.sourceTable, sideSql(m.mergeCondition), matched, notMatched)
     }
   }
 }

@@ -22,4 +22,14 @@ object ColumnBridge {
     */
   def expressionTree(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over an already-analyzed logical plan (`Dataset.ofRows` is
+    * private[sql] in Spark 4) — used by the MERGE rewrite to execute the
+    * statement's resolved source plan as the engine batch input.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -79,6 +79,86 @@ class GraftDmlSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS dml_upd_t")
   }
 
+  test("MERGE INTO: matched update + not-matched insert reproduce upsert semantics") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge"), "dml_merge")
+    spark.sql("DROP TABLE IF EXISTS dml_m_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m_src")
+    spark.sql(s"CREATE TABLE dml_m_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val beforeCount = before.count()
+      // source: half updates to existing keys, plus brand-new keys
+      before.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("M").as("st"),
+          (col("o_totalprice") + 10).as("price"),
+          col("o_orderdate"), col("o_custkey"), col("o_orderpriority"), col("o_month"))
+        .unionByName(
+          before.filter(col("o_orderkey") % 7 === 0)
+            .select((col("o_orderkey") + 10000000).as("o_orderkey"), lit("N").as("st"),
+              col("o_totalprice").as("price"),
+              col("o_orderdate"), col("o_custkey"), col("o_orderpriority"), col("o_month")))
+        .createOrReplaceTempView("dml_m_src")
+      val newKeys = spark.table("dml_m_src")
+        .filter(col("o_orderkey") >= 10000000).count()
+
+      spark.sql(
+        """MERGE INTO dml_m_t t
+          |USING dml_m_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st, o_totalprice = s.price
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice, o_orderdate, o_orderpriority, o_month)
+          |  VALUES (s.o_orderkey, s.o_custkey, s.st, s.price, s.o_orderdate,
+          |          s.o_orderpriority, s.o_month)""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.count() === beforeCount + newKeys)
+      // matched rows patched, unmatched untouched
+      assert(after.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") < 10000000)
+        .filter(col("o_orderstatus") =!= "M").count() === 0)
+      assert(after.filter(col("o_orderkey") % 2 =!= 0 && col("o_orderkey") < 10000000)
+        .filter(col("o_orderstatus") === "M").count() === 0)
+      assert(after.filter(col("o_orderstatus") === "N").count() === newKeys)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m_src")
+    }
+  }
+
+  test("MERGE INTO: WHEN MATCHED DELETE and clause conditions first-match-wins") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge2"), "dml_merge2")
+    spark.sql("DROP TABLE IF EXISTS dml_m2_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m2_src")
+    spark.sql(s"CREATE TABLE dml_m2_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val beforeCount = before.count()
+      before.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .createOrReplaceTempView("dml_m2_src")
+      val matchedHigh = before.filter(col("o_orderkey") % 3 === 0 &&
+        col("o_totalprice") > 200000).count()
+      val matchedLow = before.filter(col("o_orderkey") % 3 === 0 &&
+        col("o_totalprice") <= 200000).count()
+      assert(matchedHigh > 0 && matchedLow > 0)
+
+      // first clause wins where both would apply (condition on s.price)
+      spark.sql(
+        """MERGE INTO dml_m2_t t
+          |USING dml_m2_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.price > 200000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'L'""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.count() === beforeCount - matchedHigh)
+      assert(after.filter(col("o_orderstatus") === "L").count() === matchedLow)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m2_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m2_src")
+    }
+  }
+
   test("UPDATE refusals: key/partition assignment and meta-column predicates") {
     val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
     spark.sql("DROP TABLE IF EXISTS dml_ref_t")
