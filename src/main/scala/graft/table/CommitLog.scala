@@ -62,7 +62,7 @@ object CommitLog {
     def sourcePath: Option[String] = commits.reverseIterator.flatMap(_.sourcePath).nextOption()
   }
 
-  private val mapper = new ObjectMapper()
+  private[table] val mapper = new ObjectMapper()
 
   def logDir(tablePath: String): Path = new Path(tablePath, LogDirName)
 
@@ -192,6 +192,30 @@ object CommitLog {
     */
   private val publishLock = new Object
 
+  /** File leases held by in-flight writers of THIS process, keyed by
+    * (table, instant): acquired by [[assertSwapSafe]] (so the lease covers
+    * guard → swap → publish) or by [[write]] itself for delta/bootstrap
+    * publishes that never swap; always released in [[write]]'s finally or
+    * on a guard abort. See [[TableLock]] for the cross-process mechanics.
+    */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, TableLock.Lease]()
+  private def leaseKey(tablePath: String, ct: String) = tablePath + "|" + ct
+
+  /** Acquire (blocking) the table's writer lease for instant `ct` unless
+    * this process already holds it for `ct` or locking is disabled. Runs
+    * OUTSIDE [[publishLock]] — waiting on another process while holding the
+    * JVM lock would stall every local writer.
+    */
+  private def acquireLease(spark: SparkSession, tablePath: String, ct: String): Unit =
+    if (TableLock.enabled(spark)) heldLeases.computeIfAbsent(
+      leaseKey(tablePath, ct), _ => TableLock.acquire(spark, tablePath, owner = ct))
+
+  private[table] def releaseLease(spark: SparkSession, tablePath: String, ct: String): Unit = {
+    val l = heldLeases.remove(leaseKey(tablePath, ct))
+    if (l != null) TableLock.release(spark, tablePath, l)
+  }
+
   /** Pre-swap OCC guard: run IMMEDIATELY before a rewrite's destructive
     * swap (after its staging write), under [[publishLock]]. Re-validates
     * this writer against the live log so a doomed writer aborts BEFORE
@@ -225,7 +249,21 @@ object CommitLog {
       tablePath: String,
       ct: String,
       touched: Seq[String],
-      isBootstrap: Boolean = false): Unit = publishLock.synchronized {
+      isBootstrap: Boolean = false): Unit = {
+    // cross-process lease first (blocking, outside the JVM lock); held
+    // through swap and publish, released by write()'s finally — or here,
+    // if a check below aborts this writer
+    acquireLease(spark, tablePath, ct)
+    try assertSwapSafeChecks(spark, tablePath, ct, touched, isBootstrap)
+    catch { case e: Throwable => releaseLease(spark, tablePath, ct); throw e }
+  }
+
+  private def assertSwapSafeChecks(
+      spark: SparkSession,
+      tablePath: String,
+      ct: String,
+      touched: Seq[String],
+      isBootstrap: Boolean): Unit = publishLock.synchronized {
     val f = fs(spark, tablePath)
     if (!f.exists(new Path(logDir(tablePath), s"$ct.inflight.json")))
       throw GraftException.conflict(
@@ -286,6 +324,19 @@ object CommitLog {
     * order must quiesce writers or poll behind the oldest inflight marker.
     */
   def write(
+      spark: SparkSession,
+      tablePath: String,
+      info: CommitInfo,
+      baseInstant: Option[String]): Unit = {
+    // writers that never ran the swap guard (delta commits, bootstraps,
+    // index sidecars) take the cross-process lease here; either way it is
+    // released when this publish finishes, successfully or not
+    acquireLease(spark, tablePath, info.commitTime)
+    try writeUnderLock(spark, tablePath, info, baseInstant)
+    finally releaseLease(spark, tablePath, info.commitTime)
+  }
+
+  private def writeUnderLock(
       spark: SparkSession,
       tablePath: String,
       info: CommitInfo,
@@ -353,6 +404,17 @@ object CommitLog {
     root.put("recordCount", info.recordCount)
     root.put("schemaDdl", info.schemaDdl)
     info.sourcePath.foreach(root.put("sourcePath", _))
+    // fencing: if our lease was stolen (this writer stalled past the TTL),
+    // a later writer may have validated against a log that will not include
+    // us and committed — abort rather than publish on a stale validation;
+    // the inflight marker stays so fsck undoes any half-done swap
+    Option(heldLeases.get(leaseKey(tablePath, info.commitTime))).foreach { l =>
+      if (!TableLock.stillHeld(spark, tablePath, l))
+        throw GraftException.conflict(
+          s"Writer ${info.commitTime}: table lock lease was lost (expired and stolen) " +
+            s"before publish at $tablePath. Retryable: run fsck to restore this writer's " +
+            "pre-images, re-read the table state, and re-apply the write.")
+    }
     // overwrite=false: a commit instant is immutable — colliding with an
     // existing one (e.g. two writers on the same table) must fail loudly,
     // never replace the earlier commit record

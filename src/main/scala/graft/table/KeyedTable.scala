@@ -139,6 +139,10 @@ object KeyedTable {
       try CommitLog.assertSwapSafe(spark, tablePath, ct, partCounts.map(_._1),
         isBootstrap = true)
       catch { case e: Throwable => fs.delete(staging, true); throw e }
+      // the guard's lease lives under the OLD log, which moves aside with
+      // the table next; release it so the publish into the FRESH log
+      // re-acquires at the new location instead of failing its fencing check
+      CommitLog.releaseLease(spark, tablePath, ct)
       val replaced = new Path(s"$tablePath.replaced-$ct")
       fs.delete(replaced, true)
       if (!fs.rename(tp, replaced))
@@ -1045,9 +1049,11 @@ object KeyedTable {
       orphanDeltas: Seq[String],
       abortedRewrites: Seq[String],
       staleInflights: Seq[String] = Seq.empty,
-      createSiblings: Seq[String] = Seq.empty) {
+      createSiblings: Seq[String] = Seq.empty,
+      expiredLocks: Seq[String] = Seq.empty) {
     def clean: Boolean = orphanStaging.isEmpty && orphanDeltas.isEmpty &&
-      abortedRewrites.isEmpty && staleInflights.isEmpty && createSiblings.isEmpty
+      abortedRewrites.isEmpty && staleInflights.isEmpty && createSiblings.isEmpty &&
+      expiredLocks.isEmpty
   }
 
   /** Crashed-create recovery: [[create]] stages at `<table>.staging-create-
@@ -1121,6 +1127,9 @@ object KeyedTable {
     // inflight markers of dead or OCC-conflicted writers: no commit JSON ever
     // landed for them (publish clears the marker of a successful commit)
     val staleInflights = CommitLog.inflights(spark, tablePath).filterNot(committed)
+    // an EXPIRED writer lease is a dead writer's; a live one belongs to a
+    // writer in flight and is left alone (don't fsck concurrently anyway)
+    val expiredLock = TableLock.expired(spark, tablePath)
     if (repair) {
       // aborted rewrites first: restoring may re-expose stashed deltas whose
       // commits ARE in the log (they must not be swept as orphans below)
@@ -1143,8 +1152,10 @@ object KeyedTable {
         }
         CommitLog.clearInflight(spark, tablePath, ct)
       }
+      expiredLock.foreach(l => TableLock.release(spark, tablePath, l))
     }
-    FsckReport(staging.map(_.getName), orphanDeltas, aborted, staleInflights, createSiblings)
+    FsckReport(staging.map(_.getName), orphanDeltas, aborted, staleInflights, createSiblings,
+      expiredLock.map(_.owner).toSeq)
   }
 
   /** Undo ONE aborted rewrite `ct` (no commit JSON): remove swapped-in

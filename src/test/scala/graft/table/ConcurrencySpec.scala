@@ -301,4 +301,58 @@ class ConcurrencySpec extends SparkTestBase {
     assert(KeyedTable.read(spark, tbl).filter(col("o_orderstatus") === "Y").count() > 0)
     assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
   }
+
+  test("file lease: atomic acquire, held blocks, expiry steals with a higher token, fsck sweeps") {
+    val (tbl, _) = bootstrapMor(tmpDir("lock"), "lock_t")
+
+    // acquire / held / release round-trip
+    val l1 = TableLock.tryAcquire(spark, tbl, "writer-A").get
+    assert(TableLock.tryAcquire(spark, tbl, "writer-B").isEmpty)
+    assert(TableLock.stillHeld(spark, tbl, l1))
+    TableLock.release(spark, tbl, l1)
+    assert(TableLock.current(spark, tbl).isEmpty)
+
+    // a foreign holder blocks the whole write path with a retryable conflict
+    spark.conf.set("spark.graft.lock.acquireTimeoutMs", "400")
+    try {
+      val foreign = TableLock.tryAcquire(spark, tbl, "other-process").get
+      val base = KeyedTable.read(spark, tbl)
+      val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+      val e = intercept[CommitConflictException] {
+        KeyedTable.upsert(spark, tbl, base.limit(5)
+          .select(dataCols: _*).withColumn("o_orderstatus", lit("Z")))
+      }
+      assert(e.getMessage.contains("could not acquire the table lock"))
+      assert(KeyedTable.read(spark, tbl).filter(col("o_orderstatus") === "Z").count() === 0)
+      TableLock.release(spark, tbl, foreign)
+    } finally spark.conf.unset("spark.graft.lock.acquireTimeoutMs")
+
+    // an EXPIRED lease is stolen, and the thief's fencing token is higher
+    spark.conf.set("spark.graft.lock.ttlMs", "1")
+    val dying = TableLock.tryAcquire(spark, tbl, "dying-writer").get
+    spark.conf.unset("spark.graft.lock.ttlMs")
+    Thread.sleep(5)
+    val thief = TableLock.tryAcquire(spark, tbl, "thief").get
+    assert(thief.token > dying.token)
+    assert(!TableLock.stillHeld(spark, tbl, dying)) // the fencing check the publisher runs
+    TableLock.release(spark, tbl, thief)
+
+    // fsck sweeps an expired lease a dead writer left behind
+    spark.conf.set("spark.graft.lock.ttlMs", "1")
+    TableLock.tryAcquire(spark, tbl, "dead-writer")
+    spark.conf.unset("spark.graft.lock.ttlMs")
+    Thread.sleep(5)
+    val report = KeyedTable.fsck(spark, tbl, repair = false)
+    assert(report.expiredLocks === Seq("dead-writer"))
+    KeyedTable.fsck(spark, tbl)
+    assert(TableLock.current(spark, tbl).isEmpty)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+
+    // normal writes acquire and fully release the lease
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(spark, tbl, base.limit(5)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("W")))
+    assert(TableLock.current(spark, tbl).isEmpty)
+  }
 }
