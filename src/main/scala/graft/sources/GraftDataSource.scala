@@ -51,9 +51,34 @@ import graft.table.{CommitLog, KeyedTable, MetaColumns}
   * the same dual registration for the same reason.
   */
 class GraftDataSource extends TableProvider with RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming read: spark.readStream.format("graft").load(path) tails
+  // the table's CDC feed (GraftChangeSource). The DSv2 table deliberately
+  // does NOT claim MICRO_BATCH_READ, so DataStreamReader falls back to this
+  // V1 face — the streaming mirror of the batch V1Scan bridge, needed for
+  // the same reason (a micro-batch here is an arbitrary plan, not a file
+  // list).
+  override def sourceSchema(
+      ctx: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), graft.streaming.GraftChangeSource.changeSchema(
+      ctx.sparkSession, GraftDataSource.readOptions(parameters).path))
+
+  override def createSource(
+      ctx: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new graft.streaming.GraftChangeSource(
+      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"))
+  }
 
   // true so V2 CTAS (CreateTableAsSelectExec) can pass the query schema to
   // the session catalog; the engine itself always serves the authoritative

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.table.{CommitLog, KeyedTable, MetaColumns}
+
+/** Offset = a commit instant (the change feed's natural cursor); `json()`
+  * is the instant string itself — instants are lexicographically ordered,
+  * opaque to the checkpoint log, and human-readable in it.
+  */
+final case class GraftChangeOffset(commitTime: String) extends Offset {
+  override def json(): String = commitTime
+}
+
+/** `spark.readStream.format("graft").load(path)` — the table's CDC feed as
+  * a Structured Streaming source, making the T13 change stream consumable
+  * by ANY streaming job (windowed aggs, stream-stream joins, foreachBatch
+  * sinks) instead of only the polling library API. The write twin is
+  * [[StreamingIngest]]; together they close the loop: stream in, table
+  * services in the middle, stream out.
+  *
+  * Micro-batch N = exactly `KeyedTable.readChanges(since = offset(N-1))`
+  * capped at offset(N) — upsert rows with their current full image plus
+  * `_change_op = 'delete'` tombstones, identical row-for-row to the batch
+  * CDC read over the same closed interval (the spec pins this equality).
+  * Offsets are commit instants, so replay after a crash re-delivers the
+  * same interval (at-least-once; effectively-once under idempotent sinks,
+  * same contract as [[ChangeStream]]).
+  *
+  * Architecture: the legacy `Source` face of the source API (still the
+  * sanctioned path for sources whose batch is an arbitrary PLAN — the
+  * change feed merges deltas, archives, and anti-joins, it is not a file
+  * list a DSv2 `MicroBatchStream` could hand out as input partitions; the
+  * same reason the batch side rides the V1Scan bridge). `getBatch` returns
+  * the engine's own DataFrame, so pruning/pushdown inside the feed behave
+  * exactly as in batch.
+  *
+  * Start position: `option("startAt", instant)` streams from the given
+  * instant (exclusive) — e.g. the bootstrap commit for full retained
+  * history; without it, the feed starts at the tip observed when the query
+  * first runs ("latest", matching [[ChangeStream]]'s default). A restart
+  * from a checkpoint always resumes from the stored offset. Archive
+  * retention still bounds replay: an interval whose pre-images were
+  * cleaned fails loudly, never silently skips (readChanges' contract).
+  */
+class GraftChangeSource(
+    ctx: SQLContext, tablePath: String, startAt: Option[String]) extends Source {
+
+  private val spark: SparkSession = ctx.sparkSession
+
+  // seeds only the FIRST batch of a fresh query — a checkpointed restart
+  // passes the stored offset as `start`, never this
+  private val initialSince: String =
+    startAt.getOrElse(CommitLog.requireState(spark, tablePath).latest.commitTime)
+
+  override def schema: StructType = GraftChangeSource.changeSchema(spark, tablePath)
+
+  // the engine hands back checkpoint-restored offsets as SerializedOffset;
+  // either way the json IS the instant string
+  private def ct(o: Offset): String = o.json().trim
+
+  override def getOffset: Option[Offset] =
+    Some(GraftChangeOffset(CommitLog.requireState(spark, tablePath).latest.commitTime))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(ct).getOrElse(initialSince)
+    val upTo = ct(end)
+    val out = KeyedTable.readChanges(spark, tablePath, since)
+      .filter(col(MetaColumns.CommitTime) <= upTo)
+    // project to the DECLARED source schema (the feed plan's attribute
+    // nullability can differ from the DDL-derived schema, and the streaming
+    // engine binds by position against the declared one), then re-root as a
+    // streaming frame — getBatch's isStreaming contract
+    val declared = schema
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreamingFrame(
+      out.select(declared.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftChangeSource[$tablePath]"
+}
+
+object GraftChangeSource {
+  /** Data + meta columns of the table, plus `_change_op`. */
+  def changeSchema(spark: SparkSession, tablePath: String): StructType = {
+    val st = CommitLog.requireState(spark, tablePath)
+    StructType.fromDDL(st.latest.schemaDdl).add(KeyedTable.ChangeOp, StringType)
+  }
+}

@@ -437,11 +437,32 @@ object CommitLog {
     f.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".commit.json"))
       .sortBy(_.getPath.getName)
-      .map { st =>
-        val in = f.open(st.getPath)
-        try parse(mapper.readTree(in))
-        finally in.close()
+      .map(st => readCommit(f, st.getPath))
+  }
+
+  /** A concurrent reader (e.g. the streaming CDC source polling its tip)
+    * can list a commit file the instant after its atomic create and before
+    * its content flushes. Commit JSONs are IMMUTABLE once written, so a
+    * short retry makes the read linearize after the in-flight write; a
+    * file still unreadable after the window is real corruption and fails
+    * loudly (silently skipping a commit would serve a wrong snapshot).
+    */
+  private def readCommit(f: FileSystem, p: Path): CommitInfo = {
+    var last: Exception = null
+    var attempt = 0
+    while (attempt < 20) {
+      try {
+        val in = f.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        if (node == null || node.get("commitTime") == null)
+          throw new java.io.IOException(s"partial commit file (still being written?) $p")
+        return parse(node)
+      } catch {
+        case e: Exception => last = e; attempt += 1; Thread.sleep(100)
       }
+    }
+    throw GraftException.unexpected(
+      s"Unreadable commit file $p after ${attempt} attempts: ${last.getMessage}")
   }
 
   private def parse(n: JsonNode): CommitInfo = CommitInfo(

@@ -32,4 +32,17 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-root a batch DataFrame as a streaming micro-batch: the V1 streaming
+    * `Source.getBatch` contract demands `isStreaming = true`, and the
+    * sanctioned wrapper is a LogicalRDD over the batch plan's own execution
+    * RDD (what FileStreamSource does). Lazy — nothing runs until the
+    * micro-batch executes.
+    */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val logical = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = true)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, logical)
+  }
 }

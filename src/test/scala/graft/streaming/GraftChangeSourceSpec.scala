@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.{BootstrapConfig, TableType}
+import graft.table.KeyedTable
+
+/** `spark.readStream.format("graft")`: the streaming CDC source must match
+  * the batch `readChanges` twin row-for-row over the same interval, tail
+  * new commits across micro-batches, and resume from its checkpoint.
+  */
+class GraftChangeSourceSpec extends SparkTestBase {
+
+  private def bootstrapMor(dir: String, name: String): (String, String) = {
+    val tbl = s"$dir/tbl"
+    val in = s"$dir/in"
+    spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").parquet(in)
+    val boot = KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = tbl, tableName = name,
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+    (tbl, boot.commitTime)
+  }
+
+  private def changeRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("o_orderkey"), col("o_orderstatus"), col(KeyedTable.ChangeOp))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("streaming CDC read matches batch readChanges and tails new commits") {
+    val (tbl, c0) = bootstrapMor(tmpDir("stream-cdc"), "stream_cdc")
+    val ckpt = tmpDir("stream-cdc-ckpt")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+
+    // two committed changes before the stream starts: an upsert + a delete
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_orderkey") % 10 === 0).select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("S1")))
+    KeyedTable.delete(spark, tbl, base
+      .filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_month"))
+
+    // foreachBatch sink: supports checkpoint RECOVERY (the memory sink does
+    // not), which the restart leg below depends on
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def sinkTo(buf: java.util.concurrent.ConcurrentLinkedQueue[String]) =
+      spark.readStream.format("graft").option("startAt", c0).load(tbl)
+        .select(col("o_orderkey"), col("o_orderstatus"), col(KeyedTable.ChangeOp))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => buf.add(r.toString)); ()
+        }
+        .start()
+
+    val q = sinkTo(got)
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val batch = changeRows(KeyedTable.readChanges(spark, tbl, c0))
+      assert(got.asScala.toSeq.sorted === batch && batch.nonEmpty)
+      assert(batch.exists(_.contains("delete")))
+
+      // a commit AFTER the stream started arrives in the next micro-batch
+      KeyedTable.upsert(spark, tbl, base
+        .filter(col("o_orderkey") % 13 === 0).select(dataCols: _*)
+        .withColumn("o_orderstatus", lit("S2")))
+      q.processAllAvailable()
+      assert(got.asScala.count(_.contains("S2")) ===
+        base.filter(col("o_orderkey") % 13 === 0).count())
+    } finally q.stop()
+
+    // restart from the checkpoint: only commits newer than the stored
+    // offset arrive — no replay of what the first run already delivered
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_orderkey") % 17 === 0).select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("S3")))
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = sinkTo(got2)
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got2.asScala.count(_.contains("S3")) ===
+        base.filter(col("o_orderkey") % 17 === 0).count())
+      assert(got2.asScala.count(_.contains("S1")) === 0)
+    } finally q2.stop()
+  }
+
+  test("without startAt the stream begins at the current tip (latest)") {
+    val (tbl, _) = bootstrapMor(tmpDir("stream-latest"), "stream_latest")
+    val ckpt = tmpDir("stream-latest-ckpt")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+
+    val q = spark.readStream.format("graft").load(tbl)
+      .writeStream.format("memory").queryName("graft_latest_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_latest_out").count() === 0) // nothing before start
+      KeyedTable.upsert(spark, tbl, base
+        .filter(col("o_orderkey") % 11 === 0).select(dataCols: _*)
+        .withColumn("o_orderstatus", lit("L1")))
+      q.processAllAvailable()
+      assert(spark.table("graft_latest_out").count() ===
+        base.filter(col("o_orderkey") % 11 === 0).count())
+    } finally q.stop()
+  }
+}
