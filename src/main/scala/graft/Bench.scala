@@ -52,15 +52,16 @@ object Bench {
     }
     // min-of-2 pays for itself on short queries, where scheduler noise is a
     // large FRACTION of the time. Queries under 2s always re-run; the 2-10s
-    // band re-runs cheapest-first under a wall-clock budget so the total
-    // stays inside the harness window (the round-2 timeout is the
-    // cautionary tale) while the band most exposed to session noise still
-    // gets a second sample.
+    // band re-runs cheapest-first under an ADAPTIVE wall-clock budget —
+    // whatever headroom remains under the total target after pass 1 — so
+    // adding bench coverage can never push the run past the harness window
+    // (the round-2 timeout is the cautionary tale) while the band most
+    // exposed to session noise still gets a second sample when time allows.
     val rerunBelow = 2.0
-    val bandBudgetSec = 25.0
+    val targetTotalSec = 85.0
     val pass1 = bench.toMap.map { case (name, fn) => name -> timeOnce(name, fn) }
     val bandPicked: Set[String] = {
-      var left = bandBudgetSec
+      var left = math.max(0.0, targetTotalSec - pass1.values.filter(_ >= 0).sum)
       pass1.toSeq.filter { case (_, t) => t >= rerunBelow && t < 10.0 }
         .sortBy(_._2)
         .takeWhile { case (_, t) => val ok = t <= left; if (ok) left -= t; ok }

@@ -41,7 +41,12 @@ object SparkEntry {
     "x25_asof_join", "x26_range_join", "x28_tfidf_keywords",
     "x32_token_percentiles", "x40_line_dedup", "x42_incremental_exact",
     "x44_ann_pq", "x46_dedup_embedding_cells", "x47_image_decode",
-    "q42_sql_maintenance", "x49_lm_quality", "x50_domain_drift")
+    // q45 (MERGE) represents the round-5 SQL DML family in the bench; q44
+    // (DELETE/UPDATE statements) rides the same rewrite machinery and the
+    // same engine paths q42/q45 already time — benching it too would push
+    // the run past the harness window for no new signal
+    "q42_sql_maintenance", "x49_lm_quality", "x50_domain_drift",
+    "q45_sql_merge")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

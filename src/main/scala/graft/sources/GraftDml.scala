@@ -149,6 +149,16 @@ object GraftDml {
       val keyF = st.latest.keyFields
       val partF = st.latest.partitionFields
       val precombine = st.latest.precombineField
+      // a key/partition assignment is a row MOVE, not a patch — the same
+      // refusal updateWhere makes (use upsertGlobal for moves). Checked
+      // here, where the table's key config is known.
+      matched.filter(_.kind == "update").foreach { c =>
+        val illegal = c.sets.keys.filter(n => keyF.contains(n) || partF.contains(n)).toSeq
+        if (illegal.nonEmpty)
+          throw GraftException.config(
+            s"MERGE UPDATE cannot assign key/partition column(s): ${illegal.mkString(", ")} " +
+              "(a key or partition change is a row move — use upsertGlobal).")
+      }
       val src = ColumnBridge.ofRows(spark, source).alias("__s")
       val tgt = KeyedTable.read(spark, path).alias("__t")
 

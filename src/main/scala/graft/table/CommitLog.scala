@@ -207,9 +207,16 @@ object CommitLog {
     * OUTSIDE [[publishLock]] — waiting on another process while holding the
     * JVM lock would stall every local writer.
     */
-  private def acquireLease(spark: SparkSession, tablePath: String, ct: String): Unit =
-    if (TableLock.enabled(spark)) heldLeases.computeIfAbsent(
-      leaseKey(tablePath, ct), _ => TableLock.acquire(spark, tablePath, owner = ct))
+  private def acquireLease(spark: SparkSession, tablePath: String, ct: String): Unit = {
+    if (!TableLock.enabled(spark)) return
+    val key = leaseKey(tablePath, ct)
+    // NOT computeIfAbsent: the blocking acquire inside the mapping function
+    // would hold the map's bin lock for up to the acquire timeout, stalling
+    // any other writer whose (table, instant) key hashes to the same bin.
+    // A plain check-then-put is safe — an instant has exactly one writer.
+    if (!heldLeases.containsKey(key))
+      heldLeases.put(key, TableLock.acquire(spark, tablePath, owner = ct))
+  }
 
   private[table] def releaseLease(spark: SparkSession, tablePath: String, ct: String): Unit = {
     val l = heldLeases.remove(leaseKey(tablePath, ct))

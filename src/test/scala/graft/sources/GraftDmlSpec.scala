@@ -176,6 +176,20 @@ class GraftDmlSpec extends SparkTestBase {
         spark.sql("DELETE FROM dml_ref_t WHERE _hoodie_commit_time = '0'")
       }
       assert(e3.getMessage.contains("meta column"))
-    } finally spark.sql("DROP TABLE IF EXISTS dml_ref_t")
+      // MERGE UPDATE assigning a key column is a row move, refused like
+      // updateWhere
+      KeyedTable.read(spark, tbl).select(col("o_orderkey"))
+        .limit(3).createOrReplaceTempView("dml_ref_src")
+      val e4 = intercept[GraftException] {
+        spark.sql(
+          """MERGE INTO dml_ref_t t USING dml_ref_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET o_orderkey = 0""".stripMargin)
+      }
+      assert(e4.getMessage.contains("cannot assign key/partition"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_ref_t")
+      spark.sql("DROP VIEW IF EXISTS dml_ref_src")
+    }
   }
 }
