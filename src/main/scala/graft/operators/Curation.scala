@@ -404,12 +404,14 @@ object Curation {
     * render, which hash-failed a driver round), each bigram's surprisal
     * −log2 P = log2(d/m) (d = c1+v, m = c2+1, d ≥ m) is quantized to
     * quarter-bits with EXACT integer arithmetic and no libm anywhere:
-    * floor(4·log2(d/m)) = floor(log2(d⁴/m⁴)) = max{k : 2^k ≤ d⁴ div m⁴},
-    * found by joining the per-bigram integer threshold t = d⁴ div m⁴
-    * against a broadcast 127-row powers-of-two table. d⁴ is computed in
-    * DECIMAL(38,0) (exact for d < 10⁹ unigram occurrences; HUGEINT on
-    * the DuckDB side), and the floor-division uses the pmod identity so no
-    * decimal rounding mode is ever exercised. The per-doc render
+    * floor(4·log2(d/m)) = floor(log2(d⁴/m⁴)), found via a broadcast
+    * 127-row powers-of-two table with COMPARISONS only: kd = floor(log2 d⁴)
+    * and km = floor(log2 m⁴) from one range join, then kd−km vs kd−km−1
+    * decided by a single multiplication whose value is ≤ 2·d⁴ — no decimal
+    * division (whose capped result scale would overflow inside the
+    * envelope) and no unbounded product. d⁴ is computed in DECIMAL(38,0)
+    * (exact for d < 10⁹ unigram occurrences; HUGEINT on the DuckDB side),
+    * so no decimal rounding mode is ever exercised. The per-doc render
     * `avg_nll_qbits_e4 = (10000·Σqb) div (4·n)` is BIGINT floor division in
     * both engines — identical by construction, no float, no decimal, no
     * rounding-mode semantics left to diverge. Documents with fewer than two
@@ -451,8 +453,14 @@ object Curation {
 
     // Score each DISTINCT bigram once (|vocab²|-bounded, far smaller than
     // the instance stream): double lp for avg_nll, exact integer qb for the
-    // portable render.
-    val score = bc
+    // portable render. qb = floor(log2(d⁴/m⁴)) computed WITHOUT division
+    // (a decimal Divide's (38,6) result caps at ~1e32 and would overflow
+    // to null/error inside the d < 1e9 envelope): first kd = floor(log2 d⁴)
+    // and km = floor(log2 m⁴) from one broadcast range join against pow2
+    // (pure comparisons), then the answer is kd−km or kd−km−1, decided by
+    // ONE multiplication m⁴·2^(kd−km) ≤ d⁴ whose value is ≤ 2·d⁴ < 1e38 —
+    // provably inside DECIMAL(38,0) for the whole envelope.
+    val pre = bc
       .join(uc.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
@@ -461,13 +469,17 @@ object Curation {
         (col("c1") + col("v")).cast(DecimalType(9, 0)).as("d"))
       .withColumn("m4", col("m") * col("m") * col("m") * col("m"))
       .withColumn("d4", col("d") * col("d") * col("d") * col("d"))
-      // exact floor(d⁴/m⁴): the pmod identity makes the dividend exactly
-      // divisible, so the decimal Divide returns the integer quotient
-      // without exercising any rounding mode
-      .withColumn("t",
-        ((col("d4") - pmod(col("d4"), col("m4"))) / col("m4")).cast(DecimalType(38, 0)))
-      .join(pow2, col("p2") <= col("t"))
-      .groupBy("w1", "w2", "lp").agg(max(col("k")).as("qb"))
+    val score = pre
+      .join(pow2, col("p2") <= col("d4")) // d⁴ ≥ m⁴, so one join bounds both
+      .groupBy("w1", "w2", "lp", "m4", "d4")
+      .agg(max(col("k")).as("kd"),
+        max(when(col("p2") <= col("m4"), col("k"))).as("km"))
+      .withColumn("kdiff", col("kd") - col("km"))
+      .join(pow2.withColumnRenamed("k", "kdiff").withColumnRenamed("p2", "p2diff"),
+        Seq("kdiff"))
+      .select(col("w1"), col("w2"), col("lp"),
+        when(col("m4") * col("p2diff") <= col("d4"), col("kdiff"))
+          .otherwise(col("kdiff") - 1).as("qb"))
 
     pairs
       .join(score, Seq("w1", "w2"))

@@ -77,7 +77,7 @@ class GraftDataSource extends TableProvider with RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     new graft.streaming.GraftChangeSource(
-      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"))
+      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath)
   }
 
   // true so V2 CTAS (CreateTableAsSelectExec) can pass the query schema to

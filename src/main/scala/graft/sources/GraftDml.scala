@@ -115,13 +115,21 @@ object GraftDml {
     *    (values may reference the source side only).
     *
     * Multiple WHEN MATCHED / WHEN NOT MATCHED clauses apply SQL-style
-    * first-match-wins per row. `UPDATE/INSERT *` expands by column name.
-    * Documented divergences from strict ANSI MERGE, both inherited from the
-    * keyed-table contract: several source rows matching one target key are
-    * precombine-resolved instead of raising a cardinality error (Hudi's
-    * behavior), and `SET c = NULL` keeps the old value (a partial patch
-    * cannot distinguish explicit NULL from absent). WHEN NOT MATCHED BY
-    * SOURCE and schema-evolving merges are refused loudly.
+    * first-match-wins — per (target, source) pair via the eligibility
+    * chain, AND per target key across clauses (an earlier clause's keys
+    * are anti-joined out of later batches, so a key deleted through one
+    * source row can never be resurrected by an update through another).
+    * `UPDATE/INSERT *` expand by column name; UPDATE * skips key/partition
+    * columns (pinned by the match condition; assigning them is a refused
+    * row move). Documented divergences from strict ANSI MERGE, inherited
+    * from the keyed-table contract: several source rows matching one
+    * target key are precombine-resolved instead of raising a cardinality
+    * error (Hudi's behavior); `SET c = NULL` keeps the old value (a
+    * partial patch cannot distinguish explicit NULL from absent); and the
+    * clause batches commit separately (deletes, then patches, then
+    * inserts) — each commit is individually atomic and fsck-safe, but a
+    * crash between them leaves the statement partially applied. WHEN NOT
+    * MATCHED BY SOURCE and schema-evolving merges are refused loudly.
     */
   final case class GraftMergeCommand(
       path: String,
@@ -165,18 +173,31 @@ object GraftDml {
       // every batch is computed (materialized) against the PRE-merge
       // snapshot before any write mutates the table
       val joined = tgt.join(src, expr(mergeCondSql), "inner")
+      // clause exclusivity must hold at TARGET-KEY granularity, not just
+      // per (target, source) pair: a key matched by one source row under a
+      // DELETE clause and another under an UPDATE clause would otherwise
+      // land in both batches — and since the batches commit sequentially,
+      // the later patch would resurrect the deleted key as a half-NULL row.
+      // Earlier clauses claim their keys; later batches anti-join them out.
+      var claimed = Option.empty[org.apache.spark.sql.DataFrame]
+      def unclaimed(batch: org.apache.spark.sql.DataFrame) = {
+        val b = claimed.fold(batch)(k => batch.join(k, keyF, "left_anti")).localCheckpoint()
+        val keys = b.select(keyF.map(org.apache.spark.sql.functions.col): _*).distinct()
+        claimed = Some(claimed.fold(keys)(_.unionByName(keys)).localCheckpoint())
+        b
+      }
       val matchedBatches = chained(matched).map { case (c, eligible) =>
         val rows = joined.filter(expr(eligible))
         c.kind match {
           case "delete" =>
             val keep = (keyF ++ partF).distinct
-            "delete" -> rows.select(keep.map(n => expr(s"`__t`.`$n`").as(n)): _*)
-              .localCheckpoint()
+            "delete" -> unclaimed(
+              rows.select(keep.map(n => expr(s"`__t`.`$n`").as(n)): _*))
           case "update" =>
             val carry = (keyF ++ partF :+ precombine).distinct.filterNot(c.sets.contains)
             val cols = carry.map(n => expr(s"`__t`.`$n`").as(n)) ++
               c.sets.toSeq.sortBy(_._1).map { case (n, sql) => expr(sql).as(n) }
-            "update" -> rows.select(cols: _*).localCheckpoint()
+            "update" -> unclaimed(rows.select(cols: _*))
         }
       }
       val antiSrc = src.join(tgt, expr(mergeCondSql), "left_anti")
@@ -260,8 +281,16 @@ object GraftDml {
         case other => throw GraftException.config(
           s"MERGE $what supports plain column assignments, got '${other.sql}'.")
       }
-      def starSets(srcPrefixOnly: Boolean): Map[String, String] = {
+      // UPDATE * must not expand to key/partition columns: their values are
+      // pinned by the match condition anyway, and assigning them is the
+      // refused row-move — expanding them would make UPDATE * unusable on
+      // every keyed table. INSERT * keeps the full column list.
+      val keyish: Set[String] = CommitLog.state(spark, path)
+        .map(st => (st.latest.keyFields ++ st.latest.partitionFields).toSet)
+        .getOrElse(Set.empty)
+      def starSets(forUpdate: Boolean): Map[String, String] = {
         val dataCols = tgtNames.filterNot(MetaColumns.all.contains)
+          .filterNot(n => forUpdate && keyish.contains(n))
         val missing = dataCols.filterNot(srcNames.contains)
         if (missing.nonEmpty)
           throw GraftException.config(
@@ -269,12 +298,31 @@ object GraftDml {
         dataCols.map(n => n -> s"`__s`.`$n`").toMap
       }
 
+      // Spark's analyzer resolves `UPDATE SET *` / `INSERT *` into plain
+      // assignment lists expanded over the relation's FULL output — meta
+      // columns included (the source must carry same-named columns for the
+      // statement to analyze). The engine stamps meta columns itself, so
+      // assignments TO a meta column are dropped here rather than refused:
+      // star expansion over a graft relation necessarily produces them.
+      // For star-expanded updates (fromStar), key/partition assignments are
+      // dropped too — the match condition pins those values, and keeping
+      // them would turn every UPDATE * into a refused row-move.
+      def isMeta(a: Assignment) = a.key match {
+        case attr: Attribute => MetaColumns.all.contains(attr.name)
+        case _ => false
+      }
+      def isKeyish(a: Assignment) = a.key match {
+        case attr: Attribute => keyish.contains(attr.name)
+        case _ => false
+      }
       val matched = m.matchedActions.map {
         case u: UpdateAction =>
+          val kept = u.assignments.filterNot(isMeta)
+            .filterNot(a => u.fromStar && isKeyish(a))
           MergeClause("update", u.condition.map(sideSql),
-            u.assignments.map(a => named(a, "UPDATE SET") -> sideSql(a.value)).toMap)
+            kept.map(a => named(a, "UPDATE SET") -> sideSql(a.value)).toMap)
         case UpdateStarAction(cond) =>
-          MergeClause("update", cond.map(sideSql), starSets(srcPrefixOnly = false))
+          MergeClause("update", cond.map(sideSql), starSets(forUpdate = true))
         case DeleteAction(cond) =>
           MergeClause("delete", cond.map(sideSql), Map.empty)
         case other => throw GraftException.config(
@@ -289,11 +337,11 @@ object GraftDml {
       val notMatched = m.notMatchedActions.map {
         case InsertAction(cond, assignments) =>
           MergeClause("insert", cond.map(e => srcOnlySql(e, "NOT MATCHED condition")),
-            assignments.map(a =>
+            assignments.filterNot(isMeta).map(a =>
               named(a, "INSERT") -> srcOnlySql(a.value, "INSERT values")).toMap)
         case InsertStarAction(cond) =>
           MergeClause("insert", cond.map(e => srcOnlySql(e, "NOT MATCHED condition")),
-            starSets(srcPrefixOnly = true))
+            starSets(forUpdate = false))
         case other => throw GraftException.config(
           s"MERGE not-matched action not supported on graft tables: $other.")
       }

@@ -47,14 +47,42 @@ final case class GraftChangeOffset(commitTime: String) extends Offset {
   * cleaned fails loudly, never silently skips (readChanges' contract).
   */
 class GraftChangeSource(
-    ctx: SQLContext, tablePath: String, startAt: Option[String]) extends Source {
+    ctx: SQLContext, tablePath: String, startAt: Option[String],
+    metadataPath: String) extends Source {
 
   private val spark: SparkSession = ctx.sparkSession
 
-  // seeds only the FIRST batch of a fresh query — a checkpointed restart
-  // passes the stored offset as `start`, never this
-  private val initialSince: String =
-    startAt.getOrElse(CommitLog.requireState(spark, tablePath).latest.commitTime)
+  // Seeds only batches whose `start` offset is absent — normally just batch
+  // 0 of a fresh query, but ALSO batch 0's re-execution after a crash that
+  // logged the batch's end offset without committing it. That replay must
+  // deliver the SAME interval, so the value is pinned in the query's own
+  // metadata directory on first construction (create-if-absent; a restart
+  // reads it back) instead of being recomputed from the table tip, which
+  // may have advanced — recomputing would silently drop batch 0's changes.
+  private[streaming] val initialSince: String = {
+    val fs = CommitLog.fs(spark, metadataPath)
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-initial-since")
+    def readBack(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    readBack().getOrElse {
+      val seed = startAt.getOrElse(CommitLog.requireState(spark, tablePath).latest.commitTime)
+      if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+      try {
+        val out = fs.create(p, false)
+        try out.write(seed.getBytes("UTF-8")) finally out.close()
+        seed
+      } catch {
+        // lost a create race with a concurrent restart: theirs governs
+        case _: java.io.IOException => readBack().getOrElse(seed)
+      }
+    }
+  }
 
   override def schema: StructType = GraftChangeSource.changeSchema(spark, tablePath)
 

@@ -223,6 +223,16 @@ object CommitLog {
     if (l != null) TableLock.release(spark, tablePath, l)
   }
 
+  /** Re-create writer `ct`'s held lease file at `tablePath` — create()'s
+    * replace swap moves the old log (lease file included) aside, so the
+    * lease must be re-materialized at the new location for the publish's
+    * fencing check to see it held.
+    */
+  private[table] def transplantLease(spark: SparkSession, tablePath: String, ct: String): Unit = {
+    val l = heldLeases.get(leaseKey(tablePath, ct))
+    if (l != null) TableLock.transplant(spark, tablePath, l)
+  }
+
   /** Pre-swap OCC guard: run IMMEDIATELY before a rewrite's destructive
     * swap (after its staging write), under [[publishLock]]. Re-validates
     * this writer against the live log so a doomed writer aborts BEFORE
@@ -465,6 +475,10 @@ object CommitLog {
           throw new java.io.IOException(s"partial commit file (still being written?) $p")
         return parse(node)
       } catch {
+        // cancellation must not be swallowed into the retry loop — a
+        // streaming poller being stopped interrupts this thread mid-read
+        case ie: InterruptedException =>
+          Thread.currentThread().interrupt(); throw ie
         case e: Exception => last = e; attempt += 1; Thread.sleep(100)
       }
     }

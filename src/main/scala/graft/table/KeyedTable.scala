@@ -139,22 +139,30 @@ object KeyedTable {
       try CommitLog.assertSwapSafe(spark, tablePath, ct, partCounts.map(_._1),
         isBootstrap = true)
       catch { case e: Throwable => fs.delete(staging, true); throw e }
-      // the guard's lease lives under the OLD log, which moves aside with
-      // the table next; release it so the publish into the FRESH log
-      // re-acquires at the new location instead of failing its fencing check
-      CommitLog.releaseLease(spark, tablePath, ct)
-      val replaced = new Path(s"$tablePath.replaced-$ct")
-      fs.delete(replaced, true)
-      if (!fs.rename(tp, replaced))
-        throw GraftException.unexpected(s"Could not move previous table aside at $tablePath")
-      if (!fs.rename(staging, tp)) {
-        fs.rename(replaced, tp) // restore the old table before failing
-        fs.delete(staging, true)
-        throw GraftException.unexpected(s"Could not move staged table into place at $tablePath")
+      // the lease stays HELD through the renames (releasing it first would
+      // re-open the window a concurrent writer could publish into the old
+      // log moments before its directory is destroyed); any failure below
+      // releases it, and the publish's finally releases it on success
+      try {
+        val replaced = new Path(s"$tablePath.replaced-$ct")
+        fs.delete(replaced, true)
+        if (!fs.rename(tp, replaced))
+          throw GraftException.unexpected(s"Could not move previous table aside at $tablePath")
+        if (!fs.rename(staging, tp)) {
+          fs.rename(replaced, tp) // restore the old table before failing
+          fs.delete(staging, true)
+          throw GraftException.unexpected(s"Could not move staged table into place at $tablePath")
+        }
+        // the lease file travelled aside with the old log; re-materialize it
+        // at the new location (fencing out any interloper of the sub-ms
+        // rename window) so the publish validates against a held lock
+        CommitLog.transplantLease(spark, tablePath, ct)
+        writeCreateCommit(spark, tablePath, ct, df, tableName, keyFields, precombineField,
+          partitionFields, tableType, partCounts)
+        fs.delete(replaced, true)
+      } catch { case e: Throwable =>
+        CommitLog.releaseLease(spark, tablePath, ct); throw e
       }
-      writeCreateCommit(spark, tablePath, ct, df, tableName, keyFields, precombineField,
-        partitionFields, tableType, partCounts)
-      fs.delete(replaced, true)
     } else {
       if (!fs.rename(staging, tp))
         throw GraftException.unexpected(s"Could not move staged table into place at $tablePath")
@@ -2107,6 +2115,24 @@ object KeyedTable {
     try CommitLog.assertSwapSafe(spark, tablePath, ct, touched)
     catch { case e: Throwable => fs.delete(new Path(staging), true); throw e }
 
+    // the guard left the cross-process lease HELD (released by the
+    // publish's finally); a failure anywhere between here and the publish
+    // must release it too, or the table stays write-blocked — for every
+    // process including this writer's own retries — until the TTL expires
+    try stageAndSwapHeld(spark, fs, tablePath, staging, partF, touched, ct)
+    catch { case e: Throwable =>
+      CommitLog.releaseLease(spark, tablePath, ct); throw e
+    }
+  }
+
+  private def stageAndSwapHeld(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String,
+      staging: String,
+      partF: Seq[String],
+      touched: Seq[String],
+      ct: String): Map[String, Long] = {
     // replaced data is ARCHIVED (renamed under .graft/archive/<ct>), not
     // deleted — the pre-images are what readAsOf and rollback-across-rewrites
     // restore from; cleanArchive bounds their number

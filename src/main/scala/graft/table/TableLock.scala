@@ -10,25 +10,33 @@ import graft.model.GraftException
   * two separate driver processes write one table (the reference's own
   * deployment shape — concurrent spark-submit jobs, app.py:216-223).
   *
-  * Mechanics: one lease file under `<table>/.graft/locks/`, taken with the
-  * filesystem's atomic `create(overwrite = false)` — exactly one of any
-  * number of concurrent acquirers wins (local FS and HDFS guarantee this;
-  * object stores with conditional writes do too). The lease carries an
-  * owner id, a monotonic fencing token, and an expiry: a writer that dies
-  * mid-commit leaves a lease that any later writer STEALS once expired
-  * (delete + re-create — the create race between two stealers again has
-  * exactly one winner). The token is persisted in a sidecar `token.seq`
-  * (never deleted) so it keeps increasing across steals and releases;
-  * [[CommitLog.write]] re-validates ownership before creating the commit
-  * JSON, so a writer whose lease was stolen mid-publish aborts retryably
-  * instead of double-committing.
+  * Mechanics: lease FILES under `<table>/.graft/locks/`, one per
+  * acquisition, NAMED BY their monotonic fencing token
+  * (`lease-<20-digit token>.lock`). The holder is the highest-token lease
+  * that has not expired. Acquiring — fresh or stealing an expired lease —
+  * is one atomic exclusive create of the NEXT token's file, so any number
+  * of concurrent acquirers produce exactly one winner, and nobody ever
+  * deletes another writer's live lease (the classic steal race: two
+  * stealers read the same expired lease, one deletes-and-recreates, the
+  * other's delete kills the fresh lease — structurally impossible here
+  * because stealing only CREATES a higher token). Tokens also persist in a
+  * never-deleted `token.seq` so they keep increasing across full releases.
   *
-  * The lease is held only across the metadata-sized critical section
-  * (pre-swap guard → directory swap → publish); the data-sized staging
-  * write happens before acquisition, so concurrent writers still overlap
-  * on the expensive part. Default TTL (10 min) is far above any swap +
-  * publish duration, so renewal is unnecessary; expiry exists only to
-  * unblock the table after a writer death (fsck also sweeps expired
+  * Atomic exclusive create: on `file://` Hadoop's LocalFileSystem
+  * implements `create(overwrite=false)` as a non-atomic exists-then-open,
+  * so two same-box processes could both "win" — there we use NIO
+  * `Files.createFile` (O_EXCL, atomic). Other filesystems (HDFS, object
+  * stores with conditional writes) keep the Hadoop call, which is atomic
+  * for them.
+  *
+  * [[CommitLog.write]] re-validates ownership ([[stillHeld]]: my lease is
+  * still the highest, unexpired) before creating the commit JSON, so a
+  * writer whose lease expired and was superseded aborts retryably instead
+  * of double-committing. The lease is held only across the metadata-sized
+  * critical section (pre-swap guard → directory swap → publish); the
+  * data-sized staging write happens before acquisition. Default TTL
+  * (10 min) is far above any swap + publish duration; expiry exists only
+  * to unblock the table after a writer death (fsck also sweeps expired
   * leases). Disable with `spark.graft.lock.enabled=false` where an
   * external lock provider (ZK, DynamoDB) fills the role instead — the
   * same deployment contract as Hudi's multi-writer OCC.
@@ -38,7 +46,8 @@ object TableLock {
   final case class Lease(owner: String, token: Long, acquiredAt: Long, expiresAt: Long)
 
   private def lockDir(tablePath: String) = new Path(CommitLog.logDir(tablePath), "locks")
-  private[table] def lockFile(tablePath: String) = new Path(lockDir(tablePath), "writer.lock")
+  private[table] def leaseFile(tablePath: String, token: Long) =
+    new Path(lockDir(tablePath), f"lease-$token%020d.lock")
   private def tokenFile(tablePath: String) = new Path(lockDir(tablePath), "token.seq")
 
   private[table] def enabled(spark: SparkSession): Boolean =
@@ -48,53 +57,100 @@ object TableLock {
   private def acquireTimeoutMs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.lock.acquireTimeoutMs", "30000").toLong
 
-  /** The lease currently on file, valid or expired; None if absent or
-    * unreadable (a half-written lease from a dying writer reads as absent —
-    * the atomic create already decided the race, the content is advisory).
-    */
-  def current(spark: SparkSession, tablePath: String): Option[Lease] = {
-    val f = CommitLog.fs(spark, tablePath)
-    val p = lockFile(tablePath)
-    if (!f.exists(p)) return None
+  private def parseLease(
+      spark: SparkSession, tablePath: String, p: Path): Option[Lease] =
     try {
+      val f = CommitLog.fs(spark, tablePath)
       val in = f.open(p)
       val node = try CommitLog.mapper.readTree(in) finally in.close()
       Some(Lease(node.get("owner").asText(), node.get("token").asLong(),
         node.get("acquiredAt").asLong(), node.get("expiresAt").asLong()))
     } catch { case _: Exception => None }
+
+  /** The governing lease: the highest-token lease file, valid or expired;
+    * None if absent. A just-created file whose content has not flushed yet
+    * parses as a zero-content placeholder — treated as LIVE (the creator
+    * is mid-acquisition) by assuming the freshest possible expiry.
+    */
+  def current(spark: SparkSession, tablePath: String): Option[Lease] = {
+    val f = CommitLog.fs(spark, tablePath)
+    val dir = lockDir(tablePath)
+    if (!f.exists(dir)) return None
+    val leases = f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.matches("lease-\\d{20}\\.lock"))
+    if (leases.isEmpty) return None
+    val top = leases.maxBy(_.getName)
+    val token = top.getName.stripPrefix("lease-").stripSuffix(".lock").toLong
+    parseLease(spark, tablePath, top).orElse {
+      // placeholder for an in-flight create (content not flushed yet):
+      // live from the FILE's mtime, so a permanently corrupt lease still
+      // expires and stays fsck-sweepable instead of locking forever
+      val born = try f.getFileStatus(top).getModificationTime
+        catch { case _: Exception => 0L }
+      Some(Lease("(acquiring)", token, born, born + ttlMs(spark)))
+    }
   }
 
-  /** One atomic acquisition attempt. Some(lease) iff this caller now holds
-    * the lock; None if a live lease belongs to someone else or the create
-    * race was lost.
+  /** Atomic exclusive create of `p`. Hadoop's LocalFileSystem implements
+    * create(overwrite=false) as exists-then-open (NOT atomic); NIO's
+    * createFile is O_EXCL there. Non-local filesystems keep the Hadoop
+    * call. True iff this caller created the file.
+    */
+  private def createExclusive(
+      spark: SparkSession, tablePath: String, p: Path, content: Array[Byte]): Boolean = {
+    val f = CommitLog.fs(spark, tablePath)
+    val isLocal = Option(f.getUri.getScheme).forall(s => s == "file" || s.isEmpty)
+    if (isLocal) {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createFile(nio) // atomic O_EXCL
+        java.nio.file.Files.write(nio, content)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** One acquisition attempt. Some(lease) iff this caller now holds the
+    * lock; None if a live lease belongs to someone else or the
+    * next-token create race was lost.
     */
   def tryAcquire(spark: SparkSession, tablePath: String, owner: String): Option[Lease] = {
     val f = CommitLog.fs(spark, tablePath)
     val dir = lockDir(tablePath)
     if (!f.exists(dir)) f.mkdirs(dir)
     val now = System.currentTimeMillis()
-    val prev = {
-      val p = current(spark, tablePath)
-      p match {
-        case Some(l) if l.expiresAt >= now => return None // held and live
-        case Some(l) => f.delete(lockFile(tablePath), false); Some(l) // expired — steal
-        case None => None
-      }
+    val top = current(spark, tablePath)
+    top match {
+      case Some(l) if l.expiresAt >= now => return None // held and live
+      case _ => ()
     }
-    val lastToken = math.max(prev.map(_.token).getOrElse(0L), readToken(spark, tablePath))
+    val lastToken = math.max(top.map(_.token).getOrElse(0L), readToken(spark, tablePath))
     val lease = Lease(owner, lastToken + 1, now, now + ttlMs(spark))
     val root = CommitLog.mapper.createObjectNode()
     root.put("owner", lease.owner); root.put("token", lease.token)
     root.put("acquiredAt", lease.acquiredAt); root.put("expiresAt", lease.expiresAt)
-    try {
-      val out = f.create(lockFile(tablePath), false) // atomic: one winner
-      try out.write(CommitLog.mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-      finally out.close()
-    } catch { case _: java.io.IOException => return None } // lost the race
-    // best-effort: only the race winner reaches this write
+    val content = CommitLog.mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+    if (!createExclusive(spark, tablePath, leaseFile(tablePath, lease.token), content))
+      return None // lost the race to a concurrent acquirer of the same token
+    // winner-only housekeeping: advance token.seq; sweep superseded leases
     try {
       val out = f.create(tokenFile(tablePath), true)
       try out.write(lease.token.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+    try {
+      f.listStatus(dir).map(_.getPath)
+        .filter(p => p.getName.matches("lease-\\d{20}\\.lock") &&
+          p.getName < leaseFile(tablePath, lease.token).getName)
+        .foreach(p => f.delete(p, false))
     } catch { case _: Exception => () }
     Some(lease)
   }
@@ -130,25 +186,45 @@ object TableLock {
     }
   }
 
-  /** True iff `lease` is still the one on file (same owner AND token) and
-    * unexpired — the fencing check a publisher runs before its final
-    * atomic create.
+  /** True iff `lease` is still the GOVERNING lease (highest token, same
+    * owner) and unexpired — the fencing check a publisher runs before its
+    * final atomic create. A higher token on file means this lease expired
+    * and was superseded.
     */
   def stillHeld(spark: SparkSession, tablePath: String, lease: Lease): Boolean =
     current(spark, tablePath).exists(l =>
       l.owner == lease.owner && l.token == lease.token &&
         l.expiresAt >= System.currentTimeMillis())
 
-  /** Release if (and only if) still ours; a stolen or missing lease is
-    * left alone.
+  /** Release = delete OUR OWN lease file (its name is ours alone; a live
+    * lease is never deleted by anyone else).
     */
-  def release(spark: SparkSession, tablePath: String, lease: Lease): Unit = {
-    if (current(spark, tablePath).exists(l =>
-        l.owner == lease.owner && l.token == lease.token))
-      CommitLog.fs(spark, tablePath).delete(lockFile(tablePath), false)
+  def release(spark: SparkSession, tablePath: String, lease: Lease): Unit =
+    CommitLog.fs(spark, tablePath).delete(leaseFile(tablePath, lease.token), false)
+
+  /** Re-create the lease file at (possibly relocated) `tablePath` — used by
+    * create(), whose lock travels aside with the old table directory during
+    * the replace swap. Overwrites any interloper that slipped into the
+    * sub-millisecond rename window; their fencing check then fails.
+    */
+  private[table] def transplant(spark: SparkSession, tablePath: String, lease: Lease): Unit = {
+    val f = CommitLog.fs(spark, tablePath)
+    val dir = lockDir(tablePath)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val root = CommitLog.mapper.createObjectNode()
+    root.put("owner", lease.owner); root.put("token", lease.token)
+    root.put("acquiredAt", lease.acquiredAt); root.put("expiresAt", lease.expiresAt)
+    val out = f.create(leaseFile(tablePath, lease.token), true)
+    try out.write(CommitLog.mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    // an interloper's lease would carry a DIFFERENT token file; sweep any
+    f.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.matches("lease-\\d{20}\\.lock") &&
+        p.getName != leaseFile(tablePath, lease.token).getName)
+      .foreach(p => f.delete(p, false))
   }
 
-  /** Expired lease on file, if any — fsck reports and sweeps it. */
+  /** Expired governing lease, if any — fsck reports and sweeps it. */
   def expired(spark: SparkSession, tablePath: String): Option[Lease] =
     current(spark, tablePath).filter(_.expiresAt < System.currentTimeMillis())
 }

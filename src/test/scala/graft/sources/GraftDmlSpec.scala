@@ -159,6 +159,83 @@ class GraftDmlSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE: a key deleted via one source row is not resurrected by an update via another") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge3"), "dml_merge3")
+    spark.sql("DROP TABLE IF EXISTS dml_m3_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m3_src")
+    spark.sql(s"CREATE TABLE dml_m3_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val beforeCount = before.count()
+      val victims = before.filter(col("o_orderkey") % 50 === 0)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(victims.nonEmpty)
+      // TWO source rows per victim key: one routes to the DELETE clause
+      // (tag = 1), one to the UPDATE clause (tag = 0). Per-pair eligibility
+      // alone would put the key in BOTH batches; the delete commits first
+      // and the patch would then resurrect the key as a half-NULL row.
+      before.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), lit(1).as("tag"))
+        .unionByName(before.filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"), lit(0).as("tag")))
+        .createOrReplaceTempView("dml_m3_src")
+
+      spark.sql(
+        """MERGE INTO dml_m3_t t USING dml_m3_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.tag = 1 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'R'""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      // every victim key is GONE — not resurrected, not half-NULL
+      assert(after.filter(col("o_orderkey").isin(victims.toSeq: _*)).count() === 0)
+      assert(after.filter(col("o_orderstatus") === "R").count() === 0)
+      assert(after.count() === beforeCount - victims.size)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m3_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m3_src")
+    }
+  }
+
+  test("MERGE UPDATE SET * and INSERT * expand by name (keys excluded from the update)") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge4"), "dml_merge4")
+    spark.sql("DROP TABLE IF EXISTS dml_m4_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m4_src")
+    spark.sql(s"CREATE TABLE dml_m4_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val dataCols = before.columns.filterNot(_.startsWith("_")).map(col).toSeq
+      val beforeCount = before.count()
+      // `*` expansion resolves over the relation's FULL output, so the
+      // source must carry same-named META columns too (the engine drops
+      // those assignments and stamps its own); matched half changes the
+      // status, new-key half feeds INSERT *
+      before.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("U*"))
+        .unionByName(before.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000)
+          .withColumn("o_orderstatus", lit("I*")))
+        .createOrReplaceTempView("dml_m4_src")
+      assert(dataCols.nonEmpty) // schema sanity; metas intentionally kept
+      val matched = before.filter(col("o_orderkey") % 3 === 0).count()
+      val inserted = before.filter(col("o_orderkey") % 9 === 0).count()
+
+      spark.sql(
+        """MERGE INTO dml_m4_t t USING dml_m4_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.filter(col("o_orderstatus") === "U*").count() === matched)
+      assert(after.filter(col("o_orderstatus") === "I*").count() === inserted)
+      assert(after.count() === beforeCount + inserted)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m4_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m4_src")
+    }
+  }
+
   test("UPDATE refusals: key/partition assignment and meta-column predicates") {
     val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
     spark.sql("DROP TABLE IF EXISTS dml_ref_t")

@@ -87,6 +87,45 @@ class GraftChangeSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("the latest-start position is pinned in the query metadata, not recomputed on restart") {
+    val (tbl, _) = bootstrapMor(tmpDir("stream-pin"), "stream_pin")
+    val meta = tmpDir("stream-pin-meta")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    import graft.table.CommitLog
+
+    // source created at tip c0 pins c0 as its start
+    val s1 = new GraftChangeSource(spark.sqlContext, tbl, None, meta)
+    val c0 = CommitLog.requireState(spark, tbl).latest.commitTime
+
+    // the table advances AFTER the pin
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_orderkey") % 19 === 0).select(dataCols: _*)
+      .withColumn("o_orderstatus", lit("P1")))
+    val c1 = CommitLog.requireState(spark, tbl).latest.commitTime
+
+    // a RESTARTED source (same metadata dir) re-executing batch 0 with no
+    // start offset must use the PINNED c0, not a recomputed 'latest' (c1) —
+    // recomputing would make the crash-replay of batch 0 silently empty.
+    // (getBatch's frame is isStreaming and can't be actioned directly here,
+    // so the pinned value itself is asserted, plus the metadata file.)
+    val s2 = new GraftChangeSource(spark.sqlContext, tbl, None, meta)
+    assert(s2.initialSince === c0)
+    assert(s1.initialSince === c0)
+    assert(c1 > c0)
+    val fs = CommitLog.fs(spark, meta)
+    val pin = new org.apache.hadoop.fs.Path(meta, "graft-initial-since")
+    val in = fs.open(pin)
+    val pinned = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+    assert(pinned === c0)
+    // and the replay's batch plan resolves with the declared columns/types
+    // (nullability may legitimately differ — the engine binds by position)
+    assert(s2.getBatch(None, GraftChangeOffset(c1)).schema
+      .map(f => (f.name, f.dataType)) === s2.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("without startAt the stream begins at the current tip (latest)") {
     val (tbl, _) = bootstrapMor(tmpDir("stream-latest"), "stream_latest")
     val ckpt = tmpDir("stream-latest-ckpt")
