@@ -4,8 +4,9 @@ import java.util.{Iterator => JIterator}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -28,7 +29,7 @@ import graft.table.KeyedTable
   * output is inspectable in plain SQL. Procedure args are table PATHS, not
   * catalog names — the same addressing every other engine surface uses.
   */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -50,6 +51,50 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
     GraftProcedures.all.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
       throw GraftException.config(s"Unknown procedure: ${ident.name}"))
   }
+
+  // ---- path-addressed tables: SELECT/INSERT/DELETE/UPDATE/MERGE against
+  // `graft.`/path/to/table`` with no CREATE TABLE registration — the
+  // Delta-style path identifier, completing the SQL addressing story (every
+  // other engine surface takes paths too). The identifier's single
+  // backquoted name IS the path.
+
+  private def pathOf(ident: Identifier): String = {
+    val looksLikePath = ident.namespace.isEmpty &&
+      (ident.name.startsWith("/") || ident.name.contains("://"))
+    if (!looksLikePath)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    ident.name
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!graft.table.CommitLog.exists(SparkSession.active, path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val params = Map("path" -> path)
+    new GraftTable(GraftDataSource.readOptions(params), params, None)
+  }
+
+  /** Paths are not enumerable; the namespace listing is empty by design. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    throw GraftException.config(
+      "graft path tables are created by writing data (df.write.format(\"graft\") / CTAS " +
+        "over a LOCATION), not by CREATE TABLE against the path catalog.")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw GraftException.config(
+      "ALTER TABLE is not supported on graft path tables — schema evolves on write.")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw GraftException.config(
+      "DROP TABLE is not supported on graft path tables — delete the path, or use " +
+        "drop_partitions/delete_where for data removal with history.")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw GraftException.config("RENAME TABLE is not supported on graft path tables.")
 }
 
 private[sources] object GraftProcedures {

@@ -77,7 +77,8 @@ class GraftDataSource extends TableProvider with RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     new graft.streaming.GraftChangeSource(
-      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath)
+      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath,
+      ci.get("maxcommitspertrigger").map(_.toInt))
   }
 
   // true so V2 CTAS (CreateTableAsSelectExec) can pass the query schema to

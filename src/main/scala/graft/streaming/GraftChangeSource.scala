@@ -45,10 +45,17 @@ final case class GraftChangeOffset(commitTime: String) extends Offset {
   * from a checkpoint always resumes from the stored offset. Archive
   * retention still bounds replay: an interval whose pre-images were
   * cleaned fails loudly, never silently skips (readChanges' contract).
+  *
+  * Admission control: `option("maxCommitsPerTrigger", n)` caps each
+  * micro-batch at n commits past the previous offset, so a backfill from
+  * deep history drains as bounded batches instead of one table-sized one —
+  * the Kafka `maxOffsetsPerTrigger` analogue at commit granularity.
   */
 class GraftChangeSource(
     ctx: SQLContext, tablePath: String, startAt: Option[String],
-    metadataPath: String) extends Source {
+    metadataPath: String, maxCommitsPerTrigger: Option[Int] = None) extends Source {
+
+  require(maxCommitsPerTrigger.forall(_ > 0), "maxCommitsPerTrigger must be positive")
 
   private val spark: SparkSession = ctx.sparkSession
 
@@ -90,12 +97,40 @@ class GraftChangeSource(
   // either way the json IS the instant string
   private def ct(o: Offset): String = o.json().trim
 
-  override def getOffset: Option[Offset] =
-    Some(GraftChangeOffset(CommitLog.requireState(spark, tablePath).latest.commitTime))
+  /** Next available offset: the table tip — or, under
+    * `maxCommitsPerTrigger`, at most that many commits past the last
+    * logged offset, so a backfill from deep history (startAt near the
+    * bootstrap) drains as a sequence of bounded micro-batches instead of
+    * one table-sized batch. The cap needs the PREVIOUS offset, which the
+    * legacy Source API doesn't pass to getOffset — the source tracks the
+    * last end it handed out (getBatch re-syncs it from the engine's own
+    * offset log on restart, so the cap survives recovery).
+    */
+  override def getOffset: Option[Offset] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val tip = st.latest.commitTime
+    val capped = maxCommitsPerTrigger match {
+      case None => tip
+      case Some(n) =>
+        val since = lastEnd.getOrElse(initialSince)
+        val ahead = st.commits.map(_.commitTime).filter(_ > since).take(n)
+        if (ahead.isEmpty) since else ahead.last
+    }
+    lastEnd = Some(capped)
+    Some(GraftChangeOffset(capped))
+  }
+
+  // the last end offset this source planned or delivered; getBatch keeps it
+  // honest across restarts (its `end` comes from the engine's offset log)
+  @volatile private var lastEnd: Option[String] = None
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val since = start.map(ct).getOrElse(initialSince)
     val upTo = ct(end)
+    // re-sync the cap cursor from the engine-supplied offsets (a restart
+    // hands back the checkpointed interval here before any getOffset state
+    // exists); monotone max, so a recovery replay can't regress it
+    lastEnd = Some((lastEnd.toSeq :+ since :+ upTo).max)
     val out = KeyedTable.readChanges(spark, tablePath, since)
       .filter(col(MetaColumns.CommitTime) <= upTo)
     // project to the DECLARED source schema (the feed plan's attribute

@@ -110,4 +110,33 @@ class GraftCatalogSpec extends SparkTestBase {
       .select("procedure_name").as[String].collect().toSet
     assert(Set("compact", "rollback", "fsck", "sync_agg", "timeline").subsetOf(names))
   }
+
+  test("path identifiers: SELECT and row-level DML against graft.`/path`, no registration") {
+    val tbl = bootstrapOrders(tmpDir("cat-path"), TableType.CopyOnWrite)
+    val before = KeyedTable.read(spark, tbl).count()
+
+    // read by path through the catalog
+    val viaPath = spark.sql(s"SELECT count(*) AS c FROM graft.`$tbl`").head().getLong(0)
+    assert(viaPath === before)
+    // pruning+filters flow through the same V2 relation
+    val one = spark.sql(
+      s"SELECT o_orderkey FROM graft.`$tbl` WHERE o_orderkey % 7 = 0 ORDER BY 1 LIMIT 1")
+    assert(one.count() === 1)
+
+    // the DML rule fires on the V2 path relation too
+    val doomed = KeyedTable.read(spark, tbl).filter(col("o_orderkey") % 50 === 0).count()
+    assert(doomed > 0)
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderkey % 50 = 0")
+    assert(KeyedTable.read(spark, tbl).count() === before - doomed)
+
+    // a path with no graft table underneath fails loudly at analysis (the
+    // catalog reports no-such-table; Spark then also refuses its
+    // direct-file-query fallback), never a crash or an empty result
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`${tmpDir("cat-nope")}/absent`").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY") ||
+      e.getMessage.toLowerCase.contains("not found"))
+  }
 }

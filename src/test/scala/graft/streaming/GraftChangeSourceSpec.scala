@@ -126,6 +126,38 @@ class GraftChangeSourceSpec extends SparkTestBase {
       .map(f => (f.name, f.dataType)) === s2.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("maxCommitsPerTrigger drains a backfill as bounded micro-batches") {
+    val (tbl, c0) = bootstrapMor(tmpDir("stream-cap"), "stream_cap")
+    val ckpt = tmpDir("stream-cap-ckpt")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+
+    // three separate commits after the start position
+    (1 to 3).foreach { i =>
+      KeyedTable.upsert(spark, tbl, base
+        .filter(col("o_orderkey") % 10 === i).select(dataCols: _*)
+        .withColumn("o_orderstatus", lit(s"C$i")))
+    }
+    val expect = (1 to 3).map(i => base.filter(col("o_orderkey") % 10 === i).count()).sum
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("startAt", c0).option("maxCommitsPerTrigger", "1").load(tbl)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count(); if (n > 0) batchSizes.add(n); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // every change arrives, split across >= 3 non-empty micro-batches
+      // (one commit per trigger), never one table-sized batch
+      assert(batchSizes.asScala.sum === expect)
+      assert(batchSizes.size >= 3)
+    } finally q.stop()
+  }
+
   test("without startAt the stream begins at the current tip (latest)") {
     val (tbl, _) = bootstrapMor(tmpDir("stream-latest"), "stream_latest")
     val ckpt = tmpDir("stream-latest-ckpt")
