@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -16,13 +16,14 @@ import graft.table.{CommitLog, KeyedTable, MetaColumns}
 
 /** Native SQL row-level DML for graft tables: `DELETE FROM t WHERE ...` and
   * `UPDATE t SET ... WHERE ...` typed as plain SQL statements (no CALL)
-  * lower onto the engine's predicate DML ([[KeyedTable.deleteWhere]] /
-  * [[KeyedTable.updateWhere]] — T29), which resolves the affected keys and
-  * routes through the ordinary keyed delete/upsert commit path: OCC
-  * markers, archives, CDC rows, time travel all behave exactly as if the
-  * Scala API had been called. The reference's runaway sweep is literally a
-  * bulk SQL UPDATE (fastapi-backend/app.py:96-102); this makes that exact
-  * statement work against the engine's own tables.
+  * lower onto the engine's keyed delete/upsert commit path — identical
+  * semantics to the T29 predicate DML services (one predicate read
+  * resolves the affected rows; SET expressions all evaluate against the
+  * PRE-update row): OCC markers, archives, CDC rows, time travel all
+  * behave exactly as if the Scala API had been called. The reference's
+  * runaway sweep is literally a bulk SQL UPDATE
+  * (fastapi-backend/app.py:96-102); this makes that exact statement work
+  * against the engine's own tables.
   *
   * Implemented as an analyzer post-hoc resolution rule (injected by
   * [[graft.functions.GraftExtensions]]) that rewrites a resolved
@@ -31,10 +32,10 @@ import graft.table.{CommitLog, KeyedTable, MetaColumns}
   * [[GraftRelation]] — into a runnable command. Vanilla Spark would
   * otherwise reject both statements (row-level plans exist only for
   * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
-  * catalogs). The resolved condition/assignment trees are re-rendered to
-  * SQL text with qualifiers stripped, because the engine's predicate DML
-  * re-binds them against its OWN snapshot read — attribute identity must
-  * not leak across the two plans.
+  * catalogs). The command carries the statement's OWN resolved
+  * Filter(condition, relation) plan and evaluates it directly — no
+  * re-rendering to SQL text, so any analyzable predicate works, including
+  * IN/EXISTS subqueries (a rendered `InSubquery.sql` would not re-parse).
   */
 object GraftDml {
 
@@ -57,37 +58,67 @@ object GraftDml {
     }
   }
 
-  /** Render a RESOLVED expression back to parseable SQL for the engine's
-    * predicate DML. Qualifiers are stripped (the engine re-binds names
-    * against its own read; a `spark_catalog.default.t.x` spelling would
-    * not resolve there), and meta-column references are refused — they are
-    * engine-stamped, not user data.
+  /** Meta columns are engine-stamped, never user data — any reference in a
+    * DML condition or assignment value is refused loudly.
     */
-  private[sources] def toSql(e: Expression): String = {
+  private[sources] def refuseMetaRefs(e: Expression): Unit = {
     val metaRefs = e.collect {
       case a: Attribute if graft.table.MetaColumns.all.contains(a.name) => a.name
     }.distinct
     if (metaRefs.nonEmpty)
       throw GraftException.config(
         s"DML over graft tables cannot reference meta column(s): ${metaRefs.mkString(", ")}.")
-    e.transform {
-      case a: AttributeReference => a.withQualifier(Seq.empty)
-    }.sql
   }
 
-  final case class GraftDeleteCommand(path: String, predicateSql: String)
+  /** DELETE: the statement's own resolved Filter(condition, relation) plan
+    * resolves the doomed keys; the ordinary keyed delete commits them.
+    */
+  final case class GraftDeleteCommand(path: String, filtered: LogicalPlan)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      KeyedTable.deleteWhere(spark, path, predicateSql)
+      val st = CommitLog.requireState(spark, path)
+      val keyCols = (st.latest.keyFields ++ st.latest.partitionFields).distinct
+      val keys = ColumnBridge.ofRows(spark, filtered)
+        .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .localCheckpoint()
+      if (!keys.isEmpty) KeyedTable.delete(spark, path, keys)
       Seq.empty
     }
   }
 
+  /** UPDATE: one projection over the statement's resolved Filter plan —
+    * every SET expression evaluates against the OLD row (SQL UPDATE
+    * semantics; assignments never see each other) — then the ordinary
+    * keyed upsert commits the patched full rows. Key/partition/meta
+    * assignment is refused (a row move — use upsertGlobal), matching the
+    * T29 updateWhere contract.
+    */
   final case class GraftUpdateCommand(
-      path: String, predicateSql: String, sets: Map[String, String])
+      path: String, filtered: LogicalPlan, sets: Map[String, Expression])
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      KeyedTable.updateWhere(spark, path, predicateSql, sets)
+      import org.apache.spark.sql.functions.col
+      val st = CommitLog.requireState(spark, path)
+      val keyF = st.latest.keyFields
+      val partF = st.latest.partitionFields
+      val illegal = sets.keys.filter(c =>
+        keyF.contains(c) || partF.contains(c) || MetaColumns.all.contains(c)).toSeq
+      if (illegal.nonEmpty)
+        throw GraftException.config(
+          s"UPDATE cannot assign key/partition/meta column(s): ${illegal.mkString(", ")} " +
+            "(a key or partition change is a row move — use upsertGlobal).")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(st.latest.schemaDdl)
+      val dataCols = schema.fieldNames.filterNot(MetaColumns.all.contains).toSeq
+      val unknown = sets.keys.filterNot(dataCols.contains)
+      if (unknown.nonEmpty)
+        throw GraftException.config(
+          s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}.")
+      val updates = ColumnBridge.ofRows(spark, filtered)
+        .select(dataCols.map(c =>
+          sets.get(c).map(e => ColumnBridge.column(e).cast(schema(c).dataType).as(c))
+            .getOrElse(col(c))): _*)
+        .localCheckpoint()
+      if (!updates.isEmpty) KeyedTable.upsert(spark, path, updates)
       Seq.empty
     }
   }
@@ -167,7 +198,12 @@ object GraftDml {
             s"MERGE UPDATE cannot assign key/partition column(s): ${illegal.mkString(", ")} " +
               "(a key or partition change is a row move — use upsertGlobal).")
       }
-      val src = ColumnBridge.ofRows(spark, source).alias("__s")
+      // the source is materialized ONCE: the matched and not-matched
+      // batches each re-reference it, and a non-deterministic source
+      // (uuid(), rand(), a shifting view) evaluated per-batch could route
+      // a row to both or neither clause — the same reason Delta/Hudi
+      // materialize MERGE sources
+      val src = ColumnBridge.ofRows(spark, source).localCheckpoint().alias("__s")
       val tgt = KeyedTable.read(spark, path).alias("__t")
 
       // every batch is computed (materialized) against the PRE-merge
@@ -219,17 +255,20 @@ object GraftDml {
   class DmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case d @ DeleteFromTable(GraftRel(path), condition) if d.resolved =>
-        GraftDeleteCommand(path, toSql(condition))
+        refuseMetaRefs(condition)
+        GraftDeleteCommand(path, Filter(condition, d.table))
       case u @ UpdateTable(GraftRel(path), assignments, condition) if u.resolved =>
+        condition.foreach(refuseMetaRefs)
         val sets = assignments.map { a =>
           a.key match {
-            case attr: Attribute => attr.name -> toSql(a.value)
+            case attr: Attribute => refuseMetaRefs(a.value); attr.name -> a.value
             case other => throw GraftException.config(
               s"UPDATE on a graft table supports plain column assignments, " +
                 s"got '${other.sql}' (nested-field assignment is not a keyed-row patch).")
           }
         }.toMap
-        GraftUpdateCommand(path, toSql(condition.getOrElse(Literal.TrueLiteral)), sets)
+        GraftUpdateCommand(path,
+          Filter(condition.getOrElse(Literal.TrueLiteral), u.table), sets)
       case m: MergeIntoTable if m.resolved =>
         m.targetTable match {
           case GraftRel(path) => rewriteMerge(path, m)
@@ -259,6 +298,13 @@ object GraftDml {
         if (meta.nonEmpty)
           throw GraftException.config(
             s"MERGE on a graft table cannot reference meta column(s): ${meta.mkString(", ")}.")
+        // merge expressions re-render to SQL (they must re-bind against the
+        // command's aliased join); a subquery cannot round-trip that way
+        if (e.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+          throw GraftException.config(
+            "MERGE on a graft table does not support subqueries in clause " +
+              "conditions or assignment values — pre-compute them into the USING source.")
         e.transform {
           case a: AttributeReference if tgtAttrs.contains(a) =>
             UnresolvedAttribute(Seq("__t", a.name))

@@ -236,6 +236,27 @@ class GraftDmlSpec extends SparkTestBase {
     }
   }
 
+  test("DELETE with an IN-subquery predicate routes through the engine") {
+    val tbl = bootstrapOrders(tmpDir("dml-subq"), "dml_subq")
+    spark.sql("DROP TABLE IF EXISTS dml_sq_t")
+    spark.sql("DROP VIEW IF EXISTS dml_sq_keys")
+    spark.sql(s"CREATE TABLE dml_sq_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl).count()
+      val doomed = KeyedTable.read(spark, tbl)
+        .filter(col("o_orderkey") % 40 === 0).select("o_orderkey")
+      val doomedCount = doomed.count()
+      doomed.createOrReplaceTempView("dml_sq_keys")
+      assert(doomedCount > 0)
+      spark.sql(
+        "DELETE FROM dml_sq_t WHERE o_orderkey IN (SELECT o_orderkey FROM dml_sq_keys)")
+      assert(KeyedTable.read(spark, tbl).count() === before - doomedCount)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_sq_t")
+      spark.sql("DROP VIEW IF EXISTS dml_sq_keys")
+    }
+  }
+
   test("UPDATE refusals: key/partition assignment and meta-column predicates") {
     val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
     spark.sql("DROP TABLE IF EXISTS dml_ref_t")
