@@ -76,9 +76,14 @@ class GraftDataSource extends TableProvider with RelationProvider
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val cap = ci.get("maxcommitspertrigger").map { v =>
+      try v.toInt catch {
+        case _: NumberFormatException => throw GraftException.config(
+          s"graft option maxCommitsPerTrigger must be a positive integer, got '$v'.")
+      }
+    }
     new graft.streaming.GraftChangeSource(
-      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath,
-      ci.get("maxcommitspertrigger").map(_.toInt))
+      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath, cap)
   }
 
   // true so V2 CTAS (CreateTableAsSelectExec) can pass the query schema to

@@ -71,54 +71,27 @@ object GraftDml {
   }
 
   /** DELETE: the statement's own resolved Filter(condition, relation) plan
-    * resolves the doomed keys; the ordinary keyed delete commits them.
+    * resolves the doomed rows; [[KeyedTable.deleteRows]] — the same core
+    * the T29 predicate service uses — commits them.
     */
   final case class GraftDeleteCommand(path: String, filtered: LogicalPlan)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      val st = CommitLog.requireState(spark, path)
-      val keyCols = (st.latest.keyFields ++ st.latest.partitionFields).distinct
-      val keys = ColumnBridge.ofRows(spark, filtered)
-        .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-        .localCheckpoint()
-      if (!keys.isEmpty) KeyedTable.delete(spark, path, keys)
+      KeyedTable.deleteRows(spark, path, ColumnBridge.ofRows(spark, filtered))
       Seq.empty
     }
   }
 
-  /** UPDATE: one projection over the statement's resolved Filter plan —
-    * every SET expression evaluates against the OLD row (SQL UPDATE
-    * semantics; assignments never see each other) — then the ordinary
-    * keyed upsert commits the patched full rows. Key/partition/meta
-    * assignment is refused (a row move — use upsertGlobal), matching the
-    * T29 updateWhere contract.
+  /** UPDATE: the statement's resolved Filter plan + assignment trees feed
+    * [[KeyedTable.updateRows]] — the same core (old-row SET evaluation,
+    * key/partition/meta refusals) the T29 predicate service uses.
     */
   final case class GraftUpdateCommand(
       path: String, filtered: LogicalPlan, sets: Map[String, Expression])
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      import org.apache.spark.sql.functions.col
-      val st = CommitLog.requireState(spark, path)
-      val keyF = st.latest.keyFields
-      val partF = st.latest.partitionFields
-      val illegal = sets.keys.filter(c =>
-        keyF.contains(c) || partF.contains(c) || MetaColumns.all.contains(c)).toSeq
-      if (illegal.nonEmpty)
-        throw GraftException.config(
-          s"UPDATE cannot assign key/partition/meta column(s): ${illegal.mkString(", ")} " +
-            "(a key or partition change is a row move — use upsertGlobal).")
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(st.latest.schemaDdl)
-      val dataCols = schema.fieldNames.filterNot(MetaColumns.all.contains).toSeq
-      val unknown = sets.keys.filterNot(dataCols.contains)
-      if (unknown.nonEmpty)
-        throw GraftException.config(
-          s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}.")
-      val updates = ColumnBridge.ofRows(spark, filtered)
-        .select(dataCols.map(c =>
-          sets.get(c).map(e => ColumnBridge.column(e).cast(schema(c).dataType).as(c))
-            .getOrElse(col(c))): _*)
-        .localCheckpoint()
-      if (!updates.isEmpty) KeyedTable.upsert(spark, path, updates)
+      KeyedTable.updateRows(spark, path, ColumnBridge.ofRows(spark, filtered),
+        sets.map { case (c, e) => c -> ColumnBridge.column(e) })
       Seq.empty
     }
   }
@@ -209,16 +182,20 @@ object GraftDml {
       // every batch is computed (materialized) against the PRE-merge
       // snapshot before any write mutates the table
       val joined = tgt.join(src, expr(mergeCondSql), "inner")
-      // clause exclusivity must hold at TARGET-KEY granularity, not just
-      // per (target, source) pair: a key matched by one source row under a
+      // clause exclusivity must hold at TARGET-ROW granularity, not just
+      // per (target, source) pair: a row matched by one source row under a
       // DELETE clause and another under an UPDATE clause would otherwise
       // land in both batches — and since the batches commit sequentially,
-      // the later patch would resurrect the deleted key as a half-NULL row.
-      // Earlier clauses claim their keys; later batches anti-join them out.
+      // the later patch would resurrect the deleted row as a half-NULL one.
+      // Earlier clauses claim their rows; later batches anti-join them out.
+      // Row identity is key PLUS partition (the engine's key scope is
+      // per-partition — the same key may legally exist in two partitions,
+      // and claiming on key alone would drop the other partition's row).
+      val rowId = (keyF ++ partF).distinct
       var claimed = Option.empty[org.apache.spark.sql.DataFrame]
       def unclaimed(batch: org.apache.spark.sql.DataFrame) = {
-        val b = claimed.fold(batch)(k => batch.join(k, keyF, "left_anti")).localCheckpoint()
-        val keys = b.select(keyF.map(org.apache.spark.sql.functions.col): _*).distinct()
+        val b = claimed.fold(batch)(k => batch.join(k, rowId, "left_anti")).localCheckpoint()
+        val keys = b.select(rowId.map(org.apache.spark.sql.functions.col): _*).distinct()
         claimed = Some(claimed.fold(keys)(_.unionByName(keys)).localCheckpoint())
         b
       }
@@ -347,12 +324,13 @@ object GraftDml {
       // Spark's analyzer resolves `UPDATE SET *` / `INSERT *` into plain
       // assignment lists expanded over the relation's FULL output — meta
       // columns included (the source must carry same-named columns for the
-      // statement to analyze). The engine stamps meta columns itself, so
-      // assignments TO a meta column are dropped here rather than refused:
-      // star expansion over a graft relation necessarily produces them.
-      // For star-expanded updates (fromStar), key/partition assignments are
-      // dropped too — the match condition pins those values, and keeping
-      // them would turn every UPDATE * into a refused row-move.
+      // statement to analyze). STAR-generated meta and key/partition update
+      // assignments are dropped (the engine stamps metas; the match pins
+      // keys — keeping them would make every UPDATE * a refused row-move).
+      // An EXPLICITLY written meta assignment in a non-star UPDATE still
+      // hits the loud refusal below. INSERT carries no star flag, so its
+      // meta assignments are dropped unconditionally (documented: the
+      // engine stamps its own).
       def isMeta(a: Assignment) = a.key match {
         case attr: Attribute => MetaColumns.all.contains(attr.name)
         case _ => false
@@ -363,8 +341,9 @@ object GraftDml {
       }
       val matched = m.matchedActions.map {
         case u: UpdateAction =>
-          val kept = u.assignments.filterNot(isMeta)
-            .filterNot(a => u.fromStar && isKeyish(a))
+          val kept =
+            if (u.fromStar) u.assignments.filterNot(a => isMeta(a) || isKeyish(a))
+            else u.assignments
           MergeClause("update", u.condition.map(sideSql),
             kept.map(a => named(a, "UPDATE SET") -> sideSql(a.value)).toMap)
         case UpdateStarAction(cond) =>

@@ -69,25 +69,33 @@ class GraftChangeSource(
   private[streaming] val initialSince: String = {
     val fs = CommitLog.fs(spark, metadataPath)
     val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-initial-since")
-    def readBack(): Option[String] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+    // commit instants are pure digits (yyyyMMddHHmmssSSS); anything else on
+    // file is a torn write (crash between create and flush) and must be
+    // treated as ABSENT — an empty pin would compare below every instant
+    // and silently replay the table's whole retained history
+    def valid(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    def readBack(): Option[String] = {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
         finally in.close()
-      }
+      if (valid(s)) Some(s) else None
+    }
     readBack().getOrElse {
       val seed = startAt.getOrElse(CommitLog.requireState(spark, tablePath).latest.commitTime)
       if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
-      try {
-        val out = fs.create(p, false)
-        try out.write(seed.getBytes("UTF-8")) finally out.close()
-        seed
-      } catch {
-        // lost a create race with a concurrent restart: theirs governs
-        case _: java.io.IOException => readBack().getOrElse(seed)
-      }
+      // full-content temp file + rename: the pin can never be observed
+      // half-written, and a torn earlier attempt is repaired. If two first
+      // runs race, whichever rename lands last governs — both then READ
+      // the same file back, so they agree on one start either way.
+      val tmp = new org.apache.hadoop.fs.Path(
+        metadataPath, s".graft-initial-since.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(seed.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p) && readBack().isEmpty) fs.delete(p, false) // torn pin
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      readBack().getOrElse(seed)
     }
   }
 

@@ -3,7 +3,7 @@ package graft.table
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -821,15 +821,23 @@ object KeyedTable {
     * [[delete]] does the rest (COW partition rewrite / MOR tombstones), so
     * cost is bounded by the partitions the predicate actually hits.
     */
-  def deleteWhere(spark: SparkSession, tablePath: String, predicate: String): Seq[String] = {
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: String): Seq[String] =
+    deleteRows(spark, tablePath, read(spark, tablePath).filter(expr(predicate)))
+
+  /** Row-level core behind [[deleteWhere]] AND the SQL `DELETE FROM`
+    * statement rewrite: `rows` is any frame of matching table rows (a
+    * predicate-filtered snapshot read, or the statement's own resolved
+    * Filter plan — which may carry subqueries no predicate string could).
+    * One shared implementation so the two surfaces cannot drift.
+    */
+  def deleteRows(spark: SparkSession, tablePath: String, rows: DataFrame): Seq[String] = {
     val st = CommitLog.requireState(spark, tablePath)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
     // materialized once (key+partition columns only): the emptiness probe,
     // delete's touched-partition collect, and its anti-join all reuse the
     // resolved keys instead of re-running the predicate scan
-    val keys = read(spark, tablePath).filter(expr(predicate))
-      .select((keyF ++ partF).map(col): _*).localCheckpoint()
+    val keys = rows.select((keyF ++ partF).map(col): _*).localCheckpoint()
     if (keys.isEmpty) Seq.empty else delete(spark, tablePath, keys)
   }
 
@@ -845,8 +853,21 @@ object KeyedTable {
       spark: SparkSession,
       tablePath: String,
       predicate: String,
-      sets: Map[String, String]): Seq[String] = {
-    require(sets.nonEmpty, "updateWhere needs at least one SET assignment")
+      sets: Map[String, String]): Seq[String] =
+    updateRows(spark, tablePath, read(spark, tablePath).filter(expr(predicate)),
+      sets.map { case (c, e) => c -> expr(e) })
+
+  /** Row-level core behind [[updateWhere]] AND the SQL `UPDATE` statement
+    * rewrite (`rows` as in [[deleteRows]]; `sets` as Columns so the
+    * statement path can pass its own resolved assignment trees). One shared
+    * implementation so the two surfaces cannot drift.
+    */
+  def updateRows(
+      spark: SparkSession,
+      tablePath: String,
+      rows: DataFrame,
+      sets: Map[String, Column]): Seq[String] = {
+    require(sets.nonEmpty, "update needs at least one SET assignment")
     val st = CommitLog.requireState(spark, tablePath)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
@@ -865,9 +886,9 @@ object KeyedTable {
     // one projection so every SET expression evaluates against the OLD row
     // (SQL UPDATE semantics — assignments must not see each other);
     // materialized once so the emptiness probe and upsert's passes reuse it
-    val updates = read(spark, tablePath).filter(expr(predicate))
+    val updates = rows
       .select(dataCols.map(c =>
-        sets.get(c).map(e => expr(e).cast(schema(c).dataType).as(c)).getOrElse(col(c))): _*)
+        sets.get(c).map(e => e.cast(schema(c).dataType).as(c)).getOrElse(col(c))): _*)
       .localCheckpoint()
     if (updates.isEmpty) Seq.empty else upsert(spark, tablePath, updates)
   }

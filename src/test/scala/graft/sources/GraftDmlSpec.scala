@@ -236,6 +236,42 @@ class GraftDmlSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE claims rows per (key, partition): same key in two partitions takes both clauses") {
+    // the engine's key scope is per-partition — the same key may legally
+    // live in two partitions; clause exclusivity must not collapse them
+    val dir = tmpDir("dml-merge5")
+    val tbl = s"$dir/tbl"
+    val two = spark.read.parquet(sf("orders")).limit(200)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    val both = two.withColumn("o_month", lit("m1"))
+      .unionByName(two.withColumn("o_month", lit("m2"))
+        .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY")))
+    KeyedTable.create(spark, tbl, both, "dml_merge5",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"))
+    spark.sql("DROP TABLE IF EXISTS dml_m5_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m5_src")
+    spark.sql(s"CREATE TABLE dml_m5_t USING graft LOCATION '$tbl'")
+    try {
+      two.select("o_orderkey").distinct().createOrReplaceTempView("dml_m5_src")
+      val nKeys = two.select("o_orderkey").distinct().count()
+      spark.sql(
+        """MERGE INTO dml_m5_t t USING dml_m5_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND t.o_month = 'm1' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'U2'""".stripMargin)
+      val after = KeyedTable.read(spark, tbl)
+      // m1 rows deleted; m2 rows of the SAME keys updated, not dropped
+      assert(after.filter(col("o_month") === "m1").count() === 0)
+      assert(after.filter(col("o_month") === "m2").count() === nKeys)
+      assert(after.filter(col("o_month") === "m2" && col("o_orderstatus") =!= "U2")
+        .count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m5_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m5_src")
+    }
+  }
+
   test("DELETE with an IN-subquery predicate routes through the engine") {
     val tbl = bootstrapOrders(tmpDir("dml-subq"), "dml_subq")
     spark.sql("DROP TABLE IF EXISTS dml_sq_t")
@@ -285,6 +321,15 @@ class GraftDmlSpec extends SparkTestBase {
             |WHEN MATCHED THEN UPDATE SET o_orderkey = 0""".stripMargin)
       }
       assert(e4.getMessage.contains("cannot assign key/partition"))
+      // an EXPLICIT meta assignment (non-star) is refused loudly, never
+      // silently dropped — only star expansion's meta assignments are
+      val e5 = intercept[GraftException] {
+        spark.sql(
+          """MERGE INTO dml_ref_t t USING dml_ref_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET _hoodie_commit_time = '0'""".stripMargin)
+      }
+      assert(e5.getMessage.contains("meta column"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS dml_ref_t")
       spark.sql("DROP VIEW IF EXISTS dml_ref_src")
