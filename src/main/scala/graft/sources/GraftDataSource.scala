@@ -77,10 +77,13 @@ class GraftDataSource extends TableProvider with RelationProvider
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val cap = ci.get("maxcommitspertrigger").map { v =>
-      try v.toInt catch {
+      val n = try v.toInt catch {
         case _: NumberFormatException => throw GraftException.config(
           s"graft option maxCommitsPerTrigger must be a positive integer, got '$v'.")
       }
+      if (n <= 0) throw GraftException.config(
+        s"graft option maxCommitsPerTrigger must be a positive integer, got '$v'.")
+      n
     }
     new graft.streaming.GraftChangeSource(
       ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath, cap)

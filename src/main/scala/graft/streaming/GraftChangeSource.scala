@@ -85,16 +85,27 @@ class GraftChangeSource(
     readBack().getOrElse {
       val seed = startAt.getOrElse(CommitLog.requireState(spark, tablePath).latest.commitTime)
       if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
-      // full-content temp file + rename: the pin can never be observed
-      // half-written, and a torn earlier attempt is repaired. If two first
-      // runs race, whichever rename lands last governs — both then READ
-      // the same file back, so they agree on one start either way.
+      // Write-complete-then-publish: the full content lands in a private
+      // temp file first, then publishes with an ATOMIC no-overwrite
+      // primitive (hard link on file:// — POSIX link(2) fails if the target
+      // exists; Hadoop rename elsewhere — it returns false on an existing
+      // destination). The pin is therefore never observable half-written,
+      // and of two racing first runs exactly ONE publishes; the loser reads
+      // the winner's value back, so both agree on a single start.
+      if (fs.exists(p)) fs.delete(p, false) // invalid legacy pin (readBack rejected it)
       val tmp = new org.apache.hadoop.fs.Path(
         metadataPath, s".graft-initial-since.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, true)
       try out.write(seed.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(p) && readBack().isEmpty) fs.delete(p, false) // torn pin
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      try {
+        val isLocal = Option(fs.getUri.getScheme).forall(s => s == "file" || s.isEmpty)
+        if (isLocal)
+          try java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          catch { case _: java.nio.file.FileAlreadyExistsException => () } // loser
+        else fs.rename(tmp, p) // false (no-op) when the winner already published
+      } finally fs.delete(tmp, false)
       readBack().getOrElse(seed)
     }
   }

@@ -875,14 +875,14 @@ object KeyedTable {
       keyF.contains(c) || partF.contains(c) || MetaColumns.all.contains(c))
     if (illegal.nonEmpty)
       throw GraftException.config(
-        s"updateWhere cannot assign key/partition/meta column(s): ${illegal.mkString(", ")} " +
+        s"UPDATE cannot assign key/partition/meta column(s): ${illegal.mkString(", ")} " +
           "(a key or partition change is a row move — use upsertGlobal).")
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val dataCols = schema.fieldNames.filterNot(MetaColumns.all.contains).toSeq
     val unknown = sets.keys.filterNot(dataCols.contains)
     if (unknown.nonEmpty)
       throw GraftException.config(
-        s"updateWhere SET references unknown column(s): ${unknown.mkString(", ")}.")
+        s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}.")
     // one projection so every SET expression evaluates against the OLD row
     // (SQL UPDATE semantics — assignments must not see each other);
     // materialized once so the emptiness probe and upsert's passes reuse it
