@@ -20,9 +20,14 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
-    // native SQL row-level DML (DELETE FROM / UPDATE on graft tables) —
-    // rewritten onto the engine's predicate DML after resolution
+    // native SQL row-level DML (DELETE FROM / UPDATE / MERGE on graft
+    // tables) — rewritten onto the engine's keyed commit paths after
+    // resolution
     ext.injectPostHocResolutionRule(spark => new graft.sources.GraftDml.DmlRule(spark))
+    // VERSION AS OF / TIMESTAMP AS OF on session-catalog graft tables —
+    // must run BEFORE relation resolution (V2SessionCatalog categorically
+    // fails time travel for provider-backed tables), hence the hint batch
+    ext.injectHintResolutionRule(spark => new graft.sources.GraftTimeTravel(spark))
   }
 }
 

@@ -926,6 +926,58 @@ object CoreQueries {
         |FROM graft_q45_orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** SQL time travel — `VERSION AS OF` as pure SQL through the path catalog
+    * (T34 + the new loadTable(ident, version) overload): bootstrap, mutate
+    * through plain SQL DML statements, then read the table back AT the
+    * bootstrap instant with `VERSION AS OF`. The oracle is simply the
+    * pristine input — the whole mutation history must vanish behind the
+    * time-travel read for the hash to match.
+    */
+  private val q46: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q46")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q46_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = TableType.CopyOnWrite))
+    val bootCt = graft.table.CommitLog.requireState(s, tbl).latest.commitTime
+    // mutate through plain SQL DML addressed BY PATH (no registration)
+    s.sql(s"UPDATE graft.`$tbl` SET o_orderstatus = 'T' WHERE o_orderkey % 5 = 0")
+    s.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderkey % 11 = 0")
+    s.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+         |FROM graft.`$tbl` VERSION AS OF '$bootCt'
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** MERGE `WHEN NOT MATCHED BY SOURCE` — the CDC reconciliation sweep as
+    * one atomic SQL statement: rows still in the feed refresh, expensive
+    * rows that left the feed are deleted, the rest are flagged inactive.
+    * The oracle recomputes the end state relationally, so the target-only
+    * anti-join routing, clause chaining, and the single-commit apply all
+    * sit behind one hash.
+    */
+  private val q47: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q47")
+    val ord = s.read.parquet(ordersInput(s, d))
+    KeyedTable.create(s, tbl, ord, "q47_orders",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"))
+    s.sql("DROP TABLE IF EXISTS graft_q47_orders")
+    s.sql(s"CREATE TABLE graft_q47_orders USING graft LOCATION '$tbl'")
+    ord.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(dec) + lit(7)).cast(DoubleType).as("price"))
+      .createOrReplaceTempView("graft_q47_src")
+    s.sql(
+      """MERGE INTO graft_q47_orders t USING graft_q47_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price
+        |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice > 300000 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'G'""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM graft_q47_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -971,6 +1023,8 @@ object CoreQueries {
     "q43_predicate_dml" -> q43,
     "q44_sql_dml" -> q44,
     "q45_sql_merge" -> q45,
+    "q46_sql_time_travel" -> q46,
+    "q47_merge_reconcile" -> q47,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1250,6 +1304,19 @@ object CoreQueries {
         |  LEFT JOIN src s USING (o_orderkey)
         |  UNION ALL
         |  SELECT o_orderkey, st, price FROM src WHERE o_orderkey % 4 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q46_sql_time_travel" ->
+      // the time-travel read resurfaces the PRISTINE bootstrap state — the
+      // SQL UPDATE/DELETE that ran in between must be invisible
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "q47_merge_reconcile" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 <> 0 THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) + 7 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 3 <> 0 AND o_totalprice > 300000)
         |ORDER BY o_orderkey""".stripMargin,
   )
 }

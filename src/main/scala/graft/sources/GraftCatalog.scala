@@ -74,6 +74,29 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     new GraftTable(GraftDataSource.readOptions(params), params, None)
   }
 
+  /** SQL time travel, `SELECT ... FROM graft.`/path` VERSION AS OF i` —
+    * `i` is an engine commit instant (the `yyyyMMddHHmmssSSS` strings the
+    * timeline reports); any instant between two commits reads the earlier
+    * one, [[KeyedTable.readAsOf]]'s inclusive contract.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (!graft.table.CommitLog.exists(SparkSession.active, path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val params = Map("path" -> path, "asOf" -> version)
+    new GraftTable(GraftDataSource.readOptions(params), params, None)
+  }
+
+  /** SQL time travel, `TIMESTAMP AS OF ts`: Spark hands the timestamp as
+    * microseconds since epoch; the engine's instants are UTC
+    * `yyyyMMddHHmmssSSS` strings, so formatting the wall-clock millisecond
+    * in UTC yields a string whose lexicographic order matches time order —
+    * readAsOf's `commitTime <= asOf` then picks the last commit at or
+    * before the timestamp.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident, GraftCatalog.microsToInstant(timestamp))
+
   /** Paths are not enumerable; the namespace listing is empty by design. */
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
 
@@ -95,6 +118,19 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw GraftException.config("RENAME TABLE is not supported on graft path tables.")
+}
+
+object GraftCatalog {
+  /** Epoch-micros → the engine's UTC `yyyyMMddHHmmssSSS` instant encoding
+    * (whose lexicographic order is time order). Shared by the path
+    * catalog's TIMESTAMP AS OF overload and the session-catalog
+    * time-travel rule ([[GraftTimeTravel]]).
+    */
+  private[sources] def microsToInstant(micros: Long): String = {
+    val sdf = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    sdf.format(new java.util.Date(Math.floorDiv(micros, 1000L)))
+  }
 }
 
 private[sources] object GraftProcedures {

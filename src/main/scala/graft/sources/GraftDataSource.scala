@@ -51,9 +51,39 @@ import graft.table.{CommitLog, KeyedTable, MetaColumns}
   * the same dual registration for the same reason.
   */
 class GraftDataSource extends TableProvider with RelationProvider
-    with CreatableRelationProvider with StreamSourceProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming write: df.writeStream.format("graft").start(path) lands
+  // each micro-batch as one engine commit (GraftStreamSink). The DSv2 table
+  // deliberately does NOT claim STREAMING_WRITE, so DataStreamWriter falls
+  // back to this V1 face — the write twin of the streaming-read fallback
+  // below, needed for the same reason (a micro-batch write is an engine
+  // commit, not a file append).
+  override def createSink(
+      ctx: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete)
+      throw GraftException.config(
+        "graft streaming sink supports append/update output (each micro-batch is " +
+          "one keyed commit); Complete mode would re-write the whole result every batch.")
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val compactEvery = ci.get("compactevery").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw GraftException.config(
+          s"graft option compactEvery must be a positive integer, got '$v'.")
+      }
+      if (n <= 0) throw GraftException.config(
+        s"graft option compactEvery must be a positive integer, got '$v'.")
+      n
+    }.getOrElse(0)
+    new graft.streaming.GraftStreamSink(
+      ctx.sparkSession, parameters, GraftDataSource.readOptions(parameters).path, compactEvery)
+  }
 
   // ---- streaming read: spark.readStream.format("graft").load(path) tails
   // the table's CDC feed (GraftChangeSource). The DSv2 table deliberately
@@ -232,7 +262,7 @@ object GraftDataSource {
     * INSERT whose column list let Spark null-fill them) are stripped —
     * the engine stamps its own.
     */
-  private[sources] def executeWrite(
+  private[graft] def executeWrite(
       spark: SparkSession,
       params: Map[String, String],
       data: DataFrame,

@@ -1,25 +1,26 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, Join, JoinHint, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.StructType
 
 import graft.model.GraftException
 import graft.table.{CommitLog, KeyedTable, MetaColumns}
 
-/** Native SQL row-level DML for graft tables: `DELETE FROM t WHERE ...` and
-  * `UPDATE t SET ... WHERE ...` typed as plain SQL statements (no CALL)
-  * lower onto the engine's keyed delete/upsert commit path — identical
-  * semantics to the T29 predicate DML services (one predicate read
-  * resolves the affected rows; SET expressions all evaluate against the
-  * PRE-update row): OCC markers, archives, CDC rows, time travel all
+/** Native SQL row-level DML for graft tables: `DELETE FROM t WHERE ...`,
+  * `UPDATE t SET ... WHERE ...`, and `MERGE INTO` typed as plain SQL
+  * statements (no CALL) lower onto the engine's keyed commit paths —
+  * identical semantics to the T29 predicate DML services (one predicate
+  * read resolves the affected rows; SET expressions all evaluate against
+  * the PRE-statement row): OCC markers, archives, CDC rows, time travel all
   * behave exactly as if the Scala API had been called. The reference's
   * runaway sweep is literally a bulk SQL UPDATE
   * (fastapi-backend/app.py:96-102); this makes that exact statement work
@@ -27,14 +28,14 @@ import graft.table.{CommitLog, KeyedTable, MetaColumns}
   *
   * Implemented as an analyzer post-hoc resolution rule (injected by
   * [[graft.functions.GraftExtensions]]) that rewrites a resolved
-  * [[DeleteFromTable]]/[[UpdateTable]] over a graft relation — either the
-  * DSv2 [[GraftTable]] relation or the session-catalog V1
-  * [[GraftRelation]] — into a runnable command. Vanilla Spark would
-  * otherwise reject both statements (row-level plans exist only for
-  * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
-  * catalogs). The command carries the statement's OWN resolved
-  * Filter(condition, relation) plan and evaluates it directly — no
-  * re-rendering to SQL text, so any analyzable predicate works, including
+  * [[DeleteFromTable]]/[[UpdateTable]]/[[MergeIntoTable]] over a graft
+  * relation — either the DSv2 [[GraftTable]] relation or the
+  * session-catalog V1 [[GraftRelation]] — into a runnable command. Vanilla
+  * Spark would otherwise reject all three statements (row-level plans exist
+  * only for [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]
+  * catalogs). Every command carries the statement's OWN resolved plans and
+  * expression trees and evaluates them directly — no re-rendering to SQL
+  * text, so any analyzable predicate or clause expression works, including
   * IN/EXISTS subqueries (a rendered `InSubquery.sql` would not re-parse).
   */
 object GraftDml {
@@ -98,61 +99,67 @@ object GraftDml {
 
   // ------------------------------------------------------------------ MERGE
 
-  /** One WHEN clause, pre-rendered at rule time to side-prefixed SQL
-    * (`__t`.`col` / `__s`.`col`) so the command re-binds it against its own
-    * aliased join of engine snapshot × statement source.
+  /** One WHEN clause, carrying the statement's RESOLVED condition and
+    * assignment-value expression trees (references into the target/source
+    * relation outputs). The command re-binds nothing: it builds its join
+    * from the same resolved plans, so the attributes line up by exprId —
+    * which is what lets subqueries, collations, and every analyzable
+    * expression flow through untouched.
     */
   private[sources] final case class MergeClause(
       kind: String, // "update" | "delete" | "insert"
-      condSql: Option[String],
-      sets: Map[String, String])
+      cond: Option[Expression],
+      sets: Seq[(String, Expression)])
 
   /** MERGE INTO on a graft table — the SQL spelling of the engine's core
-    * keyed upsert (J4/H7). Lowered onto existing engine writes, all
-    * computed against the PRE-merge snapshot and then applied:
+    * keyed upsert (J4/H7), applied as ONE atomic commit
+    * ([[KeyedTable.mergeRows]]): a crash or OCC conflict can never leave
+    * the statement half-applied. All batches are computed (and
+    * materialized) against the PRE-merge snapshot, then committed together:
     *
-    *  - WHEN MATCHED UPDATE SET → a column patch via
-    *    [[KeyedTable.upsertPartial]] (assignments may reference both sides;
-    *    unassigned columns keep their old values),
-    *  - WHEN MATCHED DELETE → [[KeyedTable.delete]] of the matched keys,
-    *  - WHEN NOT MATCHED INSERT → [[KeyedTable.upsert]] of the new rows
-    *    (values may reference the source side only).
+    *  - WHEN MATCHED UPDATE SET → a full-row image: unassigned columns
+    *    carry the target row's current values, assigned columns evaluate
+    *    the SET expressions (which may reference both sides) — so
+    *    `SET c = NULL` writes a real NULL,
+    *  - WHEN MATCHED DELETE → a tombstone for the matched row,
+    *  - WHEN NOT MATCHED [BY TARGET] INSERT → a new row (values may
+    *    reference the source side only; unassigned columns are NULL),
+    *  - WHEN NOT MATCHED BY SOURCE UPDATE/DELETE → the same image/tombstone
+    *    shapes over target rows with no source match (conditions and values
+    *    may reference the target side only) — the CDC reconciliation sweep.
     *
-    * Multiple WHEN MATCHED / WHEN NOT MATCHED clauses apply SQL-style
-    * first-match-wins — per (target, source) pair via the eligibility
-    * chain, AND per target key across clauses (an earlier clause's keys
-    * are anti-joined out of later batches, so a key deleted through one
-    * source row can never be resurrected by an update through another).
+    * Multiple clauses of a group apply SQL-style first-match-wins — per
+    * (target, source) pair via the eligibility chain, AND per target row
+    * across clauses (an earlier clause's (key, partition) row ids are
+    * anti-joined out of later batches, so a row deleted through one source
+    * row can never be resurrected by an update through another).
     * `UPDATE/INSERT *` expand by column name; UPDATE * skips key/partition
     * columns (pinned by the match condition; assigning them is a refused
     * row move). Documented divergences from strict ANSI MERGE, inherited
-    * from the keyed-table contract: several source rows matching one
-    * target key are precombine-resolved instead of raising a cardinality
-    * error (Hudi's behavior); `SET c = NULL` keeps the old value (a
-    * partial patch cannot distinguish explicit NULL from absent); and the
-    * clause batches commit separately (deletes, then patches, then
-    * inserts) — each commit is individually atomic and fsck-safe, but a
-    * crash between them leaves the statement partially applied. WHEN NOT
-    * MATCHED BY SOURCE and schema-evolving merges are refused loudly.
+    * from the keyed-table contract: several source rows matching one target
+    * row are precombine-resolved instead of raising a cardinality error
+    * (Hudi's behavior), and an insert colliding with a same-statement
+    * delete nets to the insert ([[KeyedTable.mergeRows]]). Schema-evolving
+    * merges are refused loudly.
     */
   final case class GraftMergeCommand(
       path: String,
+      target: LogicalPlan,
       source: LogicalPlan,
-      mergeCondSql: String,
+      mergeCond: Expression,
       matched: Seq[MergeClause],
-      notMatched: Seq[MergeClause])
+      notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause])
       extends LeafRunnableCommand {
 
-    /** first-match-wins eligibility chain over this clause list */
-    private def chained(clauses: Seq[MergeClause]): Seq[(MergeClause, String)] = {
-      var prior = Seq.empty[String]
+    /** first-match-wins eligibility chain over one clause group */
+    private def eligible(clauses: Seq[MergeClause]): Seq[(MergeClause, Column)] = {
+      var prior = Seq.empty[Column]
       clauses.map { c =>
-        val own = c.condSql.getOrElse("true")
-        val eligible =
-          (prior.map(p => s"NOT (coalesce(($p), false))") :+ s"coalesce(($own), false)")
-            .mkString(" AND ")
+        val own = coalesce(c.cond.map(ColumnBridge.column).getOrElse(lit(true)), lit(false))
+        val elig = prior.foldLeft(own)((acc, p) => acc && !p)
         prior :+= own
-        c -> eligible
+        c -> elig
       }
     }
 
@@ -160,71 +167,91 @@ object GraftDml {
       val st = CommitLog.requireState(spark, path)
       val keyF = st.latest.keyFields
       val partF = st.latest.partitionFields
-      val precombine = st.latest.precombineField
+      val schema = StructType.fromDDL(st.latest.schemaDdl)
+      val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
+      val dataCols = dataSchema.fieldNames.toSeq
       // a key/partition assignment is a row MOVE, not a patch — the same
       // refusal updateWhere makes (use upsertGlobal for moves). Checked
       // here, where the table's key config is known.
-      matched.filter(_.kind == "update").foreach { c =>
-        val illegal = c.sets.keys.filter(n => keyF.contains(n) || partF.contains(n)).toSeq
+      (matched ++ notMatchedBySource).filter(_.kind == "update").foreach { c =>
+        val illegal = c.sets.map(_._1).filter(n => keyF.contains(n) || partF.contains(n))
         if (illegal.nonEmpty)
           throw GraftException.config(
             s"MERGE UPDATE cannot assign key/partition column(s): ${illegal.mkString(", ")} " +
               "(a key or partition change is a row move — use upsertGlobal).")
       }
-      // the source is materialized ONCE: the matched and not-matched
-      // batches each re-reference it, and a non-deterministic source
-      // (uuid(), rand(), a shifting view) evaluated per-batch could route
-      // a row to both or neither clause — the same reason Delta/Hudi
-      // materialize MERGE sources
-      val src = ColumnBridge.ofRows(spark, source).localCheckpoint().alias("__s")
-      val tgt = KeyedTable.read(spark, path).alias("__t")
+      // the source is materialized ONCE: every batch re-references it, and a
+      // non-deterministic source (uuid(), rand(), a shifting view) evaluated
+      // per-batch could route a row to both or neither clause — the same
+      // reason Delta/Hudi materialize MERGE sources. localCheckpoint keeps
+      // the plan's output attributes, so the statement's resolved
+      // expressions still bind by exprId.
+      val srcPlan = ColumnBridge.ofRows(spark, source).localCheckpoint()
+        .queryExecution.analyzed
+      def planDf(p: LogicalPlan) = ColumnBridge.ofRows(spark, p)
+      val joined = planDf(Join(target, srcPlan, Inner, Some(mergeCond), JoinHint.NONE))
+      val tgtOnly = planDf(Join(target, srcPlan, LeftAnti, Some(mergeCond), JoinHint.NONE))
+      val srcOnly = planDf(Join(srcPlan, target, LeftAnti, Some(mergeCond), JoinHint.NONE))
+      val tgtAttr: Map[String, Attribute] = target.output.map(a => a.name -> a).toMap
+      def tcol(n: String): Column = ColumnBridge.column(tgtAttr(n))
 
-      // every batch is computed (materialized) against the PRE-merge
-      // snapshot before any write mutates the table
-      val joined = tgt.join(src, expr(mergeCondSql), "inner")
+      // full-row image for an update (unassigned → target's value) or an
+      // insert (unassigned → NULL); assignment values cast to the column type
+      def imageCols(sets: Map[String, Expression], fromTarget: Boolean): Seq[Column] =
+        dataCols.map { n =>
+          sets.get(n) match {
+            case Some(e) => ColumnBridge.column(e).cast(schema(n).dataType).as(n)
+            case None if fromTarget => tcol(n).as(n)
+            case None => lit(null).cast(schema(n).dataType).as(n)
+          }
+        }
+
       // clause exclusivity must hold at TARGET-ROW granularity, not just
       // per (target, source) pair: a row matched by one source row under a
       // DELETE clause and another under an UPDATE clause would otherwise
-      // land in both batches — and since the batches commit sequentially,
-      // the later patch would resurrect the deleted row as a half-NULL one.
-      // Earlier clauses claim their rows; later batches anti-join them out.
-      // Row identity is key PLUS partition (the engine's key scope is
-      // per-partition — the same key may legally exist in two partitions,
-      // and claiming on key alone would drop the other partition's row).
+      // land in both batches, and the image would win over the tombstone in
+      // the combined commit, resurrecting the deleted row. Earlier clauses
+      // claim their rows; later batches anti-join them out. Row identity is
+      // key PLUS partition (the engine's key scope is per-partition — the
+      // same key may legally exist in two partitions, and claiming on key
+      // alone would drop the other partition's row).
       val rowId = (keyF ++ partF).distinct
-      var claimed = Option.empty[org.apache.spark.sql.DataFrame]
-      def unclaimed(batch: org.apache.spark.sql.DataFrame) = {
+      var claimed = Option.empty[DataFrame]
+      def unclaimed(batch: DataFrame) = {
         val b = claimed.fold(batch)(k => batch.join(k, rowId, "left_anti")).localCheckpoint()
-        val keys = b.select(rowId.map(org.apache.spark.sql.functions.col): _*).distinct()
+        val keys = b.select(rowId.map(col): _*).distinct()
         claimed = Some(claimed.fold(keys)(_.unionByName(keys)).localCheckpoint())
         b
       }
-      val matchedBatches = chained(matched).map { case (c, eligible) =>
-        val rows = joined.filter(expr(eligible))
-        c.kind match {
-          case "delete" =>
-            val keep = (keyF ++ partF).distinct
-            "delete" -> unclaimed(
-              rows.select(keep.map(n => expr(s"`__t`.`$n`").as(n)): _*))
-          case "update" =>
-            val carry = (keyF ++ partF :+ precombine).distinct.filterNot(c.sets.contains)
-            val cols = carry.map(n => expr(s"`__t`.`$n`").as(n)) ++
-              c.sets.toSeq.sortBy(_._1).map { case (n, sql) => expr(sql).as(n) }
-            "update" -> unclaimed(rows.select(cols: _*))
+
+      val delBatches = Seq.newBuilder[DataFrame]
+      val imgBatches = Seq.newBuilder[DataFrame]
+      def applyRowClauses(rows: DataFrame, clauses: Seq[(MergeClause, Column)]): Unit =
+        clauses.foreach { case (c, elig) =>
+          val hit = rows.filter(elig)
+          c.kind match {
+            case "delete" =>
+              delBatches += unclaimed(hit.select(rowId.map(n => tcol(n).as(n)): _*))
+            case "update" =>
+              imgBatches += unclaimed(
+                hit.select(imageCols(c.sets.toMap, fromTarget = true): _*))
+          }
         }
-      }
-      val antiSrc = src.join(tgt, expr(mergeCondSql), "left_anti")
-      val insertBatches = chained(notMatched).map { case (c, eligible) =>
-        val cols = c.sets.toSeq.sortBy(_._1).map { case (n, sql) => expr(sql).as(n) }
-        antiSrc.filter(expr(eligible)).select(cols: _*).localCheckpoint()
+      applyRowClauses(joined, eligible(matched))
+      applyRowClauses(tgtOnly, eligible(notMatchedBySource))
+      eligible(notMatched).foreach { case (c, elig) =>
+        imgBatches += srcOnly.filter(elig)
+          .select(imageCols(c.sets.toMap, fromTarget = false): _*).localCheckpoint()
       }
 
-      matchedBatches.foreach {
-        case ("delete", b) if !b.isEmpty => KeyedTable.delete(spark, path, b)
-        case ("update", b) if !b.isEmpty => KeyedTable.upsertPartial(spark, path, b)
-        case _ => ()
-      }
-      insertBatches.filter(!_.isEmpty).foreach(b => KeyedTable.upsert(spark, path, b))
+      def emptyOf(s: StructType) =
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      val images = imgBatches.result().reduceOption(_ unionByName _)
+        .getOrElse(emptyOf(dataSchema))
+      val dels = delBatches.result().reduceOption(_ unionByName _)
+        .getOrElse(emptyOf(StructType(rowId.map(n => dataSchema(n)))))
+      // ONE commit: tombstones + images together — the statement is atomic
+      KeyedTable.mergeRows(spark, path, dels, images)
       Seq.empty
     }
   }
@@ -255,10 +282,6 @@ object GraftDml {
     }
 
     private def rewriteMerge(path: String, m: MergeIntoTable): LogicalPlan = {
-      if (m.notMatchedBySourceActions.nonEmpty)
-        throw GraftException.config(
-          "MERGE on a graft table does not support WHEN NOT MATCHED BY SOURCE " +
-            "(use deleteWhere/updateWhere for source-absent sweeps).")
       if (m.schemaEvolutionEnabled)
         throw GraftException.config(
           "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables " +
@@ -266,39 +289,32 @@ object GraftDml {
       val tgtAttrs = m.targetTable.outputSet
       val srcAttrs = m.sourceTable.outputSet
       val tgtNames = m.targetTable.output.map(_.name)
-      val srcNames = m.sourceTable.output.map(_.name).toSet
+      val srcAttrByName = m.sourceTable.output.map(a => a.name -> a).toMap
 
-      def sideSql(e: Expression): String = {
+      def checked(e: Expression): Expression = {
         val meta = e.collect {
           case a: Attribute if MetaColumns.all.contains(a.name) => a.name
         }.distinct
         if (meta.nonEmpty)
           throw GraftException.config(
             s"MERGE on a graft table cannot reference meta column(s): ${meta.mkString(", ")}.")
-        // merge expressions re-render to SQL (they must re-bind against the
-        // command's aliased join); a subquery cannot round-trip that way
-        if (e.exists(_.isInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-          throw GraftException.config(
-            "MERGE on a graft table does not support subqueries in clause " +
-              "conditions or assignment values — pre-compute them into the USING source.")
-        e.transform {
-          case a: AttributeReference if tgtAttrs.contains(a) =>
-            UnresolvedAttribute(Seq("__t", a.name))
-          case a: AttributeReference if srcAttrs.contains(a) =>
-            UnresolvedAttribute(Seq("__s", a.name))
-        }.sql
+        e
       }
-      def srcOnlySql(e: Expression, what: String): String = {
+      def sideOnly(e: Expression,
+          forbidden: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+          side: String, what: String): Expression = {
         val stray = e.collect {
-          case a: AttributeReference if tgtAttrs.contains(a) => a.name
+          case a: AttributeReference if forbidden.contains(a) => a.name
         }.distinct
         if (stray.nonEmpty)
           throw GraftException.config(
-            s"MERGE $what may reference source columns only; found target column(s): " +
-              stray.mkString(", ") + ".")
-        sideSql(e)
+            s"MERGE $what may reference $side columns only; found: ${stray.mkString(", ")}.")
+        checked(e)
       }
+      def srcOnly(e: Expression, what: String) =
+        sideOnly(e, tgtAttrs, "source", what)
+      def tgtOnly(e: Expression, what: String) =
+        sideOnly(e, srcAttrs, "target", what)
       def named(a: Assignment, what: String): String = a.key match {
         case attr: Attribute => attr.name
         case other => throw GraftException.config(
@@ -311,14 +327,14 @@ object GraftDml {
       val keyish: Set[String] = CommitLog.state(spark, path)
         .map(st => (st.latest.keyFields ++ st.latest.partitionFields).toSet)
         .getOrElse(Set.empty)
-      def starSets(forUpdate: Boolean): Map[String, String] = {
+      def starSets(forUpdate: Boolean): Seq[(String, Expression)] = {
         val dataCols = tgtNames.filterNot(MetaColumns.all.contains)
           .filterNot(n => forUpdate && keyish.contains(n))
-        val missing = dataCols.filterNot(srcNames.contains)
+        val missing = dataCols.filterNot(srcAttrByName.contains)
         if (missing.nonEmpty)
           throw GraftException.config(
             s"MERGE * expansion: source is missing target column(s): ${missing.mkString(", ")}.")
-        dataCols.map(n => n -> s"`__s`.`$n`").toMap
+        dataCols.map(n => n -> (srcAttrByName(n): Expression))
       }
 
       // Spark's analyzer resolves `UPDATE SET *` / `INSERT *` into plain
@@ -339,38 +355,61 @@ object GraftDml {
         case attr: Attribute => keyish.contains(attr.name)
         case _ => false
       }
+      def refuseMetaSets(clauses: Seq[MergeClause]): Unit =
+        clauses.filter(_.kind == "update").foreach { c =>
+          val illegal = c.sets.map(_._1).filter(MetaColumns.all.contains)
+          if (illegal.nonEmpty)
+            throw GraftException.config(
+              s"MERGE UPDATE cannot assign meta column(s): ${illegal.mkString(", ")}.")
+        }
       val matched = m.matchedActions.map {
         case u: UpdateAction =>
           val kept =
             if (u.fromStar) u.assignments.filterNot(a => isMeta(a) || isKeyish(a))
             else u.assignments
-          MergeClause("update", u.condition.map(sideSql),
-            kept.map(a => named(a, "UPDATE SET") -> sideSql(a.value)).toMap)
+          MergeClause("update", u.condition.map(checked),
+            kept.map(a => named(a, "UPDATE SET") -> checked(a.value)))
         case UpdateStarAction(cond) =>
-          MergeClause("update", cond.map(sideSql), starSets(forUpdate = true))
+          MergeClause("update", cond.map(checked), starSets(forUpdate = true))
         case DeleteAction(cond) =>
-          MergeClause("delete", cond.map(sideSql), Map.empty)
+          MergeClause("delete", cond.map(checked), Seq.empty)
         case other => throw GraftException.config(
           s"MERGE matched action not supported on graft tables: $other.")
       }
-      matched.filter(_.kind == "update").foreach { c =>
-        val illegal = c.sets.keys.filter(MetaColumns.all.contains).toSeq
-        if (illegal.nonEmpty)
-          throw GraftException.config(
-            s"MERGE UPDATE cannot assign meta column(s): ${illegal.mkString(", ")}.")
-      }
+      refuseMetaSets(matched)
       val notMatched = m.notMatchedActions.map {
         case InsertAction(cond, assignments) =>
-          MergeClause("insert", cond.map(e => srcOnlySql(e, "NOT MATCHED condition")),
+          MergeClause("insert", cond.map(e => srcOnly(e, "NOT MATCHED condition")),
             assignments.filterNot(isMeta).map(a =>
-              named(a, "INSERT") -> srcOnlySql(a.value, "INSERT values")).toMap)
+              named(a, "INSERT") -> srcOnly(a.value, "INSERT values")))
         case InsertStarAction(cond) =>
-          MergeClause("insert", cond.map(e => srcOnlySql(e, "NOT MATCHED condition")),
+          MergeClause("insert", cond.map(e => srcOnly(e, "NOT MATCHED condition")),
             starSets(forUpdate = false))
         case other => throw GraftException.config(
           s"MERGE not-matched action not supported on graft tables: $other.")
       }
-      GraftMergeCommand(path, m.sourceTable, sideSql(m.mergeCondition), matched, notMatched)
+      // WHEN NOT MATCHED BY SOURCE: target rows with no source match — the
+      // CDC reconciliation sweep ("deactivate/drop rows that left the
+      // feed"). No source row exists, so conditions and values are
+      // target-side only.
+      val notMatchedBySource = m.notMatchedBySourceActions.map {
+        case u: UpdateAction =>
+          val kept =
+            if (u.fromStar) u.assignments.filterNot(a => isMeta(a) || isKeyish(a))
+            else u.assignments
+          MergeClause("update",
+            u.condition.map(e => tgtOnly(e, "NOT MATCHED BY SOURCE condition")),
+            kept.map(a => named(a, "NOT MATCHED BY SOURCE UPDATE SET") ->
+              tgtOnly(a.value, "NOT MATCHED BY SOURCE values")))
+        case DeleteAction(cond) =>
+          MergeClause("delete",
+            cond.map(e => tgtOnly(e, "NOT MATCHED BY SOURCE condition")), Seq.empty)
+        case other => throw GraftException.config(
+          s"MERGE not-matched-by-source action not supported on graft tables: $other.")
+      }
+      refuseMetaSets(notMatchedBySource)
+      GraftMergeCommand(path, m.targetTable, m.sourceTable, checked(m.mergeCondition),
+        matched, notMatched, notMatchedBySource)
     }
   }
 }

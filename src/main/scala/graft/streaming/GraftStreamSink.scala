@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.table.{CommitLog, KeyedTable}
+
+/** `df.writeStream.format("graft").start(path)` — the write twin of the T33
+  * CDC source: every micro-batch becomes ONE engine commit through the same
+  * dispatch the batch writers use ([[graft.sources.GraftDataSource.executeWrite]]):
+  * a missing table is created from the first non-empty batch (key config
+  * from the write options, exactly like `df.write.format("graft")`), an
+  * existing one takes the `op` option (`upsert` default / `insert` /
+  * `bulk_insert`). `compactEvery = N` folds MOR deltas back into base files
+  * every N batches — the [[StreamingIngest]] policy lifted into the
+  * standard API surface.
+  *
+  * Restart semantics: the engine records the last applied batch id in a
+  * sidecar keyed by the query's checkpoint location
+  * (`.graft/sinks/<checkpoint-hash>`), so the batch Spark replays after a
+  * restart is SKIPPED rather than re-written — no duplicate commit, no
+  * spurious CDC rows. The marker is written after the table commit, so the
+  * one crash window (commit landed, marker didn't) degrades to a re-upsert
+  * of the same rows, which converges per key+precombine — at-least-once
+  * delivery with an idempotent write, same contract as [[StreamingIngest]].
+  * Without a resolvable checkpoint location the marker is skipped and only
+  * the idempotence guarantee remains.
+  */
+private[graft] class GraftStreamSink(
+    spark: SparkSession,
+    parameters: Map[String, String],
+    tablePath: String,
+    compactEvery: Int)
+    extends Sink with Logging {
+
+  private val markerPath: Option[Path] =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+      .get("checkpointlocation").map { cp =>
+        val id = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(cp.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+        new Path(s"$tablePath/${CommitLog.LogDirName}/sinks/$id")
+      }
+
+  private def lastApplied: Long = markerPath.fold(-1L) { p =>
+    val fs = CommitLog.fs(spark, tablePath)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def recordApplied(batchId: Long): Unit = markerPath.foreach { p =>
+    val fs = CommitLog.fs(spark, tablePath)
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = synchronized {
+    if (CommitLog.exists(spark, tablePath) && batchId <= lastApplied) {
+      logInfo(s"graft sink at $tablePath skipping replayed batch $batchId " +
+        s"(last applied ${lastApplied}).")
+      return
+    }
+    val batch: DataFrame = ColumnBridge.asBatchFrame(data.toDF())
+    if (!batch.isEmpty) {
+      graft.sources.GraftDataSource.executeWrite(
+        spark, parameters + ("path" -> tablePath), batch,
+        overwrite = !CommitLog.exists(spark, tablePath))
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        KeyedTable.compact(spark, tablePath)
+    }
+    if (CommitLog.exists(spark, tablePath)) recordApplied(batchId)
+  }
+
+  override def toString: String = s"GraftStreamSink[$tablePath]"
+}

@@ -486,7 +486,7 @@ object KeyedTable {
     // its partition list — a zero-row MOR delete has no entries.
     val deletes: Seq[DataFrame] = st.commits
       .filter(c => c.commitTime > sinceCommitTime &&
-        Set("delete", "upsert_global", "delta_commit", "delete_partition").contains(c.operation))
+        Set("delete", "upsert_global", "merge", "delta_commit", "delete_partition").contains(c.operation))
       .flatMap { c =>
         // a partition drop archives whole dirs on BOTH table types, so its
         // before-image always comes from the COW-style archive diff below
@@ -812,6 +812,107 @@ object KeyedTable {
         if (joinKeys.contains(c)) col(c)
         else coalesce(col(c), col(s"__b_$c")).as(c)): _*)
     upsert(spark, tablePath, patched)
+  }
+
+  /** Atomic mixed write — the single-commit core behind SQL `MERGE INTO`
+    * (and a library call in its own right): apply `deleteKeys` (rows
+    * carrying the key + partition columns of rows to remove) and `images`
+    * (full replacement/insert rows over the table's data columns) in ONE
+    * commit. MOR: one delta batch carrying tombstones + images — the shape
+    * [[upsertGlobal]]'s move batch already writes; COW: one staged rewrite
+    * of the union of touched partitions. Either frame may be empty; when
+    * both are, nothing commits. A crash or OCC conflict therefore can never
+    * leave a statement half-applied: readers and fsck see either the whole
+    * commit or none of it.
+    *
+    * Conflicts inside one commit resolve in the order MERGE's sequential
+    * clause semantics imply (deletes, then updates, then inserts): an image
+    * sharing a (key, partition) row id with a tombstone WINS — a delete +
+    * re-insert of the same row in one statement nets to the insert — and
+    * images sharing a row id precombine-resolve
+    * ([[graft.ops.Upsert.dedupByKey]]). Merge batches cannot evolve the
+    * schema (the statement resolved against the current one, so an unknown
+    * column is a bug, not an evolution).
+    */
+  def mergeRows(
+      spark: SparkSession,
+      tablePath: String,
+      deleteKeys: DataFrame,
+      images: DataFrame): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val keyF = st.latest.keyFields
+    val partF = st.latest.partitionFields
+    val precombine = st.latest.precombineField
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
+    val rowId = (keyF ++ partF).distinct
+
+    val unknown = images.columns.filterNot(dataSchema.fieldNames.contains)
+    if (unknown.nonEmpty)
+      throw GraftException.config(
+        s"merge images carry unknown column(s): ${unknown.mkString(", ")} " +
+          "(merge writes cannot evolve the schema).")
+    val missingK = rowId.filterNot(deleteKeys.columns.contains)
+    if (missingK.nonEmpty)
+      throw GraftException.config(
+        s"merge deleteKeys must carry key/partition column(s): ${missingK.mkString(", ")}.")
+
+    // align images to the table's data schema (cast present columns,
+    // null-pad absent ones) and precombine-dedup per (key, partition)
+    val aligned = padToSchema(
+      dataSchema.fields.filter(f => images.columns.contains(f.name)).foldLeft(images) {
+        (df, f) => df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }, dataSchema)
+    val img = Upsert.dedupByKey(aligned, keyF, precombine, partF).localCheckpoint()
+    val dels = deleteKeys.select(rowId.map(col): _*).distinct()
+      .join(img.select(rowId.map(col): _*), rowId, "left_anti").localCheckpoint()
+    if (img.isEmpty && dels.isEmpty) return Seq.empty
+
+    val ct = CommitLog.newCommitTime()
+    val imgMeta = MetaColumns.withMeta(img, keyF, partF, ct)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+    if (st.latest.tableType == TableType.MergeOnRead.name) {
+      // one delta batch: tombstones + images, all under one instant
+      val tombMeta = MetaColumns.withMeta(padToSchema(dels, dataSchema), keyF, partF, ct)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .withColumn(Deltas.DeletedCol, lit(true))
+      val rows = imgMeta.withColumn(Deltas.DeletedCol, lit(false)).unionByName(tombMeta)
+      CommitLog.beginInflight(spark, tablePath, ct, "merge", Seq.empty,
+        baseCommits = st.commits.map(_.commitTime))
+      Deltas.write(rows, tablePath, ct, partF)
+      val counts = partitionCountsOf(
+        spark.read.schema(Deltas.schemaOf(schema)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+      val touched = counts.keys.toSeq.sorted
+      publishRewrite(spark, tablePath, CommitInfo(
+        commitTime = ct, operation = "merge",
+        tableName = st.latest.tableName, tableType = st.latest.tableType,
+        keyFields = keyF, precombineField = precombine, partitionFields = partF,
+        partitions = touched.map(p => PartitionEntry(p, "delta", counts.getOrElse(p, 0L))),
+        recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+        baseInstant = Some(st.latest.commitTime))
+      return touched
+    }
+
+    val touched: Seq[String] =
+      if (partF.isEmpty) Seq("")
+      else imgMeta.select(MetaColumns.PartitionPath)
+        .unionByName(dels.select(ppCol(partF).as(MetaColumns.PartitionPath)))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted // bounded by #touched partitions
+    val base = padToSchema(readPartitions(spark, tablePath, st, touched), schema)
+    val removeIds = img.select(rowId.map(col): _*).unionByName(dels).distinct()
+    val merged = base.join(removeIds, rowId, "left_anti").unionByName(imgMeta)
+    CommitLog.beginInflight(spark, tablePath, ct, "merge", touched,
+      baseCommits = st.commits.map(_.commitTime))
+    val counts = stageAndSwap(spark, tablePath, merged, schema, partF, touched, ct)
+    publishRewrite(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "merge", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = keyF,
+      precombineField = precombine, partitionFields = partF,
+      partitions = touched.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = st.latest.schemaDdl, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
+    touched
   }
 
   /** Predicate delete (SQL `DELETE FROM ... WHERE` semantics): remove every
@@ -1569,8 +1670,8 @@ object KeyedTable {
     * therefore archive a pre-image — the commits time travel, rollback, and
     * savepoint retention reason about.
     */
-  private val RewriteOps = Set("upsert", "upsert_global", "delete", "compact", "cluster",
-    "materialize", "delete_partition")
+  private val RewriteOps = Set("upsert", "upsert_global", "merge", "delete", "compact",
+    "cluster", "materialize", "delete_partition")
 
   val ArchiveRetention = 10
   def cleanArchive(

@@ -45,4 +45,17 @@ object ColumnBridge {
       .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = true)
     org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, logical)
   }
+
+  /** The inverse re-root, for a V1 streaming Sink: the DataFrame handed to
+    * `Sink.addBatch` is backed by the micro-batch's IncrementalExecution
+    * and cannot be fed to ordinary batch writers directly — wrap its
+    * executed RDD as a batch LogicalRDD (what ForeachBatchSink does) so the
+    * engine's write paths can run any number of jobs over it.
+    */
+  def asBatchFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val logical = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, logical)
+  }
 }

@@ -139,4 +139,88 @@ class GraftCatalogSpec extends SparkTestBase {
       e.getMessage.contains("UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY") ||
       e.getMessage.toLowerCase.contains("not found"))
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF on path tables") {
+    val tbl = bootstrapOrders(tmpDir("cat-tt"), TableType.CopyOnWrite)
+    val st0 = CommitLog.requireState(spark, tbl)
+    val bootCt = st0.latest.commitTime
+    val before = KeyedTable.read(spark, tbl).count()
+
+    // mutate: one upsert, one delete — two commits after bootstrap
+    val upd = KeyedTable.read(spark, tbl).filter(col("o_orderkey") % 9 === 0)
+      .withColumn("o_orderstatus", lit("V"))
+      .drop("_hoodie_commit_time", "_hoodie_record_key", "_hoodie_partition_path")
+    KeyedTable.upsert(spark, tbl, upd)
+    val midCt = CommitLog.requireState(spark, tbl).latest.commitTime
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderkey % 4 = 0")
+
+    // VERSION AS OF the bootstrap instant: the pristine snapshot
+    val v0 = spark.sql(s"SELECT * FROM graft.`$tbl` VERSION AS OF '$bootCt'")
+    assert(v0.count() === before)
+    assert(v0.filter(col("o_orderstatus") === "V").count() === 0)
+    // VERSION AS OF the mid instant: upsert visible, delete not
+    val v1 = spark.sql(s"SELECT * FROM graft.`$tbl` VERSION AS OF '$midCt'")
+    assert(v1.count() === before)
+    assert(v1.filter(col("o_orderstatus") === "V").count() > 0)
+    // and it matches the Scala API exactly
+    assert(v1.count() === KeyedTable.readAsOf(spark, tbl, midCt).count())
+
+    // TIMESTAMP AS OF: instants are UTC yyyyMMddHHmmssSSS — convert the mid
+    // instant to a session-zone timestamp literal and expect the same state
+    val utc = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    utc.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val millis = utc.parse(midCt).getTime
+    val local = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    local.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
+    val ts = local.format(new java.util.Date(millis))
+    val v2 = spark.sql(s"SELECT * FROM graft.`$tbl` TIMESTAMP AS OF '$ts'")
+    assert(v2.count() === before)
+    assert(v2.filter(col("o_orderstatus") === "V").count() > 0)
+
+    // a pre-history version fails loudly (readAsOf's own error)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$tbl` VERSION AS OF '19700101000000000'").collect()
+    }
+    assert(e.getMessage.contains("No commit at or before"))
+  }
+
+  test("SQL time travel on SESSION-CATALOG graft tables (hint-rule rewrite)") {
+    val tbl = bootstrapOrders(tmpDir("cat-tt2"), TableType.CopyOnWrite)
+    spark.sql("DROP TABLE IF EXISTS cat_tt2_t")
+    spark.sql(s"CREATE TABLE cat_tt2_t USING graft LOCATION '$tbl'")
+    try {
+      val bootCt = CommitLog.requireState(spark, tbl).latest.commitTime
+      val before = spark.table("cat_tt2_t").count()
+      spark.sql("DELETE FROM cat_tt2_t WHERE o_orderkey % 3 = 0")
+      assert(spark.table("cat_tt2_t").count() < before)
+
+      // VERSION AS OF through the plain session-catalog name — no path
+      // catalog involved (V2SessionCatalog alone would refuse this)
+      val v0 = spark.sql(s"SELECT * FROM cat_tt2_t VERSION AS OF '$bootCt'")
+      assert(v0.count() === before)
+      assert(spark.sql(
+        s"SELECT count(*) AS c FROM spark_catalog.default.cat_tt2_t VERSION AS OF '$bootCt'")
+        .head().getLong(0) === before)
+
+      // TIMESTAMP AS OF a session-zone literal of the bootstrap instant
+      val utc = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+      utc.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val local = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      local.setTimeZone(java.util.TimeZone.getTimeZone(
+        spark.conf.get("spark.sql.session.timeZone")))
+      val ts = local.format(new java.util.Date(utc.parse(bootCt).getTime))
+      assert(spark.sql(s"SELECT * FROM cat_tt2_t TIMESTAMP AS OF '$ts'").count() === before)
+
+      // a non-graft table still takes Spark's own (refusing) path
+      spark.sql("DROP TABLE IF EXISTS cat_tt2_plain")
+      spark.sql("CREATE TABLE cat_tt2_plain USING parquet AS SELECT 1 AS x")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("SELECT * FROM cat_tt2_plain VERSION AS OF '1'").collect()
+        }
+        assert(e.getMessage.toLowerCase.contains("time travel"))
+      } finally spark.sql("DROP TABLE IF EXISTS cat_tt2_plain")
+    } finally spark.sql("DROP TABLE IF EXISTS cat_tt2_t")
+  }
 }

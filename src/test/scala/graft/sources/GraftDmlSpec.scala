@@ -293,6 +293,218 @@ class GraftDmlSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE with all three clause kinds lands as ONE atomic commit") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge6"), "dml_merge6")
+    spark.sql("DROP TABLE IF EXISTS dml_m6_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m6_src")
+    spark.sql(s"CREATE TABLE dml_m6_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val beforeCount = before.count()
+      val commitsBefore = CommitLog.requireState(spark, tbl).commits.size
+      before.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderdate"), col("o_custkey"), col("o_month"))
+        .unionByName(before.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 30000000).as("o_orderkey"),
+            col("o_totalprice").as("price"), col("o_orderdate"),
+            col("o_custkey"), col("o_month")))
+        .createOrReplaceTempView("dml_m6_src")
+      val nDel = before.filter(col("o_orderkey") % 4 === 0 &&
+        col("o_totalprice") > 250000).count()
+      val nUpd = before.filter(col("o_orderkey") % 4 === 0 &&
+        col("o_totalprice") <= 250000).count()
+      val nIns = before.filter(col("o_orderkey") % 11 === 0).count()
+      assert(nDel > 0 && nUpd > 0 && nIns > 0)
+
+      spark.sql(
+        """MERGE INTO dml_m6_t t USING dml_m6_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.price > 250000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'A'
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice, o_orderdate, o_month)
+          |  VALUES (s.o_orderkey, s.o_custkey, 'I', s.price, s.o_orderdate,
+          |          s.o_month)""".stripMargin)
+
+      // the statement is ONE engine commit — deletes, updates, and inserts
+      // all under a single instant (a crash can't half-apply it)
+      val st = CommitLog.requireState(spark, tbl)
+      assert(st.commits.size === commitsBefore + 1)
+      assert(st.latest.operation === "merge")
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.count() === beforeCount - nDel + nIns)
+      assert(after.filter(col("o_orderstatus") === "A").count() === nUpd)
+      assert(after.filter(col("o_orderstatus") === "I").count() === nIns)
+      // every merged row carries the one commit instant
+      assert(after.filter(col("o_orderstatus").isin("A", "I"))
+        .filter(col("_hoodie_commit_time") =!= st.latest.commitTime).count() === 0)
+      // time travel to the pre-merge instant serves the pristine snapshot
+      val bootCt = st.commits.head.commitTime
+      assert(KeyedTable.readAsOf(spark, tbl, bootCt).count() === beforeCount)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m6_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m6_src")
+    }
+  }
+
+  test("MERGE on a MOR table is one delta commit; CDC surfaces its deletes and upserts") {
+    val dir = tmpDir("dml-merge7")
+    val tbl = s"$dir/tbl"
+    val in = spark.read.parquet(sf("orders")).limit(500)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    KeyedTable.create(spark, tbl, in, "dml_merge7",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"),
+      tableType = graft.model.TableType.MergeOnRead)
+    spark.sql("DROP TABLE IF EXISTS dml_m7_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m7_src")
+    spark.sql(s"CREATE TABLE dml_m7_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val beforeCount = before.count()
+      val st0 = CommitLog.requireState(spark, tbl)
+      before.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .createOrReplaceTempView("dml_m7_src")
+      val nDel = before.filter(col("o_orderkey") % 5 === 0 &&
+        col("o_totalprice") > 200000).count()
+      val nUpd = before.filter(col("o_orderkey") % 5 === 0 &&
+        col("o_totalprice") <= 200000).count()
+      assert(nDel > 0 && nUpd > 0)
+
+      spark.sql(
+        """MERGE INTO dml_m7_t t USING dml_m7_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.price > 200000 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'""".stripMargin)
+
+      val st = CommitLog.requireState(spark, tbl)
+      assert(st.commits.size === st0.commits.size + 1)
+      assert(st.latest.operation === "merge")
+      // no base file was rewritten — the commit is one delta batch
+      assert(st.latest.partitions.forall(_.mode == "delta"))
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.count() === beforeCount - nDel)
+      assert(after.filter(col("o_orderstatus") === "M").count() === nUpd)
+      // CDC over the merge commit: tombstones AND new images, one instant
+      val changes = KeyedTable.readChanges(spark, tbl, st0.latest.commitTime)
+      assert(changes.filter(col(KeyedTable.ChangeOp) === "delete").count() === nDel)
+      assert(changes.filter(col(KeyedTable.ChangeOp) === "upsert").count() === nUpd)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m7_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m7_src")
+    }
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the CDC reconciliation sweep") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge8"), "dml_merge8")
+    spark.sql("DROP TABLE IF EXISTS dml_m8_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m8_src")
+    spark.sql(s"CREATE TABLE dml_m8_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val beforeCount = before.count()
+      // the "feed": keys divisible by 2 are still present upstream
+      before.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .createOrReplaceTempView("dml_m8_src")
+      val inFeed = before.filter(col("o_orderkey") % 2 === 0).count()
+      val leftFeedHigh = before.filter(col("o_orderkey") % 2 =!= 0 &&
+        col("o_totalprice") > 300000).count()
+      val leftFeedRest = beforeCount - inFeed - leftFeedHigh
+      assert(inFeed > 0 && leftFeedHigh > 0 && leftFeedRest > 0)
+
+      // rows still in the feed refresh; rows that left it: expensive ones
+      // are deleted, the rest are flagged inactive — relational recompute
+      // below must agree exactly
+      spark.sql(
+        """MERGE INTO dml_m8_t t USING dml_m8_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = s.price + 1
+          |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice > 300000 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'Z'""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.count() === beforeCount - leftFeedHigh)
+      assert(after.filter(col("o_orderkey") % 2 =!= 0).count() === leftFeedRest)
+      assert(after.filter(col("o_orderstatus") === "Z").count() === leftFeedRest)
+      assert(after.filter(col("o_orderkey") % 2 =!= 0 &&
+        col("o_totalprice") > 300000).count() === 0)
+      // matched side still refreshed in the same statement
+      assert(after.filter(col("o_orderkey") % 2 === 0).count() === inFeed)
+      // and it was ONE commit
+      assert(CommitLog.requireState(spark, tbl).latest.operation === "merge")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m8_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m8_src")
+    }
+  }
+
+  test("MERGE clause conditions may carry IN-subqueries (resolved trees, no re-rendering)") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge9"), "dml_merge9")
+    spark.sql("DROP TABLE IF EXISTS dml_m9_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m9_src")
+    spark.sql("DROP VIEW IF EXISTS dml_m9_vip")
+    spark.sql(s"CREATE TABLE dml_m9_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      before.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView("dml_m9_src")
+      before.filter(col("o_orderkey") % 12 === 0).select("o_custkey").distinct()
+        .createOrReplaceTempView("dml_m9_vip")
+      val vip = spark.table("dml_m9_vip").collect().map(_.getLong(0)).toSet
+      val expectVip = before.filter(col("o_orderkey") % 6 === 0 &&
+        col("o_custkey").isin(vip.toSeq: _*)).count()
+      val expectRest = before.filter(col("o_orderkey") % 6 === 0).count() - expectVip
+      assert(expectVip > 0 && expectRest > 0)
+
+      spark.sql(
+        """MERGE INTO dml_m9_t t USING dml_m9_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_custkey IN (SELECT o_custkey FROM dml_m9_vip)
+          |  THEN UPDATE SET o_orderstatus = 'V'
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'W'""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.filter(col("o_orderstatus") === "V").count() === expectVip)
+      assert(after.filter(col("o_orderstatus") === "W").count() === expectRest)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m9_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m9_src")
+      spark.sql("DROP VIEW IF EXISTS dml_m9_vip")
+    }
+  }
+
+  test("MERGE UPDATE SET c = NULL writes a real NULL (full-row image, not a patch)") {
+    val tbl = bootstrapOrders(tmpDir("dml-merge10"), "dml_merge10")
+    spark.sql("DROP TABLE IF EXISTS dml_m10_t")
+    spark.sql("DROP VIEW IF EXISTS dml_m10_src")
+    spark.sql(s"CREATE TABLE dml_m10_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      before.filter(col("o_orderkey") % 8 === 0).select("o_orderkey")
+        .createOrReplaceTempView("dml_m10_src")
+      val hit = before.filter(col("o_orderkey") % 8 === 0).count()
+      assert(hit > 0)
+      assert(before.filter(col("o_orderpriority").isNull).count() === 0)
+
+      spark.sql(
+        """MERGE INTO dml_m10_t t USING dml_m10_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderpriority = NULL""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.filter(col("o_orderpriority").isNull).count() === hit)
+      // untouched columns of the patched rows kept their values
+      assert(after.filter(col("o_orderkey") % 8 === 0 &&
+        col("o_orderstatus").isNull).count() === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_m10_t")
+      spark.sql("DROP VIEW IF EXISTS dml_m10_src")
+    }
+  }
+
   test("UPDATE refusals: key/partition assignment and meta-column predicates") {
     val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
     spark.sql("DROP TABLE IF EXISTS dml_ref_t")
