@@ -30,14 +30,28 @@ object Bench {
     // box is ±20% run-to-run, and min-of-n is the standard least-noise
     // steady-state estimator (both passes run after the warmup).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Diagnostics for driver-vs-local timing gaps (a past round's q24 ran
+    // 2.3× slower on the driver with unchanged code): per-query JVM GC time
+    // accrued DURING the timed run, and the per-query cost of the untimed
+    // hygiene step below — both land in the bench JSON so a driver run
+    // localizes environmental inflation without a Spark UI.
+    val hygieneSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def gcTotalMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     var timed = 0
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val g0 = gcTotalMs
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         -1.0
       }
+      gcMs(name) = gcMs.getOrElse(name, 0L) + (gcTotalMs - g0)
       // Measurement hygiene: each query must see the session the DRIVER's
       // single-shot run would see, not one carrying the previous 40 queries'
       // cached relations — accumulated CacheManager entries inflated four
@@ -45,9 +59,11 @@ object Bench {
       // drops SQL-cached relations (untimed); a periodic GC lets the
       // ContextCleaner release localCheckpoint blocks whose frames are no
       // longer referenced.
+      val h0 = System.nanoTime()
       spark.catalog.clearCache()
       timed += 1
       if (timed % 8 == 0) System.gc()
+      hygieneSec(name) = hygieneSec.getOrElse(name, 0.0) + (System.nanoTime() - h0) / 1e9
       t
     }
     // min-of-2 pays for itself on short queries, where scheduler noise is a
@@ -82,7 +98,12 @@ object Bench {
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val gcJson = results.map { case (k, _) => s"\"$k\":${gcMs.getOrElse(k, 0L)}" }
+      .mkString("{", ",", "}")
+    val hygJson = results
+      .map { case (k, _) => s"\"$k\":${math.round(hygieneSec.getOrElse(k, 0.0) * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"gc_ms":$gcJson,"hygiene_sec":$hygJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
     spark.stop()
   }

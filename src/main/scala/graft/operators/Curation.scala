@@ -466,7 +466,18 @@ object Curation {
       .select(col("w1"), col("w2"),
         log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("lp"),
         (col("c2") + lit(1L)).cast(DecimalType(9, 0)).as("m"),
-        (col("c1") + col("v")).cast(DecimalType(9, 0)).as("d"))
+        // the exact-log2 envelope is d < 1e9 (d⁴ must fit DECIMAL(38,0));
+        // past it the non-ANSI cast would null out and the pow2 join would
+        // SILENTLY drop the bigram, corrupting n_bigrams and both scores —
+        // fail loudly instead (shard the corpus or rescale counts to
+        // continue; m ≤ d always, so one check bounds both)
+        when(col("c1") + col("v") >= lit(1000000000L),
+          raise_error(concat(
+            lit("ngramLmScore: unigram count + vocab >= 1e9 for token '"),
+            col("w1"),
+            lit("' — outside the exact quarter-bit log2 envelope (d^4 must " +
+              "fit DECIMAL(38,0)); shard the corpus or downscale counts."))))
+          .otherwise((col("c1") + col("v")).cast(DecimalType(9, 0))).as("d"))
       .withColumn("m4", col("m") * col("m") * col("m") * col("m"))
       .withColumn("d4", col("d") * col("d") * col("d") * col("d"))
     val score = pre
@@ -609,6 +620,15 @@ object Curation {
     * quality-ties fill the last bucket. Selection is the strict
     * quality-ordered prefix: buckets below the first overflow are excluded
     * even if a smaller one would still fit.
+    *
+    * The cutoff bucket itself re-quantizes a second level before paying the
+    * window: its docs split into 1024 slices by the TOP BITS of the same
+    * hash the fill order uses (`hash60 div 2^50` — slice order IS hash
+    * order, so the selected prefix is bit-identical), per-slice totals
+    * collect (≤1025 rows), full slices keep by scan filter, and the ordered
+    * single-partition window runs over only the one cutoff SLICE —
+    * ~1/10⁶ of the corpus instead of ~1/10³, so no task ever materializes a
+    * bucket-sized partition at 100 TB.
     */
   def tokenBudgetSelect(
       df: DataFrame, idCol: Column, textCol: Column, budget: Long): DataFrame = {
@@ -634,13 +654,36 @@ object Curation {
       case None => scored // everything fits
       case Some(cb) =>
         val remaining = budget - cum
-        val w = Window.partitionBy(lit(1))
-          .orderBy(Portable.hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val inCut = scored.filter(col("bucket") === cb)
-          .withColumn("__cum", sum(col("n_tokens")).over(w))
-          .filter(col("__cum") <= remaining).drop("__cum")
-        scored.filter(col("bucket") > cb).unionByName(inCut)
+        // second quantization level: slice the cutoff bucket by the hash's
+        // top bits (slice order == hash order, so the fill prefix is
+        // unchanged), collect ≤1025 slice totals, window only the cutoff
+        // slice
+        val cut = scored.filter(col("bucket") === cb)
+          .withColumn("__h", Portable.hash60(col("doc_id").cast("string")))
+          .withColumn("__sub", expr(s"__h div ${1L << 50}"))
+        val subTotals = cut.groupBy("__sub").agg(sum(col("n_tokens")).as("toks"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        var cum2 = 0L
+        var subCut = Option.empty[Long]
+        subTotals.foreach { case (sb, t) =>
+          if (subCut.isEmpty) {
+            if (cum2 + t <= remaining) cum2 += t
+            else subCut = Some(sb)
+          }
+        }
+        val kept = subCut match {
+          case None => cut // the whole cutoff bucket fits (budget boundary)
+          case Some(scb) =>
+            val rem2 = remaining - cum2
+            val w = Window.partitionBy(lit(1))
+              .orderBy(col("__h").asc, col("doc_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val inSub = cut.filter(col("__sub") === scb)
+              .withColumn("__cum", sum(col("n_tokens")).over(w))
+              .filter(col("__cum") <= rem2).drop("__cum")
+            cut.filter(col("__sub") < scb).unionByName(inSub)
+        }
+        scored.filter(col("bucket") > cb).unionByName(kept.drop("__h", "__sub"))
     }
   }
 

@@ -135,13 +135,50 @@ class GraftChangeSource(
         val ahead = st.commits.map(_.commitTime).filter(_ > since).take(n)
         if (ahead.isEmpty) since else ahead.last
     }
-    lastEnd = Some(capped)
+    advanceLastEnd(capped)
     Some(GraftChangeOffset(capped))
   }
 
-  // the last end offset this source planned or delivered; getBatch keeps it
-  // honest across restarts (its `end` comes from the engine's offset log)
-  @volatile private var lastEnd: Option[String] = None
+  // The last end offset this source planned or delivered — the cap cursor
+  // for maxCommitsPerTrigger. Restored from its own metadata file at
+  // construction (beside the graft-initial-since pin), so recovery does NOT
+  // depend on MicroBatchExecution's restart-time getBatch init call: if the
+  // engine ever skips it, the first post-restart getOffset still starts
+  // from the persisted cursor instead of regressing to initialSince and
+  // re-planning already-committed commits. getBatch additionally re-syncs
+  // from the engine's own offset log; every update is a monotone max.
+  private val lastEndFile = new org.apache.hadoop.fs.Path(metadataPath, "graft-last-end")
+
+  @volatile private var lastEnd: Option[String] = {
+    if (maxCommitsPerTrigger.isEmpty) None // cursor unused without the cap
+    else {
+      val fs = CommitLog.fs(spark, metadataPath)
+      if (!fs.exists(lastEndFile)) None
+      else {
+        val in = fs.open(lastEndFile)
+        val s = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+          finally in.close()
+        // a torn write (crash mid-overwrite) is ABSENT, not an offset — the
+        // getBatch re-sync / initialSince fallback then apply, same as before
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s) else None
+      }
+    }
+  }
+
+  private def advanceLastEnd(candidate: String): Unit = {
+    val next = (lastEnd.toSeq :+ candidate).max
+    if (!lastEnd.contains(next)) {
+      lastEnd = Some(next)
+      // best-effort persistence: a lost write degrades to the pre-existing
+      // recovery behavior (getBatch init re-sync), never to a wrong batch
+      if (maxCommitsPerTrigger.isDefined) try {
+        val fs = CommitLog.fs(spark, metadataPath)
+        val out = fs.create(lastEndFile, true)
+        try out.write(next.getBytes("UTF-8")) finally out.close()
+      } catch { case _: Exception => () }
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val since = start.map(ct).getOrElse(initialSince)
@@ -149,7 +186,7 @@ class GraftChangeSource(
     // re-sync the cap cursor from the engine-supplied offsets (a restart
     // hands back the checkpointed interval here before any getOffset state
     // exists); monotone max, so a recovery replay can't regress it
-    lastEnd = Some((lastEnd.toSeq :+ since :+ upTo).max)
+    advanceLastEnd(Seq(since, upTo).max)
     val out = KeyedTable.readChanges(spark, tablePath, since)
       .filter(col(MetaColumns.CommitTime) <= upTo)
     // project to the DECLARED source schema (the feed plan's attribute

@@ -202,6 +202,19 @@ object CommitLog {
     new java.util.concurrent.ConcurrentHashMap[String, TableLock.Lease]()
   private def leaseKey(tablePath: String, ct: String) = tablePath + "|" + ct
 
+  /** Heartbeat renewals for held leases: a daemon scheduler re-writes each
+    * held lease's expiry every TTL/3, so a legitimately slow publish (GC
+    * pause, huge partition list) is never fenced mid-swap by its own fixed
+    * TTL — only a DEAD writer's lease expires. Cancelled (and the renewed
+    * state dropped) on release.
+    */
+  private val heartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+  private lazy val heartbeatPool =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+    })
+
   /** Acquire (blocking) the table's writer lease for instant `ct` unless
     * this process already holds it for `ct` or locking is disabled. Runs
     * OUTSIDE [[publishLock]] — waiting on another process while holding the
@@ -214,11 +227,22 @@ object CommitLog {
     // would hold the map's bin lock for up to the acquire timeout, stalling
     // any other writer whose (table, instant) key hashes to the same bin.
     // A plain check-then-put is safe — an instant has exactly one writer.
-    if (!heldLeases.containsKey(key))
+    if (!heldLeases.containsKey(key)) {
       heldLeases.put(key, TableLock.acquire(spark, tablePath, owner = ct))
+      val period = TableLock.renewPeriodMs(spark)
+      heartbeats.put(key, heartbeatPool.scheduleAtFixedRate(() => {
+        val l = heldLeases.get(key)
+        // keep the map's lease current so the publish's stillHeld fencing
+        // compares against the renewed expiry, not the original one
+        if (l != null) TableLock.renew(spark, tablePath, l)
+          .foreach(r => heldLeases.replace(key, l, r))
+      }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
+    }
   }
 
   private[table] def releaseLease(spark: SparkSession, tablePath: String, ct: String): Unit = {
+    val hb = heartbeats.remove(leaseKey(tablePath, ct))
+    if (hb != null) hb.cancel(false)
     val l = heldLeases.remove(leaseKey(tablePath, ct))
     if (l != null) TableLock.release(spark, tablePath, l)
   }

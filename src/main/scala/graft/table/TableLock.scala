@@ -96,6 +96,32 @@ object TableLock {
     * createFile is O_EXCL there. Non-local filesystems keep the Hadoop
     * call. True iff this caller created the file.
     */
+  /** Schemes where Hadoop `create(overwrite=false)` is exists-then-put, NOT
+    * atomic, unless the store's conditional-write support is enabled: two
+    * drivers on plain S3 could both "win" the same token and the lock would
+    * silently degrade to no protection — refuse loudly instead, pointing at
+    * the real options. HDFS/ABFS/GCS have atomic exclusive create;
+    * S3A gains it with `fs.s3a.create.conditional.enabled` (S3 conditional
+    * PUT); `spark.graft.lock.assumeAtomicCreate=true` overrides for stores
+    * this list is wrong about.
+    */
+  private def assertAtomicCreate(spark: SparkSession, tablePath: String): Unit = {
+    val f = CommitLog.fs(spark, tablePath)
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (!Set("s3", "s3n", "s3a").contains(scheme)) return
+    if (spark.conf.get("spark.graft.lock.assumeAtomicCreate", "false").toBoolean) return
+    val conditional = f.getConf != null &&
+      f.getConf.getBoolean("fs.s3a.create.conditional.enabled", false)
+    if (!conditional)
+      throw GraftException.config(
+        s"Cross-process lock on $scheme:// needs atomic exclusive create, which plain " +
+          "S3 does not provide (create(overwrite=false) is exists-then-put — two " +
+          "writers could both acquire the lease). Enable S3 conditional writes " +
+          "(fs.s3a.create.conditional.enabled=true), use an external lock provider " +
+          "(spark.graft.lock.enabled=false), or override with " +
+          "spark.graft.lock.assumeAtomicCreate=true if your store is atomic.")
+  }
+
   private def createExclusive(
       spark: SparkSession, tablePath: String, p: Path, content: Array[Byte]): Boolean = {
     val f = CommitLog.fs(spark, tablePath)
@@ -125,6 +151,7 @@ object TableLock {
     */
   def tryAcquire(spark: SparkSession, tablePath: String, owner: String): Option[Lease] = {
     val f = CommitLog.fs(spark, tablePath)
+    assertAtomicCreate(spark, tablePath)
     val dir = lockDir(tablePath)
     if (!f.exists(dir)) f.mkdirs(dir)
     val now = System.currentTimeMillis()
@@ -195,6 +222,37 @@ object TableLock {
     current(spark, tablePath).exists(l =>
       l.owner == lease.owner && l.token == lease.token &&
         l.expiresAt >= System.currentTimeMillis())
+
+  /** Heartbeat renewal: extend OUR OWN lease's expiry by a fresh TTL while
+    * still the governing lease. The fixed-TTL alternative fences a
+    * legitimately slow publish (GC pause + huge partition list) mid-swap;
+    * with renewal a live writer stays live indefinitely and only a DEAD
+    * writer's lease ever expires. Overwriting our own file is safe — its
+    * name is ours alone, and a reader catching it half-written falls into
+    * `current`'s placeholder path (live from mtime). None when the lease
+    * already expired and was superseded — the caller's next fencing check
+    * will abort retryably, exactly as without renewal.
+    */
+  def renew(spark: SparkSession, tablePath: String, lease: Lease): Option[Lease] = {
+    if (!stillHeld(spark, tablePath, lease)) return None
+    val renewed = lease.copy(expiresAt = System.currentTimeMillis() + ttlMs(spark))
+    val root = CommitLog.mapper.createObjectNode()
+    root.put("owner", renewed.owner); root.put("token", renewed.token)
+    root.put("acquiredAt", renewed.acquiredAt); root.put("expiresAt", renewed.expiresAt)
+    val f = CommitLog.fs(spark, tablePath)
+    try {
+      val out = f.create(leaseFile(tablePath, renewed.token), true)
+      try out.write(CommitLog.mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      finally out.close()
+      Some(renewed)
+    } catch { case _: Exception => None } // next beat or fencing check decides
+  }
+
+  /** The heartbeat period: a third of the TTL, so two consecutive missed
+    * beats still leave a live lease.
+    */
+  private[table] def renewPeriodMs(spark: SparkSession): Long =
+    math.max(ttlMs(spark) / 3, 50L)
 
   /** Release = delete OUR OWN lease file (its name is ours alone; a live
     * lease is never deleted by anyone else).

@@ -126,6 +126,36 @@ class GraftChangeSourceSpec extends SparkTestBase {
       .map(f => (f.name, f.dataType)) === s2.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("the capped offset cursor is persisted: a restart cannot regress past it") {
+    val (tbl, c0) = bootstrapMor(tmpDir("stream-cursor"), "stream_cursor")
+    val meta = tmpDir("stream-cursor-meta")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    import graft.table.CommitLog
+
+    // three commits of backfill past c0
+    (1 to 3).foreach { i =>
+      KeyedTable.upsert(spark, tbl, base
+        .filter(col("o_orderkey") % (20 + i) === 0).select(dataCols: _*)
+        .withColumn("o_orderstatus", lit(s"C$i")))
+    }
+    val commits = CommitLog.commits(spark, tbl).map(_.commitTime).filter(_ > c0)
+
+    // capped source plans two bounded batches: the cursor advances commit
+    // by commit and is persisted beside the initial-since pin
+    val s1 = new GraftChangeSource(spark.sqlContext, tbl, Some(c0), meta, Some(1))
+    val o1 = s1.getOffset.get.json()
+    val o2 = s1.getOffset.get.json()
+    assert(o1 === commits(0) && o2 === commits(1))
+
+    // a RESTARTED source that never receives the engine's getBatch init call
+    // must resume the cap cursor from the persisted file, NOT regress to
+    // initialSince and re-plan commit 1
+    val s2 = new GraftChangeSource(spark.sqlContext, tbl, Some(c0), meta, Some(1))
+    val o3 = s2.getOffset.get.json()
+    assert(o3 === commits(2), s"restarted capped getOffset regressed to $o3")
+  }
+
   test("maxCommitsPerTrigger drains a backfill as bounded micro-batches") {
     val (tbl, c0) = bootstrapMor(tmpDir("stream-cap"), "stream_cap")
     val ckpt = tmpDir("stream-cap-ckpt")

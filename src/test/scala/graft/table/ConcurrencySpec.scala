@@ -355,4 +355,56 @@ class ConcurrencySpec extends SparkTestBase {
       .select(dataCols: _*).withColumn("o_orderstatus", lit("W")))
     assert(TableLock.current(spark, tbl).isEmpty)
   }
+
+  test("lease heartbeat renewal keeps a slow publish alive past its original TTL") {
+    val (tbl, _) = bootstrapMor(tmpDir("lock-renew"), "lock_renew")
+    spark.conf.set("spark.graft.lock.ttlMs", "700")
+    try {
+      // WITHOUT renewal: the lease expires and a competitor steals — the
+      // slow publisher's fencing check then aborts retryably
+      val stale = TableLock.tryAcquire(spark, tbl, "no-heartbeat").get
+      Thread.sleep(900)
+      assert(!TableLock.stillHeld(spark, tbl, stale))
+      val thief = TableLock.tryAcquire(spark, tbl, "thief").get
+      assert(thief.token > stale.token)
+      TableLock.release(spark, tbl, thief)
+
+      // WITH renewal: the lease stays the live governing lease well past the
+      // original TTL, competitors stay blocked the whole time
+      var held = TableLock.tryAcquire(spark, tbl, "heartbeat").get
+      val originalExpiry = held.expiresAt
+      (1 to 5).foreach { _ =>
+        Thread.sleep(300)
+        val r = TableLock.renew(spark, tbl, held)
+        assert(r.isDefined, "renewal of a live held lease must succeed")
+        held = r.get
+        assert(TableLock.tryAcquire(spark, tbl, "interloper").isEmpty)
+      }
+      // 1.5s elapsed > 700ms TTL, still held, expiry moved forward
+      assert(TableLock.stillHeld(spark, tbl, held))
+      assert(held.expiresAt > originalExpiry)
+      // renewing a superseded lease refuses (the fencing semantics survive)
+      assert(TableLock.renew(spark, tbl, stale).isEmpty)
+      TableLock.release(spark, tbl, held)
+
+      // the WRITE PATH heartbeat: a lease taken by the pre-swap guard is
+      // auto-renewed by the background beat, so a publish slower than the
+      // TTL is not fenced by its own lock
+      val ct = CommitLog.newCommitTime()
+      CommitLog.beginInflight(spark, tbl, ct, "upsert", Seq.empty,
+        baseCommits = CommitLog.commits(spark, tbl).map(_.commitTime))
+      CommitLog.assertSwapSafe(spark, tbl, ct, Seq.empty) // acquires + starts heartbeat
+      try {
+        Thread.sleep(1200) // > TTL: without the heartbeat this lease is dead
+        val cur = TableLock.current(spark, tbl)
+        assert(cur.exists(l => l.owner == ct &&
+          l.expiresAt >= System.currentTimeMillis()), "heartbeat must keep the lease live")
+        assert(TableLock.tryAcquire(spark, tbl, "squatter").isEmpty)
+      } finally {
+        CommitLog.releaseLease(spark, tbl, ct)
+        CommitLog.clearInflight(spark, tbl, ct)
+      }
+      assert(TableLock.current(spark, tbl).isEmpty)
+    } finally spark.conf.unset("spark.graft.lock.ttlMs")
+  }
 }
