@@ -83,6 +83,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     val path = pathOf(ident)
     if (!graft.table.CommitLog.exists(SparkSession.active, path))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    GraftCatalog.requireInstant(version)
     val params = Map("path" -> path, "asOf" -> version)
     new GraftTable(GraftDataSource.readOptions(params), params, None)
   }
@@ -131,6 +132,19 @@ object GraftCatalog {
     sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     sdf.format(new java.util.Date(Math.floorDiv(micros, 1000L)))
   }
+
+  /** VERSION AS OF takes an engine instant, and instants compare
+    * lexicographically — an arbitrary string that happens to sort above the
+    * digits (`'abc'`, `'latest'`) would silently read the CURRENT tip
+    * instead of erroring. Refuse anything that is not the fixed-width
+    * instant encoding.
+    */
+  private[sources] def requireInstant(version: String): Unit =
+    if (version.length != 17 || !version.forall(_.isDigit))
+      throw GraftException.config(
+        s"VERSION AS OF on a graft table takes a 17-digit commit instant " +
+          s"(yyyyMMddHHmmssSSS, as reported by the timeline), got '$version'. " +
+          "For wall-clock time travel use TIMESTAMP AS OF.")
 }
 
 private[sources] object GraftProcedures {

@@ -81,8 +81,23 @@ class GraftDataSource extends TableProvider with RelationProvider
         s"graft option compactEvery must be a positive integer, got '$v'.")
       n
     }.getOrElse(0)
+    // DataStreamWriter.partitionBy must not be silently dropped: map it onto
+    // the engine's partitionFields option (used when the first batch creates
+    // the table), and refuse a contradiction between the two spellings
+    val declared = ci.get("partitionfields")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val effective = (declared, partitionColumns) match {
+      case (Some(d), pc) if pc.nonEmpty && d != pc =>
+        throw GraftException.config(
+          s"graft streaming sink: partitionBy(${pc.mkString(", ")}) contradicts option " +
+            s"partitionFields=${d.mkString(",")} — declare the partitioning once.")
+      case (Some(_), _) => parameters
+      case (None, pc) if pc.nonEmpty =>
+        parameters + ("partitionFields" -> pc.mkString(","))
+      case _ => parameters
+    }
     new graft.streaming.GraftStreamSink(
-      ctx.sparkSession, parameters, GraftDataSource.readOptions(parameters).path, compactEvery)
+      ctx.sparkSession, effective, GraftDataSource.readOptions(parameters).path, compactEvery)
   }
 
   // ---- streaming read: spark.readStream.format("graft").load(path) tails

@@ -63,9 +63,10 @@ object GraftDml {
     * DML condition or assignment value is refused loudly.
     */
   private[sources] def refuseMetaRefs(e: Expression): Unit = {
-    val metaRefs = e.collect {
-      case a: Attribute if graft.table.MetaColumns.all.contains(a.name) => a.name
-    }.distinct
+    // `references` includes subquery outer references — a correlated
+    // subquery smuggling a meta column is refused like a direct reference
+    val metaRefs = e.references.toSeq.map(_.name)
+      .filter(graft.table.MetaColumns.all.contains).distinct
     if (metaRefs.nonEmpty)
       throw GraftException.config(
         s"DML over graft tables cannot reference meta column(s): ${metaRefs.mkString(", ")}.")
@@ -291,10 +292,13 @@ object GraftDml {
       val tgtNames = m.targetTable.output.map(_.name)
       val srcAttrByName = m.sourceTable.output.map(a => a.name -> a).toMap
 
+      // `references` (not a tree collect): it includes a subquery's OUTER
+      // references, so a correlated `EXISTS(... WHERE x.k = t.c)` smuggling
+      // a forbidden-side column through the subquery plan still hits the
+      // designed refusal instead of an opaque bind failure at run time
       def checked(e: Expression): Expression = {
-        val meta = e.collect {
-          case a: Attribute if MetaColumns.all.contains(a.name) => a.name
-        }.distinct
+        val meta = e.references.toSeq.map(_.name)
+          .filter(MetaColumns.all.contains).distinct
         if (meta.nonEmpty)
           throw GraftException.config(
             s"MERGE on a graft table cannot reference meta column(s): ${meta.mkString(", ")}.")
@@ -303,9 +307,8 @@ object GraftDml {
       def sideOnly(e: Expression,
           forbidden: org.apache.spark.sql.catalyst.expressions.AttributeSet,
           side: String, what: String): Expression = {
-        val stray = e.collect {
-          case a: AttributeReference if forbidden.contains(a) => a.name
-        }.distinct
+        val stray = e.references.toSeq
+          .filter(a => forbidden.contains(a)).map(_.name).distinct
         if (stray.nonEmpty)
           throw GraftException.config(
             s"MERGE $what may reference $side columns only; found: ${stray.mkString(", ")}.")

@@ -42,7 +42,11 @@ class GraftTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     try {
       val cat = spark.sessionState.catalog
-      if (!cat.tableExists(id)) None
+      // name resolution prefers temp views: a temp view shadowing a
+      // same-named graft table must take Spark's own path (time travel on a
+      // view is an error there), never be silently bypassed to the table
+      if (cat.isTempView(parts)) None
+      else if (!cat.tableExists(id)) None
       else {
         val meta = cat.getTableMetadata(id)
         if (meta.provider.exists(_.equalsIgnoreCase("graft")))
@@ -57,6 +61,7 @@ class GraftTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
       sessionGraftPath(u.multipartIdentifier) match {
         case None => tt
         case Some(path) =>
+          version.foreach(GraftCatalog.requireInstant)
           val instant: Option[String] = version.orElse {
             timestamp.collect {
               case e if e.resolved && e.foldable =>

@@ -159,9 +159,11 @@ class GraftChangeSource(
         val s = try new String(
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
           finally in.close()
-        // a torn write (crash mid-overwrite) is ABSENT, not an offset — the
-        // getBatch re-sync / initialSince fallback then apply, same as before
-        if (s.nonEmpty && s.forall(_.isDigit)) Some(s) else None
+        // a torn write (crash mid-overwrite) is ABSENT, not an offset —
+        // instants are FIXED-WIDTH 17-digit strings, so a truncated
+        // all-digit prefix is just as torn as garbage; the getBatch re-sync
+        // / initialSince fallback then apply, same as before
+        if (s.length == 17 && s.forall(_.isDigit)) Some(s) else None
       }
     }
   }

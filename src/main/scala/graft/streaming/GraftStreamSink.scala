@@ -29,7 +29,10 @@ import graft.table.{CommitLog, KeyedTable}
   * of the same rows, which converges per key+precombine — at-least-once
   * delivery with an idempotent write, same contract as [[StreamingIngest]].
   * Without a resolvable checkpoint location the marker is skipped and only
-  * the idempotence guarantee remains.
+  * the idempotence guarantee remains. CAVEAT: `op = insert`/`bulk_insert`
+  * appends are NOT idempotent — a replay inside the crash window lands the
+  * batch twice; use the default upsert op when exactly-once end state
+  * matters.
   */
 private[graft] class GraftStreamSink(
     spark: SparkSession,
@@ -51,8 +54,12 @@ private[graft] class GraftStreamSink(
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+        finally in.close()
+      // a torn write (crash between create-truncate and write) must read as
+      // ABSENT — batch replays then re-apply idempotently — never crash the
+      // query with a NumberFormatException on every restart
+      if (s.nonEmpty && s.forall(_.isDigit)) s.toLong else -1L
     }
   }
 
@@ -75,9 +82,13 @@ private[graft] class GraftStreamSink(
       graft.sources.GraftDataSource.executeWrite(
         spark, parameters + ("path" -> tablePath), batch,
         overwrite = !CommitLog.exists(spark, tablePath))
-      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-        KeyedTable.compact(spark, tablePath)
     }
+    // the compaction policy counts BATCHES, so the boundary check runs even
+    // for an empty batch — otherwise periodically-empty triggers defer the
+    // fold indefinitely and deltas accumulate past the configured bound
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+        CommitLog.exists(spark, tablePath))
+      KeyedTable.compact(spark, tablePath)
     if (CommitLog.exists(spark, tablePath)) recordApplied(batchId)
   }
 

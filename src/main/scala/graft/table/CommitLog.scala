@@ -214,6 +214,16 @@ object CommitLog {
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
     })
+  // Per-key monitor serializing the heartbeat's check+rewrite against
+  // releaseLease and the publish's fencing check. Without it, a beat that
+  // passed stillHeld but had not yet rewritten the file could (a) recreate
+  // a lease releaseLease just deleted — a ghost lease write-blocking the
+  // table for a full TTL — or (b) truncate the file mid-read of this JVM's
+  // own fencing check, spuriously aborting a valid publish.
+  private val leaseMutex =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def mutexFor(key: String): Object =
+    leaseMutex.computeIfAbsent(key, _ => new Object)
 
   /** Acquire (blocking) the table's writer lease for instant `ct` unless
     * this process already holds it for `ct` or locking is disabled. Runs
@@ -231,20 +241,29 @@ object CommitLog {
       heldLeases.put(key, TableLock.acquire(spark, tablePath, owner = ct))
       val period = TableLock.renewPeriodMs(spark)
       heartbeats.put(key, heartbeatPool.scheduleAtFixedRate(() => {
-        val l = heldLeases.get(key)
-        // keep the map's lease current so the publish's stillHeld fencing
-        // compares against the renewed expiry, not the original one
-        if (l != null) TableLock.renew(spark, tablePath, l)
-          .foreach(r => heldLeases.replace(key, l, r))
+        mutexFor(key).synchronized {
+          val l = heldLeases.get(key)
+          // keep the map's lease current so the publish's stillHeld fencing
+          // compares against the renewed expiry, not the original one
+          if (l != null) TableLock.renew(spark, tablePath, l)
+            .foreach(r => heldLeases.replace(key, l, r))
+        }
       }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
     }
   }
 
   private[table] def releaseLease(spark: SparkSession, tablePath: String, ct: String): Unit = {
-    val hb = heartbeats.remove(leaseKey(tablePath, ct))
+    val key = leaseKey(tablePath, ct)
+    val hb = heartbeats.remove(key)
     if (hb != null) hb.cancel(false)
-    val l = heldLeases.remove(leaseKey(tablePath, ct))
-    if (l != null) TableLock.release(spark, tablePath, l)
+    // under the beat mutex: a beat that already passed its stillHeld check
+    // must finish (or never start) before the file is deleted, so it can
+    // never resurrect the lease after this release
+    mutexFor(key).synchronized {
+      val l = heldLeases.remove(key)
+      if (l != null) TableLock.release(spark, tablePath, l)
+    }
+    leaseMutex.remove(key)
   }
 
   /** Re-create writer `ct`'s held lease file at `tablePath` — create()'s
@@ -449,12 +468,16 @@ object CommitLog {
     // a later writer may have validated against a log that will not include
     // us and committed — abort rather than publish on a stale validation;
     // the inflight marker stays so fsck undoes any half-done swap
-    Option(heldLeases.get(leaseKey(tablePath, info.commitTime))).foreach { l =>
-      if (!TableLock.stillHeld(spark, tablePath, l))
-        throw GraftException.conflict(
-          s"Writer ${info.commitTime}: table lock lease was lost (expired and stolen) " +
-            s"before publish at $tablePath. Retryable: run fsck to restore this writer's " +
-            "pre-images, re-read the table state, and re-apply the write.")
+    // under the beat mutex: the heartbeat's non-atomic rewrite of our own
+    // lease file must not be observable half-written by this fencing read
+    mutexFor(leaseKey(tablePath, info.commitTime)).synchronized {
+      Option(heldLeases.get(leaseKey(tablePath, info.commitTime))).foreach { l =>
+        if (!TableLock.stillHeld(spark, tablePath, l))
+          throw GraftException.conflict(
+            s"Writer ${info.commitTime}: table lock lease was lost (expired and stolen) " +
+              s"before publish at $tablePath. Retryable: run fsck to restore this writer's " +
+              "pre-images, re-read the table state, and re-apply the write.")
+      }
     }
     // overwrite=false: a commit instant is immutable — colliding with an
     // existing one (e.g. two writers on the same table) must fail loudly,

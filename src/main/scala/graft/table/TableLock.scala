@@ -239,11 +239,25 @@ object TableLock {
     val root = CommitLog.mapper.createObjectNode()
     root.put("owner", renewed.owner); root.put("token", renewed.token)
     root.put("acquiredAt", renewed.acquiredAt); root.put("expiresAt", renewed.expiresAt)
+    val bytes = CommitLog.mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     val f = CommitLog.fs(spark, tablePath)
+    val target = leaseFile(tablePath, renewed.token)
     try {
-      val out = f.create(leaseFile(tablePath, renewed.token), true)
-      try out.write(CommitLog.mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-      finally out.close()
+      val isLocal = Option(f.getUri.getScheme).forall(s => s == "file" || s.isEmpty)
+      if (isLocal) {
+        // atomic replace: readers in OTHER processes never observe the
+        // lease half-written (a torn read would only degrade to the live
+        // placeholder, but atomic is free here)
+        val tmp = java.nio.file.Paths.get(
+          target.toUri.getPath + s".renew-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        val out = f.create(target, true)
+        try out.write(bytes) finally out.close()
+      }
       Some(renewed)
     } catch { case _: Exception => None } // next beat or fencing check decides
   }

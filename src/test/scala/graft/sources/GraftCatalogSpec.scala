@@ -183,6 +183,14 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM graft.`$tbl` VERSION AS OF '19700101000000000'").collect()
     }
     assert(e.getMessage.contains("No commit at or before"))
+
+    // a non-instant version is refused loudly — 'abc' sorts ABOVE the digit
+    // instants lexicographically, so passing it through would silently read
+    // the current tip
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$tbl` VERSION AS OF 'abc'").collect()
+    }
+    assert(e2.getMessage.contains("17-digit commit instant"))
   }
 
   test("SQL time travel on SESSION-CATALOG graft tables (hint-rule rewrite)") {

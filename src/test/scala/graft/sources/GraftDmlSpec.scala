@@ -542,6 +542,18 @@ class GraftDmlSpec extends SparkTestBase {
             |WHEN MATCHED THEN UPDATE SET _hoodie_commit_time = '0'""".stripMargin)
       }
       assert(e5.getMessage.contains("meta column"))
+      // a target column smuggled through a CORRELATED subquery in a
+      // source-only position still hits the designed refusal (references
+      // include subquery outer refs), not an opaque bind failure
+      val e6 = intercept[GraftException] {
+        spark.sql(
+          """MERGE INTO dml_ref_t t USING dml_ref_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN NOT MATCHED AND EXISTS (
+            |  SELECT 1 FROM dml_ref_src x WHERE x.o_orderkey = t.o_custkey)
+            |THEN INSERT (o_orderkey) VALUES (s.o_orderkey)""".stripMargin)
+      }
+      assert(e6.getMessage.contains("may reference source columns only"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS dml_ref_t")
       spark.sql("DROP VIEW IF EXISTS dml_ref_src")
