@@ -127,11 +127,8 @@ object GraftCatalog {
     * catalog's TIMESTAMP AS OF overload and the session-catalog
     * time-travel rule ([[GraftTimeTravel]]).
     */
-  private[sources] def microsToInstant(micros: Long): String = {
-    val sdf = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
-    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    sdf.format(new java.util.Date(Math.floorDiv(micros, 1000L)))
-  }
+  private[sources] def microsToInstant(micros: Long): String =
+    graft.table.CommitLog.instantOfMillis(Math.floorDiv(micros, 1000L))
 
   /** VERSION AS OF takes an engine instant, and instants compare
     * lexicographically — an arbitrary string that happens to sort above the
@@ -140,7 +137,7 @@ object GraftCatalog {
     * instant encoding.
     */
   private[sources] def requireInstant(version: String): Unit =
-    if (version.length != 17 || !version.forall(_.isDigit))
+    if (!graft.table.CommitLog.isInstant(version))
       throw GraftException.config(
         s"VERSION AS OF on a graft table takes a 17-digit commit instant " +
           s"(yyyyMMddHHmmssSSS, as reported by the timeline), got '$version'. " +

@@ -2,12 +2,11 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.Cast
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{AsOfTimestamp, RelationTimeTravel, TimeTravelSpec, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.TimestampType
 
 /** SQL time travel for SESSION-CATALOG graft tables
   * (`CREATE TABLE t USING graft LOCATION ...` then
@@ -25,10 +24,15 @@ import org.apache.spark.sql.types.TimestampType
   * ([[graft.table.KeyedTable.readAsOf]]).
   *
   * `VERSION AS OF` takes an engine commit instant; `TIMESTAMP AS OF` any
-  * foldable timestamp expression (evaluated in the session time zone,
-  * converted to the UTC instant encoding). Non-graft tables and
-  * non-session-catalog identifiers pass through untouched; an unfoldable
-  * timestamp falls through to Spark's own error path.
+  * expression Spark's own `TimeTravelSpec` accepts — literals AND foldable
+  * function forms (`current_timestamp()`, `date_sub(current_date(), 1)`):
+  * the hint batch runs before function resolution, so the timestamp
+  * expression is first resolved against a one-row plan, then handed to
+  * `TimeTravelSpec.create` (which folds current-time expressions and
+  * ANSI-casts exactly as V2 catalogs do) and converted to the UTC instant
+  * encoding. Non-graft tables and non-session-catalog identifiers pass
+  * through untouched; an unresolvable timestamp falls through to Spark's
+  * own error path.
   */
 class GraftTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -56,6 +60,19 @@ class GraftTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
     } catch { case _: Exception => None }
   }
 
+  /** Resolve a (possibly still-unresolved — the hint batch precedes
+    * function resolution) timestamp expression against a one-row plan.
+    */
+  private def resolveTs(e: Expression): Option[Expression] =
+    if (e.resolved) Some(e)
+    else try {
+      spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(e, "__ts")()), OneRowRelation())) match {
+        case Project(Seq(a: Alias), _) if a.child.resolved => Some(a.child)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, timestamp, version) =>
       sessionGraftPath(u.multipartIdentifier) match {
@@ -63,16 +80,17 @@ class GraftTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(path) =>
           version.foreach(GraftCatalog.requireInstant)
           val instant: Option[String] = version.orElse {
-            timestamp.collect {
-              case e if e.resolved && e.foldable =>
-                Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)).eval() match {
-                  case micros: Long => Some(GraftCatalog.microsToInstant(micros))
-                  case _ => None
-                }
-            }.flatten
+            timestamp.flatMap(resolveTs).flatMap { re =>
+              // Spark's own spec builder: folds current_timestamp-likes,
+              // ANSI-casts, and raises ITS errors for unfoldable inputs —
+              // session-catalog tables behave exactly like V2 catalogs
+              TimeTravelSpec.create(Some(re), None, conf.sessionLocalTimeZone).collect {
+                case AsOfTimestamp(micros) => GraftCatalog.microsToInstant(micros)
+              }
+            }
           }
           instant match {
-            case None => tt // unfoldable timestamp: Spark's own error path
+            case None => tt // unresolvable timestamp: Spark's own error path
             case Some(i) =>
               val params = Map("path" -> path, "asOf" -> i)
               DataSourceV2Relation.create(

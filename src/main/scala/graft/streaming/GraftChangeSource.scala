@@ -163,7 +163,7 @@ class GraftChangeSource(
         // instants are FIXED-WIDTH 17-digit strings, so a truncated
         // all-digit prefix is just as torn as garbage; the getBatch re-sync
         // / initialSince fallback then apply, same as before
-        if (s.length == 17 && s.forall(_.isDigit)) Some(s) else None
+        if (CommitLog.isInstant(s)) Some(s) else None
       }
     }
   }

@@ -85,13 +85,25 @@ object CommitLog {
   def newCommitTime(): String = synchronized {
     val now = math.max(System.currentTimeMillis(), lastIssuedMillis + 1)
     lastIssuedMillis = now
-    val sdf = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
-    // UTC, not host-default: a DST fall-back in a local zone would format a
-    // LATER instant as a lexicographically EARLIER string, breaking the
-    // strictly-increasing ordering everything downstream relies on
-    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    sdf.format(new java.util.Date(now))
+    instantOfMillis(now)
   }
+
+  /** THE instant encoding, single-sourced: UTC `yyyyMMddHHmmssSSS` —
+    * UTC, not host-default, because a DST fall-back in a local zone would
+    * format a LATER instant as a lexicographically EARLIER string, breaking
+    * the strictly-increasing ordering everything downstream relies on.
+    * Every consumer that formats or validates instants (time travel,
+    * streaming cursors) must go through here / [[isInstant]], so a future
+    * encoding change has one home.
+    */
+  def instantOfMillis(millis: Long): String = {
+    val sdf = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    sdf.format(new java.util.Date(millis))
+  }
+
+  /** True iff `s` is a well-formed instant (fixed-width 17 digits). */
+  def isInstant(s: String): Boolean = s.length == 17 && s.forall(_.isDigit)
 
   // -------------------------------------------------------------- inflight
 

@@ -220,6 +220,12 @@ class GraftCatalogSpec extends SparkTestBase {
       val ts = local.format(new java.util.Date(utc.parse(bootCt).getTime))
       assert(spark.sql(s"SELECT * FROM cat_tt2_t TIMESTAMP AS OF '$ts'").count() === before)
 
+      // function-valued timestamps resolve too (the hint batch pre-resolves
+      // them): current_timestamp() is "now" → the post-delete tip
+      val afterCount = spark.table("cat_tt2_t").count()
+      assert(spark.sql(
+        "SELECT * FROM cat_tt2_t TIMESTAMP AS OF current_timestamp()").count() === afterCount)
+
       // a non-graft table still takes Spark's own (refusing) path
       spark.sql("DROP TABLE IF EXISTS cat_tt2_plain")
       spark.sql("CREATE TABLE cat_tt2_plain USING parquet AS SELECT 1 AS x")
