@@ -505,6 +505,50 @@ class GraftDmlSpec extends SparkTestBase {
     }
   }
 
+  test("a merge killed before its single commit is invisible; fsck restores pre-statement") {
+    val dir = tmpDir("dml-merge-crash")
+    val tbl = s"$dir/tbl"
+    val in = spark.read.parquet(sf("orders")).limit(400)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    KeyedTable.create(spark, tbl, in, "dml_mc",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"),
+      tableType = graft.model.TableType.MergeOnRead)
+    val st = graft.table.CommitLog.requireState(spark, tbl)
+    val before = KeyedTable.read(spark, tbl).localCheckpoint()
+    val beforeCount = before.count()
+
+    // emulate a writer killed INSIDE mergeRows after the delta batch landed
+    // but before the one commit JSON: marker up, mixed tombstone+image delta
+    // on disk, no commit
+    val ct = graft.table.CommitLog.newCommitTime()
+    graft.table.CommitLog.beginInflight(spark, tbl, ct, "merge", Seq.empty,
+      baseCommits = st.commits.map(_.commitTime))
+    val dataCols = before.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    val images = graft.table.MetaColumns.withMeta(
+        before.filter(col("o_orderkey") % 2 === 0).select(dataCols: _*)
+          .withColumn("o_orderstatus", lit("GHOST")),
+        Seq("o_orderkey"), Seq("o_month"), ct)
+      .withColumn(graft.table.Deltas.DeletedCol, lit(false))
+    val tombs = graft.table.MetaColumns.withMeta(
+        before.filter(col("o_orderkey") % 2 =!= 0).select(dataCols: _*),
+        Seq("o_orderkey"), Seq("o_month"), ct)
+      .withColumn(graft.table.Deltas.DeletedCol, lit(true))
+    graft.table.Deltas.write(images.unionByName(tombs), tbl, ct, Seq("o_month"))
+
+    // the half-done statement is INVISIBLE to every reader (commit is truth)
+    val after = KeyedTable.read(spark, tbl)
+    assert(after.count() === beforeCount)
+    assert(after.filter(col("o_orderstatus") === "GHOST").count() === 0)
+
+    // fsck reports and sweeps it; state is exactly pre-statement
+    val report = KeyedTable.fsck(spark, tbl, repair = false)
+    assert(report.orphanDeltas.contains(ct) && report.staleInflights.contains(ct))
+    KeyedTable.fsck(spark, tbl)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+    assert(KeyedTable.read(spark, tbl).count() === beforeCount)
+    assert(graft.table.Deltas.liveCommits(spark, tbl).isEmpty)
+  }
+
   test("UPDATE refusals: key/partition assignment and meta-column predicates") {
     val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
     spark.sql("DROP TABLE IF EXISTS dml_ref_t")

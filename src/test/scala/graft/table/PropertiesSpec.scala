@@ -111,6 +111,50 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("property: mergeRows yields identical states on COW and MOR and matches the relational recompute") {
+    val rnd = new Random(47)
+    for (round <- 1 to 4) {
+      val base = (0 until 24).map(i => (i.toLong, 0L, s"b$i", s"p${i % 3}"))
+      val cow = bootstrap(base, TableType.CopyOnWrite)
+      val mor = bootstrap(base, TableType.MergeOnRead)
+
+      // random single-statement merge: some deletes, some full-row images
+      // (updates of existing keys + inserts of new ones), with a deliberate
+      // delete∩image overlap so the image-beats-tombstone rule is exercised
+      val delIds = (0 until 24).filter(_ => rnd.nextBoolean()).map(_.toLong)
+      // distinct ver per image row: same-id images then have a DETERMINISTIC
+      // precombine winner (dedupByKey breaks exact ties arbitrarily)
+      val images = randRows(rnd, 14, 36).zipWithIndex.map { case ((id, _, v, _), i) =>
+        (id, (i + 1).toLong, v, s"p${id % 3}") // ver ≥ 1: images beat base rows
+      }
+      val dels = mkDf(delIds.map(id => (id, 0L, "", s"p${id % 3}")))
+        .select(col("id"), col("p"))
+      val imgDf = mkDf(images)
+
+      Seq(cow, mor).foreach(t => KeyedTable.mergeRows(spark, t, dels, imgDf))
+      val sCow = stateOf(cow)
+      val sMor = stateOf(mor)
+      assert(sCow === sMor, s"round $round: COW and MOR merge states diverge")
+
+      // relational recompute: per (id, p) the precombine-max image wins;
+      // base rows survive unless deleted or replaced by an image
+      val imgWinners = images.groupBy(r => (r._1, r._4)).map { case (_, rs) =>
+        rs.maxBy(r => (r._2, r._3)) // (ver, v) — dedupByKey's tiebreak order
+      }.toSeq
+      val imgIds = imgWinners.map(r => (r._1, r._4)).toSet
+      val deleted = delIds.map(id => (id, s"p${id % 3}")).toSet
+      val expected = (base.filterNot(r => deleted((r._1, r._4)) || imgIds((r._1, r._4))) ++
+        imgWinners).sorted
+      assert(sCow === expected, s"round $round: merge state differs from recompute")
+
+      // the statement was ONE commit on both table types
+      Seq(cow, mor).foreach { t =>
+        val ops = CommitLog.commits(spark, t).map(_.operation)
+        assert(ops === Seq("bootstrap", "merge"))
+      }
+    }
+  }
+
   test("property: readAsOf reproduces every historical state; rollback rewinds to it; CDC replays to tip") {
     val rnd = new Random(55)
     for ((tt, round) <- Seq(TableType.CopyOnWrite, TableType.MergeOnRead).zipWithIndex) {
