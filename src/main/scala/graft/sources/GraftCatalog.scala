@@ -58,21 +58,46 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
   // other engine surface takes paths too). The identifier's single
   // backquoted name IS the path.
 
+  private def isPathLike(s: String): Boolean =
+    s.startsWith("/") || s.contains("://")
+
   private def pathOf(ident: Identifier): String = {
-    val looksLikePath = ident.namespace.isEmpty &&
-      (ident.name.startsWith("/") || ident.name.contains("://"))
+    val looksLikePath = ident.namespace.isEmpty && isPathLike(ident.name)
     if (!looksLikePath)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     ident.name
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val path = pathOf(ident)
-    if (!graft.table.CommitLog.exists(SparkSession.active, path))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val params = Map("path" -> path)
-    new GraftTable(GraftDataSource.readOptions(params), params, None)
+  /** Iceberg-style metadata tables: `graft.`/path`.history` / `.files` /
+    * `.savepoints` — the observability surface as real relations (typed
+    * columns, filterable, joinable), not CALL string rows. The identifier
+    * parses as namespace=[path], name=<meta table>.
+    */
+  private def metaTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace.length != 1 || !isPathLike(ident.namespace.head)) return None
+    val spark = SparkSession.active
+    val path = ident.namespace.head
+    if (!graft.table.CommitLog.exists(spark, path)) return None
+    val name = ident.name.toLowerCase(java.util.Locale.ROOT)
+    val df = name match {
+      case "history" => KeyedTable.timeline(spark, path)
+      case "files" => KeyedTable.files(spark, path)
+      case "savepoints" =>
+        import spark.implicits._
+        KeyedTable.savepoints(spark, path).toDF("instant")
+      case _ => return None
+    }
+    Some(new GraftMetaTable(s"graft:$path#$name", df))
   }
+
+  override def loadTable(ident: Identifier): Table =
+    metaTableOf(ident).getOrElse {
+      val path = pathOf(ident)
+      if (!graft.table.CommitLog.exists(SparkSession.active, path))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      val params = Map("path" -> path)
+      new GraftTable(GraftDataSource.readOptions(params), params, None)
+    }
 
   /** SQL time travel, `SELECT ... FROM graft.`/path` VERSION AS OF i` —
     * `i` is an engine commit instant (the `yyyyMMddHHmmssSSS` strings the

@@ -386,6 +386,22 @@ private[sources] class GraftTable(
     new GraftWriteBuilder(params ++ info.options.asScala)
 }
 
+/** Read-only metadata relation (`graft.`/path`.history` / `.files` /
+  * `.savepoints`): the frame is a bounded, driver-built metadata listing
+  * (commit log rows, file stats), served through the same [[GraftV1Scan]]
+  * bridge as data scans. No pushdown — the relations are O(#commits) /
+  * O(#files) small by construction.
+  */
+private[sources] class GraftMetaTable(tableName: String, df: DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder { override def build(): Scan = new GraftV1Scan(df) }
+}
+
 /** Write-side twin of [[GraftV1Scan]]: a [[V1Write]] whose InsertableRelation
   * dispatches into the engine's own write path ([[GraftDataSource.executeWrite]]).
   * `truncate()` marks INSERT OVERWRITE → table re-create.

@@ -140,6 +140,35 @@ class GraftCatalogSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("metadata tables: graft.`/path`.history / .files / .savepoints as real relations") {
+    val tbl = bootstrapOrders(tmpDir("cat-meta"), TableType.CopyOnWrite)
+    // one mutation so history has two rows and a savepoint exists
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderkey % 7 = 0")
+    val sp = CommitLog.requireState(spark, tbl).commits.head.commitTime
+    KeyedTable.savepoint(spark, tbl, sp)
+
+    val hist = spark.sql(
+      s"SELECT commit_time, operation, record_count FROM graft.`$tbl`.history ORDER BY commit_time")
+    assert(hist.count() === 2)
+    assert(hist.select("operation").as[String].collect().toSeq === Seq("bootstrap", "delete"))
+
+    // typed + filterable like any relation (not CALL string rows)
+    val files = spark.sql(
+      s"SELECT partition_path, file_name, bytes FROM graft.`$tbl`.files WHERE bytes > 0")
+    assert(files.count() > 0)
+    assert(spark.sql(s"SELECT sum(bytes) AS b FROM graft.`$tbl`.files").head().getLong(0) > 0)
+
+    val sps = spark.sql(s"SELECT instant FROM graft.`$tbl`.savepoints")
+    assert(sps.as[String].collect().toSeq === Seq(sp))
+
+    // an unknown meta table under a real path is a loud missing-table error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$tbl`.nope").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"))
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF on path tables") {
     val tbl = bootstrapOrders(tmpDir("cat-tt"), TableType.CopyOnWrite)
     val st0 = CommitLog.requireState(spark, tbl)
