@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 object Bench {
+  /** Per-stage executor time + shuffle volume, accumulated across the app;
+    * Bench snapshots the counters around each timed query to attribute them.
+    * Listener delivery is asynchronous — flush via waitUntilEmpty before
+    * each snapshot (reflection: the method is private[spark] in source but
+    * public at bytecode level) so stages land on the query that ran them.
+    */
+  private final class StageMetricsListener extends SparkListener {
+    val execRunMs = new java.util.concurrent.atomic.AtomicLong
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+      val m = ev.stageInfo.taskMetrics
+      if (m != null) {
+        execRunMs.addAndGet(m.executorRunTime)
+        shuffleBytes.addAndGet(
+          m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -37,6 +56,24 @@ object Bench {
     // localizes environmental inflation without a Spark UI.
     val hygieneSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // Driver-vs-judge gap localization round 2: with GC ruled out (r6), the
+    // remaining suspects are FS contention / cold page cache. Per-query
+    // executor run time and shuffle bytes separate "tasks genuinely ran
+    // longer" from "the driver sat between stages".
+    val execRunMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val stageListener = new StageMetricsListener
+    spark.sparkContext.addSparkListener(stageListener)
+    def flushListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethods.find(_.getName == "listenerBus")
+          .map(_.invoke(sc)).orNull
+        if (bus != null)
+          bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+            .foreach(_.invoke(bus))
+      } catch { case _: Throwable => () } // diagnostics-only: never fail the bench
     def gcTotalMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -44,7 +81,9 @@ object Bench {
     }
     var timed = 0
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      flushListenerBus()
       val g0 = gcTotalMs
+      val e0 = stageListener.execRunMs.get(); val s0 = stageListener.shuffleBytes.get()
       val t0 = System.nanoTime()
       val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
@@ -52,6 +91,9 @@ object Bench {
         -1.0
       }
       gcMs(name) = gcMs.getOrElse(name, 0L) + (gcTotalMs - g0)
+      flushListenerBus()
+      execRunMs(name) = execRunMs.getOrElse(name, 0L) + (stageListener.execRunMs.get() - e0)
+      shuffleMb(name) = shuffleMb.getOrElse(name, 0.0) + (stageListener.shuffleBytes.get() - s0) / 1e6
       // Measurement hygiene: each query must see the session the DRIVER's
       // single-shot run would see, not one carrying the previous 40 queries'
       // cached relations — accumulated CacheManager entries inflated four
@@ -103,8 +145,27 @@ object Bench {
     val hygJson = results
       .map { case (k, _) => s"\"$k\":${math.round(hygieneSec.getOrElse(k, 0.0) * 1000) / 1000.0}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"gc_ms":$gcJson,"hygiene_sec":$hygJson,"sf":"$sfDir"}""")
+    val execJson = results.map { case (k, _) => s"\"$k\":${execRunMs.getOrElse(k, 0L)}" }
+      .mkString("{", ",", "}")
+    val shufJson = results
+      .map { case (k, _) => s"\"$k\":${math.round(shuffleMb.getOrElse(k, 0.0) * 100) / 100.0}" }
+      .mkString("{", ",", "}")
+    // The harness keeps only the TAIL of stdout: diagnostics print FIRST on
+    // their own line, the compact primary metric line prints LAST, so the
+    // per-query seconds map always survives the capture (round 6 lost all
+    // primary timings to a single overgrown line — never again). The full
+    // JSON also lands in target/bench.json for offline pickup.
+    val diagLine = s"""{"metric":"diagnostics","gc_ms":$gcJson,"hygiene_sec":$hygJson,"exec_run_ms":$execJson,"shuffle_mb":$shufJson}"""
+    val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(diagLine)
+    try {
+      val p = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (diagLine + "\n" + primaryLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // file copy is best-effort
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
+    println(primaryLine)
     spark.stop()
   }
 }

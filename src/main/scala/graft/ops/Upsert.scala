@@ -50,13 +50,26 @@ object Upsert {
     * pre-processing. `partitionFields` scopes the dedup per partition path
     * (Hudi precombines per (recordKey, partitionPath) under the non-global
     * index): same-key rows destined for DIFFERENT partitions both survive.
+    *
+    * Ties on the precombine break deterministically by the remaining
+    * ORDERABLE columns (descending), the same pinned convention as [[merge]]
+    * — without it, matched-UPDATE merge images built from duplicate source
+    * rows (which inherit the TARGET row's precombine, so ties are
+    * guaranteed) would pick a nondeterministic winner. Unorderable columns
+    * (maps) are skipped rather than failing analysis.
     */
   def dedupByKey(
       df: DataFrame,
       keys: Seq[String],
       precombine: String,
       partitionFields: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy((keys ++ partitionFields).map(col): _*).orderBy(col(precombine).desc)
+    val idCols = (keys ++ partitionFields).toSet + precombine
+    val tiebreak = df.schema.fields.toSeq
+      .filterNot(f => idCols.contains(f.name))
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name).desc)
+    val w = Window.partitionBy((keys ++ partitionFields).map(col): _*)
+      .orderBy(col(precombine).desc +: tiebreak: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 }

@@ -151,7 +151,7 @@ class GraftChangeSource(
 
   @volatile private var lastEnd: Option[String] = {
     if (maxCommitsPerTrigger.isEmpty) None // cursor unused without the cap
-    else {
+    else try {
       val fs = CommitLog.fs(spark, metadataPath)
       if (!fs.exists(lastEndFile)) None
       else {
@@ -165,6 +165,11 @@ class GraftChangeSource(
         // / initialSince fallback then apply, same as before
         if (CommitLog.isInstant(s)) Some(s) else None
       }
+    } catch {
+      // the cursor is best-effort on BOTH sides: a transient FS error (or
+      // the file vanishing between exists and open) must degrade to the
+      // getBatch re-sync like a lost write, not kill stream startup
+      case _: Exception => None
     }
   }
 

@@ -20,23 +20,23 @@ import graft.table.{CommitLog, KeyedTable}
   * every N batches — the [[StreamingIngest]] policy lifted into the
   * standard API surface.
   *
-  * Restart semantics: the engine records the last applied batch id in a
-  * marker INSIDE the query's checkpoint location
-  * (`<checkpoint>/graft-sink-last-batch`), so the batch Spark replays after
-  * a restart is SKIPPED rather than re-written — no duplicate commit, no
-  * spurious CDC rows. Living in the checkpoint (not under the table, like
+  * Restart semantics — EXACTLY-ONCE end state for every op: the engine
+  * records the last applied batch id in TWO places. (1) A marker INSIDE
+  * the query's checkpoint location (`<checkpoint>/graft-sink-last-batch`)
+  * — the fast path; living in the checkpoint (not under the table, like
   * the CDC source's pins) means the marker DIES WITH the checkpoint: an
   * operator who wipes the checkpoint to restart the stream from scratch
   * gets batch ids from 0 applied again, never silently dropped against a
-  * stale table-side marker. The marker is written after the table commit,
-  * so the one crash window (commit landed, marker didn't) degrades to a
-  * re-upsert of the same rows, which converges per key+precombine —
-  * at-least-once delivery with an idempotent write, same contract as
-  * [[StreamingIngest]]. Without a resolvable checkpoint location the
-  * marker is skipped and only the idempotence guarantee remains. CAVEAT:
-  * `op = insert`/`bulk_insert` appends are NOT idempotent — a replay
-  * inside the crash window lands the batch twice; use the default upsert
-  * op when exactly-once end state matters.
+  * stale table-side marker. (2) Inside the table's own commit JSON
+  * (`streamSink` + `streamBatchId`, written atomically WITH the commit),
+  * which closes the marker's crash window: a crash between the table
+  * commit and the marker write used to degrade to a re-apply — convergent
+  * for upsert, but a DUPLICATE for `op = insert`/`bulk_insert` appends. A
+  * restarted sink now scans the timeline ONCE for the highest batch id
+  * recorded under its checkpoint identity and skips anything at or below
+  * it, so a replayed append batch whose commit landed is skipped, not
+  * landed twice. Without a resolvable checkpoint location both records
+  * are skipped and only upsert idempotence remains.
   */
 private[graft] class GraftStreamSink(
     spark: SparkSession,
@@ -45,9 +45,17 @@ private[graft] class GraftStreamSink(
     compactEvery: Int)
     extends Sink with Logging {
 
-  private val markerPath: Option[Path] =
+  private val checkpointLoc: Option[String] =
     parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-      .get("checkpointlocation").map(cp => new Path(cp, "graft-sink-last-batch"))
+      .get("checkpointlocation")
+
+  private val markerPath: Option[Path] =
+    checkpointLoc.map(cp => new Path(cp, "graft-sink-last-batch"))
+
+  // The sink's identity in commit metadata. new Path(..) normalizes
+  // trailing slashes / redundant separators so the same checkpoint spelled
+  // slightly differently across restarts still matches its own commits.
+  private val sinkToken: Option[String] = checkpointLoc.map(new Path(_).toString)
 
   private def lastApplied: Long = markerPath.fold(-1L) { p =>
     val fs = CommitLog.fs(spark, p.toString)
@@ -80,25 +88,57 @@ private[graft] class GraftStreamSink(
     knownToExist
   }
 
+  // Highest batch id the TIMELINE records for this sink (commit-embedded
+  // exactly-once record) — scanned once per sink instance, on the first
+  // trigger after table existence: a restart constructs a fresh sink, so
+  // the crash-window replay is always caught; in steady state the
+  // in-memory floor advances with each apply and the timeline is never
+  // re-read. Long.MinValue = not yet scanned.
+  @volatile private var timelineFloor: Long = Long.MinValue
+  private def appliedFloor: Long = {
+    if (timelineFloor == Long.MinValue) {
+      timelineFloor = (for {
+        token <- sinkToken.toSeq
+        st <- CommitLog.state(spark, tablePath).toSeq
+        c <- st.commits if c.streamSink.contains(token)
+        id <- c.streamBatchId
+      } yield id).foldLeft(-1L)(math.max)
+    }
+    timelineFloor
+  }
+
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = synchronized {
-    val last = lastApplied // one marker read per trigger
-    if (tableExists && batchId <= last) {
+    val last = // one marker read per trigger; timeline scan only on the first
+      if (tableExists) math.max(lastApplied, appliedFloor) else -1L
+    if (batchId <= last) {
       logInfo(s"graft sink at $tablePath skipping replayed batch $batchId " +
         s"(last applied $last).")
       return
     }
-    val batch: DataFrame = ColumnBridge.asBatchFrame(data.toDF())
-    if (!batch.isEmpty) {
-      graft.sources.GraftDataSource.executeWrite(
-        spark, parameters + ("path" -> tablePath), batch, overwrite = !tableExists)
-      knownToExist = true
+    def applyBatch(): Unit = {
+      val batch: DataFrame = ColumnBridge.asBatchFrame(data.toDF())
+      if (!batch.isEmpty) {
+        graft.sources.GraftDataSource.executeWrite(
+          spark, parameters + ("path" -> tablePath), batch, overwrite = !tableExists)
+        knownToExist = true
+      }
+      // the compaction policy counts BATCHES, so the boundary check runs even
+      // for an empty batch — otherwise periodically-empty triggers defer the
+      // fold indefinitely and deltas accumulate past the configured bound
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 && tableExists)
+        KeyedTable.compact(spark, tablePath)
     }
-    // the compaction policy counts BATCHES, so the boundary check runs even
-    // for an empty batch — otherwise periodically-empty triggers defer the
-    // fold indefinitely and deltas accumulate past the configured bound
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 && tableExists)
-      KeyedTable.compact(spark, tablePath)
-    if (tableExists) recordApplied(batchId)
+    // scope every commit this trigger publishes under (sink, batchId) so the
+    // apply is recorded atomically with the data — the marker below is then
+    // only an optimization, not the correctness record
+    sinkToken match {
+      case Some(token) => CommitLog.withStreamBatch(token, batchId)(applyBatch())
+      case None => applyBatch()
+    }
+    if (tableExists) {
+      timelineFloor = math.max(appliedFloor, batchId)
+      recordApplied(batchId)
+    }
   }
 
   override def toString: String = s"GraftStreamSink[$tablePath]"

@@ -42,7 +42,15 @@ object CommitLog {
       partitions: Seq[PartitionEntry],
       recordCount: Long,
       schemaDdl: String,
-      sourcePath: Option[String])
+      sourcePath: Option[String],
+      // Streaming exactly-once: the sink that produced this commit and its
+      // micro-batch id, recorded INSIDE the commit so a crash between the
+      // table commit and the sink's checkpoint-side marker write cannot
+      // replay the batch — the restarted sink consults the timeline and
+      // skips any batch id it already finds here (GraftStreamSink). None
+      // for every non-streaming commit.
+      streamSink: Option[String] = None,
+      streamBatchId: Option[Long] = None)
 
   /** Live table state: the fold of all commits in commit-time order.
     * `partitionModes` maps partition path ("" for unpartitioned) → "native"
@@ -222,10 +230,18 @@ object CommitLog {
     */
   private val heartbeats =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
-  private lazy val heartbeatPool =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+  // A small POOL, not a single thread: each beat does synchronous FS I/O
+  // under its key's mutex, and on one shared thread a single hung store
+  // call (degraded S3, stuck NFS) would delay every other table's renewal
+  // past TTL — fencing live writers, the exact failure renewal prevents.
+  // Beats are not pinned to threads, so one stall blocks one thread only.
+  private lazy val heartbeatPool = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    java.util.concurrent.Executors.newScheduledThreadPool(4, r => {
+      val t = new Thread(r, s"graft-lease-heartbeat-${n.incrementAndGet()}")
+      t.setDaemon(true); t
     })
+  }
   // Per-key monitor serializing the heartbeat's check+rewrite against
   // releaseLease and the publish's fencing check. Without it, a beat that
   // passed stillHeld but had not yet rewritten the file could (a) recreate
@@ -400,13 +416,34 @@ object CommitLog {
       tablePath: String,
       info: CommitInfo,
       baseInstant: Option[String]): Unit = {
+    // inject the streaming-batch identity (if a sink scope is open on this
+    // thread) before serializing — recorded inside the commit so a replay
+    // after a crash between commit and checkpoint marker is detectable from
+    // the timeline alone
+    val tagged = streamBatchScope.value match {
+      case Some((sink, id)) if info.streamSink.isEmpty =>
+        info.copy(streamSink = Some(sink), streamBatchId = Some(id))
+      case _ => info
+    }
     // writers that never ran the swap guard (delta commits, bootstraps,
     // index sidecars) take the cross-process lease here; either way it is
     // released when this publish finishes, successfully or not
-    acquireLease(spark, tablePath, info.commitTime)
-    try writeUnderLock(spark, tablePath, info, baseInstant)
-    finally releaseLease(spark, tablePath, info.commitTime)
+    acquireLease(spark, tablePath, tagged.commitTime)
+    try writeUnderLock(spark, tablePath, tagged, baseInstant)
+    finally releaseLease(spark, tablePath, tagged.commitTime)
   }
+
+  /** Thread-scoped streaming-batch identity: [[graft.streaming.GraftStreamSink]]
+    * opens a scope around its per-trigger write so every commit that write
+    * publishes (the data commit; a boundary compaction) carries the
+    * (sink, batchId) pair — without threading a parameter through every
+    * write path. Driver-side publishes run on the calling thread, so a
+    * DynamicVariable is sufficient.
+    */
+  private val streamBatchScope =
+    new scala.util.DynamicVariable[Option[(String, Long)]](None)
+  def withStreamBatch[A](sink: String, batchId: Long)(body: => A): A =
+    streamBatchScope.withValue(Some((sink, batchId)))(body)
 
   private def writeUnderLock(
       spark: SparkSession,
@@ -476,6 +513,8 @@ object CommitLog {
     root.put("recordCount", info.recordCount)
     root.put("schemaDdl", info.schemaDdl)
     info.sourcePath.foreach(root.put("sourcePath", _))
+    info.streamSink.foreach(root.put("streamSink", _))
+    info.streamBatchId.foreach(root.put("streamBatchId", _))
     // fencing: if our lease was stolen (this writer stalled past the TTL),
     // a later writer may have validated against a log that will not include
     // us and committed — abort rather than publish on a stale validation;
@@ -557,7 +596,9 @@ object CommitLog {
       PartitionEntry(p.get("path").asText(), p.get("mode").asText(), p.get("recordCount").asLong())),
     recordCount = n.get("recordCount").asLong(),
     schemaDdl = n.get("schemaDdl").asText(),
-    sourcePath = Option(n.get("sourcePath")).map(_.asText()))
+    sourcePath = Option(n.get("sourcePath")).map(_.asText()),
+    streamSink = Option(n.get("streamSink")).map(_.asText()),
+    streamBatchId = Option(n.get("streamBatchId")).map(_.asLong()))
 
   private def strings(n: JsonNode): Seq[String] =
     n.asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq

@@ -102,4 +102,45 @@ class GraftStreamSinkSpec extends SparkTestBase {
     assert(graft.table.Deltas.liveCommits(spark, tbl).isEmpty) // compacted
     assert(CommitLog.commits(spark, tbl).last.operation === "compact")
   }
+
+  test("crash-replayed APPEND batch is skipped via the commit-embedded batch id (exactly-once)") {
+    val dir = tmpDir("sink-eo")
+    val (tbl, _) = bootstrapMor(dir, "sink_eo")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).toSeq
+    val ckpt = tmpDir("sink-eo-ckpt")
+    val params = Map(
+      "path" -> tbl, "checkpointLocation" -> ckpt, "op" -> "insert")
+    val batch = base.filter(col("o_orderkey") % 6 === 0)
+      .select(dataCols.map(col): _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000) // fresh keys: an insert, not a merge
+      .localCheckpoint()
+    val n = batch.count()
+    val before = KeyedTable.read(spark, tbl).count()
+
+    new GraftStreamSink(spark, params, tbl, compactEvery = 0).addBatch(0, batch)
+    assert(KeyedTable.read(spark, tbl).count() === before + n)
+    // the commit itself records the sink identity + batch id
+    val c = CommitLog.commits(spark, tbl).last
+    assert(c.operation === "insert")
+    assert(c.streamBatchId === Some(0L))
+    assert(c.streamSink === Some(new org.apache.hadoop.fs.Path(ckpt).toString))
+
+    // simulate the crash window: commit landed, checkpoint marker did NOT
+    val marker = new org.apache.hadoop.fs.Path(ckpt, "graft-sink-last-batch")
+    val fs = CommitLog.fs(spark, ckpt)
+    assert(fs.delete(marker, false))
+
+    // a restarted sink (fresh instance) replays batch 0: an append op would
+    // land duplicates — the timeline record must skip it instead
+    val commitsBefore = CommitLog.commits(spark, tbl).size
+    new GraftStreamSink(spark, params, tbl, compactEvery = 0).addBatch(0, batch)
+    assert(CommitLog.commits(spark, tbl).size === commitsBefore)
+    assert(KeyedTable.read(spark, tbl).count() === before + n) // exactly once
+
+    // the NEXT batch id still applies normally on the restarted sink
+    val b1 = batch.withColumn("o_orderkey", col("o_orderkey") + 1000000).localCheckpoint()
+    new GraftStreamSink(spark, params, tbl, compactEvery = 0).addBatch(1, b1)
+    assert(KeyedTable.read(spark, tbl).count() === before + 2 * n)
+  }
 }
