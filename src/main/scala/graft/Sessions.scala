@@ -16,6 +16,12 @@ object Sessions {
       .withExtensions(new graft.functions.GraftExtensions)
       // SQL maintenance surface: CALL graft.system.compact(...) etc.
       .config("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+      // session-catalog extension (the Delta pattern): ALTER TABLE ADD
+      // COLUMNS / MERGE WITH SCHEMA EVOLUTION on `USING graft` tables route
+      // their column adds through the engine's alter_schema commit, keeping
+      // metastore and commit-log schemas in lockstep
+      .config("spark.sql.catalog.spark_catalog",
+        classOf[graft.sources.GraftSessionCatalog].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

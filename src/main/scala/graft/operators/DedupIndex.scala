@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.TableType
+import graft.table.KeyedTable
+
+/** Standing near-dup index AS a graft keyed table — the piece that makes
+  * incremental dedup O(batch + collisions) END TO END at corpus scale.
+  *
+  * [[Dedup.dedupAgainst]] (x23) recomputes the corpus-side shingles and
+  * minhash signatures on every batch: correct, but at 100 TB the corpus
+  * scan dominates every delivery. Here the per-doc dedup state —
+  * `(id, sig, sh)`: the k-member minhash signature for LSH banding and the
+  * distinct-shingle set for exact-Jaccard verification — is persisted ONCE
+  * into a keyed graft table (MOR, so each append is an O(batch) delta
+  * commit, never a table rewrite), and every batch:
+  *
+  *  1. probes the PRE-BUILT signatures with the two-sided band join
+  *     (O(collisions), the corpus text is never re-tokenized),
+  *  2. verifies candidates with exact Jaccard against the STORED shingle
+  *     sets (only candidate index rows are touched via a broadcast
+  *     semi-join),
+  *  3. appends its survivors' entries as one upsert — so the NEXT batch is
+  *     automatically screened against them too.
+  *
+  * Results are bit-identical to [[Dedup.dedupAgainst]] over (original
+  * corpus ∪ previously appended survivors) — pinned by DedupIndexSpec and
+  * the x53 oracle. The index inherits the whole table stack: time travel
+  * (reproduce yesterday's screening decisions), CDC (stream new entries to
+  * replicas), compaction, savepoints.
+  *
+  * Scale notes: the index row is ~the normalized token set of the doc —
+  * proportional to corpus text, the standard price of an inverted
+  * posting-list index; the signature column alone (what the band join
+  * scans) is k longs per doc. The band join shuffles banded signatures,
+  * never shingles; shingles move only for the candidate rows.
+  */
+object DedupIndex {
+
+  val SigCol = "sig"
+  val ShCol = "sh"
+
+  /** Per-doc index entry: id, minhash signature, distinct shingle set. */
+  private def entriesOf(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol),
+        Dedup.shingles(split(col(textCol), "\\s+"), shingleN).as(ShCol))
+      .withColumn(SigCol, Dedup.minhashSignature(col(ShCol), numHashes))
+
+  /** Create the index table from the standing corpus — one pass over the
+    * corpus, ever. MOR keyed table so subsequent appends are delta commits.
+    */
+  def bootstrap(
+      spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16): Unit =
+    KeyedTable.create(spark, indexPath,
+      entriesOf(corpus, idCol, textCol, shingleN, numHashes),
+      tableName = "graft_dedup_index",
+      keyFields = Seq(idCol), precombineField = idCol,
+      partitionFields = Seq.empty, tableType = TableType.MergeOnRead)
+
+  /** Near-dup pairs (a_id = index doc, b_id = batch doc, jaccard ≥
+    * threshold) of `batch` against the table-backed index — same contract
+    * as [[Dedup.minhashNearDupsAgainst]], with the corpus side served from
+    * the index table instead of recomputed.
+    */
+  def probe(
+      spark: SparkSession, indexPath: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val idx = KeyedTable.read(spark, indexPath)
+      .select(col(idCol).as("id"), col(SigCol), col(ShCol))
+    // batch entries feed the band join AND the verify; tiny (one batch) but
+    // recomputing the shingle scalar work twice is the dominant batch cost
+    val be = entriesOf(batch, idCol, textCol, shingleN, numHashes)
+      .select(col(idCol).as("id"), col(SigCol), col(ShCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = Dedup.lshCandidatesAcross(
+        idx.select(col("id"), col(SigCol).as("sig")),
+        be.select(col("id"), col(SigCol).as("sig")),
+        "id", "sig", bands, numHashes / bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // only candidate INDEX rows ship their shingle sets (broadcast semi)
+    val aSh = idx.join(broadcast(candidates.select(col("a_id").as("cid")).distinct()),
+        col("id") === col("cid"), "left_semi")
+      .select(col("id").as("a_id"), col(ShCol).as("sh_a"))
+    val bSh = be.select(col("id").as("b_id"), col(ShCol).as("sh_b"))
+    val out = candidates
+      .join(aSh, "a_id")
+      .join(bSh, "b_id")
+      .select(col("a_id"), col("b_id"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      // materialize (pairs above threshold — small) so the caches release
+      // NOW, the same persist/localCheckpoint hygiene as Dedup's pipelines
+      .localCheckpoint()
+    candidates.unpersist()
+    be.unpersist()
+    out
+  }
+
+  /** The continuous-ingest gate: screen `batch` against the index, keep the
+    * novel docs, and APPEND their entries (one MOR delta commit) so the next
+    * batch is screened against them too. Returns the surviving batch rows.
+    */
+  def dedupAndAppend(
+      spark: SparkSession, indexPath: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val dups = probe(spark, indexPath, batch, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+    // stable row set: the append below and the caller both consume it
+    val survivors = batch.join(dups.select(col("b_id")).distinct(),
+        col(idCol) === col("b_id"), "left_anti")
+      .localCheckpoint()
+    if (!survivors.isEmpty)
+      KeyedTable.upsert(spark, indexPath,
+        entriesOf(survivors, idCol, textCol, shingleN, numHashes))
+    survivors
+  }
+}

@@ -138,6 +138,37 @@ object ExtQueries {
         Tables.documents(s, d), col("doc_id"), col("text"), budget = 20000L)
       .orderBy("doc_id")
 
+  /** Standing table-backed dedup index ([[graft.operators.DedupIndex]]):
+    * the corpus's signatures/shingles are persisted ONCE as a MOR keyed
+    * graft table; batch 1 (doc_id % 10 == 0) probes it and APPENDS its
+    * survivors, batch 2 (doc_id % 10 == 5) probes the grown index — so its
+    * screening also covers batch 1's survivors, with no corpus rescan on
+    * either delivery. The oracle recomputes both screens exhaustively
+    * (batch 2's NOT-EXISTS runs against corpus ∪ batch-1 survivors). The
+    * staged index + result are cached per (session, sf dir): dedupAndAppend
+    * mutates the index, so the query must not re-append on re-evaluation.
+    */
+  private val x53Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x53: Q = (s, d) => {
+    val out = x53Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x53")
+      val docs = Tables.documents(s, d)
+      val idx = s"$root/idx"
+      graft.operators.DedupIndex.bootstrap(
+        s, idx, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      val s1 = graft.operators.DedupIndex.dedupAndAppend(
+        s, idx, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val s2 = graft.operators.DedupIndex.dedupAndAppend(
+        s, idx, docs.filter(col("doc_id") % 10 === 5), "doc_id", "text")
+      s1.select(col("doc_id"), col("source")).withColumn("batch", lit(1L))
+        .unionByName(
+          s2.select(col("doc_id"), col("source")).withColumn("batch", lit(2L)))
+        .write.mode("overwrite").parquet(s"$root/out")
+      s"$root/out"
+    })
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -773,6 +804,7 @@ object ExtQueries {
     "x50_domain_drift" -> x50,
     "x51_overlap_matrix" -> x51,
     "x52_token_budget" -> x52,
+    "x53_dedup_index" -> x53,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1514,6 +1546,32 @@ object ExtQueries {
          |        ROWS UNBOUNDED PRECEDING) AS cum2
          |    FROM scored s, cut WHERE s.bucket = cut.cb), rem
          |  WHERE cum2 <= rem.r)
+         |ORDER BY doc_id""".stripMargin,
+    "x53_dedup_index" ->
+      // exhaustive recompute of both incremental screens: batch 1 against
+      // the corpus; batch 2 against corpus ∪ batch-1 SURVIVORS (the engine
+      // appends them to the index between the deliveries)
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingles3 AS s
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents)),
+         |dup1 AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id % 5 != 0 AND b.doc_id % 10 = 0
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5),
+         |s1 AS (
+         |  SELECT doc_id, source FROM sh
+         |  WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+         |dup2 AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN sh b ON b.doc_id % 10 = 5
+         |  WHERE (a.doc_id % 5 != 0 OR a.doc_id IN (SELECT doc_id FROM s1))
+         |    AND ${jaccardSql("a.s", "b.s")} >= 0.5),
+         |s2 AS (
+         |  SELECT doc_id, source FROM sh
+         |  WHERE doc_id % 10 = 5 AND doc_id NOT IN (SELECT doc_id FROM dup2))
+         |SELECT doc_id, source, 1::BIGINT AS batch FROM s1
+         |UNION ALL
+         |SELECT doc_id, source, 2::BIGINT AS batch FROM s2
          |ORDER BY doc_id""".stripMargin,
   )
 }

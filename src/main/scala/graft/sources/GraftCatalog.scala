@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, Proced
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, Metadata, MetadataBuilder, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -85,6 +85,17 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
       case "savepoints" =>
         import spark.implicits._
         KeyedTable.savepoints(spark, path).toDF("instant")
+      case "locks" =>
+        // writer-lease observability: who holds the table, until when —
+        // zero rows when no lease file exists (lock never taken / cleaned)
+        import spark.implicits._
+        val now = System.currentTimeMillis()
+        graft.table.TableLock.current(spark, path).toSeq
+          .map(l => (l.owner, l.token,
+            graft.table.CommitLog.instantOfMillis(l.acquiredAt),
+            graft.table.CommitLog.instantOfMillis(l.expiresAt),
+            if (l.expiresAt > now) "held" else "expired"))
+          .toDF("owner", "token", "acquired_at", "expires_at", "state")
       case _ => return None
     }
     Some(new GraftMetaTable(s"graft:$path#$name", df))
@@ -133,9 +144,24 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
       "graft path tables are created by writing data (df.write.format(\"graft\") / CTAS " +
         "over a LOCATION), not by CREATE TABLE against the path catalog.")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw GraftException.config(
-      "ALTER TABLE is not supported on graft path tables — schema evolves on write.")
+  /** Add-only schema evolution (T21's rule as DDL): top-level nullable
+    * AddColumn changes land as one metadata-only `alter_schema` commit
+    * ([[KeyedTable.addColumns]]); existing files null-fill at read time.
+    * This is what `MERGE ... WITH SCHEMA EVOLUTION` calls — the analyzer's
+    * ResolveMergeIntoSchemaEvolution computes the column adds from the
+    * merge source's schema and applies them here before binding the
+    * statement. Every other change kind (drops, renames, type changes,
+    * nested adds) is refused loudly: the engine's evolution contract is
+    * add-only, matching its on-write rule.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    val spark = SparkSession.active
+    if (!graft.table.CommitLog.exists(spark, path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    KeyedTable.addColumns(spark, path, GraftCatalog.addColumnChanges(changes))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw GraftException.config(
@@ -167,6 +193,108 @@ object GraftCatalog {
         s"VERSION AS OF on a graft table takes a 17-digit commit instant " +
           s"(yyyyMMddHHmmssSSS, as reported by the timeline), got '$version'. " +
           "For wall-clock time travel use TIMESTAMP AS OF.")
+
+  /** The one ALTER TABLE validation for graft tables, shared by the path
+    * catalog and the session-catalog extension: top-level nullable ADD
+    * COLUMN only (the engine's add-only evolution contract, T21).
+    */
+  private[sources] def addColumnChanges(changes: Seq[TableChange]): Seq[StructField] =
+    changes.map {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        if (!a.isNullable)
+          throw GraftException.config(
+            s"ALTER TABLE ADD COLUMN ${a.fieldNames.head}: new columns must be nullable " +
+              "(existing rows null-fill).")
+        if (a.position != null)
+          throw GraftException.config(
+            s"ALTER TABLE ADD COLUMN ${a.fieldNames.head}: column positions are fixed " +
+              "(new columns append after the existing data columns).")
+        StructField(a.fieldNames.head, a.dataType, nullable = true,
+          metadata = Option(a.comment).map(c =>
+            new MetadataBuilder().putString("comment", c).build())
+            .getOrElse(Metadata.empty))
+      case other => throw GraftException.config(
+        s"ALTER TABLE on a graft table supports top-level ADD COLUMN only " +
+          s"(add-only schema evolution); got: $other.")
+    }
+}
+
+/** Session-catalog override — the Delta pattern: registered as
+  * `spark.sql.catalog.spark_catalog` (a [[DelegatingCatalogExtension]]), it
+  * forwards every call to the built-in session catalog EXCEPT `alterTable`
+  * on graft-provider tables. Those route their ADD COLUMN changes into the
+  * ENGINE first ([[KeyedTable.addColumns]] at the table's location — one
+  * metadata-only `alter_schema` commit) and then mirror into the metastore,
+  * so the commit-log schema and the catalog schema can never diverge.
+  *
+  * This is the piece that makes `MERGE ... WITH SCHEMA EVOLUTION` and
+  * `ALTER TABLE ... ADD COLUMNS` work on session-catalog graft tables
+  * (`CREATE TABLE t USING graft LOCATION ...`): Spark's
+  * ResolveMergeIntoSchemaEvolution calls `alterTable` on the resolving
+  * catalog; without this routing the metastore would evolve while the
+  * provider kept serving the commit-log schema, and the analyzer's
+  * re-resolution would fail on the residual diff.
+  */
+class GraftSessionCatalog
+    extends org.apache.spark.sql.connector.catalog.DelegatingCatalogExtension {
+
+  import scala.jdk.CollectionConverters._
+
+  /** The delegate's answer for a graft-provider table is a V1Table, which
+    * would push the whole resolution onto the V1 fallback (the builtin
+    * session catalog special-cases TableProvider sources; an OVERRIDDEN
+    * spark_catalog's return is taken as authoritative). Re-wrap it as the
+    * engine's own DSv2 [[GraftTable]] — exactly what DataSourceV2Utils
+    * would have built — so session-catalog tables keep the V2 face
+    * (pushdown, row-level DML, automatic schema evolution) under this
+    * extension. A graft entry whose location holds no committed table yet
+    * (a just-declared CTAS target mid-statement) keeps the CATALOG's
+    * declared schema as the provided one, exactly like the provider's
+    * getTable CTAS handshake; the first write then creates the table.
+    * Tables of other providers pass through untouched.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    val t = super.loadTable(ident)
+    graftParams(t) match {
+      case Some(params) =>
+        new GraftTable(GraftDataSource.readOptions(params), params,
+          Option(t.schema()).filter(_.nonEmpty))
+      case _ => t
+    }
+  }
+
+  private def graftParams(t: Table): Option[Map[String, String]] = {
+    val props = t.properties.asScala
+    val isGraft = props.get(TableCatalog.PROP_PROVIDER).exists(_.equalsIgnoreCase("graft"))
+    if (!isGraft) None
+    else props.get(TableCatalog.PROP_LOCATION).map { loc =>
+      val opts = props.collect {
+        case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+          k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+      }.toMap
+      opts + ("path" -> loc)
+    }
+  }
+
+  /** ADD COLUMN on a graft table evolves the ENGINE first (one metadata-only
+    * `alter_schema` commit at the table's location), then mirrors into the
+    * metastore — if the mirror fails the table is still consistent, because
+    * reads serve the provider's commit-log schema. This is the call Spark's
+    * ResolveMergeIntoSchemaEvolution makes for
+    * `MERGE ... WITH SCHEMA EVOLUTION`, and the path `ALTER TABLE ... ADD
+    * COLUMNS` takes.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val existing =
+      try Some(super.loadTable(ident))
+      catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => None }
+    existing.flatMap(graftParams).foreach { params =>
+      KeyedTable.addColumns(SparkSession.active, params("path"),
+        GraftCatalog.addColumnChanges(changes))
+    }
+    super.alterTable(ident, changes: _*)
+    loadTable(ident)
+  }
 }
 
 private[sources] object GraftProcedures {
@@ -334,6 +462,21 @@ private[sources] object GraftProcedures {
     proc("savepoints", Seq("table" -> StringType),
       "Savepointed instants, ascending") { (s, a) =>
       KeyedTable.savepoints(s, a(0).toString)
+    },
+    proc("show_lock", Seq("table" -> StringType),
+      "The table's current writer lease (owner = the writer's commit instant), " +
+        "or 'no lock held'") { (s, a) =>
+      graft.table.TableLock.current(s, a(0).toString) match {
+        case Some(l) =>
+          val now = System.currentTimeMillis()
+          Seq(
+            s"owner: ${l.owner}",
+            s"token: ${l.token}",
+            s"acquired_at: ${graft.table.CommitLog.instantOfMillis(l.acquiredAt)}",
+            s"expires_at: ${graft.table.CommitLog.instantOfMillis(l.expiresAt)}",
+            s"state: ${if (l.expiresAt > now) "held" else "expired"}")
+        case None => Seq("no lock held")
+      }
     },
   ).map(p => p.name() -> p).toMap
 }

@@ -86,8 +86,16 @@ class GraftDataSource extends TableProvider with RelationProvider
     // the table), and refuse a contradiction between the two spellings
     val declared = ci.get("partitionfields")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // a contradiction is judged under the session's column-resolution rules:
+    // Spark resolves partitionBy("Month") and partitionFields=month to the
+    // SAME column unless spark.sql.caseSensitive is on, so only then do the
+    // spellings genuinely disagree
+    val caseSensitive = ctx.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(s: Seq[String]) =
+      if (caseSensitive) s else s.map(_.toLowerCase(java.util.Locale.ROOT))
     val effective = (declared, partitionColumns) match {
-      case (Some(d), pc) if pc.nonEmpty && d != pc =>
+      case (Some(d), pc) if pc.nonEmpty && norm(d) != norm(pc) =>
         throw GraftException.config(
           s"graft streaming sink: partitionBy(${pc.mkString(", ")}) contradicts option " +
             s"partitionFields=${d.mkString(",")} — declare the partitioning once.")
@@ -377,9 +385,16 @@ private[sources] class GraftTable(
   // V1_BATCH_WRITE (not BATCH_WRITE): DataFrameWriter.save then takes its
   // V1 fallback into createRelation, while V2 relation INSERTs execute
   // through the V1Write bridge below — the write-side mirror of V1Scan.
+  // AUTOMATIC_SCHEMA_EVOLUTION makes `MERGE ... WITH SCHEMA EVOLUTION`
+  // work end-to-end: the analyzer's ResolveMergeIntoSchemaEvolution sees
+  // the capability, computes the add-only column changes from the source
+  // schema, applies them through GraftCatalog.alterTable (a metadata-only
+  // commit), and re-resolves the statement against the widened relation —
+  // no merge-side evolution code needed.
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(opts)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

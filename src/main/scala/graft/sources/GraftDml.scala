@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, min, when}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.StructType
 
@@ -139,9 +139,15 @@ object GraftDml {
     * row move). Documented divergences from strict ANSI MERGE, inherited
     * from the keyed-table contract: several source rows matching one target
     * row are precombine-resolved instead of raising a cardinality error
-    * (Hudi's behavior), and an insert colliding with a same-statement
-    * delete nets to the insert ([[KeyedTable.mergeRows]]). Schema-evolving
-    * merges are refused loudly.
+    * (Hudi's behavior; `spark.graft.merge.strictCardinality=true` opts into
+    * the ANSI error), and an insert colliding with a same-statement delete
+    * nets to the insert ([[KeyedTable.mergeRows]]). `WITH SCHEMA EVOLUTION`
+    * is handled BEFORE this command exists: the analyzer's own
+    * ResolveMergeIntoSchemaEvolution sees the table's
+    * AUTOMATIC_SCHEMA_EVOLUTION capability, widens the table through
+    * [[GraftCatalog.alterTable]] (add-only, metadata commit), and
+    * re-resolves the statement — so this command always binds against the
+    * final schema.
     */
   final case class GraftMergeCommand(
       path: String,
@@ -153,16 +159,23 @@ object GraftDml {
       notMatchedBySource: Seq[MergeClause])
       extends LeafRunnableCommand {
 
-    /** first-match-wins eligibility chain over one clause group */
-    private def eligible(clauses: Seq[MergeClause]): Seq[(MergeClause, Column)] = {
-      var prior = Seq.empty[Column]
-      clauses.map { c =>
-        val own = coalesce(c.cond.map(ColumnBridge.column).getOrElse(lit(true)), lit(false))
-        val elig = prior.foldLeft(own)((acc, p) => acc && !p)
-        prior :+= own
-        c -> elig
+    /** Opt-in ANSI cardinality mode (default off = Hudi precombine
+      * resolution). Session conf, read per statement so a migration user
+      * can flip it mid-session to locate divergent merges.
+      */
+    private def strictCardinality(spark: SparkSession): Boolean =
+      spark.conf.getOption("spark.graft.merge.strictCardinality").exists(_.toBoolean)
+
+    /** Index of the first clause whose condition holds for this row pair
+      * (SQL's per-pair first-match-wins), NULL when none applies. One
+      * CASE WHEN chain instead of K eligibility predicates, so a whole
+      * clause group evaluates in a single pass over the joined frame.
+      */
+    private def firstClauseIdx(clauses: Seq[MergeClause]): Column =
+      clauses.zipWithIndex.foldRight(lit(null).cast("int")) { case ((c, i), rest) =>
+        when(coalesce(c.cond.map(ColumnBridge.column).getOrElse(lit(true)), lit(false)),
+          lit(i)).otherwise(rest)
       }
-    }
 
     override def run(spark: SparkSession): Seq[Row] = {
       val st = CommitLog.requireState(spark, path)
@@ -211,38 +224,71 @@ object GraftDml {
       // per (target, source) pair: a row matched by one source row under a
       // DELETE clause and another under an UPDATE clause would otherwise
       // land in both batches, and the image would win over the tombstone in
-      // the combined commit, resurrecting the deleted row. Earlier clauses
-      // claim their rows; later batches anti-join them out. Row identity is
-      // key PLUS partition (the engine's key scope is per-partition — the
-      // same key may legally exist in two partitions, and claiming on key
-      // alone would drop the other partition's row).
+      // the combined commit, resurrecting the deleted row. The winning
+      // clause per row is the MINIMUM applicable clause index across the
+      // row's pairs (a clause-rank window), computed in ONE pass over the
+      // joined frame — not K sequential claim/anti-join rounds. Row
+      // identity is key PLUS partition (the engine's key scope is
+      // per-partition — the same key may legally exist in two partitions,
+      // and claiming on key alone would drop the other partition's row).
       val rowId = (keyF ++ partF).distinct
-      var claimed = Option.empty[DataFrame]
-      def unclaimed(batch: DataFrame) = {
-        val b = claimed.fold(batch)(k => batch.join(k, rowId, "left_anti")).localCheckpoint()
-        val keys = b.select(rowId.map(col): _*).distinct()
-        claimed = Some(claimed.fold(keys)(_.unionByName(keys)).localCheckpoint())
-        b
-      }
-
       val delBatches = Seq.newBuilder[DataFrame]
       val imgBatches = Seq.newBuilder[DataFrame]
-      def applyRowClauses(rows: DataFrame, clauses: Seq[(MergeClause, Column)]): Unit =
-        clauses.foreach { case (c, elig) =>
-          val hit = rows.filter(elig)
+      def applyRowClauses(rows: DataFrame, clauses: Seq[MergeClause],
+          checkCardinality: Boolean): Unit = {
+        if (clauses.isEmpty) return
+        val hits = rows.withColumn("__clause", firstClauseIdx(clauses))
+          .filter(col("__clause").isNotNull)
+        // Opt-in ANSI cardinality (spark.graft.merge.strictCardinality):
+        // raise when >1 source rows each trigger a clause on one target
+        // row, instead of the default precombine resolution (Hudi's
+        // behavior, documented above). Runs the join once more — the
+        // price of the check, paid only when it is switched on.
+        if (checkCardinality && strictCardinality(spark)) {
+          val dup = hits
+            .groupBy(rowId.map(n => tcol(n).as(n)): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+            .select(rowId.map(col): _*).limit(5).collect()
+          if (dup.nonEmpty)
+            throw GraftException.config(
+              "MERGE cardinality violation (strict mode): more than one source row " +
+                s"matches and modifies the same target row, e.g. ${dup.take(5).mkString(", ")}. " +
+                "Deduplicate the source, or unset spark.graft.merge.strictCardinality " +
+                "to precombine-resolve the collision.")
+        }
+        // one materialization per clause GROUP: every clause batch below is
+        // a plain filter over this checkpointed frame
+        val winners = hits
+          .withColumn("__win",
+            min(col("__clause")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(rowId.map(tcol): _*)))
+          .filter(col("__clause") === col("__win"))
+          .localCheckpoint()
+        clauses.zipWithIndex.foreach { case (c, i) =>
+          val hit = winners.filter(col("__clause") === i)
           c.kind match {
             case "delete" =>
-              delBatches += unclaimed(hit.select(rowId.map(n => tcol(n).as(n)): _*))
+              delBatches += hit.select(rowId.map(n => tcol(n).as(n)): _*)
             case "update" =>
-              imgBatches += unclaimed(
-                hit.select(imageCols(c.sets.toMap, fromTarget = true): _*))
+              imgBatches += hit.select(imageCols(c.sets.toMap, fromTarget = true): _*)
           }
         }
-      applyRowClauses(joined, eligible(matched))
-      applyRowClauses(tgtOnly, eligible(notMatchedBySource))
-      eligible(notMatched).foreach { case (c, elig) =>
-        imgBatches += srcOnly.filter(elig)
-          .select(imageCols(c.sets.toMap, fromTarget = false): _*).localCheckpoint()
+      }
+      applyRowClauses(joined, matched, checkCardinality = true)
+      // tgtOnly rows are target-unique (keyed table) and disjoint from
+      // `joined` (inner vs anti on the same condition), so neither a
+      // cardinality check nor cross-group claims apply
+      applyRowClauses(tgtOnly, notMatchedBySource, checkCardinality = false)
+      if (notMatched.nonEmpty) {
+        // insert clauses need no window (no target row to claim): first
+        // applicable clause per SOURCE row, one checkpointed pass
+        val ins = srcOnly.withColumn("__clause", firstClauseIdx(notMatched))
+          .filter(col("__clause").isNotNull)
+          .localCheckpoint()
+        notMatched.zipWithIndex.foreach { case (c, i) =>
+          imgBatches += ins.filter(col("__clause") === i)
+            .select(imageCols(c.sets.toMap, fromTarget = false): _*)
+        }
       }
 
       def emptyOf(s: StructType) =
@@ -283,10 +329,21 @@ object GraftDml {
     }
 
     private def rewriteMerge(path: String, m: MergeIntoTable): LogicalPlan = {
-      if (m.schemaEvolutionEnabled)
+      // On the DSv2 paths (graft.`/path` catalog tables, and session-catalog
+      // tables under GraftSessionCatalog) WITH SCHEMA EVOLUTION is already
+      // DONE by now — the analyzer saw AUTOMATIC_SCHEMA_EVOLUTION and
+      // widened the table via the catalog's alterTable before resolving the
+      // statement. Reaching here with the flag still "un-enabled" means the
+      // target resolved through the V1 relation (a session without the
+      // GraftSessionCatalog extension), where Spark silently ignores the
+      // clause — refuse rather than silently not evolve (the statement's
+      // author asked for evolution).
+      if (m.withSchemaEvolution && !m.schemaEvolutionEnabled)
         throw GraftException.config(
-          "MERGE WITH SCHEMA EVOLUTION is not supported on graft tables " +
-            "(write the evolving batch through upsert, which evolves add-only).")
+          "MERGE WITH SCHEMA EVOLUTION on a graft table needs a DSv2-resolved target: " +
+            "address it as graft.`/path/to/table`, or register " +
+            "spark.sql.catalog.spark_catalog=graft.sources.GraftSessionCatalog " +
+            "so session-catalog graft tables resolve through the engine's catalog.")
       val tgtAttrs = m.targetTable.outputSet
       val srcAttrs = m.sourceTable.outputSet
       val tgtNames = m.targetTable.output.map(_.name)

@@ -1020,6 +1020,13 @@ object KeyedTable {
     val coerced = dataF.foldLeft(batch) { (df, f) =>
       df.schema.find(_.name == f.name) match {
         case Some(bf) if bf.dataType == f.dataType => df
+        // nullability-only difference (e.g. the batch's ARRAY<STRING> with
+        // containsNull=false vs the DDL-round-tripped declared type with
+        // containsNull=true): the same type — normalize with a cast.
+        // catalogString does not encode nullability, which is exactly the
+        // comparison wanted here.
+        case Some(bf) if bf.dataType.catalogString == f.dataType.catalogString =>
+          df.withColumn(f.name, col(f.name).cast(f.dataType))
         case Some(bf) if coercible(bf.dataType, f.dataType) =>
           df.withColumn(f.name, col(f.name).cast(f.dataType))
         case Some(bf) =>
@@ -1036,6 +1043,61 @@ object KeyedTable {
       if (df.columns.contains(f.name)) df else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(evolvedData.map(f => col(f.name)).toSeq: _*)
     (StructType((evolvedData ++ metaF).toArray), padded)
+  }
+
+  /** Explicit add-only schema evolution as a METADATA-ONLY commit — the DDL
+    * face of the same rule [[evolveSchema]] applies on write (T21): new
+    * columns append nullable after the existing data columns (meta columns
+    * stay last), existing files are untouched and null-fill the new columns
+    * at read time, so the operation is O(1) data work at any table size.
+    * Serves `MERGE ... WITH SCHEMA EVOLUTION` (the analyzer evolves the
+    * table through [[graft.sources.GraftCatalog.alterTable]] before binding
+    * the statement) and any future ALTER TABLE ADD COLUMNS surface.
+    *
+    * Columns must be nullable (old rows HAVE no value — a NOT NULL add would
+    * make every existing row invalid) and must not collide with existing
+    * data/meta columns under the session's case-resolution rules. The commit
+    * carries an empty partition list (sidecar-style: never OCC-conflicts
+    * with data writes; a concurrent bootstrap still aborts it).
+    */
+  def addColumns(
+      spark: SparkSession,
+      tablePath: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): StructType = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val metaF = schema.filter(f => MetaColumns.all.contains(f.name))
+    val dataF = schema.filterNot(f => MetaColumns.all.contains(f.name))
+    val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val existing = schema.fieldNames.map(norm).toSet
+    val clash = newCols.map(_.name).filter(n => existing.contains(norm(n)))
+    if (clash.nonEmpty)
+      throw GraftException.config(
+        s"addColumns: column(s) already exist: ${clash.mkString(", ")}.")
+    val dupes = newCols.map(c => norm(c.name)).diff(newCols.map(c => norm(c.name)).distinct)
+    if (dupes.nonEmpty)
+      throw GraftException.config(
+        s"addColumns: duplicate new column name(s): ${dupes.distinct.mkString(", ")}.")
+    val notNull = newCols.filterNot(_.nullable).map(_.name)
+    if (notNull.nonEmpty)
+      throw GraftException.config(
+        s"addColumns: new column(s) must be nullable (existing rows null-fill): " +
+          s"${notNull.mkString(", ")}.")
+    val evolved = StructType((dataF ++ newCols ++ metaF).toArray)
+    val ct = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tablePath, ct, "alter_schema", Seq.empty,
+      baseCommits = st.commits.map(_.commitTime))
+    CommitLog.write(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "alter_schema", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField,
+      partitionFields = st.latest.partitionFields,
+      partitions = Seq.empty, recordCount = st.latest.recordCount,
+      schemaDdl = evolved.toDDL, sourcePath = None),
+      baseInstant = Some(st.latest.commitTime))
+    evolved
   }
 
   /** MOR write path: land the batch as a partitioned delta under

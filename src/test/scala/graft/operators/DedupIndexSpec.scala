@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.table.CommitLog
+
+/** Table-backed standing dedup index: results must be BIT-IDENTICAL to the
+  * recompute-everything formulation ([[Dedup.dedupAgainst]]), and the index
+  * must be REUSED across batches (appends only — never a corpus rescan or
+  * rebuild).
+  */
+class DedupIndexSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(sf("documents")).select("doc_id", "source", "text")
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("probe + append hash-match the recompute semantics across two batches") {
+    val dir = tmpDir("dedup-index")
+    val idx = s"$dir/idx"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 10 === 0)
+    val batch2 = docs.filter(col("doc_id") % 10 === 5)
+
+    DedupIndex.bootstrap(spark, idx, corpus, "doc_id", "text")
+    val commitsAfterBoot = CommitLog.commits(spark, idx)
+    assert(commitsAfterBoot.map(_.operation) === Seq("bootstrap"))
+
+    // batch 1: survivors must equal the recompute screen against the corpus
+    val s1 = DedupIndex.dedupAndAppend(spark, idx, batch1, "doc_id", "text")
+    val expect1 = Dedup.dedupAgainst(corpus, batch1, "doc_id", "text")
+    assert(ids(s1) === ids(expect1))
+    assert(ids(s1).nonEmpty && ids(s1) != ids(batch1)) // the screen dropped something
+
+    // batch 2: the index GREW by batch 1's survivors, so the recompute
+    // baseline is corpus ∪ survivors1 — the incremental contract
+    val s2 = DedupIndex.dedupAndAppend(spark, idx, batch2, "doc_id", "text")
+    val expect2 = Dedup.dedupAgainst(corpus.unionByName(s1), batch2, "doc_id", "text")
+    assert(ids(s2) === ids(expect2))
+
+    // reuse, not rebuild: exactly one delta append per batch after the one
+    // bootstrap; nothing rewrote the corpus entries
+    val ops = CommitLog.commits(spark, idx).map(_.operation)
+    assert(ops === Seq("bootstrap", "delta_commit", "delta_commit"))
+    // the index now holds corpus + survivors of both batches, keyed by id
+    val n = graft.table.KeyedTable.read(spark, idx).count()
+    assert(n === corpus.count() + ids(s1).size + ids(s2).size)
+  }
+
+  test("an all-duplicate batch appends nothing and the index stays unchanged") {
+    val dir = tmpDir("dedup-index-nop")
+    val idx = s"$dir/idx"
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    DedupIndex.bootstrap(spark, idx, corpus, "doc_id", "text")
+    // verbatim copies of corpus docs under shifted ids: every one must drop
+    val copies = corpus.select((col("doc_id") + 500000).as("doc_id"),
+      col("source"), col("text"))
+    val survivors = DedupIndex.dedupAndAppend(spark, idx, copies, "doc_id", "text")
+    assert(survivors.isEmpty)
+    assert(CommitLog.commits(spark, idx).map(_.operation) === Seq("bootstrap"))
+  }
+}

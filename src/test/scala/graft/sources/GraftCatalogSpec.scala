@@ -108,7 +108,65 @@ class GraftCatalogSpec extends SparkTestBase {
   test("SHOW PROCEDURES lists the surface") {
     val names = spark.sql("SHOW PROCEDURES IN graft.system")
       .select("procedure_name").as[String].collect().toSet
-    assert(Set("compact", "rollback", "fsck", "sync_agg", "timeline").subsetOf(names))
+    assert(Set("compact", "rollback", "fsck", "sync_agg", "timeline", "show_lock")
+      .subsetOf(names))
+  }
+
+  test("show_lock procedure + .locks relation expose the writer lease") {
+    val tbl = bootstrapOrders(tmpDir("cat-lock"), TableType.CopyOnWrite)
+    // quiescent table: ordinary writers release their lease on publish
+    assert(callRows(s"CALL graft.system.show_lock('$tbl')") === Seq("no lock held"))
+    assert(spark.sql(s"SELECT * FROM graft.`$tbl`.locks").count() === 0)
+
+    // a held lease (as a concurrent writer mid-publish would hold it)
+    val lease = graft.table.TableLock.tryAcquire(spark, tbl, "probe-writer").get
+    try {
+      val lines = callRows(s"CALL graft.system.show_lock('$tbl')")
+      assert(lines.exists(_ == "owner: probe-writer"))
+      assert(lines.exists(_ == s"token: ${lease.token}"))
+      assert(lines.exists(_ == "state: held"))
+      val row = spark.sql(
+        s"SELECT owner, token, state FROM graft.`$tbl`.locks").head()
+      assert(row.getString(0) === "probe-writer")
+      assert(row.getLong(1) === lease.token)
+      assert(row.getString(2) === "held")
+    } finally graft.table.TableLock.release(spark, tbl, lease)
+    assert(callRows(s"CALL graft.system.show_lock('$tbl')") === Seq("no lock held"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the engine schema (add-only; refusals loud)") {
+    val tbl = bootstrapOrders(tmpDir("cat-alter"), TableType.CopyOnWrite)
+    val before = KeyedTable.read(spark, tbl)
+    val n = before.count()
+    assert(!before.columns.contains("o_note"))
+
+    spark.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (o_note STRING)")
+    val after = KeyedTable.read(spark, tbl)
+    // metadata-only: same rows, new column null-filled, one alter_schema commit
+    assert(after.columns.contains("o_note"))
+    assert(after.count() === n)
+    assert(after.filter(col("o_note").isNotNull).count() === 0)
+    assert(graft.table.CommitLog.requireState(spark, tbl).latest.operation === "alter_schema")
+    // and the evolved column is writable through the ordinary upsert
+    KeyedTable.upsert(spark, tbl,
+      before.limit(1).drop("_hoodie_commit_time", "_hoodie_record_key", "_hoodie_partition_path")
+        .withColumn("o_note", lit("patched")))
+    assert(KeyedTable.read(spark, tbl).filter(col("o_note") === "patched").count() === 1)
+
+    // add-only contract: drops/renames/type changes are refused loudly
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN o_note")
+    }
+    assert(e1.getMessage.contains("ADD COLUMN only"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (o_note2 STRING NOT NULL)")
+    }
+    assert(e2.getMessage.contains("must be nullable"))
+    // a duplicate add is refused by the engine's collision check
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (O_NOTE STRING)")
+    }
+    assert(e3.getMessage.toLowerCase.contains("already exist"))
   }
 
   test("path identifiers: SELECT and row-level DML against graft.`/path`, no registration") {

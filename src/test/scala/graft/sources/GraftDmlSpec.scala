@@ -549,6 +549,136 @@ class GraftDmlSpec extends SparkTestBase {
     assert(graft.table.Deltas.liveCommits(spark, tbl).isEmpty)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's new column; old rows null-fill") {
+    val dir = tmpDir("dml-evo")
+    val tbl = s"$dir/tbl"
+    val in = spark.read.parquet(sf("orders")).limit(400)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    KeyedTable.create(spark, tbl, in, "dml_evo",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"))
+    spark.sql("DROP VIEW IF EXISTS dml_evo_src")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val beforeCount = before.count()
+      assert(!before.columns.contains("o_channel"))
+      // source carries a column the table does NOT have (star expansion
+      // resolves over the relation's full output, so metas ride along and
+      // are dropped by the engine as in the plain star test)
+      before.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("E"))
+        .withColumn("o_channel", lit("web"))
+        .unionByName(before.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 40000000)
+          .withColumn("o_orderstatus", lit("F"))
+          .withColumn("o_channel", lit("api")))
+        .createOrReplaceTempView("dml_evo_src")
+      val matched = before.filter(col("o_orderkey") % 3 === 0).count()
+      val inserted = before.filter(col("o_orderkey") % 9 === 0).count()
+      assert(matched > 0 && inserted > 0)
+
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$tbl` t
+           |USING dml_evo_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+      val after = KeyedTable.read(spark, tbl)
+      // the schema evolved (add-only, appended after the data columns)...
+      assert(after.columns.contains("o_channel"))
+      assert(after.count() === beforeCount + inserted)
+      // ...merged rows carry the source's values for it...
+      assert(after.filter(col("o_orderstatus") === "E" &&
+        col("o_channel") =!= "web").count() === 0)
+      assert(after.filter(col("o_orderkey") >= 40000000 &&
+        col("o_channel") =!= "api").count() === 0)
+      assert(after.filter(col("o_orderstatus") === "E").count() === matched)
+      // ...and every UNTOUCHED row (old partitions, never rewritten)
+      // null-fills the new column at read time
+      assert(after.filter(col("o_orderkey") % 3 =!= 0 &&
+        col("o_orderkey") < 40000000 && col("o_channel").isNotNull).count() === 0)
+      // the evolution landed as ONE metadata-only alter_schema commit,
+      // followed by the ONE merge commit
+      val ops = CommitLog.requireState(spark, tbl).commits.map(_.operation)
+      assert(ops.count(_ == "alter_schema") === 1)
+      assert(ops.last === "merge")
+      // time travel to the pre-merge schema still works
+      val bootCt = CommitLog.requireState(spark, tbl).commits.head.commitTime
+      assert(KeyedTable.readAsOf(spark, tbl, bootCt).count() === beforeCount)
+    } finally spark.sql("DROP VIEW IF EXISTS dml_evo_src")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION on a session-catalog table routes through the engine") {
+    val tbl = bootstrapOrders(tmpDir("dml-evo-v1"), "dml_evo_v1")
+    spark.sql("DROP TABLE IF EXISTS dml_ev1_t")
+    spark.sql("DROP VIEW IF EXISTS dml_ev1_src")
+    spark.sql(s"CREATE TABLE dml_ev1_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val hit = before.filter(col("o_orderkey") % 5 === 0).count()
+      assert(hit > 0)
+      // the session catalog's alterTable (GraftSessionCatalog) routes the
+      // analyzer's AddColumn change into the engine's alter_schema commit,
+      // so the evolving merge works on `USING graft` tables too
+      before.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("fast").as("o_shipmode2"))
+        .createOrReplaceTempView("dml_ev1_src")
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO dml_ev1_t t USING dml_ev1_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_shipmode2 = s.o_shipmode2""".stripMargin)
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.columns.contains("o_shipmode2"))
+      assert(after.filter(col("o_shipmode2") === "fast").count() === hit)
+      assert(after.filter(col("o_shipmode2").isNull).count() === after.count() - hit)
+      val ops = CommitLog.requireState(spark, tbl).commits.map(_.operation)
+      assert(ops.count(_ == "alter_schema") === 1)
+      assert(ops.last === "merge")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_ev1_t")
+      spark.sql("DROP VIEW IF EXISTS dml_ev1_src")
+    }
+  }
+
+  test("strict-cardinality mode: a double-matched target row raises; default precombine-resolves") {
+    val tbl = bootstrapOrders(tmpDir("dml-card"), "dml_card")
+    spark.sql("DROP TABLE IF EXISTS dml_cd_t")
+    spark.sql("DROP VIEW IF EXISTS dml_cd_src")
+    spark.sql(s"CREATE TABLE dml_cd_t USING graft LOCATION '$tbl'")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      // TWO source rows per key — the ANSI cardinality violation shape
+      val dup = before.filter(col("o_orderkey") % 25 === 0)
+        .select(col("o_orderkey"), lit("A").as("v"))
+        .unionByName(before.filter(col("o_orderkey") % 25 === 0)
+          .select(col("o_orderkey"), lit("B").as("v")))
+      dup.createOrReplaceTempView("dml_cd_src")
+      val hit = before.filter(col("o_orderkey") % 25 === 0).count()
+      assert(hit > 0)
+      val mergeSql =
+        """MERGE INTO dml_cd_t t USING dml_cd_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = s.v""".stripMargin
+
+      // opt-in strict mode: loud, actionable error
+      spark.conf.set("spark.graft.merge.strictCardinality", "true")
+      val e = try intercept[GraftException] { spark.sql(mergeSql) }
+      finally spark.conf.unset("spark.graft.merge.strictCardinality")
+      assert(e.getMessage.contains("cardinality violation"))
+      // nothing was committed by the refused statement
+      assert(KeyedTable.read(spark, tbl)
+        .filter(col("o_orderstatus").isin("A", "B")).count() === 0)
+
+      // default mode: Hudi semantics — ONE deterministic winner per key
+      spark.sql(mergeSql)
+      val after = KeyedTable.read(spark, tbl)
+      assert(after.filter(col("o_orderstatus").isin("A", "B")).count() === hit)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dml_cd_t")
+      spark.sql("DROP VIEW IF EXISTS dml_cd_src")
+    }
+  }
+
   test("UPDATE refusals: key/partition assignment and meta-column predicates") {
     val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
     spark.sql("DROP TABLE IF EXISTS dml_ref_t")

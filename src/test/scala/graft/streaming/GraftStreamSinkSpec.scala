@@ -69,6 +69,22 @@ class GraftStreamSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("partitionBy vs partitionFields: case difference is no contradiction; real one refused") {
+    val provider = new graft.sources.GraftDataSource
+    val ctx = spark.sqlContext
+    val path = s"${tmpDir("sink-pb")}/tbl"
+    import org.apache.spark.sql.streaming.OutputMode
+    // same column under Spark's default case-insensitive resolution → accepted
+    provider.createSink(ctx, Map("path" -> path, "partitionFields" -> "o_month"),
+      Seq("O_Month"), OutputMode.Append)
+    // genuinely different columns → the loud contradiction refusal
+    val e = intercept[graft.model.GraftException] {
+      provider.createSink(ctx, Map("path" -> path, "partitionFields" -> "o_month"),
+        Seq("o_region"), OutputMode.Append)
+    }
+    assert(e.getMessage.contains("contradicts"))
+  }
+
   test("replayed batch ids are skipped; compactEvery folds deltas") {
     val dir = tmpDir("sink-replay")
     val (tbl, _) = bootstrapMor(dir, "sink_replay")
