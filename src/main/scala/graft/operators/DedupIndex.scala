@@ -105,6 +105,40 @@ object DedupIndex {
     out
   }
 
+  /** Streaming twin of [[dedupAndAppend]]: every micro-batch of `docs` (a
+    * streaming DataFrame) is screened against the index and its survivors
+    * appended — the continuous-ingest dedup gate as one `foreachBatch`
+    * loop. Exactly-once note: foreachBatch delivers at-least-once, and
+    * dedupAndAppend is REPLAY-IDEMPOTENT — a replayed batch's previously
+    * appended survivors are now in the index, match their own entries at
+    * Jaccard 1.0, and screen themselves out, so the index converges to the
+    * same state (and the keyed upsert dedups by id besides). Survivors of
+    * each batch land in `survivorsPath` parquet (append) for downstream
+    * consumption; pass None to keep only the index.
+    */
+  def ingestStream(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String,
+      survivorsPath: Option[String] = None,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          val survivors = dedupAndAppend(batch.sparkSession, indexPath, batch.toDF(),
+            idCol, textCol, shingleN, numHashes, bands, threshold)
+          survivorsPath.foreach(p =>
+            survivors.write.mode("append").parquet(p))
+        }
+        ()
+      }
+      .start()
+
   /** The continuous-ingest gate: screen `batch` against the index, keep the
     * novel docs, and APPEND their entries (one MOR delta commit) so the next
     * batch is screened against them too. Returns the surviving batch rows.

@@ -282,15 +282,27 @@ class GraftSessionCatalog
     * reads serve the provider's commit-log schema. This is the call Spark's
     * ResolveMergeIntoSchemaEvolution makes for
     * `MERGE ... WITH SCHEMA EVOLUTION`, and the path `ALTER TABLE ... ADD
-    * COLUMNS` takes.
+    * COLUMNS` takes. Only SCHEMA changes are routed through the engine's
+    * add-only contract: drops/renames/type changes are refused (they would
+    * desync the metastore from the commit-log schema readers actually see),
+    * while metastore-only changes (table properties, column comments) pass
+    * straight through to the delegate.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val existing =
       try Some(super.loadTable(ident))
       catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => None }
     existing.flatMap(graftParams).foreach { params =>
-      KeyedTable.addColumns(SparkSession.active, params("path"),
-        GraftCatalog.addColumnChanges(changes))
+      val (schemaChanges, _) = changes.partition {
+        case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
+             _: TableChange.RenameColumn | _: TableChange.UpdateColumnType |
+             _: TableChange.UpdateColumnNullability |
+             _: TableChange.UpdateColumnPosition => true
+        case _ => false // properties / comments: metastore-only, delegate
+      }
+      if (schemaChanges.nonEmpty)
+        KeyedTable.addColumns(SparkSession.active, params("path"),
+          GraftCatalog.addColumnChanges(schemaChanges))
     }
     super.alterTable(ident, changes: _*)
     loadTable(ident)

@@ -474,8 +474,20 @@ object CommitLog {
             case Some(known) => c => !known.contains(c.commitTime)
             case None => c => c.commitTime > b
           }
+        // Schema changes serialize against EVERY concurrent writer, even on
+        // disjoint partitions: a commit's schemaDdl is derived from ITS base
+        // schema, so publishing over a novel commit that changed the schema
+        // (an alter_schema, or an evolving upsert) would stamp a stale ddl
+        // as the new latest and silently DROP the concurrently added
+        // columns. Abort retryably instead — the retry re-reads the state
+        // and re-derives against the evolved schema. A novel commit that
+        // kept the schema unchanged conflicts only by partition overlap,
+        // exactly as before.
+        val baseDdl = existing.find(_.commitTime == b).map(_.schemaDdl)
+        def schemaChangedBy(c: CommitInfo) = baseDdl.exists(_ != c.schemaDdl)
         val clash = existing.filter(novel).filter { c =>
           info.operation == "bootstrap" || c.operation == "bootstrap" ||
+            schemaChangedBy(c) ||
             c.partitions.exists(p => mine.contains(p.path))
         }
         if (clash.nonEmpty) {

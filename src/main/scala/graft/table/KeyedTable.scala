@@ -1483,6 +1483,7 @@ object KeyedTable {
 
     val blocked = doomed.filterNot(c =>
       c.operation.startsWith("index_") || // undone by dropping the sidecar — no pre-image needed
+        c.operation == "alter_schema" || // metadata-only: undone by dropping the commit JSON
         liveDeltas.contains(c.commitTime) || reExposed.contains(c.commitTime) ||
         Archive.exists(fs, tablePath, c.commitTime))
     if (blocked.nonEmpty)
@@ -1497,6 +1498,11 @@ object KeyedTable {
         // data files were never touched — just drop the sidecar
         fs.delete(StatsIndex.statsDir(tablePath, c.commitTime), true)
         fs.delete(BloomIndex.bloomDir(tablePath, c.commitTime), true)
+      } else if (c.operation == "alter_schema") {
+        // metadata-only: the commit JSON delete below undoes the evolution
+        // (the schema fold reads latest.schemaDdl; no file carried the
+        // column unless a LATER write did — and that write is also doomed)
+        ()
       } else if (fs.exists(Deltas.dir(tablePath, c.commitTime))) {
         fs.delete(Deltas.dir(tablePath, c.commitTime), true)
       } else {

@@ -138,6 +138,43 @@ class ConcurrencySpec extends SparkTestBase {
     assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
   }
 
+  test("a concurrent schema change conflicts with EVERY in-flight writer (no silent revert)") {
+    val (tbl, c0) = bootstrapMor(tmpDir("occ-schema"), "occ_schema")
+
+    // writer A stages on a disjoint partition with the PRE-alter schema
+    val ctA = CommitLog.newCommitTime()
+    val infoA = stageDelta(tbl, ctA, "1995-02", "AA",
+      baseCommits = CommitLog.commits(spark, tbl).map(_.commitTime))
+
+    // an alter_schema lands while A is in flight
+    KeyedTable.addColumns(spark, tbl, Seq(
+      org.apache.spark.sql.types.StructField("o_note",
+        org.apache.spark.sql.types.StringType)))
+    val evolved = CommitLog.requireState(spark, tbl).latest.schemaDdl
+    assert(evolved.contains("o_note"))
+
+    // A's publish would stamp its STALE schemaDdl as the new latest,
+    // silently dropping o_note — it must abort retryably instead
+    val e = intercept[graft.model.CommitConflictException] {
+      CommitLog.write(spark, tbl, infoA, baseInstant = Some(c0))
+    }
+    assert(e.getMessage.contains("Retryable"))
+    // the added column survived; the timeline holds no stale-schema commit
+    assert(CommitLog.requireState(spark, tbl).latest.schemaDdl.contains("o_note"))
+
+    // and the retry path works: re-derived against the evolved schema,
+    // the same logical write (fresh instant, fresh base) publishes fine
+    KeyedTable.fsck(spark, tbl)
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === "1995-02" && col("o_orderkey") % 5 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("AA")))
+    val snap = KeyedTable.read(spark, tbl)
+    assert(snap.columns.contains("o_note"))
+    assert(snap.filter(col("o_orderstatus") === "AA").count() > 0)
+  }
+
   test("conflict detected against a commit published BELOW the writer's base instant") {
     val (tbl, c0) = bootstrapMor(tmpDir("occ-ooo"), "occ_ooo")
     val month = "1995-01"

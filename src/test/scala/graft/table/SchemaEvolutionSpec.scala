@@ -42,6 +42,44 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(last.filter(col("id") === 1).head().getAs[String]("v") === "a2")
   }
 
+  test("addColumns is metadata-only and rollback undoes it") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    val boot = CommitLog.requireState(spark, table).latest.commitTime
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    val evolved = KeyedTable.read(spark, table)
+    assert(evolved.columns.contains("note"))
+    assert(evolved.count() === 3)
+    assert(evolved.filter(col("note").isNotNull).count() === 0)
+    assert(CommitLog.requireState(spark, table).latest.operation === "alter_schema")
+    // time travel to the bootstrap serves the pre-evolution projection
+    assert(!KeyedTable.readAsOf(spark, table, boot).columns.contains("note"))
+
+    // the alter is fully undoable: metadata-only, nothing on disk to restore
+    KeyedTable.rollback(spark, table, boot)
+    val back = KeyedTable.read(spark, table)
+    assert(!back.columns.contains("note"))
+    assert(back.count() === 3)
+
+    // refusals: collision (case-insensitive), non-nullable
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    val e1 = intercept[GraftException] {
+      KeyedTable.addColumns(spark, table, Seq(
+        org.apache.spark.sql.types.StructField("NOTE",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(e1.getMessage.contains("already exist"))
+    val e2 = intercept[GraftException] {
+      KeyedTable.addColumns(spark, table, Seq(
+        org.apache.spark.sql.types.StructField("n2",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    }
+    assert(e2.getMessage.contains("must be nullable"))
+  }
+
   test("MOR delta upsert evolves the schema; merge and compaction carry it") {
     val table = bootstrapped(TableType.MergeOnRead)
     KeyedTable.upsert(spark, table, evolvingBatch)
