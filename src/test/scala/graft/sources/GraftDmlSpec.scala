@@ -679,6 +679,119 @@ class GraftDmlSpec extends SparkTestBase {
     }
   }
 
+  test("property: random MERGE clause sets match a relational reference implementation") {
+    // the clause-rank window (per-pair first-match-wins + per-row min
+    // clause) is re-derived here in plain Scala and compared against the
+    // engine's SQL MERGE over random clause subsets, orders, sources, and
+    // both table types — the semantics' independent recompute
+    import scala.util.Random
+    case class R(id: Long, ver: Long, v: String, p: String)
+    case class S(id: Long, ver: Long, v: String, p: String, tag: Long)
+
+    case class MC(sql: String, kind: String,
+        cond: (R, S) => Boolean, apply: (R, S) => R)
+    case class BC(sql: String, kind: String,
+        cond: R => Boolean, apply: R => R)
+    case class IC(sql: String, cond: S => Boolean, apply: S => R)
+
+    val m1 = MC("WHEN MATCHED AND s.tag % 2 = 0 THEN DELETE", "delete",
+      (_, s) => s.tag % 2 == 0, (r, _) => r)
+    val m2 = MC("WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET v = s.v", "update",
+      (r, s) => s.ver > r.ver, (r, s) => r.copy(v = s.v))
+    val m3 = MC("WHEN MATCHED THEN UPDATE SET v = 'U' || s.v", "update",
+      (_, _) => true, (r, s) => r.copy(v = "U" + s.v))
+    val b1 = BC("WHEN NOT MATCHED BY SOURCE AND t.id % 3 = 0 THEN DELETE", "delete",
+      r => r.id % 3 == 0, r => r)
+    val b2 = BC("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'Z'", "update",
+      _ => true, r => r.copy(v = "Z"))
+    val i1 = IC("WHEN NOT MATCHED AND s.tag % 2 = 1 THEN INSERT (id, ver, v, p) " +
+      "VALUES (s.id, s.ver, s.v, s.p)",
+      s => s.tag % 2 == 1, s => R(s.id, s.ver, s.v, s.p))
+    val i2 = IC("WHEN NOT MATCHED THEN INSERT (id, ver, v, p) " +
+      "VALUES (s.id, s.ver + 1, 'N' || s.v, s.p)",
+      _ => true, s => R(s.id, s.ver + 1, "N" + s.v, s.p))
+
+    val rnd = new Random(71)
+    for (round <- 1 to 5) {
+      val matched0 = rnd.shuffle(Seq(m1, m2).filter(_ => rnd.nextBoolean())) ++
+        (if (rnd.nextBoolean()) Seq(m3) else Nil)
+      val bySource0 = Seq(b1).filter(_ => rnd.nextBoolean()) ++
+        (if (rnd.nextBoolean()) Seq(b2) else Nil)
+      val inserts0 = Seq(i1).filter(_ => rnd.nextBoolean()) ++
+        (if (rnd.nextBoolean()) Seq(i2) else Nil)
+      // an all-empty draw degenerates to the FULL clause surface, so every
+      // round runs and at least one exercises all three groups together
+      val allEmpty = matched0.isEmpty && bySource0.isEmpty && inserts0.isEmpty
+      val matched = if (allEmpty) Seq(m1, m2, m3) else matched0
+      val bySource = if (allEmpty) Seq(b1, b2) else bySource0
+      val inserts = if (allEmpty) Seq(i1, i2) else inserts0
+      locally {
+        val tt = if (rnd.nextBoolean()) graft.model.TableType.MergeOnRead
+          else graft.model.TableType.CopyOnWrite
+        val base = (0 until 18).map(i => R(i.toLong, 0L, s"b$i", s"p${i % 3}"))
+        val src = (0 until 26).map { _ =>
+          val id = rnd.nextInt(30).toLong
+          S(id, rnd.nextInt(5).toLong, s"s${rnd.nextInt(90)}", s"p${id % 3}",
+            rnd.nextInt(10).toLong)
+        }
+        val tbl = s"${tmpDir(s"dml-prop$round")}/tbl"
+        import spark.implicits._
+        KeyedTable.create(spark, tbl,
+          base.map(r => (r.id, r.ver, r.v, r.p)).toDF("id", "ver", "v", "p"),
+          s"dml_prop$round", Seq("id"), "ver", Seq("p"), tableType = tt)
+        src.map(s => (s.id, s.ver, s.v, s.p, s.tag))
+          .toDF("id", "ver", "v", "p", "tag")
+          .createOrReplaceTempView("dml_prop_src")
+        spark.sql(
+          (s"MERGE INTO graft.`$tbl` t USING dml_prop_src s ON t.id = s.id" +:
+            (matched.map(_.sql) ++ inserts.map(_.sql) ++ bySource.map(_.sql)))
+            .mkString("\n"))
+
+        // ---- reference implementation of the engine's documented semantics
+        val byId = src.groupBy(_.id)
+        // precombine-resolution among same-(id,p) images: ver max, then the
+        // remaining orderable columns desc (here: v) — dedupByKey's pinned order
+        def resolve(imgs: Seq[R]): R = imgs.maxBy(r => (r.ver, r.v))
+        val fromTarget: Seq[Option[R]] = base.map { r =>
+          byId.get(r.id) match {
+            case Some(pairs) =>
+              val hits = pairs.flatMap(s =>
+                matched.zipWithIndex.collectFirst {
+                  case (c, i) if c.cond(r, s) => (i, c, s) })
+              if (hits.isEmpty) Some(r) // matched, no clause applies: untouched
+              else {
+                val win = hits.map(_._1).min
+                if (matched(win).kind == "delete") None
+                else Some(resolve(hits.filter(_._1 == win)
+                  .map { case (_, c, s) => c.apply(r, s) }))
+              }
+            case None =>
+              bySource.find(_.cond(r)) match {
+                case Some(c) if c.kind == "delete" => None
+                case Some(c) => Some(c.apply(r))
+                case None => Some(r)
+              }
+          }
+        }
+        val insertImgs = src.filterNot(s => base.exists(_.id == s.id))
+          .flatMap(s => inserts.find(_.cond(s)).map(_.apply(s)))
+          .groupBy(r => (r.id, r.p)).values.map(resolve(_)).toSeq
+        val expected = (fromTarget.flatten ++ insertImgs)
+          .map(r => (r.id, r.ver, r.v, r.p)).sorted
+
+        val got = KeyedTable.read(spark, tbl)
+          .select("id", "ver", "v", "p").as[(Long, Long, String, String)]
+          .collect().toSeq.sorted
+        assert(got === expected,
+          s"round $round ($tt): matched=${matched.map(_.sql)} " +
+            s"bySource=${bySource.map(_.sql)} inserts=${inserts.map(_.sql)}")
+        // and it was ONE commit
+        assert(CommitLog.commits(spark, tbl).map(_.operation) ===
+          Seq("bootstrap", "merge"))
+      }
+    }
+  }
+
   test("UPDATE refusals: key/partition assignment and meta-column predicates") {
     val tbl = bootstrapOrders(tmpDir("dml-refuse"), "dml_refuse")
     spark.sql("DROP TABLE IF EXISTS dml_ref_t")
