@@ -608,6 +608,43 @@ class GraftDmlSpec extends SparkTestBase {
     } finally spark.sql("DROP VIEW IF EXISTS dml_evo_src")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION on MOR: delta batch carries the new column; compaction keeps it") {
+    val dir = tmpDir("dml-evo-mor")
+    val tbl = s"$dir/tbl"
+    val in = spark.read.parquet(sf("orders")).limit(300)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    KeyedTable.create(spark, tbl, in, "dml_evo_mor",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"),
+      tableType = graft.model.TableType.MergeOnRead)
+    spark.sql("DROP VIEW IF EXISTS dml_evm_src")
+    try {
+      val before = KeyedTable.read(spark, tbl)
+      val hit = before.filter(col("o_orderkey") % 3 === 0).count()
+      assert(hit > 0)
+      before.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("gold").as("o_tier"))
+        .createOrReplaceTempView("dml_evm_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$tbl` t
+           |USING dml_evm_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_tier = s.o_tier""".stripMargin)
+      // the merge landed as one DELTA batch under the evolved schema
+      val st = CommitLog.requireState(spark, tbl)
+      assert(st.latest.operation === "merge")
+      assert(st.latest.partitions.forall(_.mode == "delta"))
+      val merged = KeyedTable.read(spark, tbl)
+      val mergedCount = merged.count() // materialized BEFORE compaction
+      assert(merged.filter(col("o_tier") === "gold").count() === hit)
+      assert(merged.filter(col("o_tier").isNull).count() === mergedCount - hit)
+      // compaction folds the evolved deltas into base files, column intact
+      KeyedTable.compact(spark, tbl)
+      val compacted = KeyedTable.read(spark, tbl)
+      assert(compacted.filter(col("o_tier") === "gold").count() === hit)
+      assert(compacted.count() === mergedCount)
+    } finally spark.sql("DROP VIEW IF EXISTS dml_evm_src")
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION on a session-catalog table routes through the engine") {
     val tbl = bootstrapOrders(tmpDir("dml-evo-v1"), "dml_evo_v1")
     spark.sql("DROP TABLE IF EXISTS dml_ev1_t")
