@@ -85,6 +85,28 @@ class GraftStreamSinkSpec extends SparkTestBase {
     assert(e.getMessage.contains("contradicts"))
   }
 
+  test("writeStream.partitionBy alone declares the created table's partitioning") {
+    val dst = s"${tmpDir("sink-pb-create")}/tbl"
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = stream.toDF().toDF("id", "ver", "m").writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("sink-pb-create-ckpt"))
+      .option("keyFields", "id")
+      .option("precombineField", "ver")
+      .partitionBy("m") // no partitionFields option — partitionBy governs
+      .start(dst)
+    try {
+      stream.addData((1L, 1L, "a"), (2L, 1L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = CommitLog.requireState(spark, dst)
+    assert(st.latest.partitionFields === Seq("m"))
+    assert(st.nativePartitions.sorted === Seq("m=a", "m=b"))
+    assert(KeyedTable.read(spark, dst).count() === 2)
+  }
+
   test("replayed batch ids are skipped; compactEvery folds deltas") {
     val dir = tmpDir("sink-replay")
     val (tbl, _) = bootstrapMor(dir, "sink_replay")
