@@ -978,6 +978,35 @@ object CoreQueries {
         |FROM graft_q47_orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** `MERGE WITH SCHEMA EVOLUTION` as pure SQL (T37): the source carries a
+    * column the table does NOT have; the analyzer's evolution path widens
+    * the table through the catalog's alterTable (one metadata-only
+    * alter_schema commit) before binding the statement. The oracle
+    * recomputes the end state from the pristine input — matched rows carry
+    * the derived channel value, every untouched row must null-fill the new
+    * column at read time (old partitions are never rewritten), so the
+    * evolution, the merge routing, and the null-fill read all sit behind
+    * one hash.
+    */
+  private val q48: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q48")
+    val ord = s.read.parquet(ordersInput(s, d))
+    KeyedTable.create(s, tbl, ord, "q48_orders",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"))
+    ord.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"),
+        concat(lit("ch-"), (col("o_custkey") % 4).cast(StringType)).as("o_channel"))
+      .createOrReplaceTempView("graft_q48_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$tbl` t
+         |USING graft_q48_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_channel = s.o_channel""".stripMargin)
+    s.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_channel
+         |FROM graft.`$tbl` ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -1025,6 +1054,7 @@ object CoreQueries {
     "q45_sql_merge" -> q45,
     "q46_sql_time_travel" -> q46,
     "q47_merge_reconcile" -> q47,
+    "q48_schema_merge" -> q48,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1309,6 +1339,11 @@ object CoreQueries {
       // the time-travel read resurfaces the PRISTINE bootstrap state — the
       // SQL UPDATE/DELETE that ran in between must be invisible
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "q48_schema_merge" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0
+        |       THEN 'ch-' || (o_custkey % 4)::VARCHAR ELSE NULL END AS o_channel
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q47_merge_reconcile" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 3 <> 0 THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
