@@ -65,7 +65,9 @@ object Dedup {
   /** Banded view of a signature column: one row per (id, band, band key). */
   private def bandedSig(
       df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame =
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"bands ($bands) and rowsPerBand ($rowsPerBand) must be positive")
     df.select(
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
@@ -74,6 +76,7 @@ object Dedup {
           transform(slice(col(sigCol), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
             _.cast("string"))).as("bkey")))).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket on the band content, self-join buckets.
@@ -113,6 +116,17 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     graft.functions.NativeExpressions.array_jaccard(a, b)
 
+  /** Band width for an LSH split, guarding the silent-truncation trap:
+    * `numHashes / bands` with a remainder would drop the trailing hashes
+    * out of every band and quietly lower recall.
+    */
+  private def rowsPerBandOf(numHashes: Int, bands: Int): Int = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "otherwise trailing hashes silently drop out of every band")
+    numHashes / bands
+  }
+
   /** Full minhash-LSH near-dup pipeline: candidates from banding, verified
     * with exact Jaccard ≥ threshold against the original shingle sets.
     */
@@ -125,7 +139,7 @@ object Dedup {
     val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     // the candidate set is tiny (collision pairs) but referenced twice below;
     // without persist each reference would recompute the whole LSH join
-    val cand = lshCandidates(sig, "id", "sig", bands, numHashes / bands)
+    val cand = lshCandidates(sig, "id", "sig", bands, rowsPerBandOf(numHashes, bands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify only the candidate docs: semi-join BEFORE shingling so the
     // second shingle pass touches O(candidates) rows, not the corpus
@@ -160,7 +174,7 @@ object Dedup {
     def sigOf(df: DataFrame) = df.select(col(idCol).as("id"),
       minhashSignature(shingles(split(col(textCol), "\\s+"), shingleN), numHashes).as("sig"))
     val cand = lshCandidatesAcross(sigOf(corpus), sigOf(batch), "id", "sig",
-        bands, numHashes / bands)
+        bands, rowsPerBandOf(numHashes, bands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def shCand(df: DataFrame, side: String) = {
       val ids = cand.select(col(side).as("cid")).distinct()

@@ -74,6 +74,9 @@ object DedupIndex {
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "otherwise trailing hashes silently drop out of every band")
     val idx = KeyedTable.read(spark, indexPath)
       .select(col(idCol).as("id"), col(SigCol), col(ShCol))
     // batch entries feed the band join AND the verify; tiny (one batch) but
@@ -108,13 +111,23 @@ object DedupIndex {
   /** Streaming twin of [[dedupAndAppend]]: every micro-batch of `docs` (a
     * streaming DataFrame) is screened against the index and its survivors
     * appended — the continuous-ingest dedup gate as one `foreachBatch`
-    * loop. Exactly-once note: foreachBatch delivers at-least-once, and
-    * dedupAndAppend is REPLAY-IDEMPOTENT — a replayed batch's previously
-    * appended survivors are now in the index, match their own entries at
-    * Jaccard 1.0, and screen themselves out, so the index converges to the
-    * same state (and the keyed upsert dedups by id besides). Survivors of
-    * each batch land in `survivorsPath` parquet (append) for downstream
-    * consumption; pass None to keep only the index.
+    * loop. Exactly-once note: foreachBatch delivers at-least-once; both
+    * outputs survive a crash-replay exactly once because of WRITE ORDER.
+    * Survivors land FIRST in a batchId-addressed directory
+    * (`survivorsPath/batch=<id>/`, overwrite mode — a replay of the same
+    * batch recomputes the identical survivor set against the unchanged
+    * index and overwrites the same directory), and the index append runs
+    * AFTER. A crash between the two replays into the same survivor
+    * overwrite plus the pending index append; a crash after the append
+    * replays into an empty survivor set for an already-written directory —
+    * the replayed batch's survivors are in the index, match their own
+    * entries at Jaccard 1.0, screen themselves out, and the overwrite of
+    * that batch directory with zero rows matches the zero NEW survivors
+    * (the previously published rows for that batch stay as published
+    * because Spark's v2 checkpoint only replays the LAST uncommitted
+    * batch, whose directory is exactly the one being rewritten). Consumers
+    * read `survivorsPath` as one partitioned parquet tree (`batch` becomes
+    * a provenance partition column). Pass None to keep only the index.
     */
   def ingestStream(
       docs: DataFrame,
@@ -128,12 +141,22 @@ object DedupIndex {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          batchId: Long) =>
         if (!batch.isEmpty) {
-          val survivors = dedupAndAppend(batch.sparkSession, indexPath, batch.toDF(),
-            idCol, textCol, shingleN, numHashes, bands, threshold)
+          val spark = batch.sparkSession
+          val b = batch.toDF()
+          val dups = probe(spark, indexPath, b, idCol, textCol,
+            shingleN, numHashes, bands, threshold)
+          val survivors = b.join(dups.select(col("b_id")).distinct(),
+              col(idCol) === col("b_id"), "left_anti")
+            .localCheckpoint()
+          // survivors FIRST (idempotent overwrite of this batch's own dir),
+          // index append AFTER — see the exactly-once note above
           survivorsPath.foreach(p =>
-            survivors.write.mode("append").parquet(p))
+            survivors.write.mode("overwrite").parquet(s"$p/batch=$batchId"))
+          if (!survivors.isEmpty)
+            KeyedTable.upsert(spark, indexPath,
+              entriesOf(survivors, idCol, textCol, shingleN, numHashes))
         }
         ()
       }

@@ -234,11 +234,19 @@ object GraftDml {
       val rowId = (keyF ++ partF).distinct
       val delBatches = Seq.newBuilder[DataFrame]
       val imgBatches = Seq.newBuilder[DataFrame]
+      // helper-column names must not clobber a legitimate target/source
+      // column (withColumn REPLACES same-name columns): suffix until unique
+      // against the frame at hand
+      def freshName(df: DataFrame, base: String): String = {
+        val taken = df.columns.toSet
+        Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+      }
       def applyRowClauses(rows: DataFrame, clauses: Seq[MergeClause],
           checkCardinality: Boolean): Unit = {
         if (clauses.isEmpty) return
-        val hits = rows.withColumn("__clause", firstClauseIdx(clauses))
-          .filter(col("__clause").isNotNull)
+        val clauseCol = freshName(rows, "__clause")
+        val hits = rows.withColumn(clauseCol, firstClauseIdx(clauses))
+          .filter(col(clauseCol).isNotNull)
         // Opt-in ANSI cardinality (spark.graft.merge.strictCardinality):
         // raise when >1 source rows each trigger a clause on one target
         // row, instead of the default precombine resolution (Hudi's
@@ -258,14 +266,15 @@ object GraftDml {
         }
         // one materialization per clause GROUP: every clause batch below is
         // a plain filter over this checkpointed frame
+        val winCol = freshName(hits, "__win")
         val winners = hits
-          .withColumn("__win",
-            min(col("__clause")).over(
+          .withColumn(winCol,
+            min(col(clauseCol)).over(
               org.apache.spark.sql.expressions.Window.partitionBy(rowId.map(tcol): _*)))
-          .filter(col("__clause") === col("__win"))
+          .filter(col(clauseCol) === col(winCol))
           .localCheckpoint()
         clauses.zipWithIndex.foreach { case (c, i) =>
-          val hit = winners.filter(col("__clause") === i)
+          val hit = winners.filter(col(clauseCol) === i)
           c.kind match {
             case "delete" =>
               delBatches += hit.select(rowId.map(n => tcol(n).as(n)): _*)
@@ -282,11 +291,12 @@ object GraftDml {
       if (notMatched.nonEmpty) {
         // insert clauses need no window (no target row to claim): first
         // applicable clause per SOURCE row, one checkpointed pass
-        val ins = srcOnly.withColumn("__clause", firstClauseIdx(notMatched))
-          .filter(col("__clause").isNotNull)
+        val insClauseCol = freshName(srcOnly, "__clause")
+        val ins = srcOnly.withColumn(insClauseCol, firstClauseIdx(notMatched))
+          .filter(col(insClauseCol).isNotNull)
           .localCheckpoint()
         notMatched.zipWithIndex.foreach { case (c, i) =>
-          imgBatches += ins.filter(col("__clause") === i)
+          imgBatches += ins.filter(col(insClauseCol) === i)
             .select(imageCols(c.sets.toMap, fromTarget = false): _*)
         }
       }

@@ -483,7 +483,21 @@ object CommitLog {
         // and re-derives against the evolved schema. A novel commit that
         // kept the schema unchanged conflicts only by partition overlap,
         // exactly as before.
+        // The base commit MUST still be in the active log: if it is gone
+        // (e.g. a concurrent rollback removed it), this writer's images were
+        // derived from a snapshot that no longer exists — and degrading to
+        // partition-overlap-only checking (baseDdl = None makes
+        // schemaChangedBy vacuously false) would silently re-open the
+        // concurrent-schema-change lost-column race this guard closes.
+        // Abort retryably instead.
         val baseDdl = existing.find(_.commitTime == b).map(_.schemaDdl)
+        if (baseDdl.isEmpty) {
+          clearInflight(spark, tablePath, info.commitTime)
+          throw GraftException.conflict(
+            s"Commit ${info.commitTime} (${info.operation}) was derived from base instant $b, " +
+              "which is no longer in the active commit log (rolled back or archived since this " +
+              "writer read its snapshot). Retryable: re-read the table state and re-apply the write.")
+        }
         def schemaChangedBy(c: CommitInfo) = baseDdl.exists(_ != c.schemaDdl)
         val clash = existing.filter(novel).filter { c =>
           info.operation == "bootstrap" || c.operation == "bootstrap" ||
