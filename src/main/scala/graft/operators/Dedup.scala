@@ -225,6 +225,70 @@ object Dedup {
     batch.join(broadcast(present), md5(col(textCol)) === col("__fp"), "left_anti")
   }
 
+  // ------------------------------------------- substring-level spans (x54)
+
+  /** EXACT substring-level dedup: the maximal token spans of each document
+    * that appear verbatim (as a ≥k-token run) in at least one OTHER
+    * document — the operator that strips memorized boilerplate and license
+    * blocks from a training corpus (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", builds the same span set
+    * with an in-memory suffix array; a 100 TB corpus does not fit one, so
+    * this is the distributed reformulation as a sorted k-gram fingerprint
+    * posting join).
+    *
+    * Shape, all narrow rows end to end:
+    *  1. every token position emits its k-gram's 60-bit fingerprint —
+    *     `(doc, p, fp)`, O(total tokens) rows of three scalars; the k
+    *     tokens themselves never leave the scan ([[Portable.hash60]] of
+    *     the gram inside the projection).
+    *  2. a fingerprint is cross-doc duplicated iff it occurs in ≥2 distinct
+    *     docs — tested as `min(doc) != max(doc)`, which (unlike
+    *     count(distinct)) partial-aggregates map-side, so the shuffle
+    *     carries one row per distinct fingerprint per partition.
+    *  3. duplicated positions come back via a semi join on the fingerprint,
+    *  4. and runs of duplicated positions merge into MAXIMAL spans with a
+    *     gaps-and-islands window per doc: a new span starts when the gap to
+    *     the previous duplicated position exceeds k (two k-gram hits ≤ k
+    *     apart overlap or touch as token ranges).
+    *
+    * Within-doc repetition alone does NOT flag (that is repetition
+    * statistics, [[graft.operators.Curation]]); docs shorter than k tokens
+    * cannot contain a k-token span and are skipped. Positions are 1-based;
+    * a span row is (doc_id, span_start, span_len) covering tokens
+    * span_start .. span_start+span_len-1. 60-bit fingerprint collisions can
+    * in principle flag a false span — the standard fingerprinting
+    * trade-off; verification against the token text would add one more
+    * candidate-only join if exactness mattered more than a dropped span.
+    */
+  def crossDocSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"span length threshold k ($k) must be at least 2")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+    val pos = toks
+      .select(col("doc_id"),
+        posexplode(graft.functions.NativeExpressions.word_ngrams(col("w"), k)))
+      .select(col("doc_id"), (col("pos") + lit(1L)).as("p"),
+        Portable.hash60(col("col")).as("fp"))
+    val dupFp = pos.groupBy("fp")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select("fp")
+    val dpos = pos.join(dupFp, Seq("fp"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    dpos
+      .withColumn("prev", lag("p", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") - col("prev") > k, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("p").as("span_start"),
+        (max(col("p")) - min(col("p")) + k).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   val SimhashBits = 60

@@ -169,6 +169,30 @@ object ExtQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Exact substring-level dedup ([[Dedup.crossDocSpans]], the Lee et al.
+    * deduplicate-text-datasets operator as a distributed k-gram fingerprint
+    * posting join): the maximal ≥8-token spans of each doc that appear
+    * verbatim in another doc. The fixture's natural whole-doc duplicates
+    * flag as full-length spans; planted "remix" docs (every 9th doc's
+    * tokens 11–30 embedded between doc-unique filler runs) prove
+    * SUB-document spans are found in both the remix AND the source doc.
+    * The oracle recomputes positions, duplicated fingerprints, and the
+    * island merge exhaustively.
+    */
+  private val x54: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val w = split(col("text"), "\\s+")
+    def filler(tag: String) = concat_ws(" ",
+      transform(sequence(lit(1), lit(10)),
+        i => concat(lit("rx"), col("doc_id"), lit(tag), i)))
+    val remix = docs.filter(col("doc_id") % 9 === 0 && size(w) >= 30)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat_ws(" ", filler("a"), concat_ws(" ", slice(w, 11, 20)), filler("b"))
+          .as("text"))
+    Dedup.crossDocSpans(docs.unionByName(remix), "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -805,6 +829,7 @@ object ExtQueries {
     "x51_overlap_matrix" -> x51,
     "x52_token_budget" -> x52,
     "x53_dedup_index" -> x53,
+    "x54_span_dedup" -> x54,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1573,5 +1598,35 @@ object ExtQueries {
          |UNION ALL
          |SELECT doc_id, source, 2::BIGINT AS batch FROM s2
          |ORDER BY doc_id""".stripMargin,
+    "x54_span_dedup" ->
+      // exhaustive recompute: every token position's 8-gram fingerprint,
+      // cross-doc duplicated fingerprints (min(doc) <> max(doc)), and the
+      // same gap->8 island merge into maximal spans
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    array_to_string([concat('rx', doc_id, 'a', i) for i in generate_series(1, 10)], ' ')
+        |      || ' ' || array_to_string(string_split_regex(text, '\s+')[11:30], ' ')
+        |      || ' ' || array_to_string([concat('rx', doc_id, 'b', i) for i in generate_series(1, 10)], ' ')
+        |  FROM documents
+        |  WHERE doc_id % 9 = 0 AND len(string_split_regex(text, '\s+')) >= 30),
+        |t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM all_docs),
+        |pos AS (
+        |  SELECT doc_id, e.p AS p, e.fp AS fp FROM (
+        |    SELECT doc_id, unnest([struct_pack(p := i::BIGINT,
+        |        fp := ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT)
+        |      for i in generate_series(1, len(w) - 7)]) AS e
+        |    FROM t WHERE len(w) >= 8)),
+        |dup AS (SELECT fp FROM pos GROUP BY fp HAVING min(doc_id) <> max(doc_id)),
+        |dpos AS (SELECT doc_id, p FROM pos JOIN dup USING (fp)),
+        |isl AS (
+        |  SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM dpos))
+        |SELECT doc_id, min(p) AS span_start, max(p) - min(p) + 8 AS span_len
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
   )
 }

@@ -618,4 +618,41 @@ class OperatorsSpec extends SparkTestBase {
     val dedup = df.select(Dedup.shingles(col("w"), 2)).head().getSeq[String](0)
     assert(dedup === Seq("a b", "b a"))
   }
+
+  test("cross-doc span dedup: 60-token shared span localized in both docs, " +
+      "within-doc repeats and short docs don't flag") {
+    val span = (1 to 60).map(i => s"s$i").mkString(" ")
+    val docA = ((1 to 20).map(i => s"a$i") :+ span) ++ (21 to 30).map(i => s"a$i")
+    val docB = ((1 to 5).map(i => s"b$i") :+ span) ++ (6 to 45).map(i => s"b$i")
+    // the repeated 8-gram lives ONLY inside doc C (twice) — must not flag
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docC = Seq((1 to 10).map(i => s"c$i").mkString(" "), rep,
+      (11 to 20).map(i => s"c$i").mkString(" "), rep,
+      (21 to 30).map(i => s"c$i").mkString(" "))
+    val d = Seq(
+      (1L, docA.mkString(" ")),
+      (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" ")),
+      (4L, "too short to hold any span")).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc A: span occupies token positions 21..80; doc B: positions 6..65 —
+    // each must surface as ONE maximal island of exactly the shared tokens
+    assert(spans === Set((1L, 21L, 60L), (2L, 6L, 60L)))
+  }
+
+  test("cross-doc span dedup: spans further than k apart stay separate islands") {
+    val shared1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val shared2 = (1 to 12).map(i => s"y$i").mkString(" ")
+    // doc 1 carries both shared runs separated by 20 unique tokens
+    val doc1 = Seq(shared1, (1 to 20).map(i => s"g$i").mkString(" "), shared2).mkString(" ")
+    val doc2 = Seq((1 to 9).map(i => s"h$i").mkString(" "), shared1).mkString(" ")
+    val doc3 = Seq(shared2, (1 to 9).map(i => s"j$i").mkString(" ")).mkString(" ")
+    val d = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set(
+      (1L, 1L, 10L), (1L, 31L, 12L), // two distinct islands in doc 1
+      (2L, 10L, 10L), (3L, 1L, 12L)))
+  }
 }
