@@ -257,8 +257,17 @@ class GraftSessionCatalog
     val t = super.loadTable(ident)
     graftParams(t) match {
       case Some(params) =>
-        new GraftTable(GraftDataSource.readOptions(params), params,
-          Option(t.schema()).filter(_.nonEmpty))
+        val provided = Option(t.schema()).filter(_.nonEmpty)
+        org.apache.spark.sql.graftbridge.CatalogBridge.v1TableOf(t) match {
+          // carry the metastore entry so the streaming paths
+          // (writeStream.toTable / readStream.table) can take the V1
+          // fallback onto the path-addressed sink/source
+          case Some(ct) =>
+            new GraftCatalogBackedTable(
+              GraftDataSource.readOptions(params), params, provided, ct)
+          case None =>
+            new GraftTable(GraftDataSource.readOptions(params), params, provided)
+        }
       case _ => t
     }
   }

@@ -401,6 +401,27 @@ private[sources] class GraftTable(
     new GraftWriteBuilder(params ++ info.options.asScala)
 }
 
+/** A session-catalog graft table ([[GraftSessionCatalog.loadTable]]'s wrap):
+  * the same DSv2 face as [[GraftTable]] for everything batch, PLUS the V1
+  * streaming fallback carrying the metastore entry — which is what lets
+  * `writeStream.toTable("t")` and `spark.readStream.table("t")` resolve the
+  * identifier to its LOCATION and route into the engine's existing
+  * path-addressed stream sink/source (micro-batch = one commit, unchanged).
+  * Spark consults the fallback only on the streaming paths; claiming
+  * STREAMING_WRITE instead would demand the distributed row-level V2
+  * StreamingWrite protocol, which cannot express a driver-coordinated
+  * whole-batch engine commit.
+  */
+private[sources] class GraftCatalogBackedTable(
+    opts: GraftDataSource.ReadOptions,
+    params: Map[String, String],
+    provided: Option[StructType],
+    ct: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+    extends GraftTable(opts, params, provided)
+    with org.apache.spark.sql.graftbridge.V1FallbackTable {
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = ct
+}
+
 /** Read-only metadata relation (`graft.`/path`.history` / `.files` /
   * `.savepoints`): the frame is a bounded, driver-built metadata listing
   * (commit log rows, file stats), served through the same [[GraftV1Scan]]

@@ -4,6 +4,30 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
+/** Public face of the `private[sql]` V1-streaming-fallback hook
+  * (`V2TableWithV1Fallback`, the Delta pattern — DeltaTableV2 implements it
+  * from inside the sql package namespace for the same reason): a DSv2 table
+  * that implements it routes `writeStream.toTable` and `readStream.table`
+  * onto its V1 provider (our path-addressed stream sink/source) via the
+  * table's metastore entry, instead of Spark refusing with a
+  * missing-STREAMING_WRITE capability error. Only the streaming resolution
+  * paths consult it — batch stays DSv2.
+  */
+trait V1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
+/** Extractor for the metastore entry backing a catalog-resolved table —
+  * `V1Table` is `private[sql]` too.
+  */
+object CatalogBridge {
+  def v1TableOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = t match {
+    case v1: org.apache.spark.sql.connector.catalog.V1Table => Some(v1.v1Table)
+    case f: org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback => Some(f.v1Table)
+    case _ => None
+  }
+}
+
 /** Spark 4 made the Expression↔Column conversions package-private
   * (`org.apache.spark.sql.classic.ExpressionUtils`); this bridge lives in
   * the sql package namespace to re-export the two functions custom
