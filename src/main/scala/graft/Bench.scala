@@ -22,6 +22,15 @@ object Bench {
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // system load BEFORE any Spark work: stamps the box's ambient contention
+    // into the artifact (r7 localized a 15× driver-box task-time inflation
+    // to environment, not code — this makes that context explicit per run)
+    def sysLoad: Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    val loadBefore = sysLoad
     val spark = Sessions.local()
     // headline subset only (SparkEntry.benchQueries): the full query
     // surface belongs to Verify; timing it all twice blew the round-2
@@ -155,7 +164,7 @@ object Bench {
     // per-query seconds map always survives the capture (round 6 lost all
     // primary timings to a single overgrown line — never again). The full
     // JSON also lands in target/bench.json for offline pickup.
-    val diagLine = s"""{"metric":"diagnostics","gc_ms":$gcJson,"hygiene_sec":$hygJson,"exec_run_ms":$execJson,"shuffle_mb":$shufJson}"""
+    val diagLine = s"""{"metric":"diagnostics","sys_load_before":$loadBefore,"sys_load_after":$sysLoad,"ncpu":${Runtime.getRuntime.availableProcessors},"gc_ms":$gcJson,"hygiene_sec":$hygJson,"exec_run_ms":$execJson,"shuffle_mb":$shufJson}"""
     val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(diagLine)
     try {

@@ -193,6 +193,32 @@ object ExtQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Real learned-BPE tokenizer ([[graft.operators.Bpe]]): train 12 greedy
+    * merges on the corpus vocabulary, then count per-doc tokens under the
+    * learned segmentation. ONE result pins BOTH surfaces: kind='merge'
+    * rows carry the rank-ordered merge table, kind='doc' rows the real
+    * token counts — the oracle re-runs the whole training (12 chained
+    * materialized rounds mirroring the greedy fold) and the counting in
+    * DuckDB, cell-for-cell.
+    */
+  private val x55: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", graft.operators.Bpe.charSyms(col("word")))
+    val (merges, vFinal) = graft.operators.Bpe.train(vocab, k = 12)
+    import s.implicits._
+    val mergeRows = merges
+      .map(m => ("merge", m.rank.toLong, m.left, m.right, Option.empty[Long]))
+      .toDF("kind", "id", "lft", "rgt", "n")
+    val docRows = graft.operators.Bpe.tokenCounts(words, vFinal)
+      .select(lit("doc").as("kind"), col("doc_id").as("id"),
+        lit(null).cast(StringType).as("lft"), lit(null).cast(StringType).as("rgt"),
+        col("n"))
+    mergeRows.unionByName(docRows).orderBy("kind", "id")
+  }
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -830,6 +856,7 @@ object ExtQueries {
     "x52_token_budget" -> x52,
     "x53_dedup_index" -> x53,
     "x54_span_dedup" -> x54,
+    "x55_bpe_tokenizer" -> x55,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1628,5 +1655,47 @@ object ExtQueries {
         |SELECT doc_id, min(p) AS span_start, max(p) - min(p) + 8 AS span_len
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    "x55_bpe_tokenizer" -> bpeOracleSql(12),
   )
+
+  /** The x55 oracle, generated per merge round: each round k is one
+    * MATERIALIZED pair-count argmax (count DESC, l, r — the engine's exact
+    * tie-break) plus one MATERIALIZED application of the winning merge via
+    * the same greedy left-to-right fold (`list_reduce` over a '|'-delimited
+    * accumulator — safe because only ^[a-z]+$ words train). MATERIALIZED
+    * matters: each round references the previous one twice, and inlined
+    * CTEs would expand exponentially.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""b$i AS MATERIALIZED (SELECT l, r FROM (
+         |  SELECT e.l AS l, e.r AS r, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest([struct_pack(l := syms[j], r := syms[j+1])
+         |      for j in generate_series(1, len(syms)-1)]) AS e FROM $prev WHERE len(syms) > 1)
+         |  GROUP BY 1, 2) ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, freq,
+         |  string_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN regexp_extract(acc, '[^|]*$$') = b$i.l AND x = b$i.r
+         |    THEN left(acc, len(acc) - len(b$i.l)) || b$i.l || b$i.r
+         |    ELSE acc || '|' || x END), '|') AS syms
+         |  FROM $prev CROSS JOIN b$i)""".stripMargin
+    }
+    val rounds = (1 to k).map(round).mkString(",\n")
+    val mergeRows = (1 to k).map(i =>
+      s"SELECT 'merge' AS kind, $i::BIGINT AS id, l AS lft, r AS rgt, NULL::BIGINT AS n FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
+       |wf AS MATERIALIZED (SELECT doc_id, word FROM w WHERE regexp_matches(word, '^[a-z]+$$')),
+       |v0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq,
+       |        [substr(word, j, 1) for j in generate_series(1, len(word))] AS syms
+       |      FROM wf GROUP BY word),
+       |$rounds,
+       |counts AS (SELECT doc_id, sum(len(syms))::BIGINT AS n FROM wf JOIN v$k USING (word) GROUP BY doc_id)
+       |SELECT * FROM (
+       |$mergeRows
+       |UNION ALL
+       |SELECT 'doc' AS kind, doc_id AS id, NULL AS lft, NULL AS rgt, n FROM counts)
+       |ORDER BY kind, id""".stripMargin
+  }
 }

@@ -87,14 +87,11 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
         KeyedTable.savepoints(spark, path).toDF("instant")
       case "locks" =>
         // writer-lease observability: who holds the table, until when —
-        // zero rows when no lease file exists (lock never taken / cleaned)
+        // zero rows when no lease file exists (lock never taken / cleaned).
+        // Same rows as the show_lock procedure (GraftCatalog.lockRows — ONE
+        // code path, so the two surfaces cannot drift)
         import spark.implicits._
-        val now = System.currentTimeMillis()
-        graft.table.TableLock.current(spark, path).toSeq
-          .map(l => (l.owner, l.token,
-            graft.table.CommitLog.instantOfMillis(l.acquiredAt),
-            graft.table.CommitLog.instantOfMillis(l.expiresAt),
-            if (l.expiresAt > now) "held" else "expired"))
+        GraftCatalog.lockRows(spark, path)
           .toDF("owner", "token", "acquired_at", "expires_at", "state")
       case _ => return None
     }
@@ -150,16 +147,16 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
     * This is what `MERGE ... WITH SCHEMA EVOLUTION` calls — the analyzer's
     * ResolveMergeIntoSchemaEvolution computes the column adds from the
     * merge source's schema and applies them here before binding the
-    * statement. Every other change kind (drops, renames, type changes,
-    * nested adds) is refused loudly: the engine's evolution contract is
-    * add-only, matching its on-write rule.
+    * statement. DROP COLUMN / RENAME COLUMN apply as metadata-only
+    * read-time masks/aliases (T39 — files untouched); type changes and
+    * nested changes are refused loudly (they would rewrite data).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
     val spark = SparkSession.active
     if (!graft.table.CommitLog.exists(spark, path))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    KeyedTable.addColumns(spark, path, GraftCatalog.addColumnChanges(changes))
+    GraftCatalog.applySchemaChanges(spark, path, changes)
     loadTable(ident)
   }
 
@@ -194,12 +191,32 @@ object GraftCatalog {
           s"(yyyyMMddHHmmssSSS, as reported by the timeline), got '$version'. " +
           "For wall-clock time travel use TIMESTAMP AS OF.")
 
-  /** The one ALTER TABLE validation for graft tables, shared by the path
-    * catalog and the session-catalog extension: top-level nullable ADD
-    * COLUMN only (the engine's add-only evolution contract, T21).
+  /** The ONE source of writer-lease observability rows, shared by the
+    * `.locks` meta relation (typed columns) and the `show_lock` procedure
+    * (string projection): (owner, token, acquired_at, expires_at, state).
+    * Empty when no lease file exists.
     */
-  private[sources] def addColumnChanges(changes: Seq[TableChange]): Seq[StructField] =
-    changes.map {
+  private[sources] def lockRows(
+      spark: SparkSession, path: String): Seq[(String, Long, String, String, String)] = {
+    val now = System.currentTimeMillis()
+    graft.table.TableLock.current(spark, path).toSeq.map(l => (l.owner, l.token,
+      graft.table.CommitLog.instantOfMillis(l.acquiredAt),
+      graft.table.CommitLog.instantOfMillis(l.expiresAt),
+      if (l.expiresAt > now) "held" else "expired"))
+  }
+
+  /** The one ALTER TABLE dispatch for graft tables, shared by the path
+    * catalog and the session-catalog extension: top-level nullable ADD
+    * COLUMN (T21/T37), plus metadata-only DROP COLUMN / RENAME COLUMN
+    * (T39 — read-time mask/alias, files untouched). Type changes, position
+    * moves, and nested changes stay refused.
+    */
+  private[sources] def applySchemaChanges(
+      spark: SparkSession, path: String, changes: Seq[TableChange]): Unit = {
+    val adds = Seq.newBuilder[StructField]
+    val drops = Seq.newBuilder[String]
+    val renames = Seq.newBuilder[(String, String)]
+    changes.foreach {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         if (!a.isNullable)
           throw GraftException.config(
@@ -209,14 +226,23 @@ object GraftCatalog {
           throw GraftException.config(
             s"ALTER TABLE ADD COLUMN ${a.fieldNames.head}: column positions are fixed " +
               "(new columns append after the existing data columns).")
-        StructField(a.fieldNames.head, a.dataType, nullable = true,
+        adds += StructField(a.fieldNames.head, a.dataType, nullable = true,
           metadata = Option(a.comment).map(c =>
             new MetadataBuilder().putString("comment", c).build())
             .getOrElse(Metadata.empty))
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        drops += d.fieldNames.head
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        renames += (r.fieldNames.head -> r.newName())
       case other => throw GraftException.config(
-        s"ALTER TABLE on a graft table supports top-level ADD COLUMN only " +
-          s"(add-only schema evolution); got: $other.")
+        s"ALTER TABLE on a graft table supports top-level ADD / DROP / RENAME COLUMN " +
+          s"only (type changes rewrite data, which the engine refuses); got: $other.")
     }
+    val a = adds.result(); val d = drops.result(); val r = renames.result()
+    if (a.nonEmpty) KeyedTable.addColumns(spark, path, a)
+    if (d.nonEmpty) KeyedTable.dropColumns(spark, path, d)
+    r.foreach { case (from, to) => KeyedTable.renameColumn(spark, path, from, to) }
+  }
 }
 
 /** Session-catalog override — the Delta pattern: registered as
@@ -291,11 +317,11 @@ class GraftSessionCatalog
     * reads serve the provider's commit-log schema. This is the call Spark's
     * ResolveMergeIntoSchemaEvolution makes for
     * `MERGE ... WITH SCHEMA EVOLUTION`, and the path `ALTER TABLE ... ADD
-    * COLUMNS` takes. Only SCHEMA changes are routed through the engine's
-    * add-only contract: drops/renames/type changes are refused (they would
-    * desync the metastore from the commit-log schema readers actually see),
-    * while metastore-only changes (table properties, column comments) pass
-    * straight through to the delegate.
+    * COLUMNS` takes, as do `ALTER TABLE DROP/RENAME COLUMN` (T39 —
+    * metadata-only read-time mask/alias in the engine, then mirrored to the
+    * metastore so both serve the same logical view). Type changes remain
+    * refused (they would rewrite data); metastore-only changes (table
+    * properties, column comments) pass straight through to the delegate.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val existing =
@@ -310,8 +336,7 @@ class GraftSessionCatalog
         case _ => false // properties / comments: metastore-only, delegate
       }
       if (schemaChanges.nonEmpty)
-        KeyedTable.addColumns(SparkSession.active, params("path"),
-          GraftCatalog.addColumnChanges(schemaChanges))
+        GraftCatalog.applySchemaChanges(SparkSession.active, params("path"), schemaChanges)
     }
     super.alterTable(ident, changes: _*)
     loadTable(ident)
@@ -487,16 +512,13 @@ private[sources] object GraftProcedures {
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +
         "or 'no lock held'") { (s, a) =>
-      graft.table.TableLock.current(s, a(0).toString) match {
-        case Some(l) =>
-          val now = System.currentTimeMillis()
-          Seq(
-            s"owner: ${l.owner}",
-            s"token: ${l.token}",
-            s"acquired_at: ${graft.table.CommitLog.instantOfMillis(l.acquiredAt)}",
-            s"expires_at: ${graft.table.CommitLog.instantOfMillis(l.expiresAt)}",
-            s"state: ${if (l.expiresAt > now) "held" else "expired"}")
-        case None => Seq("no lock held")
+      // a string projection of the SAME rows the `.locks` meta relation
+      // serves (GraftCatalog.lockRows) — one code path, no drift
+      GraftCatalog.lockRows(s, a(0).toString) match {
+        case Seq((owner, token, acquiredAt, expiresAt, state)) =>
+          Seq(s"owner: $owner", s"token: $token", s"acquired_at: $acquiredAt",
+            s"expires_at: $expiresAt", s"state: $state")
+        case _ => Seq("no lock held")
       }
     },
   ).map(p => p.name() -> p).toMap

@@ -181,7 +181,10 @@ object GraftDml {
       val st = CommitLog.requireState(spark, path)
       val keyF = st.latest.keyFields
       val partF = st.latest.partitionFields
-      val schema = StructType.fromDDL(st.latest.schemaDdl)
+      // the statement resolved against the table's LOGICAL view (the scan
+      // hides drops and serves renames); images go back through mergeRows,
+      // which translates to the physical layout
+      val schema = graft.table.KeyedTable.logicalSchemaOf(st)
       val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
       val dataCols = dataSchema.fieldNames.toSeq
       // a key/partition assignment is a row MOVE, not a patch — the same

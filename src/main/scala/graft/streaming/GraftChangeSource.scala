@@ -214,6 +214,6 @@ object GraftChangeSource {
   /** Data + meta columns of the table, plus `_change_op`. */
   def changeSchema(spark: SparkSession, tablePath: String): StructType = {
     val st = CommitLog.requireState(spark, tablePath)
-    StructType.fromDDL(st.latest.schemaDdl).add(KeyedTable.ChangeOp, StringType)
+    KeyedTable.logicalSchemaOf(st).add(KeyedTable.ChangeOp, StringType)
   }
 }

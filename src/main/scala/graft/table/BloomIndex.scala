@@ -246,16 +246,20 @@ object BloomIndex {
       spark: SparkSession, tablePath: String, column: String, values: Seq[String]): DataFrame = {
     require(values.nonEmpty, "readByValues needs at least one value")
     val st = CommitLog.requireState(spark, tablePath)
-    val pred = col(column).cast("string").isin(values: _*)
+    // `column` is the user-facing LOGICAL name; blooms and files are physical
+    val physCol = KeyedTable.physicalNameOf(st.columnMapping, column)
     if (Deltas.committedLive(spark, tablePath, st).nonEmpty || st.metadataOnlyPartitions.nonEmpty)
-      return KeyedTable.read(spark, tablePath).filter(pred)
+      return KeyedTable.read(spark, tablePath)
+        .filter(col(column).cast("string").isin(values: _*))
     val schema = StructType.fromDDL(st.latest.schemaDdl)
-    val pr = candidateFiles(spark, tablePath, values, column)
-    if (pr.kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).option("basePath", tablePath)
-      .parquet(pr.kept: _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-      .filter(pred)
+    val pr = candidateFiles(spark, tablePath, values, physCol)
+    KeyedTable.toLogical(
+      if (pr.kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).option("basePath", tablePath)
+        .parquet(pr.kept: _*)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .filter(col(physCol).cast("string").isin(values: _*)),
+      st.columnMapping)
   }
 }

@@ -29,6 +29,33 @@ object CommitLog {
 
   final case class PartitionEntry(path: String, mode: String, recordCount: Long)
 
+  /** Metadata-only DROP/RENAME column state (T39). `schemaDdl` always
+    * describes the PHYSICAL layout (what parquet files carry); this mapping
+    * is the read/write-time view over it: `aliases` maps physical name →
+    * LOGICAL (user-facing) name for renamed columns, `dropped` lists
+    * physical names hidden from every read. Files are never rewritten — a
+    * drop or rename is one `alter_schema` commit stamping the new full
+    * mapping, O(1) data work at any table size. A re-added column (same
+    * logical name, possibly a new type, after a drop) gets a FRESH physical
+    * name via an alias, so old files' data can never bleed into it.
+    */
+  final case class ColumnMapping(aliases: Map[String, String], dropped: Seq[String]) {
+    def isEmpty: Boolean = aliases.isEmpty && dropped.isEmpty
+    /** logical → physical (the write-side direction). */
+    def logicalToPhysical: Map[String, String] = aliases.map(_.swap)
+    /** Physical names hidden from the logical namespace (dropped, or
+      * renamed away from their physical name).
+      */
+    def hidden(physical: String): Boolean =
+      dropped.contains(physical) || aliases.get(physical).exists(_ != physical)
+    /** The logical name a physical column serves under (None if dropped). */
+    def logicalOf(physical: String): Option[String] =
+      if (dropped.contains(physical)) None else Some(aliases.getOrElse(physical, physical))
+  }
+  object ColumnMapping {
+    val empty: ColumnMapping = ColumnMapping(Map.empty, Seq.empty)
+  }
+
   final case class CommitInfo(
       commitTime: String,
       // bootstrap | resume | bulk_insert | insert | upsert | upsert_global |
@@ -50,7 +77,13 @@ object CommitLog {
       // skips any batch id it already finds here (GraftStreamSink). None
       // for every non-streaming commit.
       streamSink: Option[String] = None,
-      streamBatchId: Option[Long] = None)
+      streamBatchId: Option[Long] = None,
+      // The full column drop/rename mapping AS OF this commit (see
+      // [[ColumnMapping]]). Stamped by every alter_schema commit; None on
+      // other commits means "inherit" — state folds from the newest commit
+      // carrying it, stopping at a bootstrap/resume (an overwrite resets
+      // the mapping with the layout).
+      columnMapping: Option[ColumnMapping] = None)
 
   /** Live table state: the fold of all commits in commit-time order.
     * `partitionModes` maps partition path ("" for unpartitioned) → "native"
@@ -68,6 +101,18 @@ object CommitLog {
     def deltaOnlyPartitions: Seq[String] =
       partitionModes.collect { case (p, "delta") => p }.toSeq.sorted
     def sourcePath: Option[String] = commits.reverseIterator.flatMap(_.sourcePath).nextOption()
+    /** Current drop/rename view (newest stamped mapping; a bootstrap/resume
+      * without one resets to empty — an overwrite redefines the layout).
+      */
+    def columnMapping: ColumnMapping = {
+      val it = commits.reverseIterator
+      while (it.hasNext) {
+        val c = it.next()
+        if (c.columnMapping.isDefined) return c.columnMapping.get
+        if (c.operation == "bootstrap" || c.operation == "resume") return ColumnMapping.empty
+      }
+      ColumnMapping.empty
+    }
   }
 
   private[table] val mapper = new ObjectMapper()
@@ -499,8 +544,13 @@ object CommitLog {
               "writer read its snapshot). Retryable: re-read the table state and re-apply the write.")
         }
         def schemaChangedBy(c: CommitInfo) = baseDdl.exists(_ != c.schemaDdl)
+        // alter_schema commits conflict with EVERYONE in both directions
+        // even when the physical ddl is unchanged (a metadata-only
+        // drop/rename leaves schemaDdl identical but changes the logical
+        // namespace every concurrent statement resolved against)
         val clash = existing.filter(novel).filter { c =>
           info.operation == "bootstrap" || c.operation == "bootstrap" ||
+            info.operation == "alter_schema" || c.operation == "alter_schema" ||
             schemaChangedBy(c) ||
             c.partitions.exists(p => mine.contains(p.path))
         }
@@ -541,6 +591,12 @@ object CommitLog {
     info.sourcePath.foreach(root.put("sourcePath", _))
     info.streamSink.foreach(root.put("streamSink", _))
     info.streamBatchId.foreach(root.put("streamBatchId", _))
+    info.columnMapping.foreach { m =>
+      val mn = root.putObject("columnMapping")
+      val al = mn.putObject("aliases")
+      m.aliases.toSeq.sortBy(_._1).foreach { case (p, l) => al.put(p, l) }
+      putStrings(mn, "dropped", m.dropped)
+    }
     // fencing: if our lease was stolen (this writer stalled past the TTL),
     // a later writer may have validated against a log that will not include
     // us and committed — abort rather than publish on a stale validation;
@@ -624,7 +680,13 @@ object CommitLog {
     schemaDdl = n.get("schemaDdl").asText(),
     sourcePath = Option(n.get("sourcePath")).map(_.asText()),
     streamSink = Option(n.get("streamSink")).map(_.asText()),
-    streamBatchId = Option(n.get("streamBatchId")).map(_.asLong()))
+    streamBatchId = Option(n.get("streamBatchId")).map(_.asLong()),
+    columnMapping = Option(n.get("columnMapping")).map { mn =>
+      ColumnMapping(
+        Option(mn.get("aliases")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+        Option(mn.get("dropped")).map(strings).getOrElse(Seq.empty))
+    })
 
   private def strings(n: JsonNode): Seq[String] =
     n.asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.StructType
 import graft.io.{PartitionDiscovery, SourceSniffer}
 import graft.model._
 import graft.ops.{Upsert, Validate}
-import graft.table.CommitLog.{CommitInfo, PartitionEntry, TableState}
+import graft.table.CommitLog.{ColumnMapping, CommitInfo, PartitionEntry, TableState}
 
 /** The native Hudi-shaped table (SURVEY §7.1): partitioned Parquet + JSON
   * commit log + meta-columns, implemented entirely with declarative Spark
@@ -337,8 +337,70 @@ object KeyedTable {
     * read time ([[Deltas.merge]]); every other partition streams straight
     * from base parquet with no shuffle.
     */
-  def read(spark: SparkSession, tablePath: String): DataFrame =
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val st = CommitLog.requireState(spark, tablePath)
+    toLogical(snapshot(spark, tablePath, st, restrictTo = None), st.columnMapping)
+  }
+
+  /** Physical snapshot (no drop/rename view applied) — internal machinery
+    * (global index scans, compaction, sync staging) works on the physical
+    * layout.
+    */
+  private def readPhysical(spark: SparkSession, tablePath: String): DataFrame =
     snapshot(spark, tablePath, CommitLog.requireState(spark, tablePath), restrictTo = None)
+
+  // ---------------------------------------- metadata-only drop/rename (T39)
+
+  /** LOGICAL view of a physical frame: hide dropped physical columns,
+    * rename aliased ones. Identity when no mapping is active.
+    */
+  private[table] def toLogical(df: DataFrame, m: ColumnMapping): DataFrame = {
+    if (m.isEmpty) return df
+    val dropped = df.columns.filter(m.dropped.contains).toIndexedSeq
+    val renames = m.aliases.filter { case (p, l) => p != l && df.columns.contains(p) }
+    renames.foldLeft(df.drop(dropped: _*)) {
+      case (d, (p, l)) => d.withColumnRenamed(p, l)
+    }
+  }
+
+  /** The logical schema a mapping serves over a physical one. */
+  private[graft] def logicalSchema(physical: StructType, m: ColumnMapping): StructType =
+    if (m.isEmpty) physical
+    else StructType(physical.filterNot(f => m.dropped.contains(f.name))
+      .map(f => m.aliases.get(f.name).filter(_ != f.name)
+        .map(l => f.copy(name = l)).getOrElse(f)).toArray)
+
+  /** The logical schema of a table state (data + meta columns). */
+  private[graft] def logicalSchemaOf(st: TableState): StructType =
+    logicalSchema(StructType.fromDDL(st.latest.schemaDdl), st.columnMapping)
+
+  /** Write-side translation: a batch arrives with LOGICAL column names;
+    * rename aliased ones back to their physical home. A batch column that
+    * names a HIDDEN physical column (dropped, or renamed away) without
+    * being a current logical name is refused loudly — silently writing into
+    * a hidden column would resurrect dropped data; re-introduce the name
+    * with `ALTER TABLE ADD COLUMNS` (which allocates a fresh physical
+    * column) first.
+    */
+  private def toPhysical(m: ColumnMapping, batch: DataFrame): DataFrame = {
+    if (m.isEmpty) return batch
+    val l2p = m.logicalToPhysical
+    val bad = batch.columns.filter(c => m.hidden(c) && !l2p.contains(c))
+    if (bad.nonEmpty)
+      throw GraftException.config(
+        s"write references column(s) hidden by a metadata-only drop/rename: " +
+          s"${bad.mkString(", ")}. Use the current logical names; to re-introduce a " +
+          "dropped name, ALTER TABLE ADD COLUMNS first (it allocates a fresh physical column).")
+    l2p.filter { case (l, p) => l != p && batch.columns.contains(l) }
+      .foldLeft(batch) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+  }
+
+  /** Resolve a user-facing (logical) column name to its physical home. */
+  private[table] def physicalNameOf(m: ColumnMapping, logical: String): String =
+    m.logicalToPhysical.getOrElse(logical,
+      if (m.hidden(logical))
+        throw GraftException.config(s"Unknown column '$logical' (dropped or renamed).")
+      else logical)
 
   /** Hudi read-optimized query mode: base files only, live MOR delta
     * batches NOT merged — the state as of the last compaction. Trades
@@ -346,9 +408,11 @@ object KeyedTable {
     * is the standard analytics/ETL read against a streaming-ingest MOR
     * table; on a COW table (or a compacted MOR) it equals [[read]].
     */
-  def readOptimized(spark: SparkSession, tablePath: String): DataFrame =
-    readBase(spark, tablePath, CommitLog.requireState(spark, tablePath),
-      exclude = Set.empty, restrictTo = None)
+  def readOptimized(spark: SparkSession, tablePath: String): DataFrame = {
+    val st = CommitLog.requireState(spark, tablePath)
+    toLogical(readBase(spark, tablePath, st, exclude = Set.empty, restrictTo = None),
+      st.columnMapping)
+  }
 
   private def snapshot(
       spark: SparkSession,
@@ -427,9 +491,11 @@ object KeyedTable {
     * [[IncrementalAgg]]) use to touch O(changed) data on a huge table.
     */
   def readPartitions(
-      spark: SparkSession, tablePath: String, partitions: Seq[String]): DataFrame =
-    snapshot(spark, tablePath, CommitLog.requireState(spark, tablePath),
-      restrictTo = Some(partitions.toSet))
+      spark: SparkSession, tablePath: String, partitions: Seq[String]): DataFrame = {
+    val st = CommitLog.requireState(spark, tablePath)
+    toLogical(snapshot(spark, tablePath, st, restrictTo = Some(partitions.toSet)),
+      st.columnMapping)
+  }
 
   /** Incremental query (Hudi `hoodie.datasource.query.type=incremental`
     * analogue): rows whose commit time is strictly greater than
@@ -442,6 +508,12 @@ object KeyedTable {
     */
   def readIncremental(spark: SparkSession, tablePath: String, sinceCommitTime: String): DataFrame = {
     val st = CommitLog.requireState(spark, tablePath)
+    toLogical(readIncrementalPhysical(spark, tablePath, st, sinceCommitTime), st.columnMapping)
+  }
+
+  private def readIncrementalPhysical(
+      spark: SparkSession, tablePath: String, st: TableState,
+      sinceCommitTime: String): DataFrame = {
     val touchedSince = st.commits.filter(_.commitTime > sinceCommitTime)
       .flatMap(_.partitions.map(_.path)).distinct
     val restrict = if (st.latest.partitionFields.isEmpty) None else Some(touchedSince.toSet)
@@ -472,7 +544,7 @@ object KeyedTable {
     val cols = schema.fieldNames.map(col).toSeq
     val fs = CommitLog.fs(spark, tablePath)
 
-    val upserts = readIncremental(spark, tablePath, sinceCommitTime)
+    val upserts = readIncrementalPhysical(spark, tablePath, st, sinceCommitTime)
       .select(cols: _*).withColumn(ChangeOp, lit("upsert"))
 
     val live = Deltas.committedLive(spark, tablePath, st).toSet
@@ -545,8 +617,8 @@ object KeyedTable {
           }
         }
       }
-    deletes.foldLeft(upserts)((acc, d) =>
-      acc.unionByName(d.withColumn(ChangeOp, lit("delete"))))
+    toLogical(deletes.foldLeft(upserts)((acc, d) =>
+      acc.unionByName(d.withColumn(ChangeOp, lit("delete")))), st.columnMapping)
   }
 
   /** Hudi GLOBAL-index upsert (GLOBAL_SIMPLE shape): record keys are unique
@@ -565,8 +637,9 @@ object KeyedTable {
     val partF = st.latest.partitionFields
     val precombine = st.latest.precombineField
     if (partF.isEmpty) return upsert(spark, tablePath, updates) // global == non-global
+    val phys = toPhysical(st.columnMapping, updates)
 
-    val (evolved, padded) = evolveSchema(st, updates)
+    val (evolved, padded) = evolveSchema(st, phys)
     // global semantics: ONE winner per key table-wide (no partition scoping)
     val updDeduped = Upsert.dedupByKey(padded, keyF, precombine)
     val ct = CommitLog.newCommitTime()
@@ -642,13 +715,13 @@ object KeyedTable {
       updMeta: DataFrame): DataFrame = {
     if (Deltas.committedLive(spark, tablePath, st).nonEmpty || st.metadataOnlyPartitions.nonEmpty ||
         BloomIndex.latestIndex(spark, tablePath).isEmpty)
-      return read(spark, tablePath)
+      return readPhysical(spark, tablePath)
     val ks = updMeta.select(MetaColumns.RecordKey).distinct().limit(MaxBloomProbeKeys + 1)
       .collect().map(_.getString(0)).toSeq
-    if (ks.size > MaxBloomProbeKeys) return read(spark, tablePath)
+    if (ks.size > MaxBloomProbeKeys) return readPhysical(spark, tablePath)
     val pr = BloomIndex.candidateFiles(spark, tablePath, ks)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
-    if (pr.kept.isEmpty) read(spark, tablePath).filter(lit(false)) // folds to an empty relation
+    if (pr.kept.isEmpty) readPhysical(spark, tablePath).filter(lit(false)) // empty relation
     else spark.read.schema(schema).option("basePath", tablePath).parquet(pr.kept: _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
@@ -735,14 +808,15 @@ object KeyedTable {
     */
   def upsert(spark: SparkSession, tablePath: String, updates: DataFrame): Seq[String] = {
     val st = CommitLog.requireState(spark, tablePath)
+    val phys = toPhysical(st.columnMapping, updates)
     if (st.latest.tableType == TableType.MergeOnRead.name)
-      return deltaCommit(spark, tablePath, st, updates, delete = false)
+      return deltaCommit(spark, tablePath, st, phys, delete = false)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
     val precombine = st.latest.precombineField
     val ct = CommitLog.newCommitTime()
 
-    val (evolved, padded) = evolveSchema(st, updates)
+    val (evolved, padded) = evolveSchema(st, phys)
     val updDeduped = Upsert.dedupByKey(padded, keyF, precombine, partF)
     val updMeta = MetaColumns.withMeta(updDeduped, keyF, partF, ct)
       .select(evolved.fieldNames.map(col).toSeq: _*)
@@ -779,7 +853,10 @@ object KeyedTable {
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
     val precombine = st.latest.precombineField
-    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    // the whole patch computation runs in LOGICAL column space (batch names,
+    // validation, the base join below all use the user-facing view); the
+    // final upsert translates to the physical layout
+    val schema = logicalSchemaOf(st)
     val dataCols = schema.fieldNames.filterNot(MetaColumns.all.contains).toSeq
 
     val unknown = updates.columns.filterNot(dataCols.contains)
@@ -838,7 +915,7 @@ object KeyedTable {
       spark: SparkSession,
       tablePath: String,
       deleteKeys: DataFrame,
-      images: DataFrame): Seq[String] = {
+      logicalImages: DataFrame): Seq[String] = {
     val st = CommitLog.requireState(spark, tablePath)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
@@ -847,6 +924,9 @@ object KeyedTable {
     val dataSchema = StructType(schema.filterNot(f => MetaColumns.all.contains(f.name)))
     val rowId = (keyF ++ partF).distinct
 
+    // image columns arrive under their logical names (the DML layer binds
+    // the statement against the logical view); write to the physical homes
+    val images = toPhysical(st.columnMapping, logicalImages)
     val unknown = images.columns.filterNot(dataSchema.fieldNames.contains)
     if (unknown.nonEmpty)
       throw GraftException.config(
@@ -978,7 +1058,9 @@ object KeyedTable {
       throw GraftException.config(
         s"UPDATE cannot assign key/partition/meta column(s): ${illegal.mkString(", ")} " +
           "(a key or partition change is a row move — use upsertGlobal).")
-    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    // assignments and the row projection bind against the LOGICAL view
+    // (`rows` is a logical snapshot read); upsert translates to physical
+    val schema = logicalSchemaOf(st)
     val dataCols = schema.fieldNames.filterNot(MetaColumns.all.contains).toSeq
     val unknown = sets.keys.filterNot(dataCols.contains)
     if (unknown.nonEmpty)
@@ -1066,13 +1148,19 @@ object KeyedTable {
       newCols: Seq[org.apache.spark.sql.types.StructField]): StructType = {
     require(newCols.nonEmpty, "addColumns needs at least one column")
     val st = CommitLog.requireState(spark, tablePath)
+    val m = st.columnMapping
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val metaF = schema.filter(f => MetaColumns.all.contains(f.name))
     val dataF = schema.filterNot(f => MetaColumns.all.contains(f.name))
     val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
-    val existing = schema.fieldNames.map(norm).toSet
-    val clash = newCols.map(_.name).filter(n => existing.contains(norm(n)))
+    // collisions are judged against the LOGICAL namespace (what users see);
+    // a hidden physical name (dropped / renamed away) is free to re-use —
+    // the column then lives under a FRESH physical name via an alias, so a
+    // re-add after a drop (possibly under a new type) can never read the
+    // dropped column's old file data
+    val logicalNames = logicalSchema(schema, m).fieldNames.map(norm).toSet
+    val clash = newCols.map(_.name).filter(n => logicalNames.contains(norm(n)))
     if (clash.nonEmpty)
       throw GraftException.config(
         s"addColumns: column(s) already exist: ${clash.mkString(", ")}.")
@@ -1085,7 +1173,94 @@ object KeyedTable {
       throw GraftException.config(
         s"addColumns: new column(s) must be nullable (existing rows null-fill): " +
           s"${notNull.mkString(", ")}.")
-    val evolved = StructType((dataF ++ newCols ++ metaF).toArray)
+    val physicalTaken =
+      scala.collection.mutable.Set[String](schema.fieldNames.map(norm).toIndexedSeq: _*)
+    var aliases = m.aliases
+    val physCols = newCols.map { f =>
+      if (!physicalTaken.contains(norm(f.name))) {
+        physicalTaken += norm(f.name); f
+      } else {
+        val fresh = Iterator.from(2).map(i => s"${f.name}__$i")
+          .dropWhile(n => physicalTaken.contains(norm(n))).next()
+        physicalTaken += norm(fresh)
+        aliases = aliases + (fresh -> f.name)
+        f.copy(name = fresh)
+      }
+    }
+    val evolved = StructType((dataF ++ physCols ++ metaF).toArray)
+    val newMapping = ColumnMapping(aliases, m.dropped)
+    alterSchemaCommit(spark, tablePath, st, evolved.toDDL, newMapping)
+    evolved
+  }
+
+  /** Metadata-only column DROP (T39): hide `columns` (logical names) from
+    * every read — files are untouched (O(1) data work at any size), the
+    * physical column stays in `schemaDdl` and new rows null-fill it. Key,
+    * partition, and precombine columns cannot be dropped (they address
+    * rows); re-adding the same name later allocates a fresh physical column
+    * (see [[addColumns]]), so the dropped data can never resurface under
+    * the new name. Undo = rollback of the alter_schema commit.
+    */
+  def dropColumns(spark: SparkSession, tablePath: String, columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "dropColumns needs at least one column")
+    val st = CommitLog.requireState(spark, tablePath)
+    val m = st.columnMapping
+    val protectedCols =
+      (st.latest.keyFields ++ st.latest.partitionFields :+ st.latest.precombineField).toSet
+    val bad = columns.filter(c => protectedCols.contains(c) || MetaColumns.all.contains(c))
+    if (bad.nonEmpty)
+      throw GraftException.config(
+        s"dropColumns: cannot drop key/partition/precombine/meta column(s): ${bad.mkString(", ")}.")
+    val phys = columns.map(c => c -> physicalNameOf(m, c)).toMap
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val missing = columns.filter(c => !schema.fieldNames.contains(phys(c)))
+    if (missing.nonEmpty)
+      throw GraftException.config(s"dropColumns: unknown column(s): ${missing.mkString(", ")}.")
+    val newMapping = ColumnMapping(
+      m.aliases -- phys.values, (m.dropped ++ phys.values).distinct)
+    alterSchemaCommit(spark, tablePath, st, st.latest.schemaDdl, newMapping)
+  }
+
+  /** Metadata-only column RENAME (T39): `from` (current logical name) is
+    * served as `to` from this commit on — a read-time alias over the
+    * unchanged physical column, O(1) data work. Time travel before this
+    * commit serves the OLD name (the mapping is part of the instant's
+    * state). Key/partition/precombine columns cannot be renamed; `to` must
+    * be free in the logical namespace.
+    */
+  def renameColumn(spark: SparkSession, tablePath: String, from: String, to: String): Unit = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val m = st.columnMapping
+    val protectedCols =
+      (st.latest.keyFields ++ st.latest.partitionFields :+ st.latest.precombineField).toSet
+    if (protectedCols.contains(from) || MetaColumns.all.contains(from))
+      throw GraftException.config(
+        s"renameColumn: cannot rename key/partition/precombine/meta column '$from'.")
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val physFrom = physicalNameOf(m, from)
+    if (!schema.fieldNames.contains(physFrom) || m.dropped.contains(physFrom))
+      throw GraftException.config(s"renameColumn: unknown column '$from'.")
+    val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val logicalNames = logicalSchema(schema, m).fieldNames.map(norm).toSet
+    if (logicalNames.contains(norm(to)))
+      throw GraftException.config(
+        s"renameColumn: column '$to' already exists.")
+    val aliases =
+      if (to == physFrom) m.aliases - physFrom // renamed back to its physical name
+      else m.aliases + (physFrom -> to)
+    alterSchemaCommit(spark, tablePath, st, st.latest.schemaDdl,
+      ColumnMapping(aliases, m.dropped))
+  }
+
+  /** Shared alter_schema commit tail: one metadata-only commit stamping the
+    * (possibly unchanged) physical ddl and the FULL current column mapping.
+    * Serializes against every in-flight writer (CommitLog's alter_schema
+    * OCC rule).
+    */
+  private def alterSchemaCommit(
+      spark: SparkSession, tablePath: String, st: TableState,
+      schemaDdl: String, mapping: ColumnMapping): Unit = {
     val ct = CommitLog.newCommitTime()
     CommitLog.beginInflight(spark, tablePath, ct, "alter_schema", Seq.empty,
       baseCommits = st.commits.map(_.commitTime))
@@ -1095,9 +1270,9 @@ object KeyedTable {
       precombineField = st.latest.precombineField,
       partitionFields = st.latest.partitionFields,
       partitions = Seq.empty, recordCount = st.latest.recordCount,
-      schemaDdl = evolved.toDDL, sourcePath = None),
+      schemaDdl = schemaDdl, sourcePath = None,
+      columnMapping = Some(mapping)),
       baseInstant = Some(st.latest.commitTime))
-    evolved
   }
 
   /** MOR write path: land the batch as a partitioned delta under
@@ -1584,10 +1759,15 @@ object KeyedTable {
   def readWhere(
       spark: SparkSession,
       tablePath: String,
-      ranges: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
-    require(ranges.nonEmpty, "readWhere needs at least one range")
+      logicalRanges: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
+    require(logicalRanges.nonEmpty, "readWhere needs at least one range")
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
+    // user-facing column names are logical; the stats index and the files
+    // are physical
+    val ranges = logicalRanges.map { case (c, lo, hi) =>
+      (physicalNameOf(st.columnMapping, c), lo, hi)
+    }
     val pred = ranges.map { case (column, lower, upper) =>
       val dt = schema(column).dataType
       Seq(
@@ -1596,7 +1776,8 @@ object KeyedTable {
         .reduceOption(_ && _).getOrElse(col(column).isNotNull)
     }.reduce(_ && _)
     if (Deltas.committedLive(spark, tablePath, st).nonEmpty)
-      return snapshot(spark, tablePath, st, restrictTo = None).filter(pred)
+      return toLogical(snapshot(spark, tablePath, st, restrictTo = None).filter(pred),
+        st.columnMapping)
     val cols = schema.fieldNames.map(col).toSeq
     val pruned = StatsIndex.prune(spark, tablePath, ranges)
     val parts = Seq.newBuilder[DataFrame]
@@ -1609,11 +1790,11 @@ object KeyedTable {
     if (metaOnly.nonEmpty)
       parts += readBase(spark, tablePath, st,
         exclude = st.nativePartitions.toSet, restrictTo = Some(metaOnly.toSet))
-    parts.result() match {
+    toLogical(parts.result() match {
       case Nil => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).filter(pred)
       case dfs => dfs.reduce(_ unionByName _).filter(pred)
-    }
+    }, st.columnMapping)
   }
 
   def readAsOf(spark: SparkSession, tablePath: String, asOf: String): DataFrame = {
@@ -1701,7 +1882,9 @@ object KeyedTable {
         .map(dc => dc -> new Path(Archive.deltasDir(tablePath, c.commitTime), dc).toString)
     }
     val deltaDirs = (liveDirs ++ archDirs).sortBy(_._1)
-    if (deltaDirs.isEmpty) return base
+    // the drop/rename view AS OF the instant: pre-rename instants serve the
+    // old logical names (stateOf(past) folds only past commits' mappings)
+    if (deltaDirs.isEmpty) return toLogical(base, st.columnMapping)
 
     val deltaCts = deltaDirs.map(_._1).toSet
     val touched = past.filter(c => deltaCts.contains(c.commitTime))
@@ -1710,8 +1893,9 @@ object KeyedTable {
     val inTouched =
       if (partF.isEmpty) lit(true)
       else ppCol(partF).isin(touched: _*)
-    base.filter(!inTouched).unionByName(
-      Deltas.merge(base.filter(inTouched), deltas, st.latest.precombineField))
+    toLogical(base.filter(!inTouched).unionByName(
+      Deltas.merge(base.filter(inTouched), deltas, st.latest.precombineField)),
+      st.columnMapping)
   }
 
   /** The commit timeline as a DataFrame (Hudi `show_commits` analogue):
@@ -2152,9 +2336,10 @@ object KeyedTable {
     val st = CommitLog.requireState(spark, tablePath)
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
+    val phys = toPhysical(st.columnMapping, batch)
     val rows = op match {
-      case WriteOperation.Insert => Upsert.dedupByKey(batch, keyF, st.latest.precombineField, partF)
-      case _ => batch
+      case WriteOperation.Insert => Upsert.dedupByKey(phys, keyF, st.latest.precombineField, partF)
+      case _ => phys
     }
     val touched: Seq[String] =
       if (partF.isEmpty) Seq("")

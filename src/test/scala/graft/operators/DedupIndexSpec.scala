@@ -103,6 +103,26 @@ class DedupIndexSpec extends SparkTestBase {
       corpus.count() + ids(s1).size + ids(s2).size)
   }
 
+  test("fixture guard: two-sided band collisions reach EVERY true >=0.5 cross pair " +
+      "(x23/x53's oracles recompute exhaustively; this pins the engine's LSH recall at 1.0 " +
+      "on the fixture so a fixture regeneration that breaks the coupling fails HERE, " +
+      "not as an inscrutable oracle hash mismatch)") {
+    import org.apache.spark.sql.functions.split
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def sh(df: DataFrame, as: String) = df.select(col("doc_id").as(as),
+      Dedup.shingles(split(col("text"), "\\s+"), 3).as(s"sh_$as"))
+    // exhaustive truth: every cross pair at Jaccard >= 0.5 (sf0.001 is small
+    // enough for the quadratic join to be cheap)
+    val truth = sh(corpus, "a_id").crossJoin(sh(batch, "b_id"))
+      .filter(Dedup.jaccard(col("sh_a_id"), col("sh_b_id")) >= 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupsAgainst(corpus, batch, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture lost its planted cross dups — regenerate expectations")
+    assert(lsh === truth)
+  }
+
   test("an all-duplicate batch appends nothing and the index stays unchanged") {
     val dir = tmpDir("dedup-index-nop")
     val idx = s"$dir/idx"

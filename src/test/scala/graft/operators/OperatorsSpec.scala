@@ -619,6 +619,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(dedup === Seq("a b", "b a"))
   }
 
+  test("BPE: greedy fold is left-to-right non-overlapping; training matches hand-computed merges") {
+    // greedy apply: aaaaa + merge(a,a) -> aa aa a (never aa a aa)
+    val folded = Seq(Tuple1(Seq("a", "a", "a", "a", "a"))).toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "a")).head().getSeq[String](0)
+    assert(folded === Seq("aa", "aa", "a"))
+    // hand-computed training: vocab {aaab x3, ab x2}
+    //   round 1: (a,a)=6 beats (a,b)=5            -> aa     aaab=[aa,a,b]
+    //   round 2: (a,b)=3+2=5 beats (aa,a)=3       -> ab     aaab=[aa,ab] ab=[ab]
+    //   round 3: (aa,ab)=3 is the only pair       -> aaab
+    //   round 4: nothing left to merge — training stops early
+    val vocab = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "freq")
+      .withColumn("syms", Bpe.charSyms(col("word")))
+    val (merges, vf) = Bpe.train(vocab, k = 10)
+    assert(merges === Seq(Bpe.Merge(1, "a", "a"), Bpe.Merge(2, "a", "b"),
+      Bpe.Merge(3, "aa", "ab")))
+    val fin = vf.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fin("aaab") === Seq("aaab") && fin("ab") === Seq("ab"))
+  }
+
   test("cross-doc span dedup: 60-token shared span localized in both docs, " +
       "within-doc repeats and short docs don't flag") {
     val span = (1 to 60).map(i => s"s$i").mkString(" ")

@@ -130,6 +130,15 @@ class GraftCatalogSpec extends SparkTestBase {
       assert(row.getString(0) === "probe-writer")
       assert(row.getLong(1) === lease.token)
       assert(row.getString(2) === "held")
+      // ONE code path (GraftCatalog.lockRows): the procedure's string lines
+      // must be exactly the relation's fields rendered `name: value`
+      val full = spark.sql(
+        s"SELECT owner, token, acquired_at, expires_at, state FROM graft.`$tbl`.locks").head()
+      val rendered = Seq(
+        s"owner: ${full.getString(0)}", s"token: ${full.getLong(1)}",
+        s"acquired_at: ${full.getString(2)}", s"expires_at: ${full.getString(3)}",
+        s"state: ${full.getString(4)}")
+      assert(lines === rendered)
     } finally graft.table.TableLock.release(spark, tbl, lease)
     assert(callRows(s"CALL graft.system.show_lock('$tbl')") === Seq("no lock held"))
   }
@@ -153,11 +162,6 @@ class GraftCatalogSpec extends SparkTestBase {
         .withColumn("o_note", lit("patched")))
     assert(KeyedTable.read(spark, tbl).filter(col("o_note") === "patched").count() === 1)
 
-    // add-only contract: drops/renames/type changes are refused loudly
-    val e1 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN o_note")
-    }
-    assert(e1.getMessage.contains("ADD COLUMN only"))
     val e2 = intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (o_note2 STRING NOT NULL)")
     }
@@ -167,6 +171,34 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (O_NOTE STRING)")
     }
     assert(e3.getMessage.toLowerCase.contains("already exist"))
+    // type changes stay refused — Spark's own analyzer check fires first
+    // (NOT_SUPPORTED_CHANGE_COLUMN), before our dispatch would
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$tbl` ALTER COLUMN o_note TYPE INT")
+    }
+    assert(e4.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e4.getMessage.contains("ADD / DROP / RENAME"))
+  }
+
+  test("ALTER TABLE DROP/RENAME COLUMN are metadata-only via the path catalog (T39)") {
+    val tbl = bootstrapOrders(tmpDir("cat-t39"), TableType.CopyOnWrite)
+    val n = KeyedTable.read(spark, tbl).count()
+
+    spark.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN o_orderstatus TO status")
+    val renamed = spark.sql(s"SELECT * FROM graft.`$tbl`")
+    assert(renamed.columns.contains("status") && !renamed.columns.contains("o_orderstatus"))
+    assert(renamed.count() === n)
+    // SQL binds the new name end-to-end (filter + projection)
+    assert(spark.sql(s"SELECT status FROM graft.`$tbl` WHERE status IS NOT NULL").count() === n)
+
+    spark.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN status")
+    val dropped = spark.sql(s"SELECT * FROM graft.`$tbl`")
+    assert(!dropped.columns.contains("status") && !dropped.columns.contains("o_orderstatus"))
+    assert(dropped.count() === n)
+    // both were metadata-only commits: physical ddl still carries the column
+    val st = graft.table.CommitLog.requireState(spark, tbl)
+    assert(st.latest.schemaDdl.contains("o_orderstatus"))
+    assert(st.commits.count(_.operation == "alter_schema") === 2)
   }
 
   test("path identifiers: SELECT and row-level DML against graft.`/path`, no registration") {
@@ -278,6 +310,28 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM graft.`$tbl` VERSION AS OF 'abc'").collect()
     }
     assert(e2.getMessage.contains("17-digit commit instant"))
+  }
+
+  test("ALTER TABLE DROP/RENAME COLUMN on SESSION-CATALOG graft tables (T39)") {
+    val tbl = bootstrapOrders(tmpDir("cat-t39-sess"), TableType.MergeOnRead)
+    spark.sql("DROP TABLE IF EXISTS cat_t39_t")
+    spark.sql(s"CREATE TABLE cat_t39_t USING graft LOCATION '$tbl'")
+    try {
+      val n = spark.table("cat_t39_t").count()
+      spark.sql("ALTER TABLE cat_t39_t RENAME COLUMN o_orderstatus TO status")
+      val renamed = spark.table("cat_t39_t")
+      assert(renamed.columns.contains("status") && !renamed.columns.contains("o_orderstatus"))
+      assert(renamed.count() === n)
+      // engine and metastore stayed in lockstep (the mirror applied too)
+      assert(spark.sql("DESCRIBE TABLE cat_t39_t").collect()
+        .map(_.getString(0)).contains("status"))
+      spark.sql("ALTER TABLE cat_t39_t DROP COLUMN status")
+      val dropped = spark.table("cat_t39_t")
+      assert(!dropped.columns.contains("status"))
+      assert(dropped.count() === n)
+      assert(CommitLog.requireState(spark, tbl)
+        .commits.count(_.operation == "alter_schema") === 2)
+    } finally spark.sql("DROP TABLE IF EXISTS cat_t39_t")
   }
 
   test("SQL time travel on SESSION-CATALOG graft tables (hint-rule rewrite)") {

@@ -99,4 +99,93 @@ class SchemaEvolutionSpec extends SparkTestBase {
     val e = intercept[GraftException] { KeyedTable.upsert(spark, table, bad) }
     assert(e.getMessage.startsWith("Configuration Error: Schema evolution cannot change type"))
   }
+
+  test("T39 drop is metadata-only; re-add under a new type serves fresh nulls, never old data") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    val preDrop = CommitLog.requireState(spark, table).latest.commitTime
+
+    KeyedTable.dropColumns(spark, table, Seq("v"))
+    val dropped = KeyedTable.read(spark, table)
+    assert(!dropped.columns.contains("v"))
+    assert(dropped.count() === 3)
+    // metadata-only: one alter_schema commit, physical ddl unchanged
+    val st = CommitLog.requireState(spark, table)
+    assert(st.latest.operation === "alter_schema")
+    assert(st.latest.schemaDdl.contains("v"))
+    // time travel BEFORE the drop still serves the column and its data
+    val asOf = KeyedTable.readAsOf(spark, table, preDrop)
+    assert(asOf.columns.contains("v"))
+    assert(asOf.filter(col("id") === 1).head().getAs[String]("v") === "a")
+
+    // re-add the SAME name under a NEW type: fresh physical column — the
+    // dropped string data must never bleed into the new double column
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val readded = KeyedTable.read(spark, table)
+    assert(readded.schema("v").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(readded.filter(col("v").isNotNull).count() === 0)
+    // writes through the logical name land in the fresh physical column
+    KeyedTable.upsert(spark, table,
+      Seq((1L, 2L, "p1", 1.5)).toDF("id", "ver", "p", "v"))
+    val after = KeyedTable.read(spark, table)
+    assert(after.filter(col("id") === 1).head().getAs[Double]("v") === 1.5)
+    assert(after.filter(col("id") =!= 1 && col("v").isNotNull).count() === 0)
+
+    // refusal: key/partition/precombine columns cannot drop
+    val e = intercept[GraftException] { KeyedTable.dropColumns(spark, table, Seq("id")) }
+    assert(e.getMessage.contains("cannot drop"))
+  }
+
+  test("T39 rename serves the new name in snapshot + CDC; time travel serves the old name") {
+    val table = bootstrapped(TableType.MergeOnRead)
+    val boot = CommitLog.requireState(spark, table).latest.commitTime
+
+    KeyedTable.renameColumn(spark, table, "v", "label")
+    val renamed = KeyedTable.read(spark, table)
+    assert(renamed.columns.contains("label") && !renamed.columns.contains("v"))
+    assert(renamed.filter(col("id") === 1).head().getAs[String]("label") === "a")
+    // pre-rename instants serve the OLD name
+    val asOf = KeyedTable.readAsOf(spark, table, boot)
+    assert(asOf.columns.contains("v") && !asOf.columns.contains("label"))
+
+    // writes use the new logical name; the OLD name is refused loudly
+    KeyedTable.upsert(spark, table,
+      Seq((2L, 2L, "b2", "p1")).toDF("id", "ver", "label", "p"))
+    assert(KeyedTable.read(spark, table)
+      .filter(col("id") === 2).head().getAs[String]("label") === "b2")
+    val e = intercept[GraftException] {
+      KeyedTable.upsert(spark, table, Seq((3L, 2L, "x", "p2")).toDF("id", "ver", "v", "p"))
+    }
+    assert(e.getMessage.contains("hidden by a metadata-only drop/rename"))
+
+    // CDC serves the new name (the upsert since boot carries label)
+    val changes = KeyedTable.readChanges(spark, table, boot)
+    assert(changes.columns.contains("label") && !changes.columns.contains("v"))
+    assert(changes.filter(col("id") === 2).head().getAs[String]("label") === "b2")
+
+    // compaction folds the renamed-era deltas; the logical view is unchanged
+    KeyedTable.compact(spark, table)
+    val compacted = KeyedTable.read(spark, table)
+    assert(compacted.filter(col("id") === 2).head().getAs[String]("label") === "b2")
+
+    // rename refusals: protected columns; occupied target
+    assert(intercept[GraftException] {
+      KeyedTable.renameColumn(spark, table, "id", "id2")
+    }.getMessage.contains("cannot rename"))
+    assert(intercept[GraftException] {
+      KeyedTable.renameColumn(spark, table, "label", "p")
+    }.getMessage.contains("already exists"))
+  }
+
+  test("T39 rollback of a rename restores the old logical view") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    val boot = CommitLog.requireState(spark, table).latest.commitTime
+    KeyedTable.renameColumn(spark, table, "v", "label")
+    assert(KeyedTable.read(spark, table).columns.contains("label"))
+    KeyedTable.rollback(spark, table, boot)
+    val back = KeyedTable.read(spark, table)
+    assert(back.columns.contains("v") && !back.columns.contains("label"))
+    assert(back.filter(col("id") === 1).head().getAs[String]("v") === "a")
+  }
 }
