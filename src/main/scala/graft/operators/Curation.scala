@@ -694,6 +694,82 @@ object Curation {
     * exact; unlike `df.sample`, re-runs and engines agree bit-for-bit. One
     * window shuffle on the stratum key.
     */
+  /** Model-based quality classifier (x56) — the trained leg next to the
+    * rule-based Gopher gate: a fastText-shaped LINEAR bag-of-words
+    * classifier whose per-token weights train in CLOSED FORM from a labeled
+    * column (multinomial naive-Bayes log-odds with add-one smoothing — the
+    * NB half of NBSVM, one aggregation pass instead of SGD epochs, so a
+    * DuckDB oracle reproduces training AND inference cell-for-cell).
+    *
+    * All arithmetic is the x49 exact quarter-bit integer log2 (floor(4·
+    * log2 x) = floor(log2 x⁴) via a broadcast 127-row powers-of-two
+    * comparison table — no libm, nothing to drift): per-token weight
+    * w_qb = qb4(c_pos+1) − qb4(c_neg+1); per-doc score = Σ_occurrences w_qb
+    * + n_toks·[qb4(T_neg+V) − qb4(T_pos+V)] + [qb4(D_pos) − qb4(D_neg)]
+    * (the class-total normalization and the class prior, exact scalar
+    * integers computed driver-side from BigInt bit length). Verdict:
+    * score_qb > 0.
+    *
+    * Scale: two map-combined token-count aggregations + one distinct-token
+    * weight table joined back against the token stream (the x49 posture:
+    * build side is |vocab|-bounded, AQE splits a Zipf head at runtime);
+    * nothing corpus-sized iterates — training IS the aggregation.
+    */
+  def nbQualityClassifier(
+      df: DataFrame, idCol: Column, textCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    val toks = df.select(idCol.as("doc_id"), labelCol.cast("boolean").as("y"),
+      explode(split(textCol, "\\s+")).as("w"))
+    val counts = toks.groupBy("w").agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("cneg"))
+      .select(col("w"),
+        // same exact-log2 envelope as ngramLmScore: counts must stay < 1e9
+        // or the fourth power leaves DECIMAL(38,0) — fail loudly, never drop
+        when(col("cpos") + 1 >= lit(1000000000L) || col("cneg") + 1 >= lit(1000000000L),
+          raise_error(concat(lit("nbQualityClassifier: token count + 1 >= 1e9 for '"),
+            col("w"), lit("' — outside the exact quarter-bit log2 envelope."))))
+          .otherwise((col("cpos") + 1).cast(DecimalType(9, 0))).as("mp"),
+        (col("cneg") + 1).cast(DecimalType(9, 0)).as("mn"))
+      .withColumn("mp4", col("mp") * col("mp") * col("mp") * col("mp"))
+      .withColumn("mn4", col("mn") * col("mn") * col("mn") * col("mn"))
+    val pow2 = {
+      import spark.implicits._
+      broadcast((0 to 126).map(k => (k.toLong, (BigInt(1) << k).toString))
+        .toDF("k", "p2s")
+        .select(col("k"), col("p2s").cast(DecimalType(38, 0)).as("p2")))
+    }
+    val weights = counts
+      .join(pow2, col("p2") <= greatest(col("mp4"), col("mn4")))
+      .groupBy("w")
+      .agg((max(when(col("p2") <= col("mp4"), col("k"))) -
+        max(when(col("p2") <= col("mn4"), col("k")))).as("wqb"))
+
+    // exact scalar constants (bounded collects): class totals, vocab size,
+    // doc priors — qb4 via BigInt bit length (floor(log2 n) = bitLength-1)
+    def qb4(n: Long): Long = {
+      require(n > 0, s"qb4 needs a positive count, got $n")
+      (BigInt(n).pow(4).bitLength - 1).toLong
+    }
+    val t = toks.agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("tn"),
+      countDistinct(col("w")).as("v")).head()
+    val d = df.agg(
+      sum(when(labelCol.cast("boolean"), 1L).otherwise(0L)).as("dp"),
+      sum(when(!labelCol.cast("boolean"), 1L).otherwise(0L)).as("dn")).head()
+    val biasQb = qb4(t.getLong(1) + t.getLong(2)) - qb4(t.getLong(0) + t.getLong(2))
+    val priorQb = qb4(d.getLong(0)) - qb4(d.getLong(1))
+
+    toks.join(weights, Seq("w"))
+      .groupBy(col("doc_id"), col("y").as("label"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wqb")).as("swqb"))
+      .select(col("doc_id"), col("label"), col("n_toks"),
+        (col("swqb") + col("n_toks") * lit(biasQb) + lit(priorQb)).as("score_qb"))
+      .withColumn("pred_pos", col("score_qb") > 0)
+  }
+
   def stratifiedSample(
       df: DataFrame, strataCol: Column, keyCol: Column, perStratum: Int): DataFrame =
     groupQuota(df, strataCol, perStratum,

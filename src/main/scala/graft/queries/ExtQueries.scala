@@ -219,6 +219,16 @@ object ExtQueries {
     mergeRows.unionByName(docRows).orderBy("kind", "id")
   }
 
+  /** Model-based quality classifier ([[Curation.nbQualityClassifier]]):
+    * closed-form NB log-odds weights trained from the fixture's `lang`
+    * column (positive = 'en'), scored in exact quarter-bit integer
+    * arithmetic — the oracle re-runs training AND inference.
+    */
+  private val x56: Q = (s, d) =>
+    Curation.nbQualityClassifier(Tables.documents(s, d),
+        col("doc_id"), col("text"), col("lang") === "en")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -857,6 +867,7 @@ object ExtQueries {
     "x53_dedup_index" -> x53,
     "x54_span_dedup" -> x54,
     "x55_bpe_tokenizer" -> x55,
+    "x56_nb_classifier" -> x56,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1656,6 +1667,47 @@ object ExtQueries {
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
     "x55_bpe_tokenizer" -> bpeOracleSql(12),
+    "x56_nb_classifier" ->
+      // training AND inference re-run: per-token smoothed class counts →
+      // quarter-bit log-odds weights (exact integer log2 via the pow2
+      // table), class-total bias + doc prior as scalar constants, per-doc
+      // summed score and the >0 verdict
+      """WITH RECURSIVE pow2(k, p2) AS (
+        |  SELECT 0, 1::HUGEINT UNION ALL SELECT k + 1, p2 * 2 FROM pow2 WHERE k < 126),
+        |toks AS (
+        |  SELECT doc_id, lang = 'en' AS y, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT w,
+        |    (sum(CASE WHEN y THEN 1 ELSE 0 END) + 1)::HUGEINT AS mp,
+        |    (sum(CASE WHEN NOT y THEN 1 ELSE 0 END) + 1)::HUGEINT AS mn
+        |  FROM toks GROUP BY w),
+        |wqb AS (
+        |  SELECT w,
+        |    max(CASE WHEN p2 <= mp*mp*mp*mp THEN k END) -
+        |    max(CASE WHEN p2 <= mn*mn*mn*mn THEN k END) AS wqb
+        |  FROM counts JOIN pow2 ON p2 <= greatest(mp*mp*mp*mp, mn*mn*mn*mn)
+        |  GROUP BY w),
+        |tot AS (
+        |  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END)::HUGEINT AS tp,
+        |         sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::HUGEINT AS tn,
+        |         count(DISTINCT w)::HUGEINT AS v
+        |  FROM toks),
+        |docs2 AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT AS dp,
+        |                 sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::HUGEINT AS dn
+        |          FROM documents),
+        |consts AS (
+        |  SELECT
+        |    (SELECT max(k) FROM pow2, tot WHERE p2 <= (tn+v)*(tn+v)*(tn+v)*(tn+v)) -
+        |    (SELECT max(k) FROM pow2, tot WHERE p2 <= (tp+v)*(tp+v)*(tp+v)*(tp+v)) AS bias_qb,
+        |    (SELECT max(k) FROM pow2, docs2 WHERE p2 <= dp*dp*dp*dp) -
+        |    (SELECT max(k) FROM pow2, docs2 WHERE p2 <= dn*dn*dn*dn) AS prior_qb)
+        |SELECT doc_id, y AS label, count(*)::BIGINT AS n_toks,
+        |  (sum(wqb) + count(*) * bias_qb + prior_qb)::BIGINT AS score_qb,
+        |  (sum(wqb) + count(*) * bias_qb + prior_qb) > 0 AS pred_pos
+        |FROM toks JOIN wqb USING (w) CROSS JOIN consts
+        |GROUP BY doc_id, y, bias_qb, prior_qb
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one

@@ -619,6 +619,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(dedup === Seq("a b", "b a"))
   }
 
+  test("NB quality classifier: separable planted labels classify perfectly; hand-computed score") {
+    val d = Seq(
+      (1L, "good nice good fine", true), (2L, "nice good fine good", true),
+      (3L, "bad awful bad poor", false), (4L, "awful bad poor bad", false))
+      .toDF("doc_id", "text", "y")
+    val out = Curation.nbQualityClassifier(d, col("doc_id"), col("text"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(3), r.getBoolean(4))).toMap
+    // hand arithmetic: w(good) = qb4(5)-qb4(1) = floor(log2 5^4) = 9;
+    // w(nice) = w(fine) = qb4(3) = 6; bias and prior are 0 (balanced
+    // classes) → doc 1 score = 2*9 + 6 + 6 = 30; negatives mirror to -30
+    assert(out(1L) === ((true, 30L, true)))
+    assert(out(2L) === ((true, 30L, true)))
+    assert(out(3L) === ((false, -30L, false)))
+    assert(out(4L) === ((false, -30L, false)))
+  }
+
   test("BPE: greedy fold is left-to-right non-overlapping; training matches hand-computed merges") {
     // greedy apply: aaaaa + merge(a,a) -> aa aa a (never aa a aa)
     val folded = Seq(Tuple1(Seq("a", "a", "a", "a", "a"))).toDF("syms")
