@@ -1007,6 +1007,26 @@ object CoreQueries {
          |FROM graft.`$tbl` ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** T39 metadata-only DROP/RENAME lifecycle, end-to-end through SQL DDL on
+    * the path catalog: bootstrap → RENAME COLUMN (read-time alias) → DROP
+    * COLUMN (read-time mask) → an UPDATE addressing the NEW logical name →
+    * final snapshot under the renamed projection. The oracle recomputes the
+    * expected end state from the raw orders, so the alias plumbing (logical
+    * reads, write-boundary translation, DML binding) is hash-checked.
+    */
+  private val q49: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q49")
+    val ord = s.read.parquet(ordersInput(s, d))
+    KeyedTable.create(s, tbl, ord, "q49_orders",
+      Seq("o_orderkey"), "o_orderdate", Seq("o_month"))
+    s.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN o_orderstatus TO status")
+    s.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN o_orderpriority")
+    s.sql(s"UPDATE graft.`$tbl` SET status = 'Z' WHERE o_orderkey % 7 = 0")
+    s.sql(
+      s"""SELECT o_orderkey, status, o_totalprice
+         |FROM graft.`$tbl` ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -1055,6 +1075,7 @@ object CoreQueries {
     "q46_sql_time_travel" -> q46,
     "q47_merge_reconcile" -> q47,
     "q48_schema_merge" -> q48,
+    "q49_rename_drop" -> q49,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1339,6 +1360,11 @@ object CoreQueries {
       // the time-travel read resurfaces the PRISTINE bootstrap state — the
       // SQL UPDATE/DELETE that ran in between must be invisible
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "q49_rename_drop" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE o_orderstatus END AS status,
+        |  o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q48_schema_merge" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 5 = 0
