@@ -46,7 +46,10 @@ object SparkEntry {
     // same engine paths q42/q45 already time — benching it too would push
     // the run past the harness window for no new signal
     "q42_sql_maintenance", "x49_lm_quality", "x50_domain_drift",
-    "q45_sql_merge")
+    "q45_sql_merge",
+    // round 8: substring-level span dedup, learned-BPE training, trained
+    // quality classifier — each a new operator family leg
+    "x54_span_dedup", "x55_bpe_tokenizer", "x56_nb_classifier")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
