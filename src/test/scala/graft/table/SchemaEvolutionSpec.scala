@@ -178,6 +178,34 @@ class SchemaEvolutionSpec extends SparkTestBase {
     }.getMessage.contains("already exists"))
   }
 
+  test("T39 indexed lookups and SQL MERGE address the renamed logical name") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    KeyedTable.renameColumn(spark, table, "v", "label")
+
+    // range read: the logical name routes to the physical stats/file layout
+    val ranged = KeyedTable.readBetween(spark, table, "label", Some("a"), Some("b"))
+    assert(ranged.columns.contains("label"))
+    assert(ranged.select("label").collect().map(_.getString(0)).toSet === Set("a", "b"))
+
+    // secondary point lookup through the bloom surface, logical name in & out
+    val byVal = BloomIndex.readByValues(spark, table, "label", Seq("c"))
+    assert(byVal.count() === 1 && byVal.head().getAs[String]("label") === "c")
+
+    // SQL MERGE binds the renamed column in conditions and assignments
+    import spark.implicits._
+    Seq((1L, 2L, "m1", "p1"), (9L, 1L, "new", "p2"))
+      .toDF("id", "ver", "label", "p").createOrReplaceTempView("t39_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$table` t USING t39_merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET label = s.label
+         |WHEN NOT MATCHED THEN INSERT (id, ver, label, p)
+         |  VALUES (s.id, s.ver, s.label, s.p)""".stripMargin)
+    val after = KeyedTable.read(spark, table)
+    assert(after.filter(col("id") === 1).head().getAs[String]("label") === "m1")
+    assert(after.filter(col("id") === 9).head().getAs[String]("label") === "new")
+    assert(after.count() === 4)
+  }
+
   test("T39 rollback of a rename restores the old logical view") {
     val table = bootstrapped(TableType.CopyOnWrite)
     val boot = CommitLog.requireState(spark, table).latest.commitTime
