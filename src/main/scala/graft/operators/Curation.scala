@@ -631,10 +631,22 @@ object Curation {
     * bucket-sized partition at 100 TB.
     */
   def tokenBudgetSelect(
-      df: DataFrame, idCol: Column, textCol: Column, budget: Long): DataFrame = {
+      df: DataFrame, idCol: Column, textCol: Column, budget: Long): DataFrame =
+    tokenBudgetSelect(df, idCol, textCol, budget,
+      t => size(split(t, "\\s+")).cast("long"))
+
+  /** Variant taking the per-doc token counter as a function of the text
+    * column — the hook that lets a REAL tokenizer drive the budget (e.g.
+    * a broadcast-joined [[Bpe.tokenCounts]] segmentation, or any learned
+    * counter) instead of the whitespace default. Same algorithm, same
+    * determinism.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: Column, textCol: Column, budget: Long,
+      tokenCountOf: Column => Column): DataFrame = {
     require(budget > 0, "token budget must be positive")
     val scored = df.select(idCol.as("doc_id"), textCol.as("text"))
-      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("n_tokens", tokenCountOf(col("text")))
       .filter(col("n_tokens") > 0)
       .withColumn("bucket",
         floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000).cast("long"))

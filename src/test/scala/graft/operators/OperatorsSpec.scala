@@ -619,6 +619,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(dedup === Seq("a b", "b a"))
   }
 
+  test("token budget selection runs under REAL learned-BPE counts (counter hook)") {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", Bpe.charSyms(col("word")))
+    val (_, vFinal) = Bpe.train(vocab, k = 8)
+    // the trained segmentation as a literal map = the broadcast-join shape
+    // in expression form (vocab is bounded)
+    val seg = vFinal.select(col("word"), size(col("syms")).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val segMap = map(seg.flatMap { case (w, n) => Seq(lit(w), lit(n)) }.toIndexedSeq: _*)
+    def bpeCount(t: org.apache.spark.sql.Column) =
+      aggregate(split(t, "\\s+"), lit(0L),
+        (acc, w) => acc + coalesce(element_at(segMap, w), lit(1L)))
+    val budget = 2000L
+    val sel = Curation.tokenBudgetSelect(docs, col("doc_id"), col("text"), budget, bpeCount)
+    val used = sel.agg(sum("n_tokens")).head().getLong(0)
+    assert(used <= budget && used > 0)
+    assert(sel.count() > 0 && sel.count() < docs.count()) // a real cut happened
+    // and the counts in the selection ARE the BPE counts, not whitespace
+    val cross = sel.join(docs, "doc_id")
+      .select((col("n_tokens") === bpeCount(col("text"))).as("ok"))
+    assert(cross.filter(!col("ok")).count() === 0)
+  }
+
   test("NB quality classifier: separable planted labels classify perfectly; hand-computed score") {
     val d = Seq(
       (1L, "good nice good fine", true), (2L, "nice good fine good", true),
