@@ -289,6 +289,31 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_len"))
   }
 
+  /** Apply a [[crossDocSpans]] result: rebuild each document's text with
+    * the flagged token ranges CUT OUT — the removal half of the Lee et al.
+    * substring-dedup pipeline (flag with crossDocSpans, clean with this).
+    * Pure per-row column work after one left join against the span set
+    * (spans-per-doc is bounded — maximal islands are disjoint), so the
+    * corpus streams: no shuffle beyond the span join. Docs with no flagged
+    * span pass through untouched, including docs shorter than k that the
+    * flagging skipped. Positions are 1-based token indices, matching the
+    * span rows.
+    */
+  def removeSpans(
+      docs: DataFrame, idCol: String, textCol: String, spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id").as("__sd_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("__sp"))
+    docs.join(perDoc, col(idCol) === col("__sd_id"), "left")
+      .withColumn(textCol,
+        when(col("__sp").isNull, col(textCol)).otherwise(
+          concat_ws(" ",
+            filter(split(col(textCol), "\\s+"), (w, i) =>
+              !exists(col("__sp"), s =>
+                i + 1 >= s.getField("span_start") &&
+                  i + 1 < s.getField("span_start") + s.getField("span_len"))))))
+      .drop("__sd_id", "__sp")
+  }
+
   // --------------------------------------------------------------- simhash
 
   val SimhashBits = 60

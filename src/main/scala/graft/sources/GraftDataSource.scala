@@ -164,7 +164,24 @@ class GraftDataSource extends TableProvider with RelationProvider
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val params = properties.asScala.toMap
-    new GraftTable(GraftDataSource.readOptions(params), params, Option(schema))
+    val hasPath = params.keys.exists(_.equalsIgnoreCase("path"))
+    // CREATE TABLE handshake for a MANAGED table (e.g. writeStream.toTable
+    // on a missing name): the session catalog asks the provider for a Table
+    // BEFORE any location exists. Serve an inert descriptor — name, the
+    // declared schema, capabilities — so creation can validate; every later
+    // load resolves through the catalog with the metastore-assigned
+    // LOCATION, and the first write creates the engine table there.
+    if (!hasPath) {
+      val declared = Option(schema).getOrElse(new StructType())
+      new Table {
+        override def name(): String = "graft:<pending-location>"
+        override def schema(): StructType = declared
+        override def capabilities(): java.util.Set[TableCapability] =
+          java.util.EnumSet.of(
+            TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+            TableCapability.TRUNCATE, TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      }
+    } else new GraftTable(GraftDataSource.readOptions(params), params, Option(schema))
   }
 
   // DSv1 fallback: the session catalog's V1 resolution path for

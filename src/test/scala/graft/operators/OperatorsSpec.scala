@@ -703,6 +703,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(spans === Set((1L, 21L, 60L), (2L, 6L, 60L)))
   }
 
+  test("span removal cuts exactly the flagged ranges; a re-scan finds nothing") {
+    val span = (1 to 60).map(i => s"s$i").mkString(" ")
+    val docA = ((1 to 20).map(i => s"a$i") :+ span) ++ (21 to 30).map(i => s"a$i")
+    val docB = ((1 to 5).map(i => s"b$i") :+ span) ++ (6 to 45).map(i => s"b$i")
+    val d = Seq((1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, "untouched short doc")).toDF("doc_id", "text")
+    val spans = Dedup.crossDocSpans(d, "doc_id", "text", k = 8)
+    val cleaned = Dedup.removeSpans(d, "doc_id", "text", spans)
+    val byId = cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) === ((1 to 20).map(i => s"a$i") ++ (21 to 30).map(i => s"a$i")).mkString(" "))
+    assert(byId(2L) === ((1 to 5).map(i => s"b$i") ++ (6 to 45).map(i => s"b$i")).mkString(" "))
+    assert(byId(3L) === "untouched short doc")
+    // idempotence of the pipeline: the cleaned corpus carries no flagged span
+    assert(Dedup.crossDocSpans(cleaned, "doc_id", "text", k = 8).isEmpty)
+  }
+
   test("cross-doc span dedup: spans further than k apart stay separate islands") {
     val shared1 = (1 to 10).map(i => s"x$i").mkString(" ")
     val shared2 = (1 to 12).map(i => s"y$i").mkString(" ")

@@ -61,6 +61,37 @@ class StreamTableAddressingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("writeStream.toTable CREATES a missing session-catalog graft table " +
+      "(catalog entry from Spark, engine table from the first batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("DROP TABLE IF EXISTS st_totable_new")
+    val ckpt = tmpDir("totable-new-ckpt")
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = stream.toDF().toDF("id", "ver", "v").writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("keyFields", "id")
+      .option("precombineField", "ver")
+      .toTable("st_totable_new")
+    try {
+      stream.addData((1L, 1L, "a"), (2L, 1L, "b"))
+      q.processAllAvailable()
+      val got = spark.table("st_totable_new")
+      assert(got.count() === 2)
+      assert(got.filter(col("id") === 1).head().getAs[String]("v") === "a")
+      // and it is a REAL engine table: upserts through the batch path land
+      stream.addData((1L, 2L, "a2"))
+      q.processAllAvailable()
+      assert(spark.table("st_totable_new").filter(col("id") === 1)
+        .head().getAs[String]("v") === "a2")
+      assert(spark.table("st_totable_new").count() === 2)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS st_totable_new")
+    }
+  }
+
   test("readStream.table tails the table's CDC feed (changes after stream start)") {
     val dir = tmpDir("readtable")
     val src = bootstrapMor(dir, "readtable_src")
