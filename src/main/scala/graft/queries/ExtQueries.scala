@@ -179,18 +179,54 @@ object ExtQueries {
     * The oracle recomputes positions, duplicated fingerprints, and the
     * island merge exhaustively.
     */
-  private val x54: Q = (s, d) => {
+  /** The x54/x57 corpus: documents ∪ planted "remix" docs (every 9th doc's
+    * tokens 11–30 embedded between doc-unique filler runs).
+    */
+  private def spanCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val w = split(col("text"), "\\s+")
+    // fillers derive from the ORIGINAL id under a name no projection
+    // re-aliases: a `col("doc_id")` here would lateral-alias-resolve to the
+    // shifted id in the same select and silently diverge from the oracle's
+    // filler text (invisible to x54's position-only surface, fatal to
+    // x57's fingerprints)
     def filler(tag: String) = concat_ws(" ",
       transform(sequence(lit(1), lit(10)),
-        i => concat(lit("rx"), col("doc_id"), lit(tag), i)))
+        i => concat(lit("rx"), col("orig_id"), lit(tag), i)))
     val remix = docs.filter(col("doc_id") % 9 === 0 && size(w) >= 30)
-      .select((col("doc_id") + 400000).as("doc_id"),
-        concat_ws(" ", filler("a"), concat_ws(" ", slice(w, 11, 20)), filler("b"))
+      .select(col("doc_id").as("orig_id"), col("text"))
+      .select((col("orig_id") + 400000).as("doc_id"),
+        concat_ws(" ", filler("a"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 11, 20)), filler("b"))
           .as("text"))
-    Dedup.crossDocSpans(docs.unionByName(remix), "doc_id", "text", k = 8)
+    docs.unionByName(remix)
+  }
+
+  private val x54: Q = (s, d) =>
+    Dedup.crossDocSpans(spanCorpus(s, d), "doc_id", "text", k = 8)
       .orderBy("doc_id", "span_start")
+
+  /** The removal half of the substring-dedup pipeline, oracle-gated: cut
+    * every x54 span out of the corpus and pin the cleaned token counts and
+    * an md5 fingerprint of every cleaned text — the oracle recomputes the
+    * span set AND applies the same removal. Counting happens on the token
+    * ARRAY (a fully-cut doc has 0 tokens; a text round-trip would make it
+    * [""] = 1).
+    */
+  private val x57: Q = (s, d) => {
+    val corpus = spanCorpus(s, d)
+    val spans = Dedup.crossDocSpans(corpus, "doc_id", "text", k = 8)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("sp"))
+    corpus.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("w", split(col("text"), "\\s+"))
+      .withColumn("cw", when(col("sp").isNull, col("w")).otherwise(
+        filter(col("w"), (t, i) => !exists(col("sp"), sp =>
+          i + 1 >= sp.getField("span_start") &&
+            i + 1 < sp.getField("span_start") + sp.getField("span_len")))))
+      .select(col("doc_id"), size(col("cw")).cast(LongType).as("n_clean_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("clean_fp"))
+      .orderBy("doc_id")
   }
 
   /** Real learned-BPE tokenizer ([[graft.operators.Bpe]]): train 12 greedy
@@ -868,6 +904,7 @@ object ExtQueries {
     "x54_span_dedup" -> x54,
     "x55_bpe_tokenizer" -> x55,
     "x56_nb_classifier" -> x56,
+    "x57_span_removal" -> x57,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1708,6 +1745,48 @@ object ExtQueries {
         |FROM toks JOIN wqb USING (w) CROSS JOIN consts
         |GROUP BY doc_id, y, bias_qb, prior_qb
         |ORDER BY doc_id""".stripMargin,
+    "x57_span_removal" ->
+      // the x54 span recompute, then the SAME removal: keep token i iff no
+      // span of its doc covers it; counts/fingerprints from the token list
+      // (DuckDB's array_to_string of an empty list is NULL — coalesce to ''
+      // to match Spark's concat_ws)
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    array_to_string([concat('rx', doc_id, 'a', i) for i in generate_series(1, 10)], ' ')
+        |      || ' ' || array_to_string(string_split_regex(text, '\s+')[11:30], ' ')
+        |      || ' ' || array_to_string([concat('rx', doc_id, 'b', i) for i in generate_series(1, 10)], ' ')
+        |  FROM documents
+        |  WHERE doc_id % 9 = 0 AND len(string_split_regex(text, '\s+')) >= 30),
+        |t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM all_docs),
+        |pos AS (
+        |  SELECT doc_id, e.p AS p, e.fp AS fp FROM (
+        |    SELECT doc_id, unnest([struct_pack(p := i::BIGINT,
+        |        fp := ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT)
+        |      for i in generate_series(1, len(w) - 7)]) AS e
+        |    FROM t WHERE len(w) >= 8)),
+        |dup AS (SELECT fp FROM pos GROUP BY fp HAVING min(doc_id) <> max(doc_id)),
+        |dpos AS (SELECT doc_id, p FROM pos JOIN dup USING (fp)),
+        |isl AS (
+        |  SELECT doc_id, p, sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM dpos)),
+        |spans AS (SELECT doc_id, min(p) AS s0, max(p) - min(p) + 8 AS sl
+        |          FROM isl GROUP BY doc_id, grp),
+        |perdoc AS (SELECT doc_id, list(struct_pack(s0 := s0, sl := sl)) AS sp
+        |           FROM spans GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN sp IS NULL THEN w
+        |         ELSE [w[i] for i in generate_series(1, len(w))
+        |               if len(list_filter(sp, s -> i >= s.s0 AND i < s.s0 + s.sl)) = 0]
+        |    END AS cw
+        |  FROM t LEFT JOIN perdoc USING (doc_id))
+        |SELECT doc_id, len(cw)::BIGINT AS n_clean_tokens,
+        |  md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one

@@ -29,11 +29,13 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x49: 1-row vocabulary-size aggregate + the 127-row pow2 table
     *    (the exact-integer-log2 range join)
     *  - x50/x51: |groups|-row per-source totals (the group-pair enumeration)
+    *  - x56: the 127-row pow2 table (same exact-integer-log2 range join as
+    *    x49, probing the |vocab|-bounded per-token count table)
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
       "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells", "x48_diverse_sample",
-      "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix")
+      "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix", "x56_nb_classifier")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|[3-9][0-9])_.*")
