@@ -64,12 +64,14 @@ object BloomIndex {
       spark: SparkSession,
       tablePath: String,
       fpp: Double = 0.01,
-      column: String = MetaColumns.RecordKey): String = {
+      logicalColumn: String = MetaColumns.RecordKey): String = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
+    // caller-facing name is logical; files and the stored index are physical
+    val column = KeyedTable.physicalNameOf(st.columnMapping, logicalColumn)
     if (!schema.fieldNames.contains(column))
-      throw GraftException.config(s"bloom index column '$column' is not in the table schema")
+      throw GraftException.config(s"bloom index column '$logicalColumn' is not in the table schema")
     if (st.latest.partitionFields.contains(column))
       throw GraftException.config(
         s"bloom index column '$column' is a partition column: partition values are " +

@@ -2131,11 +2131,21 @@ object KeyedTable {
       tablePath: String,
       sortCols: Seq[String],
       maxRecordsPerFile: Long = 0L,
-      partitions: Option[Seq[String]] = None): Seq[String] =
+      partitions: Option[Seq[String]] = None): Seq[String] = {
+    // user-facing column names are logical; the rewrite works on physical rows
+    val physCols = toPhysicalNames(spark, tablePath, sortCols)
     clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
-      val sortKeys = (partF ++ sortCols).map(col)
+      val sortKeys = (partF ++ physCols).map(col)
       rows.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
     }
+  }
+
+  /** Resolve user-facing (logical) column names to their physical homes. */
+  private def toPhysicalNames(
+      spark: SparkSession, tablePath: String, cols: Seq[String]): Seq[String] = {
+    val m = CommitLog.requireState(spark, tablePath).columnMapping
+    cols.map(physicalNameOf(m, _))
+  }
 
   /** Z-order clustering (Hudi z-order / Delta OPTIMIZE ZORDER analogue):
     * rewrite partitions laid out along the Morton curve of `zCols`, giving
@@ -2148,10 +2158,12 @@ object KeyedTable {
       tablePath: String,
       zCols: Seq[String],
       maxRecordsPerFile: Long = 0L,
-      partitions: Option[Seq[String]] = None): Seq[String] =
+      partitions: Option[Seq[String]] = None): Seq[String] = {
+    val physCols = toPhysicalNames(spark, tablePath, zCols)
     clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
-      graft.ops.ZOrder.layout(rows, zCols, leadingKeys = partF.map(col))
+      graft.ops.ZOrder.layout(rows, physCols, leadingKeys = partF.map(col))
     }
+  }
 
   /** Linear-sort clustering (Hudi sort clustering / Delta OPTIMIZE without
     * ZORDER): range-partition + sort on `sortCols`, giving tight per-file
@@ -2167,8 +2179,9 @@ object KeyedTable {
       maxRecordsPerFile: Long = 0L,
       partitions: Option[Seq[String]] = None): Seq[String] = {
     require(sortCols.nonEmpty, "clusterSort needs at least one sort column")
+    val physCols = toPhysicalNames(spark, tablePath, sortCols)
     clusterBy(spark, tablePath, maxRecordsPerFile, partitions) { (rows, partF) =>
-      val keys = (partF ++ sortCols).map(col)
+      val keys = (partF ++ physCols).map(col)
       rows.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     }
   }

@@ -103,11 +103,13 @@ object StatsIndex {
     * O(new files), not O(table). Older sidecars are cleaned inline — only
     * the newest index is ever consulted.
     */
-  def build(spark: SparkSession, tablePath: String, columns: Seq[String]): String = {
-    require(columns.nonEmpty, "stats index needs at least one column")
+  def build(spark: SparkSession, tablePath: String, logicalColumns: Seq[String]): String = {
+    require(logicalColumns.nonEmpty, "stats index needs at least one column")
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val partF = st.latest.partitionFields.toSet
+    // caller-facing names are logical; files and the stored index are physical
+    val columns = logicalColumns.map(KeyedTable.physicalNameOf(st.columnMapping, _))
     columns.foreach { c =>
       if (!schema.fieldNames.contains(c))
         throw GraftException.config(s"stats index column '$c' is not in the table schema")

@@ -132,7 +132,7 @@ class BloomIndexSpec extends SparkTestBase {
   test("secondary index on a non-key column: per-column independence and pruned lookups") {
     val table = boot()
     BloomIndex.build(spark, table) // record key
-    BloomIndex.build(spark, table, column = "o_custkey") // secondary
+    BloomIndex.build(spark, table, logicalColumn = "o_custkey") // secondary
     // both survive the per-column cleaner
     assert(BloomIndex.latestIndex(spark, table).nonEmpty)
     assert(BloomIndex.latestIndex(spark, table, "o_custkey").nonEmpty)
@@ -151,7 +151,7 @@ class BloomIndexSpec extends SparkTestBase {
     // a rebuild of the key index must not clean the secondary sidecar
     BloomIndex.build(spark, table)
     assert(BloomIndex.latestIndex(spark, table, "o_custkey").nonEmpty)
-    intercept[graft.model.GraftException](BloomIndex.build(spark, table, column = "o_month"))
+    intercept[graft.model.GraftException](BloomIndex.build(spark, table, logicalColumn = "o_month"))
   }
 
   test("rollback drops the bloom sidecar with its commit") {

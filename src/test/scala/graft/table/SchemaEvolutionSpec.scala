@@ -204,6 +204,14 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(after.filter(col("id") === 1).head().getAs[String]("label") === "m1")
     assert(after.filter(col("id") === 9).head().getAs[String]("label") === "new")
     assert(after.count() === 4)
+
+    // layout/index services take the logical name too
+    KeyedTable.clusterSort(spark, table, Seq("label"))
+    StatsIndex.build(spark, table, Seq("label"))
+    BloomIndex.build(spark, table, logicalColumn = "label")
+    val clustered = KeyedTable.read(spark, table)
+    assert(clustered.count() === 4)
+    assert(clustered.filter(col("id") === 9).head().getAs[String]("label") === "new")
   }
 
   test("T39 rollback of a rename restores the old logical view") {
