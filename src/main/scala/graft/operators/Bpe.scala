@@ -79,13 +79,39 @@ object Bpe {
     (merges.result(), v)
   }
 
+  /** Segment an arbitrary word with an already-learned merge table: fold
+    * the character symbols through the merges in rank order (the Sennrich
+    * apply rule) — how UNSEEN words tokenize at inference time. One
+    * composed Catalyst expression per merge; meant for the residual
+    * unseen-word stream, while known words ride the precomputed vocab
+    * segmentation.
+    */
+  def segment(word: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(charSyms(word)) { (syms, m) =>
+      applyMerge(syms, m.left, m.right)
+    }
+
   /** Per-doc REAL token counts under the trained segmentation: one
     * broadcast join of the corpus word stream against the bounded
-    * per-word symbol counts.
+    * per-word symbol counts. Words OUTSIDE the training vocabulary (a
+    * fresh inference corpus) segment on the fly with [[segment]] — never
+    * silently dropped.
     */
-  def tokenCounts(words: DataFrame, trainedVocab: DataFrame): DataFrame =
-    words.join(
-        broadcast(trainedVocab.select(col("word"), size(col("syms")).as("__n_sym"))),
-        "word")
-      .groupBy("doc_id").agg(sum("__n_sym").as("n"))
+  def tokenCounts(
+      words: DataFrame, trainedVocab: DataFrame,
+      merges: Seq[Merge] = Seq.empty): DataFrame = {
+    val joined = words.join(
+      broadcast(trainedVocab.select(col("word"), size(col("syms")).as("__n_sym"))),
+      Seq("word"), "left")
+    val counted =
+      if (merges.isEmpty) joined.withColumn("__n",
+        coalesce(col("__n_sym"),
+          // no merge table provided: an unseen word can only be its raw
+          // character sequence (zero merges apply by definition)
+          length(col("word")).cast("long")))
+      else joined.withColumn("__n",
+        coalesce(col("__n_sym"),
+          size(segment(col("word"), merges)).cast("long")))
+    counted.groupBy("doc_id").agg(sum("__n").as("n"))
+  }
 }

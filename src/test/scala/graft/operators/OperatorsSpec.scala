@@ -679,6 +679,19 @@ class OperatorsSpec extends SparkTestBase {
     val fin = vf.select("word", "syms").collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(fin("aaab") === Seq("aaab") && fin("ab") === Seq("ab"))
+
+    // UNSEEN words segment with the learned merges at inference time:
+    // "aab" → a,a,b → (a,a)→[aa,b] → (a,b) no hit → (aa,ab) no hit
+    val seg = Seq(Tuple1("aab")).toDF("w")
+      .select(Bpe.segment(col("w"), merges)).head().getSeq[String](0)
+    assert(seg === Seq("aa", "b"))
+    // and tokenCounts falls back to on-the-fly segmentation, never drops
+    val docsDf = Seq((1L, "aaab"), (2L, "aab zz")).toDF("doc_id", "word0")
+      .select(col("doc_id"), explode(split(col("word0"), " ")).as("word"))
+    val counts = Bpe.tokenCounts(docsDf, vf, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) === 1L)       // known word: vocab segmentation
+    assert(counts(2L) === 2L + 2L)  // aab=[aa,b]=2; zz unseen chars [z,z]=2
   }
 
   test("cross-doc span dedup: 60-token shared span localized in both docs, " +
