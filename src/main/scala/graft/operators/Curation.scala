@@ -782,6 +782,45 @@ object Curation {
       .withColumn("pred_pos", col("score_qb") > 0)
   }
 
+  /** Epoch-weighted dataset mixing (x58): materialize the training-recipe
+    * repeat plan — per-source epoch weights like `src0 → 2.3` mean every
+    * src0 doc appears twice and a deterministic 30% of them a third time
+    * (the Llama-style data recipe: up-weight small high-quality sources by
+    * fractional epochs). Fully deterministic: the fractional pick is the
+    * portable 60-bit hash of (seed, doc id) against a parts-per-million
+    * threshold, and every emitted copy carries a `shuffle_key` — the hash
+    * of (seed, id, copy) — so a range-partition/sort on it IS the epoch's
+    * reproducible global training order, with copies of the same document
+    * scattered apart instead of adjacent. Pure scan work: a per-row repeat
+    * count from a literal CASE over the source column + one bounded
+    * sequence explode; zero shuffles — ordering is the CONSUMER's
+    * range-partition on shuffle_key, never a global sort here.
+    */
+  def epochMix(
+      df: DataFrame, sourceCol: Column, idCol: Column,
+      weights: Seq[(String, Double)], defaultWeight: Double = 1.0,
+      seed: String = "epoch0"): DataFrame = {
+    (weights.map(_._2) :+ defaultWeight).foreach(w =>
+      require(w >= 0 && w < 1000, s"epoch weight must be in [0, 1000), got $w"))
+    def floorOf(w: Double): Long = math.floor(w).toLong
+    def fracPpm(w: Double): Long = math.round((w - math.floor(w)) * 1000000)
+    val wFloor = weights.foldLeft(lit(floorOf(defaultWeight))) {
+      case (acc, (s, w)) => when(sourceCol === s, lit(floorOf(w))).otherwise(acc)
+    }
+    val wFrac = weights.foldLeft(lit(fracPpm(defaultWeight))) {
+      case (acc, (s, w)) => when(sourceCol === s, lit(fracPpm(w))).otherwise(acc)
+    }
+    val pick = pmod(
+      Portable.hash60(concat(lit(seed), lit(":"), idCol.cast("string"))), lit(1000000L))
+    df.withColumn("__n", wFloor + when(pick < wFrac, 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .select(idCol.as("doc_id"), sourceCol.as("source"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("copy"))
+      .withColumn("shuffle_key",
+        Portable.hash60(concat(lit(seed), lit("|"), col("doc_id").cast("string"),
+          lit("#"), col("copy").cast("string"))))
+  }
+
   def stratifiedSample(
       df: DataFrame, strataCol: Column, keyCol: Column, perStratum: Int): DataFrame =
     groupQuota(df, strataCol, perStratum,

@@ -265,6 +265,15 @@ object ExtQueries {
         col("doc_id"), col("text"), col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Epoch-weighted mixing ([[Curation.epochMix]]): src0 at 2.3 epochs,
+    * src1 at 0.4, everything else 1.0 — the oracle reproduces the repeat
+    * plan, the fractional hash picks, and every shuffle key.
+    */
+  private val x58: Q = (s, d) =>
+    Curation.epochMix(Tables.documents(s, d), col("source"), col("doc_id"),
+        Seq("src0" -> 2.3, "src1" -> 0.4), defaultWeight = 1.0, seed = "epoch0")
+      .orderBy("doc_id", "copy")
+
   // ------------------------------------------------------------ similarity
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -905,6 +914,7 @@ object ExtQueries {
     "x55_bpe_tokenizer" -> x55,
     "x56_nb_classifier" -> x56,
     "x57_span_removal" -> x57,
+    "x58_epoch_mix" -> x58,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1787,6 +1797,23 @@ object ExtQueries {
         |SELECT doc_id, len(cw)::BIGINT AS n_clean_tokens,
         |  md5(coalesce(array_to_string(cw, ' '), '')) AS clean_fp
         |FROM cleaned ORDER BY doc_id""".stripMargin,
+    "x58_epoch_mix" ->
+      // the same literal recipe (src0 2.3 epochs, src1 0.4, default 1.0),
+      // hash picks, and shuffle keys recomputed end to end
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END
+         |     + CASE WHEN ${graft.functions.Portable.sqlHash60("'epoch0:' || doc_id")} % 1000000 <
+         |         CASE WHEN source = 'src0' THEN 300000
+         |              WHEN source = 'src1' THEN 400000 ELSE 0 END
+         |       THEN 1 ELSE 0 END)::BIGINT AS n
+         |  FROM documents),
+         |rep AS (
+         |  SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS copy
+         |  FROM base WHERE n > 0)
+         |SELECT doc_id, source, copy::BIGINT AS copy,
+         |  ${graft.functions.Portable.sqlHash60("'epoch0|' || doc_id || '#' || copy")} AS shuffle_key
+         |FROM rep ORDER BY doc_id, copy""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one
