@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * frequency table (the classic BPE training input), and each merge round
   * runs over that vocabulary only (one tiny aggregation + one fold per
   * round, driver-coordinated like every tokenizer trainer). Counting
-  * tokens back over the corpus is one broadcast join against the trained
+  * tokens back over the corpus is one vocab-sized join against the trained
   * per-word segmentation — words stream, nothing corpus-sized shuffles.
   *
   * Everything is exact integer arithmetic over deterministic orderings
@@ -92,16 +92,20 @@ object Bpe {
     }
 
   /** Per-doc REAL token counts under the trained segmentation: one
-    * broadcast join of the corpus word stream against the bounded
-    * per-word symbol counts. Words OUTSIDE the training vocabulary (a
+    * vocab-sized join of the corpus word stream against the bounded
+    * per-word symbol counts (AQE broadcasts it whenever it fits). Words OUTSIDE the training vocabulary (a
     * fresh inference corpus) segment on the fly with [[segment]] — never
     * silently dropped.
     */
   def tokenCounts(
       words: DataFrame, trainedVocab: DataFrame,
       merges: Seq[Merge] = Seq.empty): DataFrame = {
+    // no broadcast hint: the vocab is usually broadcast-sized and AQE will
+    // pick that plan itself, but a 100 TB corpus can carry a distinct-word
+    // table past the broadcast ceiling — forcing it would OOM the driver
+    // where a shuffle join just works
     val joined = words.join(
-      broadcast(trainedVocab.select(col("word"), size(col("syms")).as("__n_sym"))),
+      trainedVocab.select(col("word"), size(col("syms")).as("__n_sym")),
       Seq("word"), "left")
     val counted =
       if (merges.isEmpty) joined.withColumn("__n",
