@@ -175,6 +175,55 @@ class ConcurrencySpec extends SparkTestBase {
     assert(snap.filter(col("o_orderstatus") === "AA").count() > 0)
   }
 
+  test("a metadata-only RENAME (physical ddl unchanged) still conflicts with in-flight writers") {
+    val (tbl, c0) = bootstrapMor(tmpDir("occ-rename"), "occ_rename")
+    val ddlBefore = CommitLog.requireState(spark, tbl).latest.schemaDdl
+
+    val ctA = CommitLog.newCommitTime()
+    val infoA = stageDelta(tbl, ctA, "1995-02", "AA",
+      baseCommits = CommitLog.commits(spark, tbl).map(_.commitTime))
+
+    // the rename lands while A is in flight: schemaDdl is IDENTICAL (the
+    // mapping is the only change), so only the alter_schema operation rule
+    // can catch it — A's statement resolved against the old logical names
+    KeyedTable.renameColumn(spark, tbl, "o_orderstatus", "status")
+    assert(CommitLog.requireState(spark, tbl).latest.schemaDdl === ddlBefore)
+
+    val e = intercept[graft.model.CommitConflictException] {
+      CommitLog.write(spark, tbl, infoA, baseInstant = Some(c0))
+    }
+    assert(e.getMessage.contains("Retryable"))
+    KeyedTable.fsck(spark, tbl)
+    assert(KeyedTable.read(spark, tbl).columns.contains("status"))
+  }
+
+  test("a publish whose base instant left the active log aborts instead of degrading") {
+    val (tbl, c0) = bootstrapMor(tmpDir("occ-basegone"), "occ_basegone")
+    // one more commit so there is a non-bootstrap base to roll back
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === "1995-02" && col("o_orderkey") % 2 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("B1")))
+    val b = CommitLog.requireState(spark, tbl).latest.commitTime
+
+    // writer A bases on b, then a concurrent rollback REMOVES b
+    val ctA = CommitLog.newCommitTime()
+    val infoA = stageDelta(tbl, ctA, "1995-03", "AA",
+      baseCommits = CommitLog.commits(spark, tbl).map(_.commitTime))
+    KeyedTable.rollback(spark, tbl, c0)
+    assert(!CommitLog.commits(spark, tbl).exists(_.commitTime == b))
+
+    // A derived its images from a snapshot that no longer exists — the
+    // publish must abort retryably, not fall back to overlap-only checking
+    val e = intercept[graft.model.CommitConflictException] {
+      CommitLog.write(spark, tbl, infoA, baseInstant = Some(b))
+    }
+    assert(e.getMessage.contains("no longer in the active commit log"))
+    KeyedTable.fsck(spark, tbl)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+  }
+
   test("conflict detected against a commit published BELOW the writer's base instant") {
     val (tbl, c0) = bootstrapMor(tmpDir("occ-ooo"), "occ_ooo")
     val month = "1995-01"
