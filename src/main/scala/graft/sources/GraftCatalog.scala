@@ -93,6 +93,24 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
         import spark.implicits._
         GraftCatalog.lockRows(spark, path)
           .toDF("owner", "token", "acquired_at", "expires_at", "state")
+      case "detail" =>
+        // DESCRIBE DETAIL analogue: the table's one-row identity card —
+        // config, size, tip, and the live drop/rename mapping. Pure commit-
+        // log metadata, no data scan.
+        import spark.implicits._
+        val st = graft.table.CommitLog.requireState(spark, path)
+        val m = st.columnMapping
+        Seq((st.latest.tableName, st.latest.tableType,
+            st.latest.keyFields.mkString(","), st.latest.precombineField,
+            st.latest.partitionFields.mkString(","),
+            (st.nativePartitions.size + st.metadataOnlyPartitions.size +
+              st.deltaOnlyPartitions.size).toLong,
+            st.latest.recordCount, st.latest.commitTime, st.commits.size.toLong,
+            m.aliases.toSeq.sorted.map { case (p, l) => s"$p->$l" }.mkString(","),
+            m.dropped.sorted.mkString(",")))
+          .toDF("table_name", "table_type", "key_fields", "precombine_field",
+            "partition_fields", "n_partitions", "record_count", "latest_commit",
+            "n_commits", "renamed_columns", "dropped_columns")
       case _ => return None
     }
     Some(new GraftMetaTable(s"graft:$path#$name", df))

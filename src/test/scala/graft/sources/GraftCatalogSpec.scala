@@ -180,6 +180,22 @@ class GraftCatalogSpec extends SparkTestBase {
       e4.getMessage.contains("ADD / DROP / RENAME"))
   }
 
+  test(".detail meta relation: one-row identity card incl. the live drop/rename mapping") {
+    val tbl = bootstrapOrders(tmpDir("cat-detail"), TableType.MergeOnRead)
+    val r0 = spark.sql(s"SELECT * FROM graft.`$tbl`.detail").head()
+    assert(r0.getAs[String]("table_type") === "MERGE_ON_READ")
+    assert(r0.getAs[String]("key_fields") === "o_orderkey")
+    assert(r0.getAs[String]("renamed_columns") === "")
+    assert(r0.getAs[String]("dropped_columns") === "")
+    spark.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN o_orderstatus TO status")
+    spark.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN o_orderpriority")
+    val r1 = spark.sql(
+      s"SELECT renamed_columns, dropped_columns, n_commits FROM graft.`$tbl`.detail").head()
+    assert(r1.getString(0) === "o_orderstatus->status")
+    assert(r1.getString(1) === "o_orderpriority")
+    assert(r1.getLong(2) === 3L) // bootstrap + two alter_schema commits
+  }
+
   test("ALTER TABLE DROP/RENAME COLUMN are metadata-only via the path catalog (T39)") {
     val tbl = bootstrapOrders(tmpDir("cat-t39"), TableType.CopyOnWrite)
     val n = KeyedTable.read(spark, tbl).count()

@@ -214,6 +214,62 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(clustered.filter(col("id") === 9).head().getAs[String]("label") === "new")
   }
 
+  test("T39 property: a random add/drop/rename/write sequence matches a logical-schema model") {
+    val rnd = new scala.util.Random(20260815L)
+    val table = bootstrapped(TableType.CopyOnWrite)
+    // model: the NON-protected logical string columns and the value row
+    // id=1 should carry in each (None = null). Protected (id, ver, p) and
+    // the meta columns are invariant and checked implicitly by the reads.
+    val model = scala.collection.mutable.LinkedHashMap[String, Option[String]]("v" -> Some("a"))
+    var fresh = 0
+    def freshName(): String = { fresh += 1; s"c$fresh" }
+    def assertMatches(): Unit = {
+      val row = KeyedTable.read(spark, table).filter(col("id") === 1).head()
+      val logicalCols = row.schema.fieldNames
+        .filterNot(n => Seq("id", "ver", "p").contains(n) || n.startsWith("_")).toSet
+      assert(logicalCols === model.keySet.toSet,
+        s"logical columns $logicalCols != model ${model.keySet}")
+      model.foreach { case (n, v) =>
+        val got = if (row.isNullAt(row.fieldIndex(n))) None else Some(row.getAs[String](n))
+        assert(got === v, s"column $n")
+      }
+    }
+    (1 to 24).foreach { _ =>
+      val cols = model.keys.toSeq
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => // add a fresh nullable string column
+          val n = freshName()
+          KeyedTable.addColumns(spark, table, Seq(
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType)))
+          model(n) = None
+        case 3 | 4 if cols.nonEmpty => // drop a random current column
+          val n = cols(rnd.nextInt(cols.size))
+          KeyedTable.dropColumns(spark, table, Seq(n))
+          model -= n
+        case 5 | 6 | 7 if cols.nonEmpty => // rename a random current column
+          val from = cols(rnd.nextInt(cols.size))
+          val to = freshName()
+          KeyedTable.renameColumn(spark, table, from, to)
+          val v = model.remove(from).get
+          model(to) = v
+        case _ if cols.nonEmpty => // write a value through the logical name
+          val n = cols(rnd.nextInt(cols.size))
+          val v = s"w$fresh-$n"
+          KeyedTable.upsert(spark, table,
+            Seq((1L, 99L, "p1", v)).toDF("id", "ver", "p", n))
+          // the upsert's full-row image null-pads every OTHER patchable
+          // column (overwrite-latest payload semantics)
+          model.keys.foreach(k => model(k) = None)
+          model(n) = Some(v)
+        case _ => () // nothing to drop/rename/write yet
+      }
+      assertMatches()
+    }
+    // at least a few of each op kind actually ran (seed sanity)
+    assert(fresh >= 6)
+  }
+
   test("T39 rollback of a rename restores the old logical view") {
     val table = bootstrapped(TableType.CopyOnWrite)
     val boot = CommitLog.requireState(spark, table).latest.commitTime
