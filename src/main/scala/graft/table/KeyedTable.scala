@@ -1775,21 +1775,36 @@ object KeyedTable {
         upper.map(v => col(column) <= lit(v).cast(dt))).flatten
         .reduceOption(_ && _).getOrElse(col(column).isNotNull)
     }.reduce(_ && _)
-    if (Deltas.committedLive(spark, tablePath, st).nonEmpty)
+    val cols = schema.fieldNames.map(col).toSeq
+    // Live MOR deltas don't forfeit pruning table-wide: only the partitions
+    // the deltas TOUCH need the merged snapshot; every other partition keeps
+    // the stats-pruned base-file scan. On a streaming-ingest table (deltas
+    // always live somewhere) this is the difference between a pruned range
+    // read and a full-table merge at 100 TB. Unpartitioned tables have one
+    // "partition" — touched means everything, the plain snapshot.
+    val liveDeltas = Deltas.committedLive(spark, tablePath, st)
+    val touched: Set[String] =
+      if (liveDeltas.isEmpty) Set.empty
+      else Deltas.touchedPartitions(st, liveDeltas).toSet
+    if (liveDeltas.nonEmpty && st.latest.partitionFields.isEmpty)
       return toLogical(snapshot(spark, tablePath, st, restrictTo = None).filter(pred),
         st.columnMapping)
-    val cols = schema.fieldNames.map(col).toSeq
+    def inTouched(f: String) = touched.exists(p => f.contains(s"/${PathCodec.escape(p)}/"))
     val pruned = StatsIndex.prune(spark, tablePath, ranges)
     val parts = Seq.newBuilder[DataFrame]
-    if (pruned.kept.nonEmpty)
+    val keptUntouched = pruned.kept.filterNot(inTouched)
+    if (keptUntouched.nonEmpty)
       parts += spark.read.schema(schema).option("basePath", tablePath)
-        .parquet(pruned.kept: _*).select(cols: _*)
+        .parquet(keptUntouched: _*).select(cols: _*)
     // METADATA_ONLY partitions are served from source files the stats
-    // index does not cover — always read (and residually filtered)
-    val metaOnly = st.metadataOnlyPartitions
+    // index does not cover — always read (and residually filtered); the
+    // delta-touched ones ride the merged snapshot below instead
+    val metaOnly = st.metadataOnlyPartitions.filterNot(touched)
     if (metaOnly.nonEmpty)
       parts += readBase(spark, tablePath, st,
-        exclude = st.nativePartitions.toSet, restrictTo = Some(metaOnly.toSet))
+        exclude = st.nativePartitions.toSet ++ touched, restrictTo = Some(metaOnly.toSet))
+    if (touched.nonEmpty)
+      parts += snapshot(spark, tablePath, st, restrictTo = Some(touched)).select(cols: _*)
     toLogical(parts.result() match {
       case Nil => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).filter(pred)

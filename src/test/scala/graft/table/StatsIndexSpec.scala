@@ -104,6 +104,40 @@ class StatsIndexSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq && got.nonEmpty)
   }
 
+  test("live MOR deltas: untouched partitions stay stats-pruned, touched ones merge") {
+    val table = tmpDir("tbl-hybrid")
+    KeyedTable.bootstrap(spark, cfg(ordersWithMonth(tmpDir("in")), table)
+      .copy(tableType = graft.model.TableType.MergeOnRead))
+    StatsIndex.build(spark, table, Seq("o_totalprice"))
+    val base = KeyedTable.read(spark, table)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    val month = base.select("o_month").orderBy("o_month").head().getString(0)
+    // the delta touches ONLY `month`, writing a sentinel beyond every base value
+    val nUpd = base.filter(col("o_month") === month && col("o_orderkey") % 3 === 0).count()
+    KeyedTable.upsert(spark, table,
+      base.filter(col("o_month") === month && col("o_orderkey") % 3 === 0)
+        .select(dataCols: _*).withColumn("o_totalprice", lit(9999999.5)))
+    assert(Deltas.committedLive(spark, table, CommitLog.requireState(spark, table)).nonEmpty)
+
+    // the sentinel bound proves BOTH halves: the index skips every base file
+    // (no base row reaches it), yet the fresh delta rows are found — only
+    // the touched-partition merge path can have produced them
+    val pr = StatsIndex.prune(spark, table, Seq(("o_totalprice", Some(9999999.0), None)))
+    assert(pr.skippedFiles > 0 && pr.kept.isEmpty)
+    val got = KeyedTable.readBetween(spark, table, "o_totalprice", Some(9999999.0), None)
+    assert(got.count() === nUpd && nUpd > 0)
+
+    // and a general range equals the filtered snapshot exactly (both halves
+    // contribute: untouched pruned scans + the merged touched partition)
+    val expect = KeyedTable.read(spark, table)
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") <= 200000.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val hybrid = KeyedTable.readBetween(spark, table, "o_totalprice",
+        Some(100000.0), Some(200000.0))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(hybrid === expect && expect.nonEmpty)
+  }
+
   test("files appended after the index are never skipped; rebuild covers them") {
     val table = boot()
     StatsIndex.build(spark, table, Seq("o_custkey"))
