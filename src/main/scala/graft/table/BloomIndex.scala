@@ -233,8 +233,9 @@ object BloomIndex {
   /** Point lookup by record key, bloom-pruned: on an indexed table this
     * opens only the files whose bloom fires. Keys are `_hoodie_record_key`
     * strings (single key field: the stringified value; composite:
-    * "k1:v1,k2:v2"). Live MOR deltas and METADATA_ONLY partitions fall
-    * back to the merged snapshot — correct, unpruned.
+    * "k1:v1,k2:v2"). METADATA_ONLY partitions fall back to the merged
+    * snapshot; live MOR deltas cost only the partitions they touch (see
+    * [[readByValues]]).
     */
   def readByKeys(spark: SparkSession, tablePath: String, keys: Seq[String]): DataFrame =
     readByValues(spark, tablePath, MetaColumns.RecordKey, keys)
@@ -250,18 +251,37 @@ object BloomIndex {
     val st = CommitLog.requireState(spark, tablePath)
     // `column` is the user-facing LOGICAL name; blooms and files are physical
     val physCol = KeyedTable.physicalNameOf(st.columnMapping, column)
-    if (Deltas.committedLive(spark, tablePath, st).nonEmpty || st.metadataOnlyPartitions.nonEmpty)
+    // METADATA_ONLY partitions sit outside the bloom/file machinery; live
+    // MOR deltas only cost the partitions they TOUCH — everything else
+    // keeps the bloom-pruned point lookup (the streaming-ingest posture:
+    // deltas are always live somewhere on a 100 TB ingest table, and a
+    // point lookup must not pay a full-table merge for them)
+    if (st.metadataOnlyPartitions.nonEmpty)
+      return KeyedTable.read(spark, tablePath)
+        .filter(col(column).cast("string").isin(values: _*))
+    val touched: Set[String] = {
+      val live = Deltas.committedLive(spark, tablePath, st)
+      if (live.isEmpty) Set.empty else Deltas.touchedPartitions(st, live).toSet
+    }
+    if (touched.nonEmpty && st.latest.partitionFields.isEmpty)
       return KeyedTable.read(spark, tablePath)
         .filter(col(column).cast("string").isin(values: _*))
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val pr = candidateFiles(spark, tablePath, values, physCol)
-    KeyedTable.toLogical(
-      if (pr.kept.isEmpty)
+    val kept = pr.kept.filterNot(f =>
+      touched.exists(p => f.contains(s"/${graft.table.PathCodec.escape(p)}/")))
+    val pruned =
+      if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).option("basePath", tablePath)
-        .parquet(pr.kept: _*)
+        .parquet(kept: _*)
         .select(schema.fieldNames.map(col).toSeq: _*)
-        .filter(col(physCol).cast("string").isin(values: _*)),
+    val withTouched =
+      if (touched.isEmpty) pruned
+      else pruned.unionByName(
+        KeyedTable.readPartitionsPhysical(spark, tablePath, st, touched.toSeq))
+    KeyedTable.toLogical(
+      withTouched.filter(col(physCol).cast("string").isin(values: _*)),
       st.columnMapping)
   }
 }

@@ -349,6 +349,14 @@ object KeyedTable {
   private def readPhysical(spark: SparkSession, tablePath: String): DataFrame =
     snapshot(spark, tablePath, CommitLog.requireState(spark, tablePath), restrictTo = None)
 
+  /** Physical restricted snapshot for sibling table services (BloomIndex's
+    * hybrid point lookup merges only the delta-touched partitions).
+    */
+  private[table] def readPartitionsPhysical(
+      spark: SparkSession, tablePath: String, st: TableState,
+      partitions: Seq[String]): DataFrame =
+    snapshot(spark, tablePath, st, restrictTo = Some(partitions.toSet))
+
   // ---------------------------------------- metadata-only drop/rename (T39)
 
   /** LOGICAL view of a physical frame: hide dropped physical columns,
