@@ -117,7 +117,7 @@ class BloomIndexSpec extends SparkTestBase {
     assert(moved.length === 1 && moved.head.getAs[String]("o_month") === "2099-01")
   }
 
-  test("MOR table with live deltas falls back to the merged snapshot") {
+  test("MOR live deltas: touched partitions merge, untouched keys stay bloom-pruned") {
     val table = boot(TableType.MergeOnRead)
     BloomIndex.build(spark, table)
     val base = KeyedTable.read(spark, table)
@@ -125,8 +125,18 @@ class BloomIndexSpec extends SparkTestBase {
       .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
       .withColumn("o_orderstatus", lit("Q"))
     KeyedTable.upsert(spark, table, upd) // delta commit, not compacted
+    // the updated key resolves through the touched-partition merge
     val got = BloomIndex.readByKeys(spark, table, Seq("17"))
     assert(got.count() === 1 && got.head().getAs[String]("o_orderstatus") === "Q")
+    // a key in an UNTOUCHED partition resolves through the pruned file path
+    // and still matches the merged-snapshot truth
+    val touchedMonth = upd.select("o_month").head().getString(0)
+    val other = base.filter(col("o_month") =!= touchedMonth)
+      .select("o_orderkey").head().getLong(0)
+    val got2 = BloomIndex.readByKeys(spark, table, Seq(other.toString))
+    val want2 = KeyedTable.read(spark, table)
+      .filter(col("o_orderkey") === other).collect().toSeq
+    assert(got2.collect().toSeq === want2 && want2.size === 1)
   }
 
   test("secondary index on a non-key column: per-column independence and pruned lookups") {
