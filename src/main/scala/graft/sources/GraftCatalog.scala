@@ -527,6 +527,17 @@ private[sources] object GraftProcedures {
       "Savepointed instants, ascending") { (s, a) =>
       KeyedTable.savepoints(s, a(0).toString)
     },
+    proc("rename_column", Seq("table" -> StringType,
+        "from" -> StringType, "to" -> StringType),
+      "Metadata-only column rename (T39): read-time alias, files untouched") { (s, a) =>
+      KeyedTable.renameColumn(s, a(0).toString, a(1).toString, a(2).toString)
+      Seq(s"renamed ${a(1)} -> ${a(2)}")
+    },
+    proc("drop_column", Seq("table" -> StringType, "column" -> StringType),
+      "Metadata-only column drop (T39): hidden at read time, files untouched") { (s, a) =>
+      KeyedTable.dropColumns(s, a(0).toString, Seq(a(1).toString))
+      Seq(s"dropped ${a(1)}")
+    },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +
         "or 'no lock held'") { (s, a) =>

@@ -180,6 +180,17 @@ class GraftCatalogSpec extends SparkTestBase {
       e4.getMessage.contains("ADD / DROP / RENAME"))
   }
 
+  test("rename_column / drop_column procedures mirror the DDL surface") {
+    val tbl = bootstrapOrders(tmpDir("cat-t39-proc"), TableType.CopyOnWrite)
+    assert(callRows(s"CALL graft.system.rename_column('$tbl', 'o_orderstatus', 'status')")
+      === Seq("renamed o_orderstatus -> status"))
+    assert(callRows(s"CALL graft.system.drop_column('$tbl', 'o_orderpriority')")
+      === Seq("dropped o_orderpriority"))
+    val cols = spark.sql(s"SELECT * FROM graft.`$tbl`").columns
+    assert(cols.contains("status") && !cols.contains("o_orderstatus") &&
+      !cols.contains("o_orderpriority"))
+  }
+
   test(".detail meta relation: one-row identity card incl. the live drop/rename mapping") {
     val tbl = bootstrapOrders(tmpDir("cat-detail"), TableType.MergeOnRead)
     val r0 = spark.sql(s"SELECT * FROM graft.`$tbl`.detail").head()
