@@ -112,22 +112,24 @@ object DedupIndex {
     * streaming DataFrame) is screened against the index and its survivors
     * appended — the continuous-ingest dedup gate as one `foreachBatch`
     * loop. Exactly-once note: foreachBatch delivers at-least-once; both
-    * outputs survive a crash-replay exactly once because of WRITE ORDER.
-    * Survivors land FIRST in a batchId-addressed directory
-    * (`survivorsPath/batch=<id>/`, overwrite mode — a replay of the same
-    * batch recomputes the identical survivor set against the unchanged
-    * index and overwrites the same directory), and the index append runs
-    * AFTER. A crash between the two replays into the same survivor
-    * overwrite plus the pending index append; a crash after the append
-    * replays into an empty survivor set for an already-written directory —
-    * the replayed batch's survivors are in the index, match their own
-    * entries at Jaccard 1.0, screen themselves out, and the overwrite of
-    * that batch directory with zero rows matches the zero NEW survivors
-    * (the previously published rows for that batch stay as published
-    * because Spark's v2 checkpoint only replays the LAST uncommitted
-    * batch, whose directory is exactly the one being rewritten). Consumers
-    * read `survivorsPath` as one partitioned parquet tree (`batch` becomes
-    * a provenance partition column). Pass None to keep only the index.
+    * outputs survive a crash-replay exactly once because the batch body is
+    * IDEMPOTENT. Survivors land FIRST in a batchId-addressed directory
+    * (`survivorsPath/batch=<id>/`, overwrite mode), and the index append
+    * runs AFTER; the screening join excludes SELF-matches (a doc whose own
+    * id is already in the index never screens itself out), so a replay
+    * after any crash point recomputes the SAME survivor set: a crash
+    * between the two writes replays into an identical directory overwrite
+    * plus the pending index append; a crash after the append replays into
+    * the identical overwrite (self-matches excluded — without that
+    * exclusion the replayed batch would match its own index entries at
+    * Jaccard 1.0 and overwrite the published survivors with zero rows)
+    * plus an idempotent re-upsert of the same index entries. The flip side
+    * of self-exclusion: a SOURCE-level redelivery of an id in a LATER
+    * batch survives again (the gate dedups content across distinct docs,
+    * not deliveries of the same doc — the index upsert keeps one entry per
+    * id either way). Consumers read `survivorsPath` as one partitioned
+    * parquet tree (`batch` becomes a provenance partition column). Pass
+    * None to keep only the index.
     */
   def ingestStream(
       docs: DataFrame,
@@ -142,25 +144,45 @@ object DedupIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val b = batch.toDF()
-          val dups = probe(spark, indexPath, b, idCol, textCol,
-            shingleN, numHashes, bands, threshold)
-          val survivors = b.join(dups.select(col("b_id")).distinct(),
-              col(idCol) === col("b_id"), "left_anti")
-            .localCheckpoint()
-          // survivors FIRST (idempotent overwrite of this batch's own dir),
-          // index append AFTER — see the exactly-once note above
-          survivorsPath.foreach(p =>
-            survivors.write.mode("overwrite").parquet(s"$p/batch=$batchId"))
-          if (!survivors.isEmpty)
-            KeyedTable.upsert(spark, indexPath,
-              entriesOf(survivors, idCol, textCol, shingleN, numHashes))
-        }
+        ingestBatch(batch.toDF(), batchId, indexPath, idCol, textCol,
+          survivorsPath, shingleN, numHashes, bands, threshold)
         ()
       }
       .start()
+
+  /** One ingest micro-batch, idempotent under replay (see [[ingestStream]]).
+    * `skipIndexAppend` is a test-only crash-injection point: it stops the
+    * body between the survivors write and the index append, the exact
+    * window the replay argument covers.
+    */
+  private[graft] def ingestBatch(
+      b: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      survivorsPath: Option[String],
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5,
+      skipIndexAppend: Boolean = false): Unit = {
+    if (b.isEmpty) return
+    val spark = b.sparkSession
+    val dups = probe(spark, indexPath, b, idCol, textCol,
+      shingleN, numHashes, bands, threshold)
+      // replay idempotence: a doc already in the index under its OWN id is
+      // this batch redelivered (crash after the index append), not a dup
+      .filter(col("a_id") =!= col("b_id"))
+    val survivors = b.join(dups.select(col("b_id")).distinct(),
+        col(idCol) === col("b_id"), "left_anti")
+      .localCheckpoint()
+    // survivors FIRST (idempotent overwrite of this batch's own dir),
+    // index append AFTER — see the exactly-once note above
+    survivorsPath.foreach(p =>
+      survivors.write.mode("overwrite").parquet(s"$p/batch=$batchId"))
+    if (!skipIndexAppend && !survivors.isEmpty)
+      KeyedTable.upsert(spark, indexPath,
+        entriesOf(survivors, idCol, textCol, shingleN, numHashes))
+  }
 
   /** The continuous-ingest gate: screen `batch` against the index, keep the
     * novel docs, and APPEND their entries (one MOR delta commit) so the next
@@ -173,6 +195,10 @@ object DedupIndex {
       threshold: Double = 0.5): DataFrame = {
     val dups = probe(spark, indexPath, batch, idCol, textCol,
       shingleN, numHashes, bands, threshold)
+      // same self-exclusion as ingestBatch: a retry after a crash between
+      // the append and the caller consuming the result reproduces the same
+      // survivor set instead of screening the batch against itself
+      .filter(col("a_id") =!= col("b_id"))
     // stable row set: the append below and the caller both consume it
     val survivors = batch.join(dups.select(col("b_id")).distinct(),
         col(idCol) === col("b_id"), "left_anti")

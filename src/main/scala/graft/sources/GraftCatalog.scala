@@ -257,9 +257,11 @@ object GraftCatalog {
           s"only (type changes rewrite data, which the engine refuses); got: $other.")
     }
     val a = adds.result(); val d = drops.result(); val r = renames.result()
-    if (a.nonEmpty) KeyedTable.addColumns(spark, path, a)
-    if (d.nonEmpty) KeyedTable.dropColumns(spark, path, d)
-    r.foreach { case (from, to) => KeyedTable.renameColumn(spark, path, from, to) }
+    // ONE alter_schema commit for the whole statement: every change is
+    // validated against the evolving logical schema before anything is
+    // stamped, so a refused rename can't leave earlier adds/drops committed
+    if (a.nonEmpty || d.nonEmpty || r.nonEmpty)
+      KeyedTable.alterSchema(spark, path, adds = a, drops = d, renames = r)
   }
 }
 

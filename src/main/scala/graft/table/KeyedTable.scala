@@ -360,16 +360,27 @@ object KeyedTable {
   // ---------------------------------------- metadata-only drop/rename (T39)
 
   /** LOGICAL view of a physical frame: hide dropped physical columns,
-    * rename aliased ones. Identity when no mapping is active.
+    * rename aliased ones. Identity when no mapping is active. All drops +
+    * renames apply ATOMICALLY in one select projection: a sequential
+    * withColumnRenamed fold corrupts the frame when a rename chain reuses a
+    * vacated name (aliases {y→z, x→y}: applying x→y while physical y is
+    * still present duplicates the column, and Map iteration order makes it
+    * nondeterministic).
     */
   private[table] def toLogical(df: DataFrame, m: ColumnMapping): DataFrame = {
     if (m.isEmpty) return df
-    val dropped = df.columns.filter(m.dropped.contains).toIndexedSeq
-    val renames = m.aliases.filter { case (p, l) => p != l && df.columns.contains(p) }
-    renames.foldLeft(df.drop(dropped: _*)) {
-      case (d, (p, l)) => d.withColumnRenamed(p, l)
-    }
+    val kept = df.columns.filterNot(m.dropped.contains).toIndexedSeq
+    val noop = kept.length == df.columns.length &&
+      !kept.exists(c => m.aliases.get(c).exists(_ != c))
+    if (noop) df
+    else df.select(kept.map(c =>
+      col(quoteIdent(c)).as(m.aliases.get(c).filter(_ != c).getOrElse(c))): _*)
   }
+
+  /** Backtick-quote a column name so `col` resolves it literally (no
+    * struct-field dotting) inside the atomic mapping projections.
+    */
+  private def quoteIdent(c: String): String = "`" + c.replace("`", "``") + "`"
 
   /** The logical schema a mapping serves over a physical one. */
   private[graft] def logicalSchema(physical: StructType, m: ColumnMapping): StructType =
@@ -399,8 +410,12 @@ object KeyedTable {
         s"write references column(s) hidden by a metadata-only drop/rename: " +
           s"${bad.mkString(", ")}. Use the current logical names; to re-introduce a " +
           "dropped name, ALTER TABLE ADD COLUMNS first (it allocates a fresh physical column).")
-    l2p.filter { case (l, p) => l != p && batch.columns.contains(l) }
-      .foldLeft(batch) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    // atomic projection, mirroring toLogical: a logical batch may carry a
+    // name another rename vacated (write after {y→z, x→y} carries both z
+    // and y), which a sequential withColumnRenamed fold would collide
+    if (!batch.columns.exists(c => l2p.get(c).exists(_ != c))) batch
+    else batch.select(batch.columns.toIndexedSeq.map(c =>
+      col(quoteIdent(c)).as(l2p.getOrElse(c, c))): _*)
   }
 
   /** Resolve a user-facing (logical) column name to its physical home. */
@@ -1153,15 +1168,51 @@ object KeyedTable {
   def addColumns(
       spark: SparkSession,
       tablePath: String,
-      newCols: Seq[org.apache.spark.sql.types.StructField]): StructType = {
-    require(newCols.nonEmpty, "addColumns needs at least one column")
+      newCols: Seq[org.apache.spark.sql.types.StructField]): StructType =
+    alterSchema(spark, tablePath, adds = newCols)
+
+  /** ONE atomic schema-evolution commit carrying any mix of ADD, DROP, and
+    * RENAME COLUMN: every change is validated against the EVOLVING logical
+    * schema first (adds, then drops, then renames), and only then is a
+    * single `alter_schema` commit stamped — so a multi-change
+    * `ALTER TABLE` either applies completely or not at all (a refused
+    * rename can no longer leave earlier adds/drops committed). Returns the
+    * evolved PHYSICAL schema.
+    */
+  def alterSchema(
+      spark: SparkSession,
+      tablePath: String,
+      adds: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+      drops: Seq[String] = Seq.empty,
+      renames: Seq[(String, String)] = Seq.empty): StructType = {
+    require(adds.nonEmpty || drops.nonEmpty || renames.nonEmpty,
+      "alterSchema needs at least one change")
     val st = CommitLog.requireState(spark, tablePath)
-    val m = st.columnMapping
-    val schema = StructType.fromDDL(st.latest.schemaDdl)
-    val metaF = schema.filter(f => MetaColumns.all.contains(f.name))
-    val dataF = schema.filterNot(f => MetaColumns.all.contains(f.name))
     val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    var schema = StructType.fromDDL(st.latest.schemaDdl)
+    var m = st.columnMapping
+    if (adds.nonEmpty) {
+      val (s2, m2) = planAddColumns(schema, m, adds, norm)
+      schema = s2; m = m2
+    }
+    if (drops.nonEmpty) m = planDropColumns(st, schema, m, drops)
+    renames.foreach { case (from, to) => m = planRename(st, schema, m, from, to, norm) }
+    alterSchemaCommit(spark, tablePath, st, schema.toDDL, m)
+    schema
+  }
+
+  /** Pure planning half of ADD COLUMNS: validates against the logical
+    * namespace of (schema, m) and returns the evolved physical schema +
+    * mapping without committing.
+    */
+  private def planAddColumns(
+      schema: StructType,
+      m: ColumnMapping,
+      newCols: Seq[org.apache.spark.sql.types.StructField],
+      norm: String => String): (StructType, ColumnMapping) = {
+    val metaF = schema.filter(f => MetaColumns.all.contains(f.name))
+    val dataF = schema.filterNot(f => MetaColumns.all.contains(f.name))
     // collisions are judged against the LOGICAL namespace (what users see);
     // a hidden physical name (dropped / renamed away) is free to re-use —
     // the column then lives under a FRESH physical name via an alias, so a
@@ -1181,8 +1232,12 @@ object KeyedTable {
       throw GraftException.config(
         s"addColumns: new column(s) must be nullable (existing rows null-fill): " +
           s"${notNull.mkString(", ")}.")
-    val physicalTaken =
-      scala.collection.mutable.Set[String](schema.fieldNames.map(norm).toIndexedSeq: _*)
+    // fresh physical names must dodge BOTH namespaces: physical schema
+    // names AND current alias targets (logical names) — a fresh 'x__2'
+    // colliding with an alias target 'x__2' would duplicate the logical
+    // column the moment toLogical projects
+    val physicalTaken = scala.collection.mutable.Set[String](
+      (schema.fieldNames ++ m.aliases.values).map(norm).toIndexedSeq: _*)
     var aliases = m.aliases
     val physCols = newCols.map { f =>
       if (!physicalTaken.contains(norm(f.name))) {
@@ -1196,9 +1251,7 @@ object KeyedTable {
       }
     }
     val evolved = StructType((dataF ++ physCols ++ metaF).toArray)
-    val newMapping = ColumnMapping(aliases, m.dropped)
-    alterSchemaCommit(spark, tablePath, st, evolved.toDDL, newMapping)
-    evolved
+    (evolved, ColumnMapping(aliases, m.dropped))
   }
 
   /** Metadata-only column DROP (T39): hide `columns` (logical names) from
@@ -1209,10 +1262,16 @@ object KeyedTable {
     * (see [[addColumns]]), so the dropped data can never resurface under
     * the new name. Undo = rollback of the alter_schema commit.
     */
-  def dropColumns(spark: SparkSession, tablePath: String, columns: Seq[String]): Unit = {
+  def dropColumns(spark: SparkSession, tablePath: String, columns: Seq[String]): Unit =
+    alterSchema(spark, tablePath, drops = columns)
+
+  /** Pure planning half of DROP COLUMNS (see [[alterSchema]]). */
+  private def planDropColumns(
+      st: TableState,
+      schema: StructType,
+      m: ColumnMapping,
+      columns: Seq[String]): ColumnMapping = {
     require(columns.nonEmpty, "dropColumns needs at least one column")
-    val st = CommitLog.requireState(spark, tablePath)
-    val m = st.columnMapping
     val protectedCols =
       (st.latest.keyFields ++ st.latest.partitionFields :+ st.latest.precombineField).toSet
     val bad = columns.filter(c => protectedCols.contains(c) || MetaColumns.all.contains(c))
@@ -1220,13 +1279,10 @@ object KeyedTable {
       throw GraftException.config(
         s"dropColumns: cannot drop key/partition/precombine/meta column(s): ${bad.mkString(", ")}.")
     val phys = columns.map(c => c -> physicalNameOf(m, c)).toMap
-    val schema = StructType.fromDDL(st.latest.schemaDdl)
     val missing = columns.filter(c => !schema.fieldNames.contains(phys(c)))
     if (missing.nonEmpty)
       throw GraftException.config(s"dropColumns: unknown column(s): ${missing.mkString(", ")}.")
-    val newMapping = ColumnMapping(
-      m.aliases -- phys.values, (m.dropped ++ phys.values).distinct)
-    alterSchemaCommit(spark, tablePath, st, st.latest.schemaDdl, newMapping)
+    ColumnMapping(m.aliases -- phys.values, (m.dropped ++ phys.values).distinct)
   }
 
   /** Metadata-only column RENAME (T39): `from` (current logical name) is
@@ -1236,20 +1292,25 @@ object KeyedTable {
     * state). Key/partition/precombine columns cannot be renamed; `to` must
     * be free in the logical namespace.
     */
-  def renameColumn(spark: SparkSession, tablePath: String, from: String, to: String): Unit = {
-    val st = CommitLog.requireState(spark, tablePath)
-    val m = st.columnMapping
+  def renameColumn(spark: SparkSession, tablePath: String, from: String, to: String): Unit =
+    alterSchema(spark, tablePath, renames = Seq(from -> to))
+
+  /** Pure planning half of RENAME COLUMN (see [[alterSchema]]). */
+  private def planRename(
+      st: TableState,
+      schema: StructType,
+      m: ColumnMapping,
+      from: String,
+      to: String,
+      norm: String => String): ColumnMapping = {
     val protectedCols =
       (st.latest.keyFields ++ st.latest.partitionFields :+ st.latest.precombineField).toSet
     if (protectedCols.contains(from) || MetaColumns.all.contains(from))
       throw GraftException.config(
         s"renameColumn: cannot rename key/partition/precombine/meta column '$from'.")
-    val schema = StructType.fromDDL(st.latest.schemaDdl)
     val physFrom = physicalNameOf(m, from)
     if (!schema.fieldNames.contains(physFrom) || m.dropped.contains(physFrom))
       throw GraftException.config(s"renameColumn: unknown column '$from'.")
-    val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val logicalNames = logicalSchema(schema, m).fieldNames.map(norm).toSet
     if (logicalNames.contains(norm(to)))
       throw GraftException.config(
@@ -1257,8 +1318,7 @@ object KeyedTable {
     val aliases =
       if (to == physFrom) m.aliases - physFrom // renamed back to its physical name
       else m.aliases + (physFrom -> to)
-    alterSchemaCommit(spark, tablePath, st, st.latest.schemaDdl,
-      ColumnMapping(aliases, m.dropped))
+    ColumnMapping(aliases, m.dropped)
   }
 
   /** Shared alter_schema commit tail: one metadata-only commit stamping the

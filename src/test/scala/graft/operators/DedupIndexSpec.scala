@@ -50,7 +50,7 @@ class DedupIndexSpec extends SparkTestBase {
     assert(n === corpus.count() + ids(s1).size + ids(s2).size)
   }
 
-  test("dedupAndAppend is replay-idempotent: a re-screened batch matches its own entries") {
+  test("dedupAndAppend is replay-idempotent: a re-screened batch reproduces its survivors") {
     val dir = tmpDir("dedup-index-replay")
     val idx = s"$dir/idx"
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
@@ -59,12 +59,44 @@ class DedupIndexSpec extends SparkTestBase {
     val s1 = DedupIndex.dedupAndAppend(spark, idx, batch, "doc_id", "text")
     val n = graft.table.KeyedTable.read(spark, idx).count()
     // the at-least-once replay: the SAME batch again — every previous
-    // survivor now sits in the index under its own id, matches itself at
-    // Jaccard 1.0, and screens itself out; the index does not grow
+    // survivor now sits in the index under its own id, but SELF-matches
+    // are excluded from the screen, so the replay reproduces the SAME
+    // survivor set (a doc never screens itself out) and the index does
+    // not grow (the upsert re-lands the same keyed entries)
     val replay = DedupIndex.dedupAndAppend(spark, idx, batch, "doc_id", "text")
-    assert(replay.isEmpty)
+    assert(ids(replay) === ids(s1))
     assert(graft.table.KeyedTable.read(spark, idx).count() === n)
     assert(ids(s1).nonEmpty)
+  }
+
+  test("ingest replay converges from a crash in EITHER window of the batch body") {
+    val dir = tmpDir("dedup-index-crash")
+    val idx = s"$dir/idx"
+    val out = s"$dir/survivors"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0).toDF()
+    DedupIndex.bootstrap(spark, idx, corpus, "doc_id", "text")
+    val expect = Dedup.dedupAgainst(corpus, batch, "doc_id", "text")
+    val corpusN = corpus.count()
+
+    // crash A — BETWEEN the survivors write and the index append: the
+    // batch directory is published but the index never grew
+    DedupIndex.ingestBatch(batch, 7L, idx, "doc_id", "text", Some(out),
+      skipIndexAppend = true)
+    assert(ids(spark.read.parquet(s"$out/batch=7")) === ids(expect))
+    assert(graft.table.KeyedTable.read(spark, idx).count() === corpusN)
+    // the checkpoint replays the batch: identical directory contents, and
+    // the pending index append lands
+    DedupIndex.ingestBatch(batch, 7L, idx, "doc_id", "text", Some(out))
+    assert(ids(spark.read.parquet(s"$out/batch=7")) === ids(expect))
+    assert(graft.table.KeyedTable.read(spark, idx).count() === corpusN + ids(expect).size)
+
+    // crash B — AFTER the index append, before the checkpoint commit: the
+    // full replay must NOT overwrite the published survivors with zero
+    // rows (self-matches are excluded from the screen)
+    DedupIndex.ingestBatch(batch, 7L, idx, "doc_id", "text", Some(out))
+    assert(ids(spark.read.parquet(s"$out/batch=7")) === ids(expect))
+    assert(graft.table.KeyedTable.read(spark, idx).count() === corpusN + ids(expect).size)
   }
 
   test("streaming ingest gate: chained micro-batches screen against the growing index") {

@@ -280,4 +280,78 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(back.columns.contains("v") && !back.columns.contains("label"))
     assert(back.filter(col("id") === 1).head().getAs[String]("v") === "a")
   }
+
+  test("rename chain reusing a vacated name applies atomically on read AND write") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.StringType)))
+    KeyedTable.upsert(spark, table,
+      Seq((2L, 2L, "b2", "p1", "A2")).toDF("id", "ver", "v", "p", "a"))
+    // aliases end up {a->v, v->z}: serialized sorted by physical name, a
+    // sequential rename fold would apply a->v while physical v is still
+    // present and duplicate the column — the projection must be atomic
+    KeyedTable.renameColumn(spark, table, "v", "z")
+    KeyedTable.renameColumn(spark, table, "a", "v") // 'v' was just vacated
+    val df = KeyedTable.read(spark, table)
+    assert(df.columns.toSeq.sorted === df.columns.toSeq.distinct.sorted)
+    assert(df.columns.count(_ == "v") === 1 && df.columns.count(_ == "z") === 1)
+    val r2 = df.filter(col("id") === 2).head()
+    assert(r2.getAs[String]("z") === "b2")
+    assert(r2.getAs[String]("v") === "A2")
+    // writes through the chained mapping round-trip (toPhysical is the
+    // mirror projection: the batch carries BOTH a vacated name and its
+    // new tenant)
+    KeyedTable.upsert(spark, table,
+      Seq((3L, 2L, "c2", "p2", "C2")).toDF("id", "ver", "z", "p", "v"))
+    val r3 = KeyedTable.read(spark, table).filter(col("id") === 3).head()
+    assert(r3.getAs[String]("z") === "c2" && r3.getAs[String]("v") === "C2")
+  }
+
+  test("fresh physical names dodge alias targets, not just physical names") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.StringType)))
+    KeyedTable.dropColumns(spark, table, Seq("x"))
+    // alias target occupies the would-be fresh name 'x__2'
+    KeyedTable.renameColumn(spark, table, "v", "x__2")
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.StringType)))
+    val df = KeyedTable.read(spark, table)
+    assert(df.columns.toSeq.sorted === df.columns.toSeq.distinct.sorted)
+    assert(df.columns.contains("x") && df.columns.contains("x__2"))
+    // the re-added x is fresh nulls; x__2 serves the renamed v's values
+    assert(df.filter(col("x").isNotNull).count() === 0)
+    assert(df.filter(col("id") === 1).head().getAs[String]("x__2") === "a")
+  }
+
+  test("multi-change alterSchema is atomic: a refused change aborts the whole statement") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    val before = CommitLog.requireState(spark, table).latest.commitTime
+    val e = intercept[GraftException] {
+      KeyedTable.alterSchema(spark, table,
+        adds = Seq(org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType)),
+        drops = Seq("v"),
+        renames = Seq("note" -> "id")) // 'id' is the key name: refused
+    }
+    assert(e.getMessage.contains("already exists"))
+    // nothing committed: neither the add nor the drop leaked
+    assert(CommitLog.requireState(spark, table).latest.commitTime === before)
+    val df = KeyedTable.read(spark, table)
+    assert(!df.columns.contains("note") && df.columns.contains("v"))
+    // a valid multi-change lands as exactly ONE alter_schema commit
+    KeyedTable.alterSchema(spark, table,
+      adds = Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)),
+      drops = Seq("v"),
+      renames = Seq("note" -> "remark"))
+    val st2 = CommitLog.requireState(spark, table)
+    assert(st2.commits.count(_.operation == "alter_schema") === 1)
+    val df2 = KeyedTable.read(spark, table)
+    assert(df2.columns.contains("remark") && !df2.columns.contains("v")
+      && !df2.columns.contains("note"))
+  }
 }
