@@ -159,19 +159,25 @@ object Bench {
     val shufJson = results
       .map { case (k, _) => s"\"$k\":${math.round(shuffleMb.getOrElse(k, 0.0) * 100) / 100.0}" }
       .mkString("{", ",", "}")
-    // The harness keeps only the TAIL of stdout: diagnostics print FIRST on
-    // their own line, the compact primary metric line prints LAST, so the
-    // per-query seconds map always survives the capture (round 6 lost all
-    // primary timings to a single overgrown line — never again). The full
-    // JSON also lands in target/bench.json for offline pickup.
-    val diagLine = s"""{"metric":"diagnostics","sys_load_before":$loadBefore,"sys_load_after":$sysLoad,"ncpu":${Runtime.getRuntime.availableProcessors},"gc_ms":$gcJson,"hygiene_sec":$hygJson,"exec_run_ms":$execJson,"shuffle_mb":$shufJson}"""
+    // The harness keeps only the TAIL of stdout: the BULKY per-query
+    // diagnostic maps print FIRST (they may lose their head to the
+    // capture window), then the tiny load/ncpu context line, then the
+    // compact primary metric line LAST — so the per-query seconds map and
+    // the system-load stamps both survive the capture (round 6 lost all
+    // primary timings to a single overgrown line; round 8 lost the load
+    // fields to the same truncation — small lines go last). The full JSON
+    // also lands in target/bench.json for offline pickup.
+    val diagLine = s"""{"metric":"diagnostics","gc_ms":$gcJson,"hygiene_sec":$hygJson,"exec_run_ms":$execJson,"shuffle_mb":$shufJson}"""
+    val loadLine = s"""{"metric":"sys","sys_load_before":$loadBefore,"sys_load_after":$sysLoad,"ncpu":${Runtime.getRuntime.availableProcessors}}"""
     val primaryLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(diagLine)
+    println(loadLine)
     try {
       val p = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        (diagLine + "\n" + primaryLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (diagLine + "\n" + loadLine + "\n" + primaryLine + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // file copy is best-effort
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
     println(primaryLine)

@@ -49,7 +49,10 @@ object SparkEntry {
     "q45_sql_merge",
     // round 8: substring-level span dedup, learned-BPE training, trained
     // quality classifier — each a new operator family leg
-    "x54_span_dedup", "x55_bpe_tokenizer", "x56_nb_classifier")
+    "x54_span_dedup", "x55_bpe_tokenizer", "x56_nb_classifier",
+    // round 9: auto-maintained index sidecars — times the publish-hook
+    // refresh so its touched-partition bound is a measured number
+    "q50_auto_index")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

@@ -1027,6 +1027,43 @@ object CoreQueries {
          |FROM graft.`$tbl` ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Auto-maintained index sidecars (`index.auto` table property,
+    * [[graft.table.IndexAutoRefresh]]): stats + bloom indexes are built
+    * once, the property is flipped through the SQL procedure, and a
+    * bulk-insert append lands with NO manual rebuild — the publish hook
+    * refreshes both sidecars incrementally for the files the commit added.
+    * The answer combines a stats range read over the appended stripe with
+    * a bloom point lookup, so pruning against the auto-refreshed indexes
+    * must lose nothing; StatsIndexSpec/BloomIndexSpec pin that files are
+    * actually skipped and that no-base-file-change publishes stamp no new
+    * index instant.
+    */
+  private val q50: Q = (s, d) => {
+    val tbl = freshTableDir("graft-q50")
+    KeyedTable.bootstrap(s, BootstrapConfig(
+      dataFilePath = ordersInput(s, d), tablePath = tbl, tableName = "q50_orders",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month")))
+    graft.table.StatsIndex.build(s, tbl, Seq("o_custkey"))
+    graft.table.BloomIndex.build(s, tbl)
+    s.sql(s"CALL graft.system.set_property('$tbl', 'index.auto', 'true')").collect()
+    val base = KeyedTable.read(s, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    // one-partition batch — the incremental-ingest shape; the publish-hook
+    // refresh then scans exactly the file(s) this commit added
+    KeyedTable.append(s, tbl, base
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(dataCols: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+      .withColumn("o_custkey", col("o_custkey") + 9000000L)
+      .withColumn("o_month", lit("2099-01")),
+      graft.model.WriteOperation.BulkInsert)
+    val out = Seq(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    KeyedTable.readBetween(s, tbl, "o_custkey", Some(9000000L), None).select(out: _*)
+      .unionByName(graft.table.BloomIndex.readByKeys(s, tbl, Seq("26", "91")).select(out: _*))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_global_counts" -> q01,
     "q02_partition_counts" -> q02,
@@ -1076,6 +1113,7 @@ object CoreQueries {
     "q47_merge_reconcile" -> q47,
     "q48_schema_merge" -> q48,
     "q49_rename_drop" -> q49,
+    "q50_auto_index" -> q50,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1365,6 +1403,16 @@ object CoreQueries {
         |  CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE o_orderstatus END AS status,
         |  o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q50_auto_index" ->
+      // auto-refreshed stats + bloom pruning must be invisible in the answer
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey + 90000000 AS o_orderkey,
+        |         o_custkey + 9000000 AS o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey IN (26, 91)
+        |) ORDER BY o_orderkey""".stripMargin,
     "q48_schema_merge" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 5 = 0

@@ -540,6 +540,25 @@ private[sources] object GraftProcedures {
       KeyedTable.dropColumns(s, a(0).toString, Seq(a(1).toString))
       Seq(s"dropped ${a(1)}")
     },
+    proc("set_property", Seq("table" -> StringType,
+        "key" -> StringType, "value" -> StringType),
+      "Set a table property (e.g. 'index.auto'='true' to refresh stats/bloom " +
+        "index sidecars incrementally with every commit)") { (s, a) =>
+      graft.table.TableProperties.set(s, a(0).toString,
+        Map(a(1).toString -> a(2).toString))
+      Seq(s"${a(1)} = ${a(2)}")
+    },
+    proc("unset_property", Seq("table" -> StringType, "key" -> StringType),
+      "Remove a table property") { (s, a) =>
+      graft.table.TableProperties.unset(s, a(0).toString, Seq(a(1).toString))
+      Seq(s"unset ${a(1)}")
+    },
+    proc("show_properties", Seq("table" -> StringType),
+      "The table's properties, 'key = value' per row") { (s, a) =>
+      val props = graft.table.TableProperties.get(s, a(0).toString)
+      if (props.isEmpty) Seq("no properties set")
+      else props.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }
+    },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +
         "or 'no lock held'") { (s, a) =>

@@ -89,8 +89,9 @@ object BloomIndex {
     // scanned. Steady-state refresh after an append costs O(new files),
     // not O(table). All-null files never produce a row, so they re-enter
     // the fresh set each refresh — harmless (their scan finds no keys).
-    val carried: Option[DataFrame] = latestIndex(spark, tablePath, column).map { prev =>
-      spark.read.parquet(bloomDir(tablePath, prev).toString)
+    val prev = latestIndex(spark, tablePath, column)
+    val carried: Option[DataFrame] = prev.map { p =>
+      spark.read.parquet(bloomDir(tablePath, p).toString)
         .filter(col("fpp") === fpp)
         .join(broadcast(files.map(normalizePath).toDF("__live")),
           col("file") === col("__live"), "left_semi")
@@ -99,6 +100,11 @@ object BloomIndex {
       .map(_.select("file").distinct().collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
     val fresh = files.filterNot(f => covered(normalizePath(f)))
+    // nothing to do: every live file already has a same-fpp bloom in the
+    // newest sidecar (stale rows for removed files are harmless —
+    // candidateFiles intersects with the LIVE listing), so a
+    // no-base-file-change publish under index.auto stamps no new instant
+    if (prev.isDefined && fresh.isEmpty) return prev.get
 
     val scanned: DataFrame =
       if (fresh.isEmpty) spark.emptyDataset[BloomRow].toDF()
@@ -144,7 +150,7 @@ object BloomIndex {
       scanned.unionByName(c.select(scanned.columns.map(col).toSeq: _*)))
 
     rows.coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    writeColumnMarker(fs, dir, column, files.size)
+    writeColumnMarker(fs, dir, column, files.size, fpp)
 
     CommitLog.write(spark, tablePath, CommitLog.CommitInfo(
       commitTime = ct, operation = "index_bloom", tableName = st.latest.tableName,
@@ -165,11 +171,48 @@ object BloomIndex {
   }
 
   private def writeColumnMarker(
-      fs: org.apache.hadoop.fs.FileSystem, dir: Path, column: String, files: Int): Unit = {
-    val json = s"""{"column":${quote(column)},"files":$files}"""
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, column: String, files: Int,
+      fpp: Double): Unit = {
+    val json = s"""{"column":${quote(column)},"files":$files,"fpp":$fpp}"""
     // underscore prefix: invisible to the sidecar's parquet reader
     val out = fs.create(new Path(dir, "_index.json"), false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The fpp the sidecar was built with (absent on pre-fpp markers — a
+    * refresh then assumes the default and a changed fpp forces one full
+    * rebuild, after which the marker carries it).
+    */
+  private def fppOf(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Double] = {
+    val p = new Path(dir, "_index.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+    Option(node.get("fpp")).map(_.asDouble())
+  }
+
+  /** Incremental auto-refresh of EVERY bloom index the table has, one per
+    * indexed column, at each column's original fpp ([[IndexAutoRefresh]]'s
+    * bloom half). Column identities are re-derived through the current
+    * rename mapping; an index whose column was dropped is left as-is (its
+    * sidecar keeps pruning reads as-of earlier instants and dies with its
+    * next manual rebuild).
+    */
+  def refreshAll(spark: SparkSession, tablePath: String): Seq[String] = {
+    val fs = CommitLog.fs(spark, tablePath)
+    if (!fs.exists(bloomRoot(tablePath))) return Seq.empty
+    val m = CommitLog.requireState(spark, tablePath).columnMapping
+    val physCols = fs.listStatus(bloomRoot(tablePath)).map(_.getPath)
+      .flatMap(p => columnOf(fs, p)).distinct.toSeq
+    physCols.flatMap { phys =>
+      m.logicalOf(phys).flatMap { logical =>
+        latestIndex(spark, tablePath, phys).map { p =>
+          val fpp = fppOf(fs, bloomDir(tablePath, p)).getOrElse(0.01)
+          build(spark, tablePath, fpp, logical)
+        }
+      }
+    }
   }
 
   private def quote(s: String): String =

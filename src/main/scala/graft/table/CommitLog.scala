@@ -476,6 +476,10 @@ object CommitLog {
     acquireLease(spark, tablePath, tagged.commitTime)
     try writeUnderLock(spark, tablePath, tagged, baseInstant)
     finally releaseLease(spark, tablePath, tagged.commitTime)
+    // index.auto (best-effort, outside the lease): the index builds this
+    // may trigger publish their own instants through this very method —
+    // the hook's ThreadLocal + operation filter stop the recursion
+    IndexAutoRefresh.afterPublish(spark, tablePath, tagged.operation)
   }
 
   /** Thread-scoped streaming-batch identity: [[graft.streaming.GraftStreamSink]]

@@ -1,0 +1,55 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+
+/** Auto-maintained index sidecars (`index.auto` table property): after each
+  * DATA publish, incrementally refresh whatever stats/bloom indexes the
+  * table already has, so `readBetween`/`readByKeys` pruning survives every
+  * write without a manual `index_stats`/`index_bloom` build — the Hudi
+  * metadata-table posture.
+  *
+  * Cost per publish is bounded by the files the commit ADDED: both builds
+  * carry over sidecar rows for still-live files and read only new files'
+  * footers/keys, and they return without committing when nothing changed
+  * (a MOR delta commit adds no base files → one listing, no new instant).
+  *
+  * Failure posture: BEST-EFFORT. A stale or missing index is always
+  * CORRECT — files the sidecar has never seen are kept by every prune — so
+  * a refresh failure (e.g. an OCC conflict with a concurrent writer's own
+  * refresh) must not fail the data write that already published; it logs
+  * and leaves the refresh to the next publish. The ThreadLocal guard keeps
+  * the index builds' own commits (and anything they publish) from
+  * re-triggering the hook.
+  */
+private[table] object IndexAutoRefresh {
+
+  /** Commit operations that never change the base-file set's contents in a
+    * way an index refresh could observe, or ARE the refresh itself.
+    */
+  private val skipOps = Set("index_stats", "index_bloom", "alter_schema")
+
+  private val inRefresh = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
+    if (inRefresh.get() || skipOps(operation)) return
+    val auto =
+      try TableProperties.get(spark, tablePath)
+        .get(TableProperties.IndexAuto).exists(_.equalsIgnoreCase("true"))
+      catch { case _: Exception => false } // e.g. table dir gone mid-teardown
+    if (!auto) return
+    inRefresh.set(true)
+    try {
+      StatsIndex.refresh(spark, tablePath)
+      BloomIndex.refreshAll(spark, tablePath)
+      ()
+    } catch {
+      case e: Exception =>
+        // stale indexes stay correct (unseen files are never pruned); the
+        // next publish retries the refresh
+        System.err.println(
+          s"[graft] index.auto refresh after $operation at $tablePath skipped: ${e.getMessage}")
+    } finally inRefresh.set(false)
+  }
+}

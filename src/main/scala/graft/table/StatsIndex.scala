@@ -132,16 +132,22 @@ object StatsIndex {
     // live carry over untouched when the indexed column set matches —
     // clustered/compacted-away files drop out via the liveness semi-join
     // (a join, not an IN-list: the live set can be 100k+ paths)
-    val carried: Option[DataFrame] = latestIndex(spark, tablePath)
+    val prev = latestIndex(spark, tablePath)
       .filter(_ => indexedColumns(spark, tablePath).sorted == columns.distinct.sorted)
-      .map { prev =>
-        spark.read.parquet(statsDir(tablePath, prev).toString)
-          .join(broadcast(files.toDF("__live")), col("file") === col("__live"), "left_semi")
-      }
+    val carried: Option[DataFrame] = prev.map { p =>
+      spark.read.parquet(statsDir(tablePath, p).toString)
+        .join(broadcast(files.toDF("__live")), col("file") === col("__live"), "left_semi")
+    }
     val covered: Set[String] = carried
       .map(_.select("file").distinct().collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
     val fresh = files.filterNot(covered)
+    // nothing to do: every live file is already covered by the newest
+    // same-column sidecar (rows for files removed since stay in it, which
+    // is harmless — prune intersects with the LIVE listing). This makes a
+    // no-base-file-change publish under index.auto cost one listing plus
+    // one sidecar coverage read, with no new instant.
+    if (prev.isDefined && fresh.isEmpty) return prev.get
 
     // ship the hadoop conf as plain entries: Configuration is not
     // serializable, and executors on a real cluster need the fs settings
@@ -181,6 +187,19 @@ object StatsIndex {
         .filter(_.getName < ct).foreach(fs.delete(_, true))
     ct
   }
+
+  /** Incremental auto-refresh over the SAME columns the newest sidecar
+    * covers ([[IndexAutoRefresh]]'s stats half): no-op without an index, or
+    * when every indexed column has been dropped. Column identities are
+    * re-derived through the current rename mapping, so an index built
+    * before a T39 rename keeps refreshing after it.
+    */
+  def refresh(spark: SparkSession, tablePath: String): Option[String] =
+    latestIndex(spark, tablePath).flatMap { _ =>
+      val m = CommitLog.requireState(spark, tablePath).columnMapping
+      val logical = indexedColumns(spark, tablePath).flatMap(p => m.logicalOf(p))
+      if (logical.isEmpty) None else Some(build(spark, tablePath, logical))
+    }
 
   /** Σ parquet-footer row counts per key over (key, file) pairs —
     * distributed metadata reads, zero data decode. Shared by commit-log

@@ -1,0 +1,70 @@
+package graft.table
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.model.GraftException
+
+/** Per-table key/value properties — the `hoodie.properties` /
+  * `TBLPROPERTIES` analogue, persisted as one small JSON file under the
+  * commit-log dir (`.graft/properties.json`). Properties configure table
+  * SERVICES (e.g. [[IndexAutoRefresh]]'s `index.auto`), never data
+  * semantics, so they are deliberately outside the commit timeline: setting
+  * one is O(1), needs no instant, and applies to every subsequent write.
+  * Updates are atomic (temp file + rename); concurrent setters are
+  * last-writer-wins, which is fine for rare administrative flips.
+  */
+object TableProperties {
+
+  /** When "true", every data publish incrementally refreshes the table's
+    * existing stats/bloom index sidecars for the files the commit added —
+    * the Hudi metadata-table posture (indexes maintained with each commit,
+    * `pyspark_script.py:360-390`'s write-config surface) instead of manual
+    * `index_stats`/`index_bloom` builds.
+    */
+  val IndexAuto = "index.auto"
+
+  def propsPath(tablePath: String): Path =
+    new Path(CommitLog.logDir(tablePath), "properties.json")
+
+  def get(spark: SparkSession, tablePath: String): Map[String, String] = {
+    val fs = CommitLog.fs(spark, tablePath)
+    val p = propsPath(tablePath)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** Merge `kv` into the table's properties (existing keys overwritten). */
+  def set(spark: SparkSession, tablePath: String, kv: Map[String, String]): Unit = {
+    require(kv.nonEmpty, "set needs at least one property")
+    CommitLog.requireState(spark, tablePath) // a real table, not a bare dir
+    write(spark, tablePath, get(spark, tablePath) ++ kv)
+  }
+
+  /** Remove `keys` (unknown keys are ignored). */
+  def unset(spark: SparkSession, tablePath: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "unset needs at least one key")
+    CommitLog.requireState(spark, tablePath)
+    write(spark, tablePath, get(spark, tablePath) -- keys)
+  }
+
+  private def write(
+      spark: SparkSession, tablePath: String, props: Map[String, String]): Unit = {
+    val fs = CommitLog.fs(spark, tablePath)
+    val p = propsPath(tablePath)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw GraftException.config(s"could not publish table properties at $p")
+  }
+}

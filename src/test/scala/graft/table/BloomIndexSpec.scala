@@ -180,4 +180,58 @@ class BloomIndexSpec extends SparkTestBase {
     val fs = CommitLog.fs(spark, table)
     assert(!fs.exists(BloomIndex.bloomDir(table, c1)) && fs.exists(BloomIndex.bloomDir(table, c2)))
   }
+
+  test("index.auto: every publish refreshes the bloom — point lookups keep pruning " +
+      "with NO manual build, at the index's original fpp") {
+    val table = boot()
+    BloomIndex.build(spark, table, fpp = 0.02)
+    TableProperties.set(spark, table, Map(TableProperties.IndexAuto -> "true"))
+    val fs = CommitLog.fs(spark, table)
+    val filesBefore = StatsIndex.listBaseFiles(fs, table).toSet
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(3)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      .withColumn("o_month", lit("2098-01"))
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    // the publish refreshed the sidecar: complete live coverage at the
+    // SAME fpp (a carried refresh, not a default-fpp rebuild)
+    val live = StatsIndex.listBaseFiles(fs, table)
+    assert(live.toSet != filesBefore)
+    val ct = BloomIndex.latestIndex(spark, table).get
+    val sc = spark.read.parquet(BloomIndex.bloomDir(table, ct).toString)
+    assert(sc.select("file").distinct().count() === live.size)
+    assert(sc.select("fpp").distinct().collect().map(_.getDouble(0)).toSeq === Seq(0.02))
+    // a lookup of an appended key opens the appended file (not a full scan
+    // fallback) and prunes the bulk of the untouched files
+    val pr = BloomIndex.candidateFiles(spark, table, Seq("900001"))
+    assert(pr.indexedAt === Some(ct))
+    assert(pr.skippedFiles > 0)
+    assert(BloomIndex.readByKeys(spark, table, Seq("900001")).count() === 1)
+  }
+
+  test("index.auto refreshes secondary-column blooms too") {
+    val table = boot()
+    BloomIndex.build(spark, table, logicalColumn = "o_orderpriority")
+    TableProperties.set(spark, table, Map(TableProperties.IndexAuto -> "true"))
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(2)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      .withColumn("o_orderpriority", lit("9-SENTINEL"))
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    val fs = CommitLog.fs(spark, table)
+    val live = StatsIndex.listBaseFiles(fs, table)
+    val ct = BloomIndex.latestIndex(spark, table, "o_orderpriority").get
+    val sc = spark.read.parquet(BloomIndex.bloomDir(table, ct).toString)
+    assert(sc.select("file").distinct().count() === live.size)
+    // a lookup of the sentinel only present in the appended file prunes the rest
+    val pr = BloomIndex.candidateFiles(spark, table, Seq("9-SENTINEL"), "o_orderpriority")
+    assert(pr.skippedFiles > 0)
+    assert(BloomIndex.readByValues(spark, table, "o_orderpriority", Seq("9-SENTINEL")).count() === 2)
+  }
 }

@@ -230,4 +230,92 @@ class StatsIndexSpec extends SparkTestBase {
     assert(fs.exists(StatsIndex.statsDir(table, c2)))
     assert(StatsIndex.indexedColumns(spark, table) === Seq("o_custkey", "o_totalprice"))
   }
+
+  test("index.auto: every publish refreshes the sidecar — pruning survives writes " +
+      "with NO manual build") {
+    val table = boot()
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    TableProperties.set(spark, table, Map(TableProperties.IndexAuto -> "true"))
+    val fs = CommitLog.fs(spark, table)
+    val filesBefore = StatsIndex.listBaseFiles(fs, table).toSet
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(5)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      .withColumn("o_custkey", lit(999999L)) // provably outside every low range
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    // the publish itself refreshed the index: complete live coverage...
+    val live = StatsIndex.listBaseFiles(fs, table)
+    val appended = live.toSet -- filesBefore
+    assert(appended.nonEmpty)
+    val ct = StatsIndex.latestIndex(spark, table).get
+    val sc = spark.read.parquet(StatsIndex.statsDir(table, ct).toString)
+    assert(sc.select("file").distinct().count() === live.size)
+    // ...and a low-range read OPENS NONE of the appended files (an unseen
+    // file would have to be kept) while staying exact
+    val pr = StatsIndex.prune(spark, table, "o_custkey", Some(1L), Some(100L))
+    assert(pr.kept.toSet.intersect(appended).isEmpty)
+    assert(KeyedTable.readBetween(spark, table, "o_custkey", Some(999999L), None).count() === 5)
+
+    // bounded publish overhead: a second identical-coverage check stamps no
+    // new instant (the refresh early-exits when no base files changed)
+    val before = StatsIndex.latestIndex(spark, table)
+    assert(StatsIndex.refresh(spark, table) === before)
+  }
+
+  test("index.auto on MOR: delta commits early-exit; compaction re-covers the new base files") {
+    val in = ordersWithMonth(tmpDir("in"))
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = table, tableName = "orders_t",
+      keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+      partitionFields = Seq("o_month"), tableType = graft.model.TableType.MergeOnRead))
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    TableProperties.set(spark, table, Map(TableProperties.IndexAuto -> "true"))
+    val idxAfterBuild = StatsIndex.latestIndex(spark, table)
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(3)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_custkey", lit(888888L))
+    KeyedTable.upsert(spark, table, batch)
+    // a MOR delta adds no base files: the refresh stamped NO new instant
+    assert(StatsIndex.latestIndex(spark, table) === idxAfterBuild)
+    // ...and hybrid reads stay correct under the live delta
+    assert(KeyedTable.readBetween(spark, table, "o_custkey", Some(888888L), None).count() === 3)
+
+    KeyedTable.compact(spark, table)
+    // compaction rewrote base files; the auto-refresh re-covered them
+    val fs = CommitLog.fs(spark, table)
+    val live = StatsIndex.listBaseFiles(fs, table)
+    val ct = StatsIndex.latestIndex(spark, table).get
+    assert(ct > idxAfterBuild.get)
+    val sc = spark.read.parquet(StatsIndex.statsDir(table, ct).toString)
+    assert(sc.select("file").distinct().count() === live.size)
+    assert(KeyedTable.readBetween(spark, table, "o_custkey", Some(888888L), None).count() === 3)
+  }
+
+  test("index.auto follows a T39 rename of the indexed column") {
+    val table = boot()
+    StatsIndex.build(spark, table, Seq("o_custkey"))
+    TableProperties.set(spark, table, Map(TableProperties.IndexAuto -> "true"))
+    KeyedTable.renameColumn(spark, table, "o_custkey", "cust")
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(4)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      .withColumn("cust", lit(999999L))
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    // the refresh resolved the stored physical column through the rename
+    val fs = CommitLog.fs(spark, table)
+    val live = StatsIndex.listBaseFiles(fs, table)
+    val ct = StatsIndex.latestIndex(spark, table).get
+    val sc = spark.read.parquet(StatsIndex.statsDir(table, ct).toString)
+    assert(sc.select("file").distinct().count() === live.size)
+    assert(KeyedTable.readBetween(spark, table, "cust", Some(999999L), None).count() === 4)
+  }
 }
