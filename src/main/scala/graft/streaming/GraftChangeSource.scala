@@ -110,7 +110,28 @@ class GraftChangeSource(
     }
   }
 
-  override def schema: StructType = GraftChangeSource.changeSchema(spark, tablePath)
+  /** The query's analysis-time schema, captured once at construction. T39
+    * schema changes (RENAME/DROP/ADD COLUMN) landing while the stream runs
+    * make positional binding against this snapshot unsafe — a dropped
+    * middle column would shift every later column one slot left — so the
+    * next micro-batch FAILS LOUDLY instead (the same contract as Delta's
+    * streaming source). Restarting the query re-reads the table schema and
+    * resumes from the checkpointed offset: already-committed batches are
+    * not replayed, and the replanned interval — including the part written
+    * BEFORE the change — is served under the NEW logical names (old files
+    * read through the current column mapping).
+    */
+  override val schema: StructType = GraftChangeSource.changeSchema(spark, tablePath)
+
+  private def assertSchemaUnchanged(): Unit = {
+    def sig(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    val cur = GraftChangeSource.changeSchema(spark, tablePath)
+    if (sig(cur) != sig(schema))
+      throw graft.model.GraftException.unexpected(
+        s"schema of $tablePath changed while the stream was running — " +
+          s"was ${schema.simpleString}, now ${cur.simpleString}. Restart " +
+          "the query from its checkpoint to continue under the new schema.")
+  }
 
   // the engine hands back checkpoint-restored offsets as SerializedOffset;
   // either way the json IS the instant string
@@ -188,6 +209,7 @@ class GraftChangeSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    assertSchemaUnchanged() // T39 mid-stream schema change → fail, not misbind
     val since = start.map(ct).getOrElse(initialSince)
     val upTo = ct(end)
     // re-sync the cap cursor from the engine-supplied offsets (a restart

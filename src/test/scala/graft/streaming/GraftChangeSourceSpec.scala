@@ -188,6 +188,72 @@ class GraftChangeSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mid-stream RENAME/DROP fails the stream loudly; a restart resumes under the new schema") {
+    val (tbl, c0) = bootstrapMor(tmpDir("stream-evolve"), "stream_evolve")
+    val ckpt = tmpDir("stream-evolve-ckpt")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    import scala.jdk.CollectionConverters._
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft").option("startAt", c0).load(tbl)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.toString)); ()
+      }
+      .start()
+    try {
+      KeyedTable.upsert(spark, tbl, base
+        .filter(col("o_orderkey") % 10 === 0).select(dataCols: _*)
+        .withColumn("o_orderstatus", lit("E1")))
+      q.processAllAvailable()
+      assert(got.asScala.exists(_.contains("E1")))
+
+      // a T39 rename lands while the stream runs: the NEXT micro-batch must
+      // fail loudly (positional binding against the analysis-time schema
+      // would misalign on a drop — the contract is fail, never misbind)
+      KeyedTable.renameColumn(spark, tbl, "o_orderstatus", "status")
+      val renamed = KeyedTable.read(spark, tbl)
+      KeyedTable.upsert(spark, tbl, renamed
+        .filter(col("o_orderkey") % 10 === 3)
+        .select(renamed.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+        .withColumn("status", lit("E2")))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("changed while the stream was running")))
+    } finally q.stop()
+
+    // restart from the same checkpoint: the query picks up the NEW schema,
+    // does not replay the already-committed E1 batch, and delivers the
+    // pre-failure interval (the rename + E2 commits) under the new name
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = spark.readStream.format("graft").option("startAt", c0).load(tbl)
+      .select(col("o_orderkey"), col("status"), col(KeyedTable.ChangeOp))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got2.add(r.toString)); ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(got2.asScala.count(_.contains("E2")) ===
+        base.filter(col("o_orderkey") % 10 === 3).count())
+      assert(got2.asScala.count(_.contains("E1")) === 0)
+
+      // a mid-stream DROP fails the restarted stream just as loudly
+      KeyedTable.dropColumns(spark, tbl, Seq("o_orderpriority"))
+      val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex2).exists(_.contains("changed while the stream was running")))
+    } finally q2.stop()
+  }
+
   test("without startAt the stream begins at the current tip (latest)") {
     val (tbl, _) = bootstrapMor(tmpDir("stream-latest"), "stream_latest")
     val ckpt = tmpDir("stream-latest-ckpt")
