@@ -91,6 +91,19 @@ object Bpe {
       applyMerge(syms, m.left, m.right)
     }
 
+  /** Column-level token counter under a learned merge table — the exact
+    * hook shape [[graft.operators.Curation.tokenBudgetSelect]] takes, so a
+    * STORED tokenizer ([[BpeStore.load]]) can drive budget selection.
+    * Segments every word on the fly (the unseen-word rule), which is the
+    * right trade for a Column-only call site; corpus-scale counting should
+    * prefer the vocab join in [[tokenCounts]].
+    */
+  def counterOf(merges: Seq[Merge]): Column => Column =
+    t => aggregate(
+      transform(filter(split(t, "\\s+"), w => length(w) > 0),
+        w => size(segment(w, merges))),
+      lit(0L), (acc, n) => acc + n.cast("long"))
+
   /** Per-doc REAL token counts under the trained segmentation: one
     * vocab-sized join of the corpus word stream against the bounded
     * per-word symbol counts (AQE broadcasts it whenever it fits). Words OUTSIDE the training vocabulary (a

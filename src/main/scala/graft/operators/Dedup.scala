@@ -257,11 +257,26 @@ object Dedup {
     * a span row is (doc_id, span_start, span_len) covering tokens
     * span_start .. span_start+span_len-1. 60-bit fingerprint collisions can
     * in principle flag a false span — the standard fingerprinting
-    * trade-off; verification against the token text would add one more
-    * candidate-only join if exactness mattered more than a dropped span.
+    * trade-off; `verify = true` closes it with one CANDIDATE-ONLY join:
+    * each flagged position's actual k tokens are re-derived and the
+    * cross-doc test re-runs on the text itself, so a collision can never
+    * survive into the span set (output is bit-identical when no collision
+    * occurred). The verification pass touches only candidate positions —
+    * token arrays shuffle once, restricted to docs holding candidates —
+    * so its cost tracks the duplicated fraction, not the corpus.
     */
   def crossDocSpans(
-      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      verify: Boolean = false): DataFrame =
+    crossDocSpansBy(docs, idCol, textCol, k, verify, Portable.hash60)
+
+  /** [[crossDocSpans]] with the position fingerprint pluggable — the test
+    * seam that makes fingerprint collisions constructible (a real 60-bit
+    * md5 collision is not findable on demand).
+    */
+  private[operators] def crossDocSpansBy(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      verify: Boolean, fpOf: Column => Column): DataFrame = {
     require(k >= 2, s"span length threshold k ($k) must be at least 2")
     val toks = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("w"))
@@ -270,12 +285,29 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.NativeExpressions.word_ngrams(col("w"), k)))
       .select(col("doc_id"), (col("pos") + lit(1L)).as("p"),
-        Portable.hash60(col("col")).as("fp"))
+        fpOf(col("col")).as("fp"))
     val dupFp = pos.groupBy("fp")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       .filter(col("lo") =!= col("hi"))
       .select("fp")
-    val dpos = pos.join(dupFp, Seq("fp"), "left_semi")
+    val candidates = pos.join(dupFp, Seq("fp"), "left_semi")
+    val dpos =
+      if (!verify) candidates
+      else {
+        // re-derive each candidate's k tokens (docs with no candidate never
+        // join) and re-test cross-doc duplication on the TEXT: exact, so a
+        // fingerprint collision cannot flag a span. The u0001 separator
+        // can't appear inside \s+-split tokens, so the joined gram string
+        // is a collision-free key.
+        val grams = candidates.join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("p"),
+            concat_ws("\u0001", slice(col("w"), col("p").cast("int"), lit(k))).as("g"))
+        val realG = grams.groupBy("g")
+          .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+          .filter(col("lo") =!= col("hi"))
+          .select("g")
+        grams.join(realG, Seq("g"), "left_semi").select("doc_id", "p")
+      }
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
     dpos

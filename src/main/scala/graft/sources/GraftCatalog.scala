@@ -436,6 +436,13 @@ private[sources] object GraftProcedures {
       "Fold MOR delta batches into base files") { (s, a) =>
       KeyedTable.compact(s, a(0).toString)
     },
+    proc("reclaim", Seq("table" -> StringType),
+      "Physically rewrite dropped columns out of every file and shed them " +
+        "from the schema (REORG ... APPLY (PURGE) analogue)") { (s, a) =>
+      val parts = KeyedTable.reclaim(s, a(0).toString)
+      if (parts.isEmpty) Seq("nothing to reclaim")
+      else Seq(s"reclaimed ${parts.size} partition(s)")
+    },
     proc("compact_if_needed", Seq("table" -> StringType),
       "Inline compaction policy: compact when delta count/bytes exceed thresholds") { (s, a) =>
       KeyedTable.compactIfNeeded(s, a(0).toString).getOrElse(Seq("not needed"))

@@ -552,9 +552,14 @@ object CommitLog {
         // even when the physical ddl is unchanged (a metadata-only
         // drop/rename leaves schemaDdl identical but changes the logical
         // namespace every concurrent statement resolved against)
+        // reclaim likewise conflicts with everyone: its rewrite must cover
+        // EVERY file — a disjoint concurrent append (new partition, base
+        // ddl unchanged) would land files still carrying the column the
+        // reclaim's ddl just shed
         val clash = existing.filter(novel).filter { c =>
           info.operation == "bootstrap" || c.operation == "bootstrap" ||
             info.operation == "alter_schema" || c.operation == "alter_schema" ||
+            info.operation == "reclaim" || c.operation == "reclaim" ||
             schemaChangedBy(c) ||
             c.partitions.exists(p => mine.contains(p.path))
         }

@@ -2006,7 +2006,7 @@ object KeyedTable {
     * savepoint retention reason about.
     */
   private val RewriteOps = Set("upsert", "upsert_global", "merge", "delete", "compact",
-    "cluster", "materialize", "delete_partition")
+    "cluster", "materialize", "delete_partition", "reclaim")
 
   val ArchiveRetention = 10
   def cleanArchive(
@@ -2385,6 +2385,60 @@ object KeyedTable {
       baseInstant = Some(st.latest.commitTime))
     cleanArchive(spark, tablePath)
     partitions.sorted
+  }
+
+  /** Physical reclamation of dropped columns (the deep-clean half of T39's
+    * metadata-only DROP; Delta `REORG TABLE ... APPLY (PURGE)` analogue):
+    * rewrite every native partition WITHOUT the hidden physical columns and
+    * shed them from the ddl + mapping in the SAME commit — after it, no
+    * live file carries the dropped bytes. Runs on the cluster machinery
+    * (compact-first, archived pre-images, one rewrite commit), so
+    * `readAsOf` before the DROP still serves the old view from the archive
+    * until retention cleans it, `rollback` undoes the rewrite, and CDC
+    * emits no change events (rows keep their commit times). The commit
+    * changes the physical ddl, so OCC serializes it against every
+    * concurrent writer — a racing append can't land a file that still
+    * carries the column. Refuses METADATA_ONLY partitions (their files
+    * live in a source tree the table does not own — reads already mask the
+    * column there; materialize first for a physical purge). No-op without
+    * reclaimable columns. Cost is one full-table rewrite — the floor for
+    * physically shedding a column; schedule it like any OPTIMIZE.
+    */
+  def reclaim(spark: SparkSession, tablePath: String): Seq[String] = {
+    compact(spark, tablePath) // live delta batches carry the column too
+    val st = CommitLog.requireState(spark, tablePath)
+    val schema = StructType.fromDDL(st.latest.schemaDdl)
+    val m = st.columnMapping
+    val hidden = m.dropped.filter(schema.fieldNames.contains)
+    if (hidden.isEmpty) return Seq.empty
+    val metaOnly = st.metadataOnlyPartitions
+    if (metaOnly.nonEmpty)
+      throw GraftException.config(
+        s"reclaim: METADATA_ONLY partition(s) ${metaOnly.sorted.take(3).mkString(", ")} read " +
+          "from source files the table does not own — materialize them first.")
+    val partF = st.latest.partitionFields
+    val newSchema = StructType(schema.filterNot(f => hidden.contains(f.name)).toArray)
+    val newMapping = ColumnMapping(m.aliases, m.dropped.filterNot(hidden.contains))
+    val targets = if (partF.isEmpty) Seq("") else st.nativePartitions
+    if (targets.isEmpty) {
+      // no data files anywhere: shedding the ddl is metadata-only
+      alterSchemaCommit(spark, tablePath, st, newSchema.toDDL, newMapping)
+      return Seq.empty
+    }
+    val rows = readPartitions(spark, tablePath, st, targets).drop(hidden: _*)
+    val ct = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tablePath, ct, "reclaim", targets,
+      baseCommits = st.commits.map(_.commitTime))
+    val counts = stageAndSwap(spark, tablePath, rows, newSchema, partF, targets, ct)
+    publishRewrite(spark, tablePath, CommitInfo(
+      commitTime = ct, operation = "reclaim", tableName = st.latest.tableName,
+      tableType = st.latest.tableType, keyFields = st.latest.keyFields,
+      precombineField = st.latest.precombineField, partitionFields = partF,
+      partitions = targets.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
+      recordCount = counts.values.sum, schemaDdl = newSchema.toDDL, sourcePath = None,
+      columnMapping = Some(newMapping)),
+      baseInstant = Some(st.latest.commitTime))
+    targets
   }
 
   private def clusterBy(

@@ -732,6 +732,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(Dedup.crossDocSpans(cleaned, "doc_id", "text", k = 8).isEmpty)
   }
 
+  test("span dedup verify: identical output on real fixtures; a constructed " +
+      "fingerprint collision is rejected ONLY by the verified path") {
+    // the flag is output-neutral when no collision occurred (always, in
+    // practice, under the real 60-bit fingerprint)
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    def spanSet(verify: Boolean) =
+      Dedup.crossDocSpans(docs, "doc_id", "text", k = 8, verify = verify)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unverified = spanSet(verify = false)
+    assert(unverified.nonEmpty) // the fixture's natural whole-doc duplicates
+    assert(spanSet(verify = true) === unverified)
+
+    // constructed collision: every gram fingerprints to 0, so two docs with
+    // NO shared text look cross-doc duplicated to the fingerprint test —
+    // only text verification can tell them apart. A REAL duplicate (doc 3
+    // mirrors doc 1) must still survive the verified path.
+    val d = Seq(
+      (1L, (1 to 12).map(i => s"p$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"q$i").mkString(" ")),
+      (3L, (1 to 12).map(i => s"p$i").mkString(" "))).toDF("doc_id", "text")
+    val collide: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => lit(0L)
+    val falsePositives = Dedup.crossDocSpansBy(
+        d.filter(col("doc_id") < 3), "doc_id", "text", k = 8, verify = false, collide)
+      .count()
+    assert(falsePositives === 2L) // one bogus span per doc
+    assert(Dedup.crossDocSpansBy(
+      d.filter(col("doc_id") < 3), "doc_id", "text", k = 8, verify = true, collide).isEmpty)
+    val real = Dedup.crossDocSpansBy(d, "doc_id", "text", k = 8, verify = true, collide)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(real === Set((1L, 1L, 12L), (3L, 1L, 12L)))
+  }
+
   test("cross-doc span dedup: spans further than k apart stay separate islands") {
     val shared1 = (1 to 10).map(i => s"x$i").mkString(" ")
     val shared2 = (1 to 12).map(i => s"y$i").mkString(" ")

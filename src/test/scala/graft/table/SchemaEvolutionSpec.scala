@@ -354,4 +354,69 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(df2.columns.contains("remark") && !df2.columns.contains("v")
       && !df2.columns.contains("note"))
   }
+
+  test("reclaim physically sheds dropped columns; pre-drop time travel still serves them") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    val preDrop = CommitLog.requireState(spark, table).latest.commitTime
+    KeyedTable.dropColumns(spark, table, Seq("v"))
+    val snapBefore = KeyedTable.read(spark, table)
+      .select("id", "ver", "p").orderBy("id").collect().toSeq
+
+    assert(KeyedTable.reclaim(spark, table).nonEmpty)
+
+    // physical: no live parquet file carries the column anymore
+    val fs = CommitLog.fs(spark, table)
+    val files = StatsIndex.listBaseFiles(fs, table)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(!spark.read.parquet(f).columns.contains("v"), s"$f still carries 'v'")
+    }
+    // ddl + mapping shed in the same commit
+    val st = CommitLog.requireState(spark, table)
+    assert(st.latest.operation === "reclaim")
+    assert(!org.apache.spark.sql.types.StructType.fromDDL(st.latest.schemaDdl)
+      .fieldNames.contains("v"))
+    assert(st.columnMapping.dropped.isEmpty)
+    // logical snapshot content unchanged by the rewrite
+    val snapAfter = KeyedTable.read(spark, table)
+      .select("id", "ver", "p").orderBy("id").collect().toSeq
+    assert(snapAfter === snapBefore)
+    assert(!KeyedTable.read(spark, table).columns.contains("v"))
+    // time travel BEFORE the drop serves the old view from the archive
+    val old = KeyedTable.readAsOf(spark, table, preDrop)
+    assert(old.columns.contains("v"))
+    assert(old.orderBy("id").select("v").collect().map(_.getString(0)).toSeq ===
+      Seq("a", "b", "c"))
+    // a second reclaim is a no-op: nothing hidden remains
+    assert(KeyedTable.reclaim(spark, table).isEmpty)
+  }
+
+  test("reclaim on MOR folds deltas first; rollback restores the pre-reclaim state") {
+    val table = bootstrapped(TableType.MergeOnRead)
+    KeyedTable.upsert(spark, table,
+      Seq((2L, 3L, "b3", "p1")).toDF("id", "ver", "v", "p")) // delta carries v
+    KeyedTable.dropColumns(spark, table, Seq("v"))
+    val preReclaim = CommitLog.requireState(spark, table).latest.commitTime
+    assert(KeyedTable.reclaim(spark, table).nonEmpty)
+
+    val fs = CommitLog.fs(spark, table)
+    StatsIndex.listBaseFiles(fs, table).foreach { f =>
+      assert(!spark.read.parquet(f).columns.contains("v"), s"$f still carries 'v'")
+    }
+    // the delta upsert survived the compact-first fold
+    assert(KeyedTable.read(spark, table)
+      .filter(col("id") === 2).head().getAs[Long]("ver") === 3L)
+
+    // rollback: the archived pre-reclaim files return — the column is
+    // physically back on disk, and still logically dropped
+    KeyedTable.rollback(spark, table, preReclaim)
+    val st = CommitLog.requireState(spark, table)
+    assert(org.apache.spark.sql.types.StructType.fromDDL(st.latest.schemaDdl)
+      .fieldNames.contains("v"))
+    assert(st.columnMapping.dropped.nonEmpty)
+    val back = KeyedTable.read(spark, table)
+    assert(!back.columns.contains("v"))
+    assert(back.count() === 3)
+    assert(back.filter(col("id") === 2).head().getAs[Long]("ver") === 3L)
+  }
 }
