@@ -856,6 +856,20 @@ object ExtQueries {
     feats.join(rfeats, "media_id").orderBy("media_id")
   }
 
+  /** Context-window sequence packing ([[graft.operators.Packing]]): the
+    * corpus concatenated in doc order and cut into 512-token windows —
+    * which slice of which doc fills which window, docs straddling window
+    * boundaries (the GPT-style concat-and-chunk shape x22's per-source bin
+    * assignment doesn't cover). The global token offset is a two-level
+    * distributed prefix sum (bounded range-partition windows + broadcast
+    * per-partition offsets), never a one-partition window; the oracle
+    * recomputes the packing with a plain SQL cumsum.
+    */
+  private val x59: Q = (s, d) =>
+    graft.operators.Packing.packSequences(
+        Tables.documents(s, d), col("doc_id"), col("text"), capacity = 512L)
+      .orderBy("doc_id", "window_id")
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -915,6 +929,7 @@ object ExtQueries {
     "x56_nb_classifier" -> x56,
     "x57_span_removal" -> x57,
     "x58_epoch_mix" -> x58,
+    "x59_seq_pack" -> x59,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1814,6 +1829,24 @@ object ExtQueries {
          |SELECT doc_id, source, copy::BIGINT AS copy,
          |  ${graft.functions.Portable.sqlHash60("'epoch0|' || doc_id || '#' || copy")} AS shuffle_key
          |FROM rep ORDER BY doc_id, copy""".stripMargin,
+    "x59_seq_pack" ->
+      // concat-and-chunk packing as a plain cumsum: the distributed
+      // prefix-sum implementation must be invisible in the answer
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+'))::BIGINT AS n,
+        |    (sum(len(string_split_regex(text, '\s+'))::BIGINT) OVER (
+        |       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - len(string_split_regex(text, '\s+'))::BIGINT) AS strt
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) > 0),
+        |sp AS (
+        |  SELECT doc_id, n, strt,
+        |    unnest(generate_series((strt // 512)::BIGINT, ((strt + n - 1) // 512)::BIGINT)) AS window_id
+        |  FROM t)
+        |SELECT doc_id, window_id::BIGINT AS window_id,
+        |  (greatest(0, window_id * 512 - strt) + 1)::BIGINT AS tok_from,
+        |  least(n, (window_id + 1) * 512 - strt)::BIGINT AS tok_to
+        |FROM sp ORDER BY doc_id, window_id""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one

@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * write without a manual `index_stats`/`index_bloom` build — the Hudi
   * metadata-table posture.
   *
+  * Declared indexes auto-CREATE too: `index.stats.columns` (comma-separated
+  * logical columns) builds the stats sidecar at the first publish when none
+  * exists, and `index.bloom.columns` builds a bloom per listed column that
+  * has no sidecar yet (the record-key bloom spells as the meta column name,
+  * `_hoodie_record_key`) — a freshly bootstrapped table is self-indexing
+  * from its first write. An EXISTING stats sidecar keeps its own column
+  * set (refresh preserves it; rebuild manually to change columns).
+  *
   * Cost per publish is bounded by the files the commit ADDED: both builds
   * carry over sidecar rows for still-live files and read only new files'
   * footers/keys, and they return without committing when nothing changed
@@ -32,16 +40,28 @@ private[table] object IndexAutoRefresh {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
+  private def csv(props: Map[String, String], key: String): Seq[String] =
+    props.get(key).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
     if (inRefresh.get() || skipOps(operation)) return
-    val auto =
+    val props =
       try TableProperties.get(spark, tablePath)
-        .get(TableProperties.IndexAuto).exists(_.equalsIgnoreCase("true"))
-      catch { case _: Exception => false } // e.g. table dir gone mid-teardown
-    if (!auto) return
+      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
+    if (!props.get(TableProperties.IndexAuto).exists(_.equalsIgnoreCase("true"))) return
     inRefresh.set(true)
     try {
-      StatsIndex.refresh(spark, tablePath)
+      val statsCols = csv(props, TableProperties.IndexStatsColumns)
+      if (statsCols.nonEmpty && StatsIndex.latestIndex(spark, tablePath).isEmpty)
+        StatsIndex.build(spark, tablePath, statsCols)
+      else
+        StatsIndex.refresh(spark, tablePath)
+      val m = CommitLog.requireState(spark, tablePath).columnMapping
+      csv(props, TableProperties.IndexBloomColumns).foreach { c =>
+        val phys = KeyedTable.physicalNameOf(m, c)
+        if (BloomIndex.latestIndex(spark, tablePath, phys).isEmpty)
+          BloomIndex.build(spark, tablePath, logicalColumn = c)
+      }
       BloomIndex.refreshAll(spark, tablePath)
       ()
     } catch {

@@ -26,6 +26,18 @@ object TableProperties {
     */
   val IndexAuto = "index.auto"
 
+  /** Comma-separated LOGICAL column list: under [[IndexAuto]], auto-CREATE
+    * the stats sidecar over these columns at the first publish when no
+    * stats index exists (an existing sidecar keeps its own column set).
+    */
+  val IndexStatsColumns = "index.stats.columns"
+
+  /** Comma-separated LOGICAL column list: under [[IndexAuto]], auto-CREATE
+    * a bloom sidecar per listed column that has none yet (the record-key
+    * bloom spells as the meta column name, `_hoodie_record_key`).
+    */
+  val IndexBloomColumns = "index.bloom.columns"
+
   def propsPath(tablePath: String): Path =
     new Path(CommitLog.logDir(tablePath), "properties.json")
 

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Concat-and-chunk sequence packing: slices must tile the concatenated
+  * corpus exactly — every window full except the last, every doc covered
+  * once — with the two-level prefix sum invisible in the answer.
+  */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("docs straddle window boundaries exactly; window/doc composition is total") {
+    // capacity 10; docs of 4, 8, 10, 3 tokens → global offsets 0, 4, 12, 22
+    val d = Seq(
+      (1L, (1 to 4).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ")),
+      (4L, (1 to 3).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.packSequences(d, col("doc_id"), col("text"), capacity = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 0L, 1L, 4L),                   // doc1 [0,4)  → window 0
+      (2L, 0L, 1L, 6L), (2L, 1L, 7L, 8L), // doc2 [4,12) straddles 0→1
+      (3L, 1L, 1L, 8L), (3L, 2L, 9L, 10L), // doc3 [12,22) straddles 1→2
+      (4L, 2L, 1L, 3L)))                  // doc4 [22,25) → window 2
+  }
+
+  test("on the real corpus every window is full except the last; a custom counter plugs in") {
+    val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
+    val packed = Packing.packSequences(docs, col("doc_id"), col("text"), capacity = 512L)
+      .withColumn("len", col("tok_to") - col("tok_from") + 1L)
+    val total = docs.select(sum(size(split(col("text"), "\\s+")).cast("long")))
+      .head().getLong(0)
+    val winSums = packed.groupBy("window_id").agg(sum("len").as("s"))
+      .orderBy("window_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(winSums.map(_._2).sum === total)
+    assert(winSums.dropRight(1).forall(_._2 === 512L), "a non-final window is not full")
+    assert(winSums.map(_._1).toSeq === (0L until winSums.length.toLong))
+    // every doc's slices cover exactly its own tokens
+    val direct = docs.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n"))
+    assert(packed.groupBy("doc_id").agg(sum("len").as("s"))
+      .join(direct, "doc_id").filter(col("s") =!= col("n")).count() === 0)
+    // the counter hook ([[Bpe.counterOf]] shape): a constant counter packs
+    // every doc as 7 tokens
+    val const = Packing.packSequences(docs, col("doc_id"), col("text"), 100L, _ => lit(7L))
+    assert(const.groupBy("doc_id")
+      .agg(sum(col("tok_to") - col("tok_from") + 1L).as("s"))
+      .filter(col("s") =!= 7L).count() === 0)
+  }
+}

@@ -297,6 +297,36 @@ class StatsIndexSpec extends SparkTestBase {
     assert(KeyedTable.readBetween(spark, table, "o_custkey", Some(888888L), None).count() === 3)
   }
 
+  test("index.auto auto-CREATE: declared stats/bloom columns build at the first " +
+      "publish — a fresh table is self-indexing with no manual build ever") {
+    val table = boot()
+    TableProperties.set(spark, table, Map(
+      TableProperties.IndexAuto -> "true",
+      TableProperties.IndexStatsColumns -> "o_custkey",
+      TableProperties.IndexBloomColumns -> "_hoodie_record_key, o_orderpriority"))
+    assert(StatsIndex.latestIndex(spark, table).isEmpty)
+
+    val base = KeyedTable.read(spark, table)
+    val batch = base.orderBy("o_orderkey").limit(2)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000L)
+      .withColumn("o_custkey", lit(999999L))
+    KeyedTable.append(spark, table, batch, graft.model.WriteOperation.BulkInsert)
+
+    // the publish created all three declared sidecars...
+    assert(StatsIndex.indexedColumns(spark, table) === Seq("o_custkey"))
+    assert(BloomIndex.latestIndex(spark, table).isDefined) // record-key bloom
+    assert(BloomIndex.latestIndex(spark, table, "o_orderpriority").isDefined)
+    // ...with full live coverage, and reads prune through them correctly
+    val fs = CommitLog.fs(spark, table)
+    val live = StatsIndex.listBaseFiles(fs, table)
+    val sc = spark.read.parquet(
+      StatsIndex.statsDir(table, StatsIndex.latestIndex(spark, table).get).toString)
+    assert(sc.select("file").distinct().count() === live.size)
+    assert(KeyedTable.readBetween(spark, table, "o_custkey", Some(999999L), None).count() === 2)
+    assert(BloomIndex.readByKeys(spark, table, Seq("900000", "900001")).count() === 2)
+  }
+
   test("index.auto follows a T39 rename of the indexed column") {
     val table = boot()
     StatsIndex.build(spark, table, Seq("o_custkey"))
