@@ -443,6 +443,15 @@ private[sources] object GraftProcedures {
       if (parts.isEmpty) Seq("nothing to reclaim")
       else Seq(s"reclaimed ${parts.size} partition(s)")
     },
+    proc("reclaim_partitions", Seq("table" -> StringType, "partitions" -> StringType),
+      "Bounded reclaim run over a comma-separated partition subset — the " +
+        "100 TB campaign shape; the schema sheds automatically on the run " +
+        "after which no live file still carries a dropped column") { (s, a) =>
+      val ps = a(1).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val parts = KeyedTable.reclaim(s, a(0).toString, Some(ps))
+      if (parts.isEmpty) Seq("nothing to reclaim")
+      else Seq(s"reclaimed ${parts.size} partition(s)")
+    },
     proc("compact_if_needed", Seq("table" -> StringType),
       "Inline compaction policy: compact when delta count/bytes exceed thresholds") { (s, a) =>
       KeyedTable.compactIfNeeded(s, a(0).toString).getOrElse(Seq("not needed"))

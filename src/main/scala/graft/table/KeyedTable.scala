@@ -2401,10 +2401,23 @@ object KeyedTable {
     * carries the column. Refuses METADATA_ONLY partitions (their files
     * live in a source tree the table does not own — reads already mask the
     * column there; materialize first for a physical purge). No-op without
-    * reclaimable columns. Cost is one full-table rewrite — the floor for
-    * physically shedding a column; schedule it like any OPTIMIZE.
+    * reclaimable columns.
+    *
+    * `partitions = None` rewrites the whole table in one commit — the floor
+    * for physically shedding a column in one shot. At 100 TB that is a
+    * scheduled CAMPAIGN instead: pass partition subsets run by run (each a
+    * bounded rewrite commit; files written after the DROP never carry the
+    * column, so the campaign converges), and the ddl + mapping shed
+    * automatically on the run after which NO live file still carries a
+    * hidden column — tested exactly via distributed parquet-footer schema
+    * reads of the untouched partitions, zero data decode. Mixed file
+    * schemas mid-campaign are safe: every read imposes the ddl schema, and
+    * files already shed of the column null-fill it (it is dropped anyway).
     */
-  def reclaim(spark: SparkSession, tablePath: String): Seq[String] = {
+  def reclaim(
+      spark: SparkSession,
+      tablePath: String,
+      partitions: Option[Seq[String]] = None): Seq[String] = {
     compact(spark, tablePath) // live delta batches carry the column too
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
@@ -2419,7 +2432,18 @@ object KeyedTable {
     val partF = st.latest.partitionFields
     val newSchema = StructType(schema.filterNot(f => hidden.contains(f.name)).toArray)
     val newMapping = ColumnMapping(m.aliases, m.dropped.filterNot(hidden.contains))
-    val targets = if (partF.isEmpty) Seq("") else st.nativePartitions
+    partitions.foreach { ps =>
+      require(ps.nonEmpty, "reclaim: empty partition list (pass None for the whole table)")
+      if (partF.isEmpty)
+        throw GraftException.config(
+          "reclaim: partition subsets need a partitioned table (an unpartitioned " +
+            "table reclaims in one run).")
+      val unknown = ps.filterNot(st.nativePartitions.contains)
+      if (unknown.nonEmpty)
+        throw GraftException.config(
+          s"reclaim: unknown or non-native partition(s): ${unknown.sorted.mkString(", ")}.")
+    }
+    val targets = partitions.getOrElse(if (partF.isEmpty) Seq("") else st.nativePartitions)
     if (targets.isEmpty) {
       // no data files anywhere: shedding the ddl is metadata-only
       alterSchemaCommit(spark, tablePath, st, newSchema.toDDL, newMapping)
@@ -2430,13 +2454,27 @@ object KeyedTable {
     CommitLog.beginInflight(spark, tablePath, ct, "reclaim", targets,
       baseCommits = st.commits.map(_.commitTime))
     val counts = stageAndSwap(spark, tablePath, rows, newSchema, partF, targets, ct)
+    // the rewritten partitions are clean by construction; the ddl sheds the
+    // columns iff no live file OUTSIDE the rewritten set still carries one
+    val fs = CommitLog.fs(spark, tablePath)
+    val targetSet = targets.toSet
+    val outside = st.nativePartitions.filterNot(targetSet).flatMap { p =>
+      val dir = new Path(s"$tablePath/${PathCodec.escape(p)}")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+          !f.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).toSeq
+    }
+    val shed = !StatsIndex.footerCarriesAny(spark, outside, hidden.toSet)
     publishRewrite(spark, tablePath, CommitInfo(
       commitTime = ct, operation = "reclaim", tableName = st.latest.tableName,
       tableType = st.latest.tableType, keyFields = st.latest.keyFields,
       precombineField = st.latest.precombineField, partitionFields = partF,
       partitions = targets.map(p => PartitionEntry(p, "native", counts.getOrElse(p, 0L))),
-      recordCount = counts.values.sum, schemaDdl = newSchema.toDDL, sourcePath = None,
-      columnMapping = Some(newMapping)),
+      recordCount = counts.values.sum,
+      schemaDdl = if (shed) newSchema.toDDL else st.latest.schemaDdl, sourcePath = None,
+      columnMapping = if (shed) Some(newMapping) else None),
       baseInstant = Some(st.latest.commitTime))
     targets
   }

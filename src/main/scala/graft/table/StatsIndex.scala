@@ -206,6 +206,29 @@ object StatsIndex {
     * partition counting ([[KeyedTable]]) and bloom sizing ([[BloomIndex]]):
     * the hadoop-conf rehydration must not drift between copies.
     */
+  /** Do any of `files` physically CARRY one of `columns` (parquet footer
+    * schema fields)? Distributed metadata reads, zero data decode — the
+    * completion test of an incremental [[KeyedTable.reclaim]] campaign:
+    * the ddl can shed a dropped column only when no live file carries it.
+    */
+  private[table] def footerCarriesAny(
+      spark: SparkSession, files: Seq[String], columns: Set[String]): Boolean = {
+    if (files.isEmpty || columns.isEmpty) return false
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices)
+      .map { f =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .exists(fld => columns.contains(fld.getName))
+        finally r.close()
+      }
+      .filter(identity).take(1).nonEmpty
+  }
+
   private[table] def footerRowCounts(
       spark: SparkSession, pairs: Seq[(String, String)]): Map[String, Long] = {
     if (pairs.isEmpty) return Map.empty

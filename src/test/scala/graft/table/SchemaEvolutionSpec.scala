@@ -391,6 +391,46 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(KeyedTable.reclaim(spark, table).isEmpty)
   }
 
+  test("incremental reclaim campaign: bounded per-partition runs; the ddl sheds " +
+      "exactly on the run that cleans the last carrying file") {
+    val table = bootstrapped(TableType.CopyOnWrite)
+    KeyedTable.dropColumns(spark, table, Seq("v"))
+    def ddlHas(c: String) = org.apache.spark.sql.types.StructType
+      .fromDDL(CommitLog.requireState(spark, table).latest.schemaDdl)
+      .fieldNames.contains(c)
+    val fs = CommitLog.fs(spark, table)
+    def carrying = StatsIndex.listBaseFiles(fs, table)
+      .count(f => spark.read.parquet(f).columns.contains("v"))
+
+    // run 1: only p1 — bounded rewrite, p2 still carries the column, so the
+    // ddl must NOT shed yet (a shed ddl over a carrying file would lie)
+    assert(KeyedTable.reclaim(spark, table, Some(Seq("p=p1"))) === Seq("p=p1"))
+    assert(ddlHas("v"))
+    assert(CommitLog.requireState(spark, table).columnMapping.dropped.nonEmpty)
+    assert(carrying > 0)
+    // reads stay correct mid-campaign (mixed file schemas)
+    assert(!KeyedTable.read(spark, table).columns.contains("v"))
+    assert(KeyedTable.read(spark, table).count() === 3)
+
+    // run 2: p2 — the last carrying file is rewritten, ddl + mapping shed
+    assert(KeyedTable.reclaim(spark, table, Some(Seq("p=p2"))) === Seq("p=p2"))
+    assert(!ddlHas("v"))
+    assert(CommitLog.requireState(spark, table).columnMapping.dropped.isEmpty)
+    assert(carrying === 0)
+    assert(KeyedTable.read(spark, table).count() === 3)
+
+    // unknown-partition refusal (needs a hidden column present — reclaim
+    // early-exits with nothing to do otherwise)
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    KeyedTable.dropColumns(spark, table, Seq("note"))
+    val e = intercept[GraftException] {
+      KeyedTable.reclaim(spark, table, Some(Seq("nope")))
+    }
+    assert(e.getMessage.contains("unknown or non-native"))
+  }
+
   test("reclaim on MOR folds deltas first; rollback restores the pre-reclaim state") {
     val table = bootstrapped(TableType.MergeOnRead)
     KeyedTable.upsert(spark, table,
