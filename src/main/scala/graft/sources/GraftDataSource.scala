@@ -138,8 +138,16 @@ class GraftDataSource extends TableProvider with RelationProvider
         s"graft option maxCommitsPerTrigger must be a positive integer, got '$v'.")
       n
     }
+    val renameTolerant = ci.get("onschemachange") match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("fail") => false
+      case Some(v) if v.equalsIgnoreCase("allowRename") => true
+      case Some(v) => throw GraftException.config(
+        s"graft option onSchemaChange must be 'fail' or 'allowRename', got '$v'.")
+    }
     new graft.streaming.GraftChangeSource(
-      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath, cap)
+      ctx, GraftDataSource.readOptions(parameters).path, ci.get("startat"), metadataPath,
+      cap, renameTolerant)
   }
 
   // true so V2 CTAS (CreateTableAsSelectExec) can pass the query schema to

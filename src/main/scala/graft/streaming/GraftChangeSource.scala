@@ -53,7 +53,8 @@ final case class GraftChangeOffset(commitTime: String) extends Offset {
   */
 class GraftChangeSource(
     ctx: SQLContext, tablePath: String, startAt: Option[String],
-    metadataPath: String, maxCommitsPerTrigger: Option[Int] = None) extends Source {
+    metadataPath: String, maxCommitsPerTrigger: Option[Int] = None,
+    renameTolerant: Boolean = false) extends Source {
 
   require(maxCommitsPerTrigger.forall(_ > 0), "maxCommitsPerTrigger must be positive")
 
@@ -120,17 +121,29 @@ class GraftChangeSource(
     * not replayed, and the replanned interval — including the part written
     * BEFORE the change — is served under the NEW logical names (old files
     * read through the current column mapping).
+    *
+    * Opt-out for the one safe case: `option("onSchemaChange", "allowRename")`
+    * keeps the stream RUNNING across a rename-only change — a rename
+    * preserves every position and type, so the batch binds positionally and
+    * serves the OLD names with correct values until a restart picks up the
+    * new ones. Drops/adds still fail (they change the type sequence).
     */
   override val schema: StructType = GraftChangeSource.changeSchema(spark, tablePath)
 
-  private def assertSchemaUnchanged(): Unit = {
+  /** The CURRENT table schema, after asserting this stream may keep running
+    * under it (see [[schema]]).
+    */
+  private def assertSchemaCompatible(): StructType = {
     def sig(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
     val cur = GraftChangeSource.changeSchema(spark, tablePath)
-    if (sig(cur) != sig(schema))
-      throw graft.model.GraftException.unexpected(
-        s"schema of $tablePath changed while the stream was running — " +
-          s"was ${schema.simpleString}, now ${cur.simpleString}. Restart " +
-          "the query from its checkpoint to continue under the new schema.")
+    if (sig(cur) == sig(schema)) cur
+    else if (renameTolerant && cur.fields.toSeq.map(_.dataType) ==
+        schema.fields.toSeq.map(_.dataType)) cur // rename-only: positions+types intact
+    else throw graft.model.GraftException.unexpected(
+      s"schema of $tablePath changed while the stream was running — " +
+        s"was ${schema.simpleString}, now ${cur.simpleString}. Restart " +
+        "the query from its checkpoint to continue under the new schema " +
+        "(onSchemaChange=allowRename keeps running across rename-only changes).")
   }
 
   // the engine hands back checkpoint-restored offsets as SerializedOffset;
@@ -209,7 +222,9 @@ class GraftChangeSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    assertSchemaUnchanged() // T39 mid-stream schema change → fail, not misbind
+    // T39 mid-stream schema change → fail (or bind a rename positionally),
+    // never misbind
+    val current = assertSchemaCompatible()
     val since = start.map(ct).getOrElse(initialSince)
     val upTo = ct(end)
     // re-sync the cap cursor from the engine-supplied offsets (a restart
@@ -221,10 +236,15 @@ class GraftChangeSource(
     // project to the DECLARED source schema (the feed plan's attribute
     // nullability can differ from the DDL-derived schema, and the streaming
     // engine binds by position against the declared one), then re-root as a
-    // streaming frame — getBatch's isStreaming contract
+    // streaming frame — getBatch's isStreaming contract. The feed serves
+    // CURRENT logical names; select those positionally and alias to the
+    // declared names (identical when the schema hasn't changed, the
+    // rename-tolerant binding when it has).
     val declared = schema
     org.apache.spark.sql.graftbridge.ColumnBridge.asStreamingFrame(
-      out.select(declared.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType)): _*))
+      out.select(current.fields.toIndexedSeq.zip(declared.fields).map {
+        case (c, f) => col(c.name).cast(f.dataType).as(f.name)
+      }: _*))
   }
 
   override def stop(): Unit = ()

@@ -50,6 +50,36 @@ class BpeStoreSpec extends SparkTestBase {
     assert(CommitLog.commits(spark, tbl).map(_.operation) === Seq("bootstrap", "bulk_insert"))
   }
 
+  test("tokenizer hot-swap: a CDC stream on the store reloads the newest run per commit") {
+    val tbl = s"${tmpDir("bpe-hot")}/tok"
+    val (m1, v1) = trainOn(Seq("aa aa ab"), k = 1)
+    BpeStore.save(spark, tbl, m1, v1)
+    // the long-running-scorer pattern: hold the current tokenizer in a
+    // reference, tail the store's CDC feed, reload on every commit
+    val current = new java.util.concurrent.atomic.AtomicReference(BpeStore.load(spark, tbl))
+    val q = spark.readStream.format("graft").load(tbl)
+      .writeStream.option("checkpointLocation", tmpDir("bpe-hot-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (df.limit(1).count() > 0) current.set(BpeStore.load(spark, tbl)); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(current.get().run === 1L)
+
+      val (m2, v2) = trainOn(Seq("zz zz zy zy zy"), k = 2)
+      BpeStore.save(spark, tbl, m2, v2)
+      q.processAllAvailable()
+      assert(current.get().run === 2L)
+      assert(current.get().merges === m2)
+      // the swapped state drives the counter hook immediately: run 2
+      // learned (z,y)→zy, so each 'zy' is ONE token
+      val n = Seq((1L, "zy zy")).toDF("doc_id", "text")
+        .select(Bpe.counterOf(current.get().merges)(col("text"))).head().getLong(0)
+      assert(n === 2L)
+    } finally q.stop()
+  }
+
   test("the stored tokenizer drives tokenBudgetSelect through the counter hook") {
     val tbl = s"${tmpDir("bpe-store-hook")}/tok"
     val corpus = Seq("aaaa aaaa bbbb", "aaaa bbbb bbbb", "cccc aaaa")

@@ -254,6 +254,53 @@ class GraftChangeSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("onSchemaChange=allowRename: the stream keeps running across a rename " +
+      "(old names, correct values); a DROP still fails") {
+    val (tbl, c0) = bootstrapMor(tmpDir("stream-tolerant"), "stream_tolerant")
+    val ckpt = tmpDir("stream-tolerant-ckpt")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    import scala.jdk.CollectionConverters._
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft")
+      .option("startAt", c0).option("onSchemaChange", "allowRename").load(tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col(KeyedTable.ChangeOp))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.toString)); ()
+      }
+      .start()
+    try {
+      KeyedTable.upsert(spark, tbl, base
+        .filter(col("o_orderkey") % 10 === 0).select(dataCols: _*)
+        .withColumn("o_orderstatus", lit("R1")))
+      q.processAllAvailable()
+      assert(got.asScala.exists(_.contains("R1")))
+
+      // rename mid-stream: the stream KEEPS RUNNING, serving the OLD name
+      // (the query's select above) with the values written under the NEW one
+      KeyedTable.renameColumn(spark, tbl, "o_orderstatus", "status")
+      val renamed = KeyedTable.read(spark, tbl)
+      KeyedTable.upsert(spark, tbl, renamed
+        .filter(col("o_orderkey") % 10 === 4)
+        .select(renamed.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+        .withColumn("status", lit("R2")))
+      q.processAllAvailable()
+      assert(got.asScala.count(_.contains("R2")) ===
+        base.filter(col("o_orderkey") % 10 === 4).count())
+
+      // a DROP changes the type sequence: still fails loudly
+      KeyedTable.dropColumns(spark, tbl, Seq("o_orderpriority"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("changed while the stream was running")))
+    } finally q.stop()
+  }
+
   test("without startAt the stream begins at the current tip (latest)") {
     val (tbl, _) = bootstrapMor(tmpDir("stream-latest"), "stream_latest")
     val ckpt = tmpDir("stream-latest-ckpt")
