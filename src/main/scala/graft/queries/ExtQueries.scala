@@ -870,6 +870,34 @@ object ExtQueries {
         Tables.documents(s, d), col("doc_id"), col("text"), capacity = 512L)
       .orderBy("doc_id", "window_id")
 
+  /** Video-path frame sampling under oracle check: deterministic
+    * multi-frame containers ((doc_id % 7) + 2 identical real-PNG frames
+    * each) decode in the codec loop — frame count from the container
+    * split, channel sum over all frames — and every 3rd frame index
+    * samples out distributed (posexplode of a sequence, no collect). The
+    * oracle predicts frame counts, channel sums, and the stride arithmetic
+    * closed-form from doc_id, so a codec that miscounts frames or a
+    * sampler that drifts off stride hash-fails.
+    */
+  private val x60: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val png = Multimodal.syntheticPng(4, 3,
+        (id % 256).toInt, (id * 3 % 256).toInt, (id * 7 % 256).toInt)
+      Multimodal.MediaRow(id, "video/x-frameseq",
+        Multimodal.frameSeq(Seq.fill(((id % 7) + 2).toInt)(png)))
+    }).toDF()
+    val feats = Multimodal.extractFeatures(s, media).toDF()
+    Multimodal.sampleFrames(feats, stride = 3)
+      .join(feats.select(col("media_id"),
+        col("frames").cast(LongType).as("frames"), col("channel_sum")), "media_id")
+      .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        col("frames"), col("channel_sum"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -930,6 +958,7 @@ object ExtQueries {
     "x57_span_removal" -> x57,
     "x58_epoch_mix" -> x58,
     "x59_seq_pack" -> x59,
+    "x60_frame_sample" -> x60,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1847,6 +1876,17 @@ object ExtQueries {
         |  (greatest(0, window_id * 512 - strt) + 1)::BIGINT AS tok_from,
         |  least(n, (window_id + 1) * 512 - strt)::BIGINT AS tok_to
         |FROM sp ORDER BY doc_id, window_id""".stripMargin,
+    "x60_frame_sample" ->
+      // frame counts, channel sums, and the stride-3 index arithmetic are
+      // closed-form in doc_id — the codec loop must reproduce all three
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, ((doc_id % 7) + 2)::BIGINT AS frames,
+        |    (((doc_id % 7) + 2) * 12 *
+        |     ((doc_id % 256) + ((doc_id * 3) % 256) + ((doc_id * 7) % 256)))::BIGINT AS channel_sum
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT media_id, unnest(generate_series(0, frames - 1, 3))::BIGINT AS frame_idx,
+        |  frames, channel_sum
+        |FROM v ORDER BY media_id, frame_idx""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one
