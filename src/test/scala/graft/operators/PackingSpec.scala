@@ -27,6 +27,40 @@ class PackingSpec extends SparkTestBase {
       (4L, 2L, 1L, 3L)))                  // doc4 [22,25) → window 2
   }
 
+  test("randomized invariants: slices tile the corpus for any docs/capacity (fixed seed)") {
+    val rnd = new scala.util.Random(17)
+    (1 to 4).foreach { _ =>
+      val capacity = 7L + rnd.nextInt(58)
+      val docs = (0 until 100 + rnd.nextInt(150)).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(1000)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val packed = Packing.packSequences(df, col("doc_id"), col("text"), capacity)
+        .withColumn("len", col("tok_to") - col("tok_from") + 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nOf = docs.map { case (id, t) => id -> t.split("\\s+").length.toLong }.toMap
+      // per-doc coverage: slices are contiguous from token 1 to n
+      packed.groupBy(_._1).foreach { case (id, slices) =>
+        val sorted = slices.sortBy(_._2)
+        assert(sorted.head._3 === 1L, s"doc $id first slice starts at ${sorted.head._3}")
+        assert(sorted.last._4 === nOf(id), s"doc $id last slice ends early")
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._3 === a._4 + 1, s"doc $id slice gap")
+            assert(b._2 === a._2 + 1, s"doc $id skipped a window")
+          case _ => ()
+        }
+      }
+      // window tiling: every window full except the last, ids contiguous
+      val winSums = packed.groupBy(_._2).view
+        .mapValues(_.map(s => s._4 - s._3 + 1).sum).toSeq.sortBy(_._1)
+      assert(winSums.map(_._1) === (0L until winSums.length.toLong))
+      assert(winSums.dropRight(1).forall(_._2 === capacity),
+        s"non-final window not full at capacity $capacity")
+      assert(winSums.map(_._2).sum === nOf.values.sum)
+    }
+  }
+
   test("on the real corpus every window is full except the last; a custom counter plugs in") {
     val docs = spark.read.parquet(sf("documents")).select("doc_id", "text")
     val packed = Packing.packSequences(docs, col("doc_id"), col("text"), capacity = 512L)

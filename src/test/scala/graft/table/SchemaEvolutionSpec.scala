@@ -431,6 +431,50 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown or non-native"))
   }
 
+  test("randomized reclaim campaigns: any batch order converges, the ddl sheds " +
+      "exactly on the final batch, the snapshot never moves (fixed seed)") {
+    val rnd = new scala.util.Random(29)
+    (1 to 2).foreach { _ =>
+      // 5 partitions, 2-4 rows each
+      val rows = (0 until 5).flatMap { p =>
+        (0 until 2 + rnd.nextInt(3)).map { i =>
+          ((p * 10 + i).toLong, 1L, s"v${rnd.nextInt(100)}", s"p$p")
+        }
+      }
+      val in = tmpDir("in")
+      rows.toDF("id", "ver", "v", "p").write.mode("overwrite").parquet(in)
+      val table = tmpDir("tbl")
+      KeyedTable.bootstrap(spark, BootstrapConfig(
+        dataFilePath = in, tablePath = table, tableName = "camp_t",
+        keyFields = Seq("id"), precombineField = "ver",
+        partitionFields = Seq("p"), tableType = TableType.CopyOnWrite))
+      KeyedTable.dropColumns(spark, table, Seq("v"))
+      val want = KeyedTable.read(spark, table)
+        .select("id", "ver", "p").orderBy("id").collect().toSeq
+
+      // random batch split of the partitions, random order
+      val parts = rnd.shuffle((0 until 5).map(p => s"p=p$p").toList)
+      val batches = {
+        var rest = parts; val b = Seq.newBuilder[Seq[String]]
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(rest.size)
+          b += rest.take(take); rest = rest.drop(take)
+        }
+        b.result()
+      }
+      def shed = !org.apache.spark.sql.types.StructType
+        .fromDDL(CommitLog.requireState(spark, table).latest.schemaDdl)
+        .fieldNames.contains("v")
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        KeyedTable.reclaim(spark, table, Some(batch))
+        assert(shed === (i == batches.size - 1),
+          s"ddl shed after batch ${i + 1}/${batches.size} of ${batches.map(_.size)}")
+        assert(KeyedTable.read(spark, table)
+          .select("id", "ver", "p").orderBy("id").collect().toSeq === want)
+      }
+    }
+  }
+
   test("reclaim on MOR folds deltas first; rollback restores the pre-reclaim state") {
     val table = bootstrapped(TableType.MergeOnRead)
     KeyedTable.upsert(spark, table,
