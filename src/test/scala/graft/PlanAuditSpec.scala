@@ -54,4 +54,15 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(violations.result().isEmpty, violations.result().mkString("; "))
   }
+
+  test("x59's global prefix sum never plans a single-partition exchange") {
+    // the scale property the operator exists for: the cumsum windows hash
+    // on the range-partition id and the offsets join is a broadcast — a
+    // refactor that degrades it to one giant window fails HERE, not at 100 TB
+    val plan = SparkEntry.queries("x59_seq_pack")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "x59 planned a single-partition exchange — the prefix sum degraded to a global window")
+    assert(plan.contains("BroadcastExchange"), "x59's offsets join lost its broadcast")
+  }
 }
