@@ -168,6 +168,85 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frame_idx"))
 
+  // ------------------------------------------------------------------ audio
+
+  /** A minimal-but-real PCM16 mono/stereo WAV: RIFF header + `fmt ` chunk +
+    * `data` chunk (the public RIFF/WAVE layout) — the synthesis half of the
+    * audio leg, so [[audioMeta]] parses genuine WAV bytes.
+    */
+  def syntheticWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  final case class AudioMeta(
+      media_id: Long, sample_rate: Long, channels: Long, n_samples: Long,
+      duration_ms: Long, amp_sum: Long)
+
+  /** REAL RIFF/WAVE parse per partition (the audio twin of
+    * [[extractFeatures]]): chunk walk to `fmt ` (channels, sample rate,
+    * bits) and `data` (frame count = bytes / block align), integer
+    * duration, and the sum of |sample| over all PCM16 samples — the "pixel
+    * checksum" of the audio path (a parser that returns the right header
+    * but misreads samples fails it). Non-WAV or non-PCM16 bytes → honest
+    * zeros, same contract as the image/video decode.
+    */
+  def audioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("media")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        parseWav(r.media) match {
+          case Some((rate, ch, n, amp)) =>
+            AudioMeta(r.media_id, rate, ch, n, n * 1000L / rate, amp)
+          case None => AudioMeta(r.media_id, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
+  /** (sampleRate, channels, nSamples, Σ|sample|) of a PCM16 WAV, or None. */
+  private def parseWav(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (fourcc() != "RIFF") return None
+    bb.getInt // riff size (trust the actual buffer instead)
+    if (fourcc() != "WAVE") return None
+    var rate = 0L; var channels = 0L; var bits = 0; var fmtSeen = false
+    while (bb.remaining() >= 8) {
+      val id = fourcc(); val size = bb.getInt
+      if (size < 0 || size > bb.remaining()) return None
+      if (id == "fmt ") {
+        val start = bb.position()
+        val audioFormat = bb.getShort
+        channels = bb.getShort.toLong
+        rate = bb.getInt.toLong
+        bb.getInt; bb.getShort // byte rate, block align
+        bits = bb.getShort.toInt
+        if (audioFormat != 1 || bits != 16 || channels < 1 || rate <= 0) return None
+        fmtSeen = true
+        bb.position(start + size + (size & 1)) // chunks pad to even
+      } else if (id == "data") {
+        if (!fmtSeen) return None
+        val nSamples = size / (channels * 2)
+        var amp = 0L
+        var i = 0
+        while (i < nSamples * channels) { amp += math.abs(bb.getShort.toLong); i += 1 }
+        return Some((rate, channels, nSamples, amp))
+      } else bb.position(bb.position() + size + (size & 1))
+    }
+    None
+  }
+
   final case class ResizedRow(
       media_id: Long,
       media_type: String,

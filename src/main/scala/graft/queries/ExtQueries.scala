@@ -898,6 +898,28 @@ object ExtQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Audio-path metadata extraction under oracle check: real PCM16 WAV
+    * bytes are synthesized per doc (rate, sample count, and every sample
+    * value closed-form in doc_id), then parsed back by the RIFF chunk walk
+    * ([[Multimodal.audioMeta]]) — header fields, integer duration, AND the
+    * sum of |sample| over the PCM data, so a parser that reads the header
+    * right but the samples wrong hash-fails. Completes the multimodal
+    * triple: image (x47), video (x60), audio (x61).
+    */
+  private val x61: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val n = ((id % 50) + 10).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 7 + i.toLong * 31) % 65536) - 32768).toShort)
+      Multimodal.MediaRow(id, "audio/x-wav",
+        Multimodal.syntheticWav((8000 + (id % 3) * 4000).toInt, samples))
+    }).toDF()
+    Multimodal.audioMeta(s, media).toDF().orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -959,6 +981,7 @@ object ExtQueries {
     "x58_epoch_mix" -> x58,
     "x59_seq_pack" -> x59,
     "x60_frame_sample" -> x60,
+    "x61_audio_meta" -> x61,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1887,6 +1910,22 @@ object ExtQueries {
         |SELECT media_id, unnest(generate_series(0, frames - 1, 3))::BIGINT AS frame_idx,
         |  frames, channel_sum
         |FROM v ORDER BY media_id, frame_idx""".stripMargin,
+    "x61_audio_meta" ->
+      // header fields, integer duration, and the |sample| sum are all
+      // closed-form in doc_id — the RIFF parse must reproduce every one
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, (8000 + (doc_id % 3) * 4000)::BIGINT AS sample_rate,
+        |         ((doc_id % 50) + 10)::BIGINT AS n_samples
+        |  FROM documents WHERE doc_id < 400),
+        |s AS (
+        |  SELECT media_id, sample_rate, n_samples,
+        |    unnest(generate_series(0::BIGINT, n_samples - 1)) AS i
+        |  FROM a)
+        |SELECT media_id, sample_rate, 1::BIGINT AS channels, n_samples,
+        |  (n_samples * 1000 // sample_rate)::BIGINT AS duration_ms,
+        |  sum(abs(((media_id * 7 + i * 31) % 65536) - 32768))::BIGINT AS amp_sum
+        |FROM s GROUP BY media_id, sample_rate, n_samples
+        |ORDER BY media_id""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one

@@ -267,6 +267,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.count() === rows.map(_.frames.toLong).sum)
   }
 
+  test("multimodal: REAL WAV parse (RIFF chunk walk); non-WAV bytes → honest zeros") {
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(8000, Array.tabulate(20)(i => (i * 100 - 1000).toShort))),
+      (2L, "definitely not RIFF bytes".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray)
+    ).toDF("id", "payload")
+    val meta = Multimodal.audioMeta(spark,
+        Multimodal.toMediaTable(media, "id", "payload", "audio/x-wav"))
+      .collect().map(m => m.media_id -> m).toMap
+    val ok = meta(1L)
+    assert(ok.sample_rate === 8000L && ok.channels === 1L && ok.n_samples === 20L)
+    assert(ok.duration_ms === 20L * 1000L / 8000L)
+    assert(ok.amp_sum === (0 until 20).map(i => math.abs(i * 100 - 1000).toLong).sum)
+    Seq(2L, 3L).foreach { id =>
+      val z = meta(id)
+      assert(z.sample_rate === 0L && z.n_samples === 0L && z.amp_sum === 0L)
+    }
+  }
+
   test("multimodal: REAL imageio decode + nearest-neighbor resize; undecodable → honest zeros") {
     val imgs = (0L until 5L).map { i =>
       (i, Multimodal.syntheticPng(10, 5, (i % 256).toInt, (i * 3 % 256).toInt, (i * 7 % 256).toInt))
