@@ -1859,8 +1859,29 @@ object KeyedTable {
         st.columnMapping)
     def inTouched(f: String) = touched.exists(p => f.contains(s"/${PathCodec.escape(p)}/"))
     val pruned = StatsIndex.prune(spark, tablePath, ranges)
+    // Point predicates additionally prune through any bloom sidecar on
+    // their column: per-file value SETS beat min/max ranges on unclustered
+    // columns (whose ranges overlap everywhere), so a SQL `WHERE key = x`
+    // opens only bloom-positive files with no API change. Both prunes only
+    // drop files that PROVABLY lack the value. Restricted to values whose
+    // JVM render equals Spark's cast-to-string (how the blooms were
+    // built) — a mismatched render could only produce a false NEGATIVE,
+    // which a bloom must never have.
+    def bloomForm(v: Any): Option[String] = v match {
+      case x @ (_: Long | _: Int | _: Short | _: Byte | _: Boolean) => Some(x.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    val kept: Seq[String] = ranges.collect {
+      case (c, Some(lo), Some(hi)) if lo == hi => (c, bloomForm(lo))
+    }.foldLeft(pruned.kept) {
+      case (acc, (c, Some(v))) if BloomIndex.latestIndex(spark, tablePath, c).isDefined =>
+        val candidates = BloomIndex.candidateFiles(spark, tablePath, Seq(v), c).kept.toSet
+        acc.filter(candidates)
+      case (acc, _) => acc
+    }
     val parts = Seq.newBuilder[DataFrame]
-    val keptUntouched = pruned.kept.filterNot(inTouched)
+    val keptUntouched = kept.filterNot(inTouched)
     if (keptUntouched.nonEmpty)
       parts += spark.read.schema(schema).option("basePath", tablePath)
         .parquet(keptUntouched: _*).select(cols: _*)

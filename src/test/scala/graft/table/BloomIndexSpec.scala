@@ -181,6 +181,24 @@ class BloomIndexSpec extends SparkTestBase {
     assert(!fs.exists(BloomIndex.bloomDir(table, c1)) && fs.exists(BloomIndex.bloomDir(table, c2)))
   }
 
+  test("point predicates prune through the bloom on the generic read path: " +
+      "readWhere equality (and SQL WHERE =) opens only bloom-positive files") {
+    val table = boot()
+    // secondary bloom only — NO stats index, and custkey is unclustered so
+    // min/max ranges could not have pruned anyway
+    BloomIndex.build(spark, table, logicalColumn = "o_custkey")
+    val v = KeyedTable.read(spark, table).select("o_custkey").head().getLong(0)
+    val df = KeyedTable.readWhere(spark, table, Seq(("o_custkey", Some(v), Some(v))))
+    val total = StatsIndex.listBaseFiles(CommitLog.fs(spark, table), table).size
+    assert(df.inputFiles.length < total,
+      s"equality read opened all $total files — bloom never pruned")
+    val want = KeyedTable.read(spark, table).filter(col("o_custkey") === v).count()
+    assert(df.count() === want && want > 0)
+    // the SQL surface rides the same path (pushed EqualTo → readWhere)
+    assert(spark.read.format("graft").load(table)
+      .filter(col("o_custkey") === v).count() === want)
+  }
+
   test("index.auto: every publish refreshes the bloom — point lookups keep pruning " +
       "with NO manual build, at the index's original fpp") {
     val table = boot()
