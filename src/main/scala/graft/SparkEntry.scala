@@ -51,8 +51,9 @@ object SparkEntry {
     // quality classifier — each a new operator family leg
     "x54_span_dedup", "x55_bpe_tokenizer", "x56_nb_classifier",
     // round 9: auto-maintained index sidecars — times the publish-hook
-    // refresh so its touched-partition bound is a measured number
-    "q50_auto_index")
+    // refresh so its touched-partition bound is a measured number — and
+    // the concat-and-chunk packing's distributed prefix sum
+    "q50_auto_index", "x59_seq_pack")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
