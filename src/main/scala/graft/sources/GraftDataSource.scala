@@ -352,11 +352,12 @@ object GraftDataSource {
     * (extra files survive pruning, no row escapes) and the strict predicate
     * is still applied as a residual filter.
     */
-  private[sources] def toRanges(filters: Seq[Filter]): Seq[(String, Option[Any], Option[Any])] = {
-    def conjuncts(f: Filter): Seq[Filter] = f match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+  private def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private[sources] def toRanges(filters: Seq[Filter]): Seq[(String, Option[Any], Option[Any])] =
     filters.flatMap(conjuncts).collect {
       case EqualTo(a, v) if v != null && !a.contains(".") => (a, Some(v), Some(v))
       case GreaterThan(a, v) if v != null && !a.contains(".") => (a, Some(v), None)
@@ -364,7 +365,15 @@ object GraftDataSource {
       case LessThan(a, v) if v != null && !a.contains(".") => (a, None, Some(v))
       case LessThanOrEqual(a, v) if v != null && !a.contains(".") => (a, None, Some(v))
     }
-  }
+
+  /** Pushed IN-lists (null members dropped — IN never matches null), for
+    * [[KeyedTable.readWhere]]'s bloom-probed membership pruning.
+    */
+  private[sources] def toInLists(filters: Seq[Filter]): Seq[(String, Seq[Any])] =
+    filters.flatMap(conjuncts).collect {
+      case In(a, vs) if !a.contains(".") && vs.exists(_ != null) =>
+        (a, vs.toSeq.filter(_ != null))
+    }
 
   /** Inner DataFrame with pushed filters and pruned columns applied. An empty
     * pruned schema (count(*) over the source) selects zero columns — the row
@@ -379,9 +388,12 @@ object GraftDataSource {
       opts: ReadOptions,
       pruneTo: Option[StructType],
       filters: Seq[Filter]): DataFrame = {
-    val ranges = if (opts.asOf.isEmpty && opts.mode == "snapshot") toRanges(filters) else Seq.empty
+    val live = opts.asOf.isEmpty && opts.mode == "snapshot"
+    val ranges = if (live) toRanges(filters) else Seq.empty
+    val inLists = if (live) toInLists(filters) else Seq.empty
     val base =
-      if (ranges.nonEmpty) KeyedTable.readWhere(spark, opts.path, ranges)
+      if (ranges.nonEmpty || inLists.nonEmpty)
+        KeyedTable.readWhere(spark, opts.path, ranges, inLists)
       else sourceDf(spark, opts)
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
     pruneTo match {

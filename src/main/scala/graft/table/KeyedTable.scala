@@ -1822,13 +1822,18 @@ object KeyedTable {
   /** Conjunctive multi-range read — every range must hold. On a z-ordered
     * table each file carries a bounded range on EACH clustered column, so
     * pruning multiplies across the ranges (the whole point of the Morton
-    * layout over a linear sort).
+    * layout over a linear sort). `logicalInLists` adds conjunctive IN-list
+    * membership predicates — each prunes through the column's bloom sidecar
+    * (one multi-value probe) when one exists.
     */
   def readWhere(
       spark: SparkSession,
       tablePath: String,
-      logicalRanges: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
-    require(logicalRanges.nonEmpty, "readWhere needs at least one range")
+      logicalRanges: Seq[(String, Option[Any], Option[Any])],
+      logicalInLists: Seq[(String, Seq[Any])] = Seq.empty): DataFrame = {
+    require(logicalRanges.nonEmpty || logicalInLists.nonEmpty,
+      "readWhere needs at least one range or IN-list")
+    require(logicalInLists.forall(_._2.nonEmpty), "empty IN-list matches nothing — refuse loudly")
     val st = CommitLog.requireState(spark, tablePath)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     // user-facing column names are logical; the stats index and the files
@@ -1836,13 +1841,19 @@ object KeyedTable {
     val ranges = logicalRanges.map { case (c, lo, hi) =>
       (physicalNameOf(st.columnMapping, c), lo, hi)
     }
-    val pred = ranges.map { case (column, lower, upper) =>
+    val inLists = logicalInLists.map { case (c, vs) =>
+      (physicalNameOf(st.columnMapping, c), vs)
+    }
+    val pred = (ranges.map { case (column, lower, upper) =>
       val dt = schema(column).dataType
       Seq(
         lower.map(v => col(column) >= lit(v).cast(dt)),
         upper.map(v => col(column) <= lit(v).cast(dt))).flatten
         .reduceOption(_ && _).getOrElse(col(column).isNotNull)
-    }.reduce(_ && _)
+    } ++ inLists.map { case (column, vs) =>
+      val dt = schema(column).dataType
+      col(column).isin(vs.map(v => lit(v).cast(dt)): _*)
+    }).reduce(_ && _)
     val cols = schema.fieldNames.map(col).toSeq
     // Live MOR deltas don't forfeit pruning table-wide: only the partitions
     // the deltas TOUCH need the merged snapshot; every other partition keeps
@@ -1858,25 +1869,34 @@ object KeyedTable {
       return toLogical(snapshot(spark, tablePath, st, restrictTo = None).filter(pred),
         st.columnMapping)
     def inTouched(f: String) = touched.exists(p => f.contains(s"/${PathCodec.escape(p)}/"))
-    val pruned = StatsIndex.prune(spark, tablePath, ranges)
-    // Point predicates additionally prune through any bloom sidecar on
-    // their column: per-file value SETS beat min/max ranges on unclustered
-    // columns (whose ranges overlap everywhere), so a SQL `WHERE key = x`
-    // opens only bloom-positive files with no API change. Both prunes only
-    // drop files that PROVABLY lack the value. Restricted to values whose
-    // JVM render equals Spark's cast-to-string (how the blooms were
-    // built) — a mismatched render could only produce a false NEGATIVE,
-    // which a bloom must never have.
+    val pruned =
+      if (ranges.nonEmpty) StatsIndex.prune(spark, tablePath, ranges)
+      else { // IN-list-only read: stats ranges don't apply, start from live
+        val live = StatsIndex.listBaseFiles(CommitLog.fs(spark, tablePath), tablePath)
+        StatsIndex.PruneResult(live, live.size, 0, None)
+      }
+    // Point and IN-list predicates additionally prune through any bloom
+    // sidecar on their column: per-file value SETS beat min/max ranges on
+    // unclustered columns (whose ranges overlap everywhere), so a SQL
+    // `WHERE key = x` / `key IN (...)` opens only bloom-positive files with
+    // no API change. Both prunes only drop files that PROVABLY lack the
+    // value. Restricted to values whose JVM render equals Spark's
+    // cast-to-string (how the blooms were built) — a mismatched render
+    // could only produce a false NEGATIVE, which a bloom must never have;
+    // one unsafe value disables the probe for its whole predicate.
     def bloomForm(v: Any): Option[String] = v match {
       case x @ (_: Long | _: Int | _: Short | _: Byte | _: Boolean) => Some(x.toString)
       case s: String => Some(s)
       case _ => None
     }
-    val kept: Seq[String] = ranges.collect {
-      case (c, Some(lo), Some(hi)) if lo == hi => (c, bloomForm(lo))
-    }.foldLeft(pruned.kept) {
-      case (acc, (c, Some(v))) if BloomIndex.latestIndex(spark, tablePath, c).isDefined =>
-        val candidates = BloomIndex.candidateFiles(spark, tablePath, Seq(v), c).kept.toSet
+    val probes: Seq[(String, Seq[Option[String]])] =
+      ranges.collect { case (c, Some(lo), Some(hi)) if lo == hi => (c, Seq(bloomForm(lo))) } ++
+        inLists.map { case (c, vs) => (c, vs.map(bloomForm)) }
+    val kept: Seq[String] = probes.foldLeft(pruned.kept) {
+      case (acc, (c, vs)) if vs.forall(_.isDefined) &&
+          BloomIndex.latestIndex(spark, tablePath, c).isDefined =>
+        val candidates =
+          BloomIndex.candidateFiles(spark, tablePath, vs.flatten, c).kept.toSet
         acc.filter(candidates)
       case (acc, _) => acc
     }

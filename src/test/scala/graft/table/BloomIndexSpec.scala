@@ -199,6 +199,22 @@ class BloomIndexSpec extends SparkTestBase {
       .filter(col("o_custkey") === v).count() === want)
   }
 
+  test("IN-list predicates prune through the bloom on the generic/SQL read path") {
+    val table = boot()
+    BloomIndex.build(spark, table, logicalColumn = "o_orderkey")
+    val df = KeyedTable.readWhere(spark, table,
+      Seq.empty, Seq(("o_orderkey", Seq(17L, 400L, 1200L))))
+    val total = StatsIndex.listBaseFiles(CommitLog.fs(spark, table), table).size
+    assert(df.inputFiles.length < total,
+      s"IN-list read opened all $total files — bloom never pruned")
+    val want = KeyedTable.read(spark, table)
+      .filter(col("o_orderkey").isin(17L, 400L, 1200L)).count()
+    assert(df.count() === want && want > 0)
+    // the SQL surface lowers a pushed In onto the same probe
+    assert(spark.read.format("graft").load(table)
+      .filter(col("o_orderkey").isin(17L, 400L, 1200L)).count() === want)
+  }
+
   test("index.auto: every publish refreshes the bloom — point lookups keep pruning " +
       "with NO manual build, at the index's original fpp") {
     val table = boot()
