@@ -296,12 +296,13 @@ object Dedup {
       else {
         // re-derive each candidate's k tokens (docs with no candidate never
         // join) and re-test cross-doc duplication on the TEXT: exact, so a
-        // fingerprint collision cannot flag a span. The u0001 separator
-        // can't appear inside \s+-split tokens, so the joined gram string
-        // is a collision-free key.
+        // fingerprint collision cannot flag a span. The gram key is the
+        // token ARRAY itself (arrays group/join by element equality) — a
+        // delimiter-joined string is NOT collision-free: no separator byte
+        // is guaranteed absent from \s+-split tokens.
         val grams = candidates.join(toks, Seq("doc_id"))
           .select(col("doc_id"), col("p"),
-            concat_ws("\u0001", slice(col("w"), col("p").cast("int"), lit(k))).as("g"))
+            slice(col("w"), col("p").cast("int"), lit(k)).as("g"))
         val realG = grams.groupBy("g")
           .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
           .filter(col("lo") =!= col("hi"))

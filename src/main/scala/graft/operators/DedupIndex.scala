@@ -73,17 +73,25 @@ object DedupIndex {
       spark: SparkSession, indexPath: String, batch: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, excludeBatchIds: Boolean = false): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
         "otherwise trailing hashes silently drop out of every band")
-    val idx = KeyedTable.read(spark, indexPath)
-      .select(col(idCol).as("id"), col(SigCol), col(ShCol))
     // batch entries feed the band join AND the verify; tiny (one batch) but
     // recomputing the shingle scalar work twice is the dominant batch cost
     val be = entriesOf(batch, idCol, textCol, shingleN, numHashes)
       .select(col(idCol).as("id"), col(SigCol), col(ShCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val idxAll = KeyedTable.read(spark, indexPath)
+      .select(col(idCol).as("id"), col(SigCol), col(ShCol))
+    // replay idempotence (the ingest gates set this): exclude EVERY batch id
+    // from the index side, not just self-pairs — after a crash-replay that
+    // follows the index append, a batch's own entries would otherwise
+    // screen its within-batch near-dups against each other (B1 kills B2 via
+    // B2's index entry and vice versa), diverging from the first run
+    val idx =
+      if (!excludeBatchIds) idxAll
+      else idxAll.join(broadcast(be.select("id").distinct()), Seq("id"), "left_anti")
     val candidates = Dedup.lshCandidatesAcross(
         idx.select(col("id"), col(SigCol).as("sig")),
         be.select(col("id"), col(SigCol).as("sig")),
@@ -115,15 +123,14 @@ object DedupIndex {
     * outputs survive a crash-replay exactly once because the batch body is
     * IDEMPOTENT. Survivors land FIRST in a batchId-addressed directory
     * (`survivorsPath/batch=<id>/`, overwrite mode), and the index append
-    * runs AFTER; the screening join excludes SELF-matches (a doc whose own
-    * id is already in the index never screens itself out), so a replay
-    * after any crash point recomputes the SAME survivor set: a crash
-    * between the two writes replays into an identical directory overwrite
-    * plus the pending index append; a crash after the append replays into
-    * the identical overwrite (self-matches excluded — without that
-    * exclusion the replayed batch would match its own index entries at
-    * Jaccard 1.0 and overwrite the published survivors with zero rows)
-    * plus an idempotent re-upsert of the same index entries. The flip side
+    * runs AFTER; the screening probe excludes ALL of the batch's ids from
+    * the index side (not merely self-pairs: after the append, a replayed
+    * batch's within-batch near-dups would otherwise screen each other out
+    * through their own freshly-indexed entries), so a replay after any
+    * crash point recomputes the SAME survivor set: a crash between the two
+    * writes replays into an identical directory overwrite plus the pending
+    * index append; a crash after the append replays into the identical
+    * overwrite plus an idempotent re-upsert of the same index entries. The flip side
     * of self-exclusion: a SOURCE-level redelivery of an id in a LATER
     * batch survives again (the gate dedups content across distinct docs,
     * not deliveries of the same doc — the index upsert keeps one entry per
@@ -167,11 +174,12 @@ object DedupIndex {
       skipIndexAppend: Boolean = false): Unit = {
     if (b.isEmpty) return
     val spark = b.sparkSession
+    // excludeBatchIds: entries already indexed under ANY of this batch's ids
+    // are this batch redelivered (crash after the index append), not dups —
+    // excluding only self-pairs would still let within-batch near-dups kill
+    // each other through their own replayed index entries
     val dups = probe(spark, indexPath, b, idCol, textCol,
-      shingleN, numHashes, bands, threshold)
-      // replay idempotence: a doc already in the index under its OWN id is
-      // this batch redelivered (crash after the index append), not a dup
-      .filter(col("a_id") =!= col("b_id"))
+      shingleN, numHashes, bands, threshold, excludeBatchIds = true)
     val survivors = b.join(dups.select(col("b_id")).distinct(),
         col(idCol) === col("b_id"), "left_anti")
       .localCheckpoint()
@@ -193,12 +201,12 @@ object DedupIndex {
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // same batch-id exclusion as ingestBatch: a retry after a crash between
+    // the append and the caller consuming the result reproduces the same
+    // survivor set instead of screening the batch against its own (or its
+    // within-batch near-dups') replayed index entries
     val dups = probe(spark, indexPath, batch, idCol, textCol,
-      shingleN, numHashes, bands, threshold)
-      // same self-exclusion as ingestBatch: a retry after a crash between
-      // the append and the caller consuming the result reproduces the same
-      // survivor set instead of screening the batch against itself
-      .filter(col("a_id") =!= col("b_id"))
+      shingleN, numHashes, bands, threshold, excludeBatchIds = true)
     // stable row set: the append below and the caller both consume it
     val survivors = batch.join(dups.select(col("b_id")).distinct(),
         col(idCol) === col("b_id"), "left_anti")

@@ -56,7 +56,13 @@ object Packing {
     import spark.implicits._
     val offsetDf = offsets.toSeq.toDF("part", "off")
 
-    val w = Window.partitionBy("part").orderBy("doc_id")
+    // ROWS frame, not the default RANGE frame: duplicate doc_ids must each
+    // get their own cumulative sum (RANGE treats order-by peers as one frame
+    // and their slices would overlap the same token range). The `n`
+    // tie-break makes the tiling deterministic for distinct (id, n) pairs;
+    // fully identical rows are interchangeable, so output is a fixed multiset.
+    val w = Window.partitionBy("part").orderBy(col("doc_id"), col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counted
       .join(broadcast(offsetDf), Seq("part"))
       .withColumn("start", sum("n").over(w) - col("n") + col("off")) // global, 0-based

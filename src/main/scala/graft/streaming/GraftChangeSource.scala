@@ -126,9 +126,20 @@ class GraftChangeSource(
     * keeps the stream RUNNING across a rename-only change — a rename
     * preserves every position and type, so the batch binds positionally and
     * serves the OLD names with correct values until a restart picks up the
-    * new ones. Drops/adds still fail (they change the type sequence).
+    * new ones. Rename-only is verified by per-position PHYSICAL column
+    * identity (the column mapping's physical names), not by the DataType
+    * sequence: a single-statement same-type DROP+ADD leaves the types
+    * identical but allocates a FRESH physical column, so it still fails —
+    * type-only gating would silently serve the new column's values under
+    * the dropped column's name.
     */
   override val schema: StructType = GraftChangeSource.changeSchema(spark, tablePath)
+
+  /** The per-position physical identity behind [[schema]], captured at
+    * construction — the allowRename gate compares against this.
+    */
+  private val physicalAtStart: Seq[String] =
+    GraftChangeSource.physicalIdentity(spark, tablePath)
 
   /** The CURRENT table schema, after asserting this stream may keep running
     * under it (see [[schema]]).
@@ -138,7 +149,9 @@ class GraftChangeSource(
     val cur = GraftChangeSource.changeSchema(spark, tablePath)
     if (sig(cur) == sig(schema)) cur
     else if (renameTolerant && cur.fields.toSeq.map(_.dataType) ==
-        schema.fields.toSeq.map(_.dataType)) cur // rename-only: positions+types intact
+        schema.fields.toSeq.map(_.dataType) &&
+        GraftChangeSource.physicalIdentity(spark, tablePath) == physicalAtStart)
+      cur // rename-only: positions, types AND physical columns intact
     else throw graft.model.GraftException.unexpected(
       s"schema of $tablePath changed while the stream was running — " +
         s"was ${schema.simpleString}, now ${cur.simpleString}. Restart " +
@@ -257,5 +270,19 @@ object GraftChangeSource {
   def changeSchema(spark: SparkSession, tablePath: String): StructType = {
     val st = CommitLog.requireState(spark, tablePath)
     KeyedTable.logicalSchemaOf(st).add(KeyedTable.ChangeOp, StringType)
+  }
+
+  /** The PHYSICAL column name serving each position of [[changeSchema]]
+    * (the `_change_op` tail has no physical backing — a fixed sentinel).
+    * A metadata-only rename preserves this sequence by construction (the
+    * mapping re-aliases the SAME physical column); a drop+add cannot (the
+    * re-added column gets a fresh physical name, per ColumnMapping's
+    * contract) — which is exactly the distinction `allowRename` needs.
+    */
+  def physicalIdentity(spark: SparkSession, tablePath: String): Seq[String] = {
+    val st = CommitLog.requireState(spark, tablePath)
+    val m = st.columnMapping
+    StructType.fromDDL(st.latest.schemaDdl).fields.toSeq.map(_.name)
+      .filterNot(m.dropped.contains) :+ KeyedTable.ChangeOp
   }
 }

@@ -53,18 +53,42 @@ object WebSocketFeed {
   /** A decoded client frame: opcode + unmasked payload. */
   private[streaming] final case class Frame(opcode: Int, payload: Array[Byte])
 
+  /** Hard cap on a client frame payload. The feed is control-plane (clients
+    * send pings/close, never data), so anything past 1 MiB is a protocol
+    * error, and a hostile 64-bit length claim must never reach `new Array`.
+    */
+  private[streaming] val MaxFramePayload: Long = 1L << 20
+
   /** Read one client frame (clients MUST mask; unmask per §5.3). Returns
-    * None on a cleanly closed stream.
+    * None on a cleanly closed stream, on EOF mid-header, and on protocol
+    * violations (length over [[MaxFramePayload]], control frame over the
+    * RFC's 125-byte cap) — the caller drops the connection either way.
     */
   private[streaming] def readFrame(in: InputStream): Option[Frame] = {
-    val b0 = in.read(); if (b0 < 0) return None
-    val b1 = in.read(); if (b1 < 0) return None
+    // every header byte checks for EOF: a truncated header must not fold a
+    // -1 into the length and misread the stream
+    def byte(): Int = in.read()
+    val b0 = byte(); if (b0 < 0) return None
+    val b1 = byte(); if (b1 < 0) return None
     val opcode = b0 & 0x0f
     val masked = (b1 & 0x80) != 0
     var len: Long = b1 & 0x7f
-    if (len == 126) len = (in.read() << 8 | in.read()).toLong
-    else if (len == 127) len = (0 until 8).foldLeft(0L)((acc, _) => acc << 8 | in.read())
-    val mask = if (masked) Array.fill(4)(in.read().toByte) else Array.empty[Byte]
+    if (len == 126) {
+      val h = byte(); val l = byte()
+      if (h < 0 || l < 0) return None
+      len = (h << 8 | l).toLong
+    } else if (len == 127) {
+      var acc = 0L; var i = 0
+      while (i < 8) { val b = byte(); if (b < 0) return None; acc = acc << 8 | b; i += 1 }
+      len = acc
+    }
+    if (len < 0 || len > MaxFramePayload) return None
+    if ((opcode & 0x8) != 0 && len > 125) return None // RFC 6455 §5.5
+    val mask = new Array[Byte](4)
+    if (masked) {
+      var i = 0
+      while (i < 4) { val b = byte(); if (b < 0) return None; mask(i) = b.toByte; i += 1 }
+    }
     val payload = new Array[Byte](len.toInt)
     var off = 0
     while (off < len) {

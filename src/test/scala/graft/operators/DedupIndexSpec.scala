@@ -69,6 +69,32 @@ class DedupIndexSpec extends SparkTestBase {
     assert(ids(s1).nonEmpty)
   }
 
+  test("replay keeps WITHIN-batch near-duplicates: the probe excludes every batch id, " +
+      "not just self-pairs") {
+    import spark.implicits._
+    val dir = tmpDir("dedup-index-within")
+    val idx = s"$dir/idx"
+    val corpus = Seq((1L,
+      "rivers carve stones beneath quiet mountains while herons wade the shallows at dawn"))
+      .toDF("doc_id", "text")
+    // B1/B2: mutually near-identical, absent from the corpus — the gate
+    // screens batch-vs-corpus, so BOTH survive run 1 by contract
+    val t = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val batch = Seq((101L, t), (102L, t + " extra")).toDF("doc_id", "text")
+    DedupIndex.bootstrap(spark, idx, corpus, "doc_id", "text")
+    val s1 = DedupIndex.dedupAndAppend(spark, idx, batch, "doc_id", "text")
+    assert(ids(s1) === Set(101L, 102L))
+    // at-least-once replay AFTER the append: both ids now sit in the index;
+    // with only a_id =!= b_id exclusion, B1's index entry would screen B2
+    // out and vice versa — the batch-id exclusion reproduces run 1 exactly
+    val replay = DedupIndex.dedupAndAppend(spark, idx, batch, "doc_id", "text")
+    assert(ids(replay) === Set(101L, 102L))
+    // and the ingestBatch face converges to the same survivor directory
+    val out = s"$dir/survivors"
+    DedupIndex.ingestBatch(batch, 3L, idx, "doc_id", "text", Some(out))
+    assert(ids(spark.read.parquet(s"$out/batch=3")) === Set(101L, 102L))
+  }
+
   test("ingest replay converges from a crash in EITHER window of the batch body") {
     val dir = tmpDir("dedup-index-crash")
     val idx = s"$dir/idx"

@@ -27,6 +27,23 @@ class PackingSpec extends SparkTestBase {
       (4L, 2L, 1L, 3L)))                  // doc4 [22,25) → window 2
   }
 
+  test("duplicate doc_ids tile correctly (ROWS cumsum frame, not RANGE peers)") {
+    // two rows share doc_id 1 — under the default RANGE frame they'd be
+    // order-by peers sharing ONE cumulative sum, double-packing the same
+    // token range; the ROWS frame gives each row its own slice
+    val d = Seq((1L, "a b c"), (1L, "x y z w"), (2L, "p q")).toDF("doc_id", "text")
+    val packed = Packing.packSequences(d, col("doc_id"), col("text"), capacity = 4L)
+      .withColumn("len", col("tok_to") - col("tok_from") + 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lens = packed.map(s => (s._2, s._4 - s._3 + 1))
+    // 3 + 4 + 2 = 9 tokens → windows 0 and 1 full (4), window 2 holds 1
+    val winSums = lens.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    assert(winSums === Seq((0L, 4L), (1L, 4L), (2L, 1L)))
+    // both id-1 rows cover their own tokens exactly once (7 total, not 8)
+    assert(packed.filter(_._1 == 1L).map(s => s._4 - s._3 + 1).sum === 7L)
+    assert(packed.filter(_._1 == 2L).map(s => s._4 - s._3 + 1).sum === 2L)
+  }
+
   test("randomized invariants: slices tile the corpus for any docs/capacity (fixed seed)") {
     val rnd = new scala.util.Random(17)
     (1 to 4).foreach { _ =>

@@ -301,6 +301,47 @@ class GraftChangeSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("onSchemaChange=allowRename: a same-type DROP+ADD in one statement still fails " +
+      "(physical identity gates the tolerance, not the DataType sequence)") {
+    val (tbl, c0) = bootstrapMor(tmpDir("stream-dropadd"), "stream_dropadd")
+    val ckpt = tmpDir("stream-dropadd-ckpt")
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    import scala.jdk.CollectionConverters._
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft")
+      .option("startAt", c0).option("onSchemaChange", "allowRename").load(tbl)
+      .select(col("o_orderkey"), col("o_orderpriority"), col(KeyedTable.ChangeOp))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(r.toString)); ()
+      }
+      .start()
+    try {
+      KeyedTable.upsert(spark, tbl, base
+        .filter(col("o_orderkey") % 10 === 0).select(dataCols: _*)
+        .withColumn("o_orderstatus", lit("D1")))
+      q.processAllAvailable()
+      assert(got.asScala.nonEmpty)
+
+      // ONE atomic alter: drop the last data column (string) and add another
+      // string — the per-position DataType sequence is IDENTICAL, but the
+      // new column is a fresh physical column; binding it positionally would
+      // serve its values under the dropped column's name. Must fail.
+      KeyedTable.alterSchema(spark, tbl,
+        adds = Seq(org.apache.spark.sql.types.StructField(
+          "note", org.apache.spark.sql.types.StringType, nullable = true)),
+        drops = Seq("o_orderpriority"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("changed while the stream was running")))
+    } finally q.stop()
+  }
+
   test("without startAt the stream begins at the current tip (latest)") {
     val (tbl, _) = bootstrapMor(tmpDir("stream-latest"), "stream_latest")
     val ckpt = tmpDir("stream-latest-ckpt")

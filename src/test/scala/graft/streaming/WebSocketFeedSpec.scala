@@ -103,6 +103,23 @@ class WebSocketFeedSpec extends SparkTestBase {
     } finally server.close()
   }
 
+  test("readFrame rejects hostile/truncated client frames instead of allocating") {
+    def frame(bytes: Int*): Option[WebSocketFeed.Frame] =
+      WebSocketFeed.readFrame(
+        new java.io.ByteArrayInputStream(bytes.map(_.toByte).toArray))
+    // a masked 5-byte text frame still parses (mask 0 ⇒ payload unchanged)
+    val ok = frame(0x81, 0x85, 0, 0, 0, 0, 'h', 'e', 'l', 'l', 'o')
+    assert(ok.exists(f => f.opcode == 1 && new String(f.payload, UTF_8) == "hello"))
+    // hostile 64-bit length claim (2^62) must return None, not new Array(<0)
+    assert(frame(0x81, 0xff, 0x40, 0, 0, 0, 0, 0, 0, 0) === None)
+    // control frame (ping) claiming a 300-byte payload violates RFC §5.5
+    assert(frame(0x89, 0xfe, 0x01, 0x2c) === None)
+    // EOF mid-extended-length (126 marker, then the stream ends)
+    assert(frame(0x81, 0xfe, 0x01) === None)
+    // EOF mid-mask
+    assert(frame(0x81, 0x85, 0, 0) === None)
+  }
+
   test("streaming publisher: terminal ledger statuses push per micro-batch; PENDING never does") {
     val server = new WebSocketFeed.Server()
     try {
