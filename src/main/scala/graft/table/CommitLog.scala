@@ -551,15 +551,22 @@ object CommitLog {
         // alter_schema commits conflict with EVERYONE in both directions
         // even when the physical ddl is unchanged (a metadata-only
         // drop/rename leaves schemaDdl identical but changes the logical
-        // namespace every concurrent statement resolved against)
-        // reclaim likewise conflicts with everyone: its rewrite must cover
-        // EVERY file — a disjoint concurrent append (new partition, base
-        // ddl unchanged) would land files still carrying the column the
-        // reclaim's ddl just shed
+        // namespace every concurrent statement resolved against).
+        // A reclaim conflicts with everyone ONLY when it SHEDS the ddl
+        // (schemaDdl != its base ddl): the shed decision asserted that no
+        // live file outside its rewrite still carries the column, so a
+        // disjoint concurrent append (which null-fills the still-physical
+        // column into new files) would invalidate it. A NON-shedding
+        // campaign run is just a bounded partition rewrite — it conflicts
+        // by partition overlap like any other rewrite, so incremental
+        // reclamation lands under live disjoint writers; a novel shedding
+        // reclaim on the other side is caught by schemaChangedBy.
+        val infoSheds =
+          info.operation == "reclaim" && baseDdl.exists(_ != info.schemaDdl)
         val clash = existing.filter(novel).filter { c =>
           info.operation == "bootstrap" || c.operation == "bootstrap" ||
             info.operation == "alter_schema" || c.operation == "alter_schema" ||
-            info.operation == "reclaim" || c.operation == "reclaim" ||
+            infoSheds ||
             schemaChangedBy(c) ||
             c.partitions.exists(p => mine.contains(p.path))
         }

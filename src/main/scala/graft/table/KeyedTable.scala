@@ -2436,10 +2436,13 @@ object KeyedTable {
     * (compact-first, archived pre-images, one rewrite commit), so
     * `readAsOf` before the DROP still serves the old view from the archive
     * until retention cleans it, `rollback` undoes the rewrite, and CDC
-    * emits no change events (rows keep their commit times). The commit
-    * changes the physical ddl, so OCC serializes it against every
-    * concurrent writer — a racing append can't land a file that still
-    * carries the column. Refuses METADATA_ONLY partitions (their files
+    * emits no change events (rows keep their commit times). OCC: only a
+    * run that SHEDS the ddl serializes against every concurrent writer (a
+    * racing disjoint append would land a file still null-filling the
+    * column the ddl just shed); a NON-shedding campaign run conflicts by
+    * partition overlap like any other rewrite, so bounded campaign batches
+    * land under live disjoint writers — exactly when a 100 TB table needs
+    * them. Refuses METADATA_ONLY partitions (their files
     * live in a source tree the table does not own — reads already mask the
     * column there; materialize first for a physical purge). No-op without
     * reclaimable columns.

@@ -44,10 +44,16 @@ class ConcurrencySpec extends SparkTestBase {
     val st = CommitLog.requireState(spark, tbl)
     val schema = StructType.fromDDL(st.latest.schemaDdl)
     val dataCols = schema.fieldNames.filterNot(_.startsWith("_")).toSeq
-    val batch = KeyedTable.read(spark, tbl)
-      .filter(col("o_month") === month && col("o_orderkey") % 5 === 0)
-      .select(dataCols.map(col): _*)
-      .withColumn("o_orderstatus", lit(status))
+    val logical = KeyedTable.read(spark, tbl)
+    // physical columns hidden by a metadata-only drop aren't in the logical
+    // read — null-fill them, as the real write path does
+    val batch = dataCols.foldLeft(
+      logical
+        .filter(col("o_month") === month && col("o_orderkey") % 5 === 0)
+        .select(dataCols.filter(logical.columns.contains).map(col): _*)
+        .withColumn("o_orderstatus", lit(status))) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(schema(c).dataType))
+    }
     val rows = MetaColumns.withMeta(batch, st.latest.keyFields, st.latest.partitionFields, ct)
       .select(schema.fieldNames.map(col).toSeq: _*)
       .withColumn(Deltas.DeletedCol, lit(false))
@@ -195,6 +201,79 @@ class ConcurrencySpec extends SparkTestBase {
     assert(e.getMessage.contains("Retryable"))
     KeyedTable.fsck(spark, tbl)
     assert(KeyedTable.read(spark, tbl).columns.contains("status"))
+  }
+
+  test("a NON-shedding reclaim campaign batch and a disjoint in-flight append both land; " +
+      "only a SHEDDING reclaim serializes against everyone") {
+    val (tbl, _) = bootstrapMor(tmpDir("occ-reclaim"), "occ_reclaim")
+    KeyedTable.dropColumns(spark, tbl, Seq("o_orderpriority"))
+    val afterDrop = CommitLog.requireState(spark, tbl).latest.commitTime
+
+    // writer A (append on 1995-02) goes in flight BEFORE the campaign batch
+    val ctA = CommitLog.newCommitTime()
+    val infoA = stageDelta(tbl, ctA, "1995-02", "AA",
+      baseCommits = CommitLog.commits(spark, tbl).map(_.commitTime))
+
+    // the campaign rewrites a DISJOINT partition while A is in flight; the
+    // other partitions still carry the column, so this run does NOT shed
+    assert(KeyedTable.reclaim(spark, tbl, Some(Seq("o_month=1995-01"))) ===
+      Seq("o_month=1995-01"))
+    val mid = CommitLog.requireState(spark, tbl)
+    assert(mid.latest.schemaDdl.contains("o_orderpriority")) // ddl intact
+    assert(mid.columnMapping.dropped.contains("o_orderpriority"))
+
+    // A publishes with the campaign batch NOVEL in its interval: disjoint
+    // partitions + unchanged ddl → lands (before the partition-subset OCC
+    // rule, ANY concurrent reclaim aborted every writer)
+    CommitLog.write(spark, tbl, infoA, baseInstant = Some(afterDrop))
+    assert(KeyedTable.read(spark, tbl)
+      .filter(col("o_orderstatus") === "AA" && col("o_month") === "1995-02").count() > 0)
+    assert(KeyedTable.fsck(spark, tbl, repair = false).clean)
+
+    // --- info side, shedding: a reclaim whose commit SHEDS the ddl must
+    // abort when ANY novel commit (even a disjoint append) landed — the
+    // append null-fills the still-physical column into new files, which
+    // invalidates the shed decision
+    val st2 = CommitLog.requireState(spark, tbl)
+    val physical = StructType.fromDDL(st2.latest.schemaDdl)
+    val shedDdl = StructType(
+      physical.filterNot(_.name == "o_orderpriority").toArray).toDDL
+    def reclaimInfo(ct: String, ddl: String) = CommitInfo(
+      commitTime = ct, operation = "reclaim", tableName = st2.latest.tableName,
+      tableType = st2.latest.tableType, keyFields = st2.latest.keyFields,
+      precombineField = st2.latest.precombineField,
+      partitionFields = st2.latest.partitionFields,
+      partitions = Seq(PartitionEntry("o_month=1995-03", "native", 0L)),
+      recordCount = 0L, schemaDdl = ddl, sourcePath = None)
+    val ctShed = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tbl, ctShed, "reclaim", Seq("o_month=1995-03"),
+      baseCommits = CommitLog.commits(spark, tbl).map(_.commitTime))
+    // a disjoint public append lands while the shedding run is in flight
+    val base = KeyedTable.read(spark, tbl)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === "1995-01" && col("o_orderkey") % 7 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("BB")))
+    val e = intercept[CommitConflictException] {
+      CommitLog.write(spark, tbl, reclaimInfo(ctShed, shedDdl),
+        baseInstant = Some(st2.latest.commitTime))
+    }
+    assert(e.getMessage.contains("Retryable"))
+    KeyedTable.fsck(spark, tbl)
+
+    // --- info side, non-shedding: the SAME interleave with an unchanged
+    // ddl is just a bounded partition rewrite — it lands
+    val st3 = CommitLog.requireState(spark, tbl)
+    val ctCamp = CommitLog.newCommitTime()
+    CommitLog.beginInflight(spark, tbl, ctCamp, "reclaim", Seq("o_month=1995-03"),
+      baseCommits = CommitLog.commits(spark, tbl).map(_.commitTime))
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_month") === "1995-01" && col("o_orderkey") % 11 === 0)
+      .select(dataCols: _*).withColumn("o_orderstatus", lit("CC")))
+    CommitLog.write(spark, tbl, reclaimInfo(ctCamp, st2.latest.schemaDdl),
+      baseInstant = Some(st3.latest.commitTime))
+    assert(CommitLog.commits(spark, tbl).exists(c =>
+      c.commitTime == ctCamp && c.operation == "reclaim"))
   }
 
   test("a publish whose base instant left the active log aborts instead of degrading") {
