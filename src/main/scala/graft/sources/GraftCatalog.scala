@@ -93,6 +93,12 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
         import spark.implicits._
         GraftCatalog.lockRows(spark, path)
           .toDF("owner", "token", "acquired_at", "expires_at", "state")
+      case "indexes" =>
+        // index-sidecar observability: what is indexed, how fresh, how big —
+        // the SAME rows the show_indexes procedure serves
+        // (graft.table.IndexDescribe.rows — one code path, no drift)
+        import spark.implicits._
+        graft.table.IndexDescribe.rows(spark, path).toDF()
       case "detail" =>
         // DESCRIBE DETAIL analogue: the table's one-row identity card —
         // config, size, tip, and the live drop/rename mapping. Pure commit-
@@ -574,6 +580,20 @@ private[sources] object GraftProcedures {
       val props = graft.table.TableProperties.get(s, a(0).toString)
       if (props.isEmpty) Seq("no properties set")
       else props.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }
+    },
+    proc("show_indexes", Seq("table" -> StringType),
+      "Every live index sidecar: kind, column, build instant, covered vs " +
+        "live files (freshness), fpp, bytes, auto-maintained") { (s, a) =>
+      // a string projection of the SAME rows the `.indexes` meta relation
+      // serves (graft.table.IndexDescribe.rows) — one code path, no drift
+      val rows = graft.table.IndexDescribe.rows(s, a(0).toString)
+      if (rows.isEmpty) Seq("no indexes")
+      else rows.map(r =>
+        s"${r.kind} column=${Option(r.column).getOrElse("<dropped>")} " +
+          s"physical=${r.physical_column} instant=${r.instant} " +
+          s"covered_files=${r.covered_files}/${r.live_files} " +
+          s"fpp=${r.fpp.map(_.toString).getOrElse("-")} bytes=${r.bytes} " +
+          s"auto=${r.auto}")
     },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +

@@ -143,6 +143,57 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(callRows(s"CALL graft.system.show_lock('$tbl')") === Seq("no lock held"))
   }
 
+  test("show_indexes procedure + .indexes relation expose sidecar freshness") {
+    val tbl = bootstrapOrders(tmpDir("cat-idx"), TableType.CopyOnWrite)
+    assert(callRows(s"CALL graft.system.show_indexes('$tbl')") === Seq("no indexes"))
+    assert(spark.sql(s"SELECT * FROM graft.`$tbl`.indexes").count() === 0)
+
+    callRows(s"CALL graft.system.index_stats('$tbl', 'o_custkey,o_totalprice')")
+    callRows(s"CALL graft.system.index_bloom('$tbl')") // record-key bloom
+
+    def rel() = spark.sql(
+      s"SELECT kind, `column`, physical_column, instant, covered_files, " +
+        s"live_files, fpp, bytes, auto FROM graft.`$tbl`.indexes " +
+        "ORDER BY kind, physical_column").collect().toSeq
+    val r0 = rel()
+    assert(r0.map(r => (r.getString(0), r.getString(1))) === Seq(
+      ("bloom", graft.table.MetaColumns.RecordKey),
+      ("stats", "o_custkey"), ("stats", "o_totalprice")))
+    r0.foreach { r =>
+      assert(r.getLong(4) === r.getLong(5), s"fresh index must cover all live files: $r")
+      assert(r.getLong(7) > 0, s"sidecar bytes must be positive: $r")
+      assert(CommitLog.isInstant(r.getString(3)))
+      assert(!r.getBoolean(8)) // index.auto not set
+    }
+    assert(r0.filter(_.getString(0) == "bloom").forall(r => !r.isNullAt(6) && r.getDouble(6) > 0))
+    assert(r0.filter(_.getString(0) == "stats").forall(_.isNullAt(6)))
+
+    // ONE code path (IndexDescribe.rows): the procedure's string lines are
+    // exactly the relation's rows rendered
+    val lines = callRows(s"CALL graft.system.show_indexes('$tbl')")
+    assert(lines.sorted === r0.map(r =>
+      s"${r.getString(0)} column=${r.getString(1)} physical=${r.getString(2)} " +
+        s"instant=${r.getString(3)} covered_files=${r.getLong(4)}/${r.getLong(5)} " +
+        s"fpp=${if (r.isNullAt(6)) "-" else r.getDouble(6).toString} " +
+        s"bytes=${r.getLong(7)} auto=${r.getBoolean(8)}").sorted)
+
+    // under index.auto, a publish refreshes the sidecars: rows stay fresh
+    // (covered == live) at NEWER instants, and flag auto=true
+    callRows(s"CALL graft.system.set_property('$tbl', 'index.auto', 'true')")
+    val base = KeyedTable.read(spark, tbl)
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("IX")))
+    val r1 = rel()
+    assert(r1.map(_.getString(2)) === r0.map(_.getString(2)))
+    r1.zip(r0).foreach { case (now, before) =>
+      assert(now.getBoolean(8))
+      assert(now.getLong(4) === now.getLong(5), s"auto-refreshed index stale: $now")
+      assert(now.getString(3) > before.getString(3), "refresh must stamp a newer instant")
+    }
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves the engine schema (add-only; refusals loud)") {
     val tbl = bootstrapOrders(tmpDir("cat-alter"), TableType.CopyOnWrite)
     val before = KeyedTable.read(spark, tbl)
