@@ -214,7 +214,18 @@ object Multimodal {
   }
 
   /** (sampleRate, channels, nSamples, Σ|sample|) of a PCM16 WAV, or None. */
-  private def parseWav(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  private def parseWav(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    parseWavSamples(bytes).map { case (rate, channels, samples) =>
+      var amp = 0L
+      var i = 0
+      while (i < samples.length) { amp += math.abs(samples(i).toLong); i += 1 }
+      (rate, channels, samples.length / channels, amp)
+    }
+
+  /** (sampleRate, channels, interleaved PCM16 samples) of a WAV, or None:
+    * RIFF chunk walk to `fmt ` (PCM16 only) and `data`.
+    */
+  private def parseWavSamples(bytes: Array[Byte]): Option[(Long, Long, Array[Short])] = {
     if (bytes.length < 44) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
@@ -237,14 +248,60 @@ object Multimodal {
         bb.position(start + size + (size & 1)) // chunks pad to even
       } else if (id == "data") {
         if (!fmtSeen) return None
-        val nSamples = size / (channels * 2)
-        var amp = 0L
+        val n = (size / (channels * 2)).toInt * channels.toInt
+        val samples = new Array[Short](n)
         var i = 0
-        while (i < nSamples * channels) { amp += math.abs(bb.getShort.toLong); i += 1 }
-        return Some((rate, channels, nSamples, amp))
+        while (i < n) { samples(i) = bb.getShort; i += 1 }
+        return Some((rate, channels, samples))
       } else bb.position(bb.position() + size + (size & 1))
     }
     None
+  }
+
+  final case class AudioSegmentQuality(
+      media_id: Long, segment: Long, seg_samples: Long, mean_sq: Long,
+      silence_permille: Long)
+
+  /** Windowed audio-quality signals (x63) — the curation gate of the audio
+    * leg, the way x38/x49/x56 gate text: the interleaved PCM16 stream is
+    * cut into segments of `window` samples (last partial segment kept) and
+    * each emits its mean square power (`Σ s² DIV n` — the RMS² without the
+    * root, so everything stays EXACT integer arithmetic; threshold on
+    * power² instead of power downstream) and its silence ratio in permille
+    * (samples with |s| ≤ `silenceThreshold`, `· 1000 DIV n`). Long stretches
+    * of near-zero power ⇒ dead air; uniform max power ⇒ clipping — both
+    * flaggable with integer predicates over these rows. Runs in the same
+    * iterator-per-partition codec loop as [[audioMeta]], one flatMap, no
+    * shuffle: O(total samples) work distributed over the media rows.
+    * Non-WAV / non-PCM16 payloads emit NO rows (a segment row with made-up
+    * power would poison downstream aggregates; absence is honest).
+    */
+  def audioQuality(
+      spark: SparkSession, media: DataFrame,
+      window: Int = 1024, silenceThreshold: Int = 512): Dataset[AudioSegmentQuality] = {
+    require(window > 0, "audioQuality window must be positive")
+    require(silenceThreshold >= 0, "audioQuality silenceThreshold must be >= 0")
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("media")).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        parseWavSamples(r.media) match {
+          case None => Iterator.empty
+          case Some((_, _, samples)) =>
+            samples.grouped(window).zipWithIndex.map { case (seg, gi) =>
+              val n = seg.length.toLong
+              var sumSq = 0L
+              var silent = 0L
+              var i = 0
+              while (i < seg.length) {
+                val v = seg(i).toLong
+                sumSq += v * v
+                if (math.abs(v) <= silenceThreshold) silent += 1
+                i += 1
+              }
+              AudioSegmentQuality(r.media_id, gi.toLong, n, sumSq / n, silent * 1000L / n)
+            }
+        }
+      })
   }
 
   final case class ResizedRow(

@@ -920,6 +920,29 @@ object ExtQueries {
     Multimodal.audioMeta(s, media).toDF().orderBy("media_id")
   }
 
+  /** Audio QUALITY signals under oracle check ([[Multimodal.audioQuality]]):
+    * the same closed-form PCM16 fixtures as x61, cut into 16-sample
+    * segments — per segment the mean square power and the silence permille
+    * (|s| ≤ 8192), all integer arithmetic, so the oracle recomputes every
+    * row exactly from doc_id. This is the curation gate of the audio leg
+    * (dead-air / clipping detection), the analogue of x38/x49's text
+    * quality gates.
+    */
+  private val x63: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val n = ((id % 50) + 10).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 7 + i.toLong * 31) % 65536) - 32768).toShort)
+      Multimodal.MediaRow(id, "audio/x-wav",
+        Multimodal.syntheticWav((8000 + (id % 3) * 4000).toInt, samples))
+    }).toDF()
+    Multimodal.audioQuality(s, media, window = 16, silenceThreshold = 8192)
+      .toDF().orderBy("media_id", "segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -982,6 +1005,7 @@ object ExtQueries {
     "x59_seq_pack" -> x59,
     "x60_frame_sample" -> x60,
     "x61_audio_meta" -> x61,
+    "x63_audio_quality" -> x63,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1926,6 +1950,27 @@ object ExtQueries {
         |  sum(abs(((media_id * 7 + i * 31) % 65536) - 32768))::BIGINT AS amp_sum
         |FROM s GROUP BY media_id, sample_rate, n_samples
         |ORDER BY media_id""".stripMargin,
+    "x63_audio_quality" ->
+      // per 16-sample segment: mean square power and silence permille, all
+      // integer arithmetic closed-form in doc_id — the PCM walk must
+      // reproduce every segment row exactly
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, ((doc_id % 50) + 10)::BIGINT AS n_samples
+        |  FROM documents WHERE doc_id < 400),
+        |s AS (
+        |  SELECT media_id,
+        |    unnest(generate_series(0::BIGINT, n_samples - 1)) AS i
+        |  FROM a),
+        |v AS (
+        |  SELECT media_id, (i // 16)::BIGINT AS segment,
+        |    (((media_id * 7 + i * 31) % 65536) - 32768)::BIGINT AS smp
+        |  FROM s)
+        |SELECT media_id, segment, count(*)::BIGINT AS seg_samples,
+        |  (sum(smp * smp) // count(*))::BIGINT AS mean_sq,
+        |  (sum(CASE WHEN abs(smp) <= 8192 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+        |    AS silence_permille
+        |FROM v GROUP BY media_id, segment
+        |ORDER BY media_id, segment""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one

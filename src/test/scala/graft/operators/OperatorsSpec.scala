@@ -286,6 +286,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: windowed audio quality — mean-square power + silence permille " +
+      "per segment, partial tail kept, non-WAV emits no rows") {
+    // 10 silent samples, then 7 at 1000: window 4 → segments
+    // [0,0,0,0] [0,0,0,0] [0,0,1000,1000] [1000,1000,1000,1000] [1000]
+    val samples = Array.fill(10)(0.toShort) ++ Array.fill(7)(1000.toShort)
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(8000, samples)),
+      (2L, "not audio".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val rows = Multimodal.audioQuality(spark,
+        Multimodal.toMediaTable(media, "id", "payload", "audio/x-wav"),
+        window = 4, silenceThreshold = 0)
+      .collect().sortBy(r => (r.media_id, r.segment))
+    assert(rows.forall(_.media_id === 1L)) // non-WAV: no rows, not fake zeros
+    assert(rows.map(r => (r.segment, r.seg_samples, r.mean_sq, r.silence_permille)).toSeq
+      === Seq(
+        (0L, 4L, 0L, 1000L),
+        (1L, 4L, 0L, 1000L),
+        (2L, 4L, 2L * 1000L * 1000L / 4L, 500L),
+        (3L, 4L, 1000L * 1000L, 0L),
+        (4L, 1L, 1000L * 1000L, 0L))) // partial tail: its own 1-sample segment
+  }
+
   test("multimodal: REAL imageio decode + nearest-neighbor resize; undecodable → honest zeros") {
     val imgs = (0L until 5L).map { i =>
       (i, Multimodal.syntheticPng(10, 5, (i % 256).toInt, (i * 3 % 256).toInt, (i * 7 % 256).toInt))
