@@ -73,7 +73,7 @@ object Similarity {
     * would throw a runtime cast under ANSI mode for non-numeric ids, and
     * struct ordering handles any orderable type).
     */
-  private def argmaxById(score: Column, id: Column): Column =
+  private[operators] def argmaxById(score: Column, id: Column): Column =
     min(struct((-score).as("s"), id.as("i"))).getField("i")
 
   /** Per-metric assignment score (argmax picks the nearest centroid):

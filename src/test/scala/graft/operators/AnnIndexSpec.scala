@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.table.CommitLog
+
+/** Standing table-backed ANN index: the probe must be pure read-side work
+  * (no Lloyd, no commits), bit-identical to the recompute-everything IVF
+  * over the same centroids, and appends must extend the searched corpus
+  * without retraining.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private def emb = spark.read.parquet(sf("embeddings"))
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("probe ≡ ivfTopK over the same stored centroids; probe trains nothing " +
+      "and commits nothing") {
+    val idx = s"${tmpDir("ann-idx")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndex.build(spark, idx, corpus, nlist = 16, iters = 2)
+    val commits0 = CommitLog.commits(spark, idx).map(_.commitTime)
+    assert(CommitLog.commits(spark, idx).map(_.operation) === Seq("bootstrap"))
+
+    // zero-Lloyd gate: Lloyd localCheckpoints its centroids every round
+    // (persistent RDDs); a pure probe may not create ANY persisted RDD
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val got = AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10)
+    val gotPairs = pairs(got)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === persistedBefore,
+      "probe must not train (no Lloyd localCheckpoint) or cache anything")
+    assert(CommitLog.commits(spark, idx).map(_.commitTime) === commits0,
+      "probe must not write to the index table")
+
+    // bit-identical to the recompute formulation over the SAME centroids:
+    // storage changed where the state lives, not what the search returns
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 10, nlist = 16, nprobe = 10,
+      centroids = Some(AnnIndex.centroids(spark, idx)))
+    assert(gotPairs === pairs(ivf))
+    assert(gotPairs.nonEmpty)
+  }
+
+  test("append assigns against stored centroids (no retraining), the next probe " +
+      "searches the appended batch, and asOf reproduces the pre-append search") {
+    val idx = s"${tmpDir("ann-append")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val batch = emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndex.build(spark, idx, corpus, nlist = 16, iters = 2)
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+    val before = pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10))
+
+    val centsBefore = AnnIndex.centroids(spark, idx).collect().map(_.toString).sorted
+    AnnIndex.append(spark, idx, batch)
+    // one delta commit; centroids untouched (no retraining)
+    assert(CommitLog.commits(spark, idx).map(_.operation) ===
+      Seq("bootstrap", "delta_commit"))
+    assert(AnnIndex.centroids(spark, idx).collect().map(_.toString).sorted
+      === centsBefore)
+
+    // the post-append index ≡ an ivf run over corpus ∪ batch with the
+    // same stored centroids — append is pure assignment, not a new model
+    val after = pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10))
+    val ivf = Similarity.ivfTopK(corpus.unionByName(batch), queries,
+      k = 10, nlist = 16, nprobe = 10,
+      centroids = Some(AnnIndex.centroids(spark, idx)))
+    assert(after === pairs(ivf))
+
+    // every appended vector is reachable: a full probe (all cells, corpus-
+    // sized k) must surface the whole batch
+    val appendedIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = pairs(AnnIndex.probe(spark, idx, queries.limit(1), k = 100000,
+      nprobe = 16)).map(_._2)
+    assert(appendedIds.subsetOf(full), "appended vectors must be searchable")
+
+    // time travel: the probe asOf the pre-append tip is the OLD search
+    assert(pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10,
+      asOf = Some(tip0))) === before)
+  }
+
+  test("probe recall@10 clears the x62 bar against the exact top-10") {
+    val idx = s"${tmpDir("ann-recall")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 25)
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndex.build(spark, idx, corpus, nlist = 16, iters = 2)
+    val ann = AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10)
+      .select("query_id", "vec_id")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("query_id", "vec_id")
+    val hits = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val bad = exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .filter(coalesce(col("n_hits"), lit(0)) < col("n_truth") * 0.7)
+    assert(bad.isEmpty, s"recall bar missed: ${bad.collect().mkString(", ")}")
+  }
+}
