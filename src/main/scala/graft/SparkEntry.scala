@@ -50,10 +50,20 @@ object SparkEntry {
     // round 8: substring-level span dedup, learned-BPE training, trained
     // quality classifier — each a new operator family leg
     "x54_span_dedup", "x55_bpe_tokenizer", "x56_nb_classifier",
-    // round 9: auto-maintained index sidecars — times the publish-hook
-    // refresh so its touched-partition bound is a measured number — and
-    // the concat-and-chunk packing's distributed prefix sum
-    "q50_auto_index", "x59_seq_pack")
+    // round 9/10: auto-maintained index sidecars — q50b stages the
+    // bootstrap + manual-build scaffolding once and times the publish-hook
+    // refresh ALONE (q50, the full-lifecycle twin, stays in the
+    // correctness surface; its 10s+ bench slot was ~all scaffolding) —
+    // and the concat-and-chunk packing's distributed prefix sum
+    "q50b_index_refresh", "x59_seq_pack")
+
+  /** Bench queries whose FIRST evaluation per sf dir stages standing state
+    * (a scaffolded table, a trained index) that later evaluations reuse.
+    * Bench runs these once UNTIMED at the timed SF after the ordinary
+    * warmup, so the timed passes measure the steady-state incremental leg —
+    * which is the operator — not the one-off scaffolding.
+    */
+  val benchStaged: Set[String] = Set("q50b_index_refresh")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle
