@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+
+import graft.model.TableType
+import graft.table.KeyedTable
+
+/** Standing PQ (product-quantization) index AS a keyed graft table — the
+  * compressed twin of [[AnnIndex]]: where AnnIndex persists coarse cells
+  * for probe locality, PqIndex persists x44's trained codebooks and every
+  * vector's m-code encoding, so ADC search runs against STORAGE with no
+  * Lloyd training and no corpus re-encode per batch.
+  *
+  * After one [[build]]:
+  *  1. [[probe]] scores the stored codes against a per-query lookup table
+  *     (broadcast, m·codebookSize rows) — the ADC scan touches only small
+  *     ints, full vectors never shuffle — then re-ranks the bounded
+  *     shortlist exactly against the stored vector rows;
+  *  2. [[append]] encodes a new batch against the STORED codebooks (one
+  *     broadcast argmax over the batch) and lands codes + vectors as one
+  *     keyed upsert — no retraining, O(batch) cost.
+  *
+  * The table stack is inherited: `asOf` probes reproduce a historical
+  * search bit-for-bit, CDC streams index growth, OCC serializes concurrent
+  * appenders. Probe results are bit-identical to [[Similarity.pqTopK]]
+  * over the same codebooks (PqIndexSpec pins it), and x64 oracle-gates
+  * recall@10 like x44.
+  *
+  * Layout — one table, hive-partitioned by `kind`:
+  *  - `kind='codebook'`: (s, id = cent_id, code = null, v = sub-centroid);
+  *    m·codebookSize rows, the broadcast side of every probe and append.
+  *  - `kind='code'`: (s, id = vec_id, code, v = null); n·m rows of three
+  *    scalars — the compressed corpus the ADC scan reads.
+  *  - `kind='vector'`: (s = 0, id = vec_id, code = null, v = embedding);
+  *    only the shortlist's rows are ever pulled (broadcast semi-join), so
+  *    the full-precision column prices re-rank exactness, not scan cost.
+  */
+object PqIndex {
+
+  val KindCol = "kind"
+  val CodebookKind = "codebook"
+  val CodeKind = "code"
+  val VectorKind = "vector"
+
+  private def codebookRows(cb: DataFrame): DataFrame =
+    cb.select(lit(CodebookKind).as(KindCol), col("s").cast("int").as("s"),
+      col("cent_id").cast(LongType).as("id"), lit(null).cast(LongType).as("code"),
+      col("cv").as("v"))
+
+  private def codeRows(codes: DataFrame): DataFrame =
+    codes.select(lit(CodeKind).as(KindCol), col("s").cast("int").as("s"),
+      col("vec_id").cast(LongType).as("id"), col("code").cast(LongType).as("code"),
+      lit(null).cast(ArrayType(FloatType)).as("v"))
+
+  private def vectorRows(vecs: DataFrame): DataFrame =
+    vecs.select(lit(VectorKind).as(KindCol), lit(0).as("s"),
+      col("vec_id").cast(LongType).as("id"), lit(null).cast(LongType).as("code"),
+      col("v"))
+
+  /** Train ONCE and persist: grouped Lloyd over the m subspaces (decimal-
+    * deterministic, one corpus scan per iteration for all subspaces), one
+    * encode pass, one table create. The only place training ever runs.
+    */
+  def build(
+      spark: SparkSession, tablePath: String, corpus: DataFrame,
+      dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cb = Similarity.pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
+    val codes = Similarity.pqEncode(corpus, cb, dim, m, idCol, vecCol)
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val rows = codebookRows(cb).unionByName(codeRows(codes)).unionByName(vectorRows(vecs))
+    KeyedTable.create(spark, tablePath, rows,
+      tableName = "graft_pq_index",
+      keyFields = Seq(KindCol, "s", "id"), precombineField = "id",
+      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
+  }
+
+  /** The stored codebooks `(s, cent_id, cv)` at the live tip (or `asOf`). */
+  def codebooks(
+      spark: SparkSession, tablePath: String,
+      asOf: Option[String] = None): DataFrame =
+    readIndex(spark, tablePath, asOf)
+      .filter(col(KindCol) === CodebookKind)
+      .select(col("s"), col("id").as("cent_id"), col("v").as("cv"))
+
+  private def readIndex(
+      spark: SparkSession, tablePath: String, asOf: Option[String]): DataFrame =
+    asOf.map(KeyedTable.readAsOf(spark, tablePath, _))
+      .getOrElse(KeyedTable.read(spark, tablePath))
+
+  /** Encode a new batch against the STORED codebooks (no retraining) and
+    * upsert its code + vector rows — one MOR delta commit, O(batch) cost;
+    * re-delivered ids fold to one entry per (kind, s, id).
+    */
+  def append(
+      spark: SparkSession, tablePath: String, batch: DataFrame,
+      dim: Int, m: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cb = codebooks(spark, tablePath)
+    val codes = Similarity.pqEncode(batch, cb, dim, m, idCol, vecCol)
+    val vecs = batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    KeyedTable.upsert(spark, tablePath,
+      codeRows(codes).unionByName(vectorRows(vecs)))
+  }
+
+  /** PQ-ADC top-k against the STORED index ([[Similarity.pqTopK]]'s exact
+    * plan shape, with codebooks/codes/vectors served from storage): per
+    * query the (s, code) → partial-dot LUT broadcasts, the code scan sums
+    * it per (query, vector), and the `k·shortlist` ADC winners re-rank
+    * exactly against the stored vector rows (bounded broadcast semi-join).
+    * Zero training, zero encode, zero table writes at query time.
+    */
+  def probe(
+      spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
+      dim: Int, m: Int = 8, shortlist: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      asOf: Option[String] = None): DataFrame = {
+    val d = dim / m
+    val t = readIndex(spark, tablePath, asOf)
+    val cb = t.filter(col(KindCol) === CodebookKind)
+      .select(col("s"), col("id").as("cent_id"), col("v").as("cv"))
+    val codes = t.filter(col(KindCol) === CodeKind)
+      .select(col("id").as("vec_id"), col("s"), col("code"))
+    val vectors = t.filter(col(KindCol) === VectorKind)
+      .select(col("id").as("vec_id"), col("v"))
+
+    val qsubs = queries.select(col(idCol).as("query_id"),
+      Similarity.norm(col(vecCol)).as("qnorm"),
+      posexplode(array((0 until m).map(s => slice(col(vecCol), s * d + 1, d)): _*))
+        .as(Seq("s", "qsub")))
+    val lut = qsubs.join(cb, "s")
+      .select(col("query_id"), col("qnorm"), col("s"), col("cent_id").as("code"),
+        Similarity.dot(col("qsub"), col("cv")).as("pdot"),
+        Similarity.dot(col("cv"), col("cv")).as("cn2"))
+
+    val wShort = Window.partitionBy("query_id").orderBy(col("adc_sim").desc, col("vec_id").asc)
+    val short = codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pdot")).as("num"), sum(col("cn2")).as("den2"), max(col("qnorm")).as("qn"))
+      .withColumn("adc_sim", col("num") / (col("qn") * sqrt(col("den2"))))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("r", row_number().over(wShort)).filter(col("r") <= k * shortlist)
+      .select(col("query_id"), col("vec_id"))
+
+    val cand = vectors
+      .join(broadcast(short.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    short.join(cand, "vec_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -265,18 +265,21 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
       shortlist: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      codebooks: Option[DataFrame] = None): DataFrame = {
     val d = dim / m
-    // codebooks come back localCheckpoint'd from the trainer (m·codebookSize
-    // rows): both uses below read the materialized rows, never re-train
-    val codebooks = pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
-    val codes = pqEncode(corpus, codebooks, dim, m, idCol, vecCol)
+    // trained codebooks come back localCheckpoint'd (m·codebookSize rows):
+    // both uses below read the materialized rows, never re-train. Passing
+    // `codebooks` (e.g. [[PqIndex]]'s stored ones) skips training entirely.
+    val cb = codebooks.getOrElse(
+      pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol))
+    val codes = pqEncode(corpus, cb, dim, m, idCol, vecCol)
 
     val qsubs = queries.select(col(idCol).as("query_id"),
         norm(col(vecCol)).as("qnorm"),
         posexplode(array((0 until m).map(s => slice(col(vecCol), s * d + 1, d)): _*))
           .as(Seq("s", "qsub")))
-    val lut = qsubs.join(codebooks, "s")
+    val lut = qsubs.join(cb, "s")
       .select(col("query_id"), col("qnorm"), col("s"), col("cent_id").as("code"),
         dot(col("qsub"), col("cv")).as("pdot"), dot(col("cv"), col("cv")).as("cn2"))
 

@@ -960,6 +960,45 @@ object ExtQueries {
     s.read.parquet(out).orderBy("query_id")
   }
 
+  /** Standing PQ index ([[graft.operators.PqIndex]], the compressed twin of
+    * x62's IVF index): x44's trained codebooks + every vector's m-code
+    * encoding persisted ONCE as a keyed MOR graft table; a later batch
+    * appends by encoding against the STORED codebooks (no retraining), and
+    * the probe is an ADC scan of stored codes + bounded exact re-rank —
+    * zero Lloyd and zero re-encode at query time (PqIndexSpec pins this
+    * mechanically). Quality bar like x44: recall@10 ≥ 0.7 per query vs the
+    * exact top-10 over the indexed corpus, computed in the same plan.
+    * Staged index + result cached per sf dir — build/append mutate it.
+    */
+  private val x64Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x64: Q = (s, d) => {
+    val out = x64Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x64")
+      val emb = Tables.embeddings(s, d)
+      val idx = s"$root/idx"
+      graft.operators.PqIndex.build(
+        s, idx, emb.filter(col("vec_id") >= 50), dim = 64, m = 16, iters = 2)
+      graft.operators.PqIndex.append(
+        s, idx, emb.filter(col("vec_id") >= 25 && col("vec_id") < 50), dim = 64, m = 16)
+      val queries = emb.filter(col("vec_id") < 5)
+      val pq = graft.operators.PqIndex.probe(
+          s, idx, queries, k = 10, dim = 64, m = 16, shortlist = 10)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") >= 25), queries, k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val hits = pq.join(exact, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
+        .write.mode("overwrite").parquet(s"$root/out")
+      s"$root/out"
+    })
+    s.read.parquet(out).orderBy("query_id")
+  }
+
   /** Audio QUALITY signals under oracle check ([[Multimodal.audioQuality]]):
     * the same closed-form PCM16 fixtures as x61, cut into 16-sample
     * segments — per segment the mean square power and the silence permille
@@ -1047,6 +1086,7 @@ object ExtQueries {
     "x61_audio_meta" -> x61,
     "x62_ann_index" -> x62,
     "x63_audio_quality" -> x63,
+    "x64_pq_index" -> x64,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -1996,6 +2036,11 @@ object ExtQueries {
       // pattern): every query must reach recall@10 ≥ 0.7 vs the exact
       // top-10 over the indexed corpus, which the Spark side computes as
       // ground truth in the same plan
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x64_pq_index" ->
+      // same bar-style oracle as x62/x44: the stored-codebook ADC probe
+      // must reach recall@10 ≥ 0.7 vs the exact top-10
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x63_audio_quality" ->

@@ -38,7 +38,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix", "x56_nb_classifier")
 
   private def lifecycle(name: String) =
-    name.matches("q(2[2-9]|[3-9][0-9])_.*")
+    name.matches("q(2[2-9]|[3-9][0-9])[a-z]?_.*")
 
   test("no cartesian or unbounded nested-loop joins in scan/join/agg query plans") {
     val d = "/root/testdata/sf0.001"
