@@ -304,6 +304,45 @@ object Multimodal {
       })
   }
 
+  /** x38-style boolean quality gate over [[audioQuality]]'s segment rows
+    * (x65) — the documented audio admission rule instead of ad-hoc
+    * predicates: per media row, the permille of segments that are SILENT
+    * (segment silence_permille ≥ `segmentSilencePermille` — dead air), the
+    * permille that are CLIPPED (segment mean square ≥ `clipMeanSq` —
+    * sustained near-full-swing power), and the mean segment power; the row
+    * passes when silence ≤ `maxSilentPermille`, clipping ≤
+    * `maxClipPermille`, and mean power ≥ `minMeanPower`. One grouped
+    * aggregate over the segment rows (map-side combined), all integer
+    * arithmetic — exactly reproducible, closed-form oracle-able. Media
+    * that decodes to NO segments (non-WAV) simply has no gate row:
+    * admission of undecodable media is a routing decision, not a quality
+    * score.
+    */
+  def audioGate(
+      spark: SparkSession, media: DataFrame,
+      window: Int = 1024, silenceThreshold: Int = 512,
+      segmentSilencePermille: Long = 900,
+      maxSilentPermille: Long = 500,
+      clipMeanSq: Long = 900000000L,
+      maxClipPermille: Long = 100,
+      minMeanPower: Long = 1000000L): DataFrame =
+    audioQuality(spark, media, window, silenceThreshold).toDF()
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("silence_permille") >= segmentSilencePermille, 1L)
+          .otherwise(0L)).as("n_silent"),
+        sum(when(col("mean_sq") >= clipMeanSq, 1L).otherwise(0L)).as("n_clip"),
+        sum(col("mean_sq")).as("sum_sq"))
+      .select(col("media_id"), col("n_segments"),
+        expr("n_silent * 1000 DIV n_segments").as("silent_permille"),
+        expr("n_clip * 1000 DIV n_segments").as("clip_permille"),
+        expr("sum_sq DIV n_segments").as("mean_power"))
+      .withColumn("pass",
+        col("silent_permille") <= maxSilentPermille &&
+          col("clip_permille") <= maxClipPermille &&
+          col("mean_power") >= minMeanPower)
+
   final case class ResizedRow(
       media_id: Long,
       media_type: String,

@@ -1022,6 +1022,32 @@ object ExtQueries {
       .toDF().orderBy("media_id", "segment")
   }
 
+  /** The audio ADMISSION GATE (x65, [[Multimodal.audioGate]]): x63's
+    * segment rows folded to one verdict row per media — permille of silent
+    * segments (dead air), permille of clipped segments, mean power, and
+    * the boolean gate over all three, every number integer arithmetic so
+    * the oracle recomputes verdicts exactly. The audio analogue of x38's
+    * Gopher-style text gate; thresholds here are tuned so the fixture
+    * yields BOTH verdicts (a gate that always passes tests nothing).
+    */
+  private val x65: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val n = ((id % 50) + 10).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 7 + i.toLong * 31) % 65536) - 32768).toShort)
+      Multimodal.MediaRow(id, "audio/x-wav",
+        Multimodal.syntheticWav((8000 + (id % 3) * 4000).toInt, samples))
+    }).toDF()
+    Multimodal.audioGate(s, media, window = 16, silenceThreshold = 8192,
+      segmentSilencePermille = 60, maxSilentPermille = 200,
+      clipMeanSq = 1000000000L, maxClipPermille = 340,
+      minMeanPower = 900000000L)
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1087,6 +1113,7 @@ object ExtQueries {
     "x62_ann_index" -> x62,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
+    "x65_audio_gate" -> x65,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -2064,6 +2091,36 @@ object ExtQueries {
         |    AS silence_permille
         |FROM v GROUP BY media_id, segment
         |ORDER BY media_id, segment""".stripMargin,
+    "x65_audio_gate" ->
+      // x63's segment arithmetic folded to per-media verdicts — silent /
+      // clipped segment permilles, mean power, and the boolean gate, all
+      // integer arithmetic closed-form in doc_id
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, ((doc_id % 50) + 10)::BIGINT AS n_samples
+        |  FROM documents WHERE doc_id < 400),
+        |s AS (
+        |  SELECT media_id,
+        |    unnest(generate_series(0::BIGINT, n_samples - 1)) AS i
+        |  FROM a),
+        |v AS (
+        |  SELECT media_id, (i // 16)::BIGINT AS segment,
+        |    (((media_id * 7 + i * 31) % 65536) - 32768)::BIGINT AS smp
+        |  FROM s),
+        |seg AS (
+        |  SELECT media_id, segment,
+        |    (sum(smp * smp) // count(*))::BIGINT AS mean_sq,
+        |    (sum(CASE WHEN abs(smp) <= 8192 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS sil
+        |  FROM v GROUP BY media_id, segment),
+        |g AS (
+        |  SELECT media_id, count(*)::BIGINT AS n_segments,
+        |    (sum(CASE WHEN sil >= 60 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS silent_permille,
+        |    (sum(CASE WHEN mean_sq >= 1000000000 THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS clip_permille,
+        |    (sum(mean_sq) // count(*))::BIGINT AS mean_power
+        |  FROM seg GROUP BY media_id)
+        |SELECT media_id, n_segments, silent_permille, clip_permille, mean_power,
+        |  (silent_permille <= 200 AND clip_permille <= 340
+        |   AND mean_power >= 900000000) AS pass
+        |FROM g ORDER BY media_id""".stripMargin,
   )
 
   /** The x55 oracle, generated per merge round: each round k is one

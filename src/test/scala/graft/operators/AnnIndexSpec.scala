@@ -44,6 +44,13 @@ class AnnIndexSpec extends SparkTestBase {
       centroids = Some(AnnIndex.centroids(spark, idx)))
     assert(gotPairs === pairs(ivf))
     assert(gotPairs.nonEmpty)
+
+    // plan shape: the probe's joins are all broadcasts of bounded sides
+    // (centroids, the queries·nprobe probe set) — never a pair explosion
+    val plan = AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "probe planned a cartesian")
+    assert(plan.contains("BroadcastExchange"), "probe lost its broadcast joins")
   }
 
   test("append assigns against stored centroids (no retraining), the next probe " +

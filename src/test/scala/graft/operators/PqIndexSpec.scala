@@ -41,6 +41,13 @@ class PqIndexSpec extends SparkTestBase {
       m = 16, shortlist = 10, codebooks = Some(PqIndex.codebooks(spark, idx)))
     assert(got === pairs(recompute))
     assert(got.nonEmpty)
+
+    // plan shape: the LUT, shortlist, and query joins broadcast bounded
+    // sides; the ADC scan never degrades to a pair explosion
+    val plan = PqIndex.probe(spark, idx, queries, k = 10, dim = 64, m = 16,
+      shortlist = 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "probe planned a cartesian")
+    assert(plan.contains("BroadcastExchange"), "probe lost its broadcast joins")
   }
 
   test("append encodes against stored codebooks (no retraining); asOf probes " +
