@@ -38,6 +38,16 @@ object TableProperties {
     */
   val IndexBloomColumns = "index.bloom.columns"
 
+  /** Positive integer N: after every data publish, run ONE bounded reclaim
+    * campaign batch — rewrite up to N native partitions whose files still
+    * physically carry a metadata-dropped column ([[ReclaimCampaign]]). The
+    * hands-off version of the `reclaim_partitions` campaign: reclamation
+    * progress amortizes over ordinary writes, and the partition-subset OCC
+    * rule lets batches land under live disjoint writers. Unset (or no
+    * dropped column pending) = no-op.
+    */
+  val CampaignReclaim = "campaign.reclaim"
+
   def propsPath(tablePath: String): Path =
     new Path(CommitLog.logDir(tablePath), "properties.json")
 

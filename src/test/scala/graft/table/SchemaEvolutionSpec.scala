@@ -431,6 +431,45 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown or non-native"))
   }
 
+  test("campaign.reclaim property: bounded hands-off batches ride data publishes " +
+      "until the ddl sheds, then the campaign goes quiet") {
+    val table = bootstrapped(TableType.CopyOnWrite) // partitions p1, p2
+    KeyedTable.dropColumns(spark, table, Seq("v"))
+    TableProperties.set(spark, table, Map(TableProperties.CampaignReclaim -> "1"))
+    def ddlHas(c: String) = org.apache.spark.sql.types.StructType
+      .fromDDL(CommitLog.requireState(spark, table).latest.schemaDdl)
+      .fieldNames.contains(c)
+    def reclaims = CommitLog.commits(spark, table).filter(_.operation == "reclaim")
+
+    // publish 1: an ordinary upsert (whose new p1 file null-fills the
+    // still-physical column); the hook then rewrites at most ONE partition
+    KeyedTable.upsert(spark, table, Seq((1L, 3L, "p1")).toDF("id", "ver", "p"))
+    assert(reclaims.size === 1)
+    assert(reclaims.forall(_.partitions.size <= 1), "campaign batch exceeded its bound")
+
+    // further data publishes: the rotation cursor reaches every partition,
+    // and the ddl + mapping shed hands-off within a bounded number of writes
+    var i = 4L
+    while (ddlHas("v") && i < 12) {
+      KeyedTable.upsert(spark, table, Seq((3L, i, "p2")).toDF("id", "ver", "p"))
+      i += 1
+    }
+    assert(!ddlHas("v"), "campaign never shed the ddl")
+    assert(CommitLog.requireState(spark, table).columnMapping.dropped.isEmpty)
+    assert(reclaims.forall(_.partitions.size <= 1))
+    val snap = KeyedTable.read(spark, table)
+    assert(snap.count() === 3 && !snap.columns.contains("v"))
+    // no live file carries the column anymore
+    val fs = CommitLog.fs(spark, table)
+    assert(StatsIndex.listBaseFiles(fs, table)
+      .count(f => spark.read.parquet(f).columns.contains("v")) === 0)
+
+    // quiet after the shed: another data publish adds no reclaim commit
+    val n = reclaims.size
+    KeyedTable.upsert(spark, table, Seq((2L, 9L, "p1")).toDF("id", "ver", "p"))
+    assert(reclaims.size === n)
+  }
+
   test("randomized reclaim campaigns: any batch order converges, the ddl sheds " +
       "exactly on the final batch, the snapshot never moves (fixed seed)") {
     val rnd = new scala.util.Random(29)
