@@ -31,7 +31,7 @@ object SparkEntry {
     "q06_filter_in", "q07_projection_pushdown", "q12_history_search",
     "q13_runaway_sweep", "q18_star_join", "q19_pagination", "q21_salted_join",
     "q10_upsert_merge", "q22_table_lifecycle", "q23_incremental_read",
-    "q24_time_travel", "q26_global_upsert", "q28_table_sync",
+    "q24_time_travel", "q26_global_upsert", "q28b_table_sync_inc",
     "q31_key_lookup", "q33_partition_ttl", "q35_read_optimized",
     "q39_sql_table_read",
     "x01_dedup_exact", "x02_dedup_minhash_lsh", "x03_dedup_simhash",
@@ -63,7 +63,7 @@ object SparkEntry {
     * warmup, so the timed passes measure the steady-state incremental leg —
     * which is the operator — not the one-off scaffolding.
     */
-  val benchStaged: Set[String] = Set("q50b_index_refresh")
+  val benchStaged: Set[String] = Set("q50b_index_refresh", "q28b_table_sync_inc")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

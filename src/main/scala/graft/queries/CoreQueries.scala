@@ -483,6 +483,45 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Bench twin of q28 that times the INCREMENTAL sync alone: q28's ~8-9s
+    * bench slot stages two full table lifecycles; the operator's real cost
+    * is O(changes) — one CDC interval applied to the destination. Source
+    * and destination bootstrap ONCE per sf dir (both from the same input,
+    * so they start identical, no catch-up sync); each evaluation lands one
+    * bounded single-month upsert on the source (a MOR delta commit), syncs
+    * exactly that interval, and reads the marker rows back from the
+    * destination. The run counter makes every evaluation's change set
+    * distinct; in a fresh JVM (Verify) it is 1, which the oracle pins.
+    */
+  private val q28bScaffold = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val q28bRun = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val q28b: Q = (s, d) => {
+    val (src, dst) = q28bScaffold.getOrElseUpdate(d, {
+      val tmp = scratchDir("graft-q28b")
+      def boot(path: String, tt: TableType) = KeyedTable.bootstrap(s, BootstrapConfig(
+        dataFilePath = ordersInput(s, d), tablePath = path, tableName = "q28b_orders",
+        keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+        partitionFields = Seq("o_month"), tableType = tt))
+      val srcP = s"$tmp/src"; val dstP = s"$tmp/dst"
+      boot(srcP, TableType.MergeOnRead)
+      boot(dstP, TableType.CopyOnWrite)
+      (srcP, dstP)
+    })
+    val n = q28bRun.incrementAndGet()
+    val since = graft.table.CommitLog.requireState(s, src).latest.commitTime
+    val base = KeyedTable.read(s, src)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    KeyedTable.upsert(s, src, base
+      .filter(col("o_orderkey") % 13 === 0 && col("o_month") === "1995-01")
+      .select(dataCols: _*)
+      .withColumn("o_orderstatus", lit(s"SY$n")))
+    graft.table.TableSync.sync(s, src, dst, since)
+    KeyedTable.read(s, dst)
+      .filter(col("o_orderstatus") === s"SY$n")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Z-order clustering is content-preserving: bootstrap, rewrite the table
     * along the Morton curve of (o_custkey, o_totalprice) with bounded file
     * sizes, and hash-match the snapshot against the untouched input. The
@@ -1133,6 +1172,7 @@ object CoreQueries {
     "q26_global_upsert" -> q26,
     "q27_orc_roundtrip" -> q27,
     "q28_table_sync" -> q28,
+    "q28b_table_sync_inc" -> q28b,
     "q29_zorder_cluster" -> q29,
     "q30_stats_skip" -> q30,
     "q31_key_lookup" -> q31,
@@ -1455,6 +1495,13 @@ object CoreQueries {
         |  SELECT o_orderkey, o_custkey, o_totalprice
         |  FROM orders WHERE o_orderkey IN (26, 91)
         |) ORDER BY o_orderkey""".stripMargin,
+    "q28b_table_sync_inc" ->
+      // a fresh JVM (Verify) applies exactly one incremental interval
+      // (n = 1): the single-month marker upsert, synced to the destination
+      """SELECT o_orderkey, 'SY1' AS o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 13 = 0 AND strftime(o_orderdate, '%Y-%m') = '1995-01'
+        |ORDER BY o_orderkey""".stripMargin,
     "q50b_index_refresh" ->
       // a fresh JVM (Verify) evaluates exactly one incremental run (n = 1):
       // the appended batch, served back through the refreshed stats index
