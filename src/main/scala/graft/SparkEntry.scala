@@ -55,7 +55,11 @@ object SparkEntry {
     // refresh ALONE (q50, the full-lifecycle twin, stays in the
     // correctness surface; its 10s+ bench slot was ~all scaffolding) —
     // and the concat-and-chunk packing's distributed prefix sum
-    "q50b_index_refresh", "x59_seq_pack")
+    "q50b_index_refresh", "x59_seq_pack",
+    // round 10: standing-index probes — the scale path of similarity
+    // search; the trained index is staged (benchStaged), the timed number
+    // is the probe itself
+    "x62_ann_index", "x64_pq_index")
 
   /** Bench queries whose FIRST evaluation per sf dir stages standing state
     * (a scaffolded table, a trained index) that later evaluations reuse.
@@ -63,7 +67,8 @@ object SparkEntry {
     * warmup, so the timed passes measure the steady-state incremental leg —
     * which is the operator — not the one-off scaffolding.
     */
-  val benchStaged: Set[String] = Set("q50b_index_refresh", "q28b_table_sync_inc")
+  val benchStaged: Set[String] = Set(
+    "q50b_index_refresh", "q28b_table_sync_inc", "x62_ann_index", "x64_pq_index")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

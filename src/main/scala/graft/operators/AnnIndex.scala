@@ -95,6 +95,21 @@ object AnnIndex {
     asOf.map(KeyedTable.readAsOf(spark, tablePath, _))
       .getOrElse(KeyedTable.read(spark, tablePath))
 
+  /** Per-cell vector counts of the stored index, hottest first — the IVF
+    * health signal: a skewed distribution (one cell holding most vectors)
+    * means probes of that cell degrade toward a scan and the centroids
+    * deserve a retrain/split; appends drifting the corpus show up here
+    * before they show up as latency. One grouped count over the vector
+    * partition — no vector bytes move.
+    */
+  def cellStats(
+      spark: SparkSession, tablePath: String,
+      asOf: Option[String] = None): DataFrame =
+    readIndex(spark, tablePath, asOf)
+      .filter(col(KindCol) === VectorKind)
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("n_vectors").desc, col("cell").asc)
+
   /** Index a new vector batch WITHOUT retraining: assign against the stored
     * centroids (broadcast argmax over the batch only) and upsert — one MOR
     * delta commit, O(batch) cost, re-delivered ids fold to one entry.

@@ -934,30 +934,33 @@ object ExtQueries {
     */
   private val x62Cache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val x62: Q = (s, d) => {
-    val out = x62Cache.getOrElseUpdate(d, {
+    // only the INDEX is staged (build + append mutate it); the probe +
+    // recall computation run on EVERY evaluation — they are pure reads, so
+    // the bench times the standing-index probe itself
+    val idx = x62Cache.getOrElseUpdate(d, {
       val root = CoreQueries.scratchDir("graft-x62")
       val emb = Tables.embeddings(s, d)
-      val idx = s"$root/idx"
+      val p = s"$root/idx"
       graft.operators.AnnIndex.build(
-        s, idx, emb.filter(col("vec_id") >= 50), nlist = 16, iters = 2)
+        s, p, emb.filter(col("vec_id") >= 50), nlist = 16, iters = 2)
       graft.operators.AnnIndex.append(
-        s, idx, emb.filter(col("vec_id") >= 25 && col("vec_id") < 50))
-      val queries = emb.filter(col("vec_id") < 5)
-      val ann = graft.operators.AnnIndex.probe(s, idx, queries, k = 10, nprobe = 10)
-        .select(col("query_id"), col("vec_id"))
-      val exact = Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") >= 25), queries, k = 10)
-        .select(col("query_id"), col("vec_id"))
-      val hits = ann.join(exact, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
-        .write.mode("overwrite").parquet(s"$root/out")
-      s"$root/out"
+        s, p, emb.filter(col("vec_id") >= 25 && col("vec_id") < 50))
+      p
     })
-    s.read.parquet(out).orderBy("query_id")
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ann = graft.operators.AnnIndex.probe(s, idx, queries, k = 10, nprobe = 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 25), queries, k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
+      .orderBy("query_id")
   }
 
   /** Standing PQ index ([[graft.operators.PqIndex]], the compressed twin of
@@ -972,31 +975,33 @@ object ExtQueries {
     */
   private val x64Cache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val x64: Q = (s, d) => {
-    val out = x64Cache.getOrElseUpdate(d, {
+    // index staged once (build + append mutate it); the ADC probe + recall
+    // computation are pure reads and run per evaluation — benchable
+    val idx = x64Cache.getOrElseUpdate(d, {
       val root = CoreQueries.scratchDir("graft-x64")
       val emb = Tables.embeddings(s, d)
-      val idx = s"$root/idx"
+      val p = s"$root/idx"
       graft.operators.PqIndex.build(
-        s, idx, emb.filter(col("vec_id") >= 50), dim = 64, m = 16, iters = 2)
+        s, p, emb.filter(col("vec_id") >= 50), dim = 64, m = 16, iters = 2)
       graft.operators.PqIndex.append(
-        s, idx, emb.filter(col("vec_id") >= 25 && col("vec_id") < 50), dim = 64, m = 16)
-      val queries = emb.filter(col("vec_id") < 5)
-      val pq = graft.operators.PqIndex.probe(
-          s, idx, queries, k = 10, dim = 64, m = 16, shortlist = 10)
-        .select(col("query_id"), col("vec_id"))
-      val exact = Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") >= 25), queries, k = 10)
-        .select(col("query_id"), col("vec_id"))
-      val hits = pq.join(exact, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
-        .write.mode("overwrite").parquet(s"$root/out")
-      s"$root/out"
+        s, p, emb.filter(col("vec_id") >= 25 && col("vec_id") < 50), dim = 64, m = 16)
+      p
     })
-    s.read.parquet(out).orderBy("query_id")
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val pq = graft.operators.PqIndex.probe(
+        s, idx, queries, k = 10, dim = 64, m = 16, shortlist = 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 25), queries, k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = pq.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
+      .orderBy("query_id")
   }
 
   /** Audio QUALITY signals under oracle check ([[Multimodal.audioQuality]]):

@@ -89,6 +89,13 @@ class AnnIndexSpec extends SparkTestBase {
     // time travel: the probe asOf the pre-append tip is the OLD search
     assert(pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10,
       asOf = Some(tip0))) === before)
+
+    // cell stats (the IVF health signal) account for every stored vector,
+    // before and after the append
+    val statsNow = AnnIndex.cellStats(spark, idx).collect()
+    assert(statsNow.map(_.getLong(1)).sum === corpus.count() + batch.count())
+    assert(AnnIndex.cellStats(spark, idx, asOf = Some(tip0))
+      .collect().map(_.getLong(1)).sum === corpus.count())
   }
 
   test("probe recall@10 clears the x62 bar against the exact top-10") {
