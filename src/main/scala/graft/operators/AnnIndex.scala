@@ -122,6 +122,30 @@ object AnnIndex {
     KeyedTable.upsert(spark, tablePath, vectorRows(assigned))
   }
 
+  /** Streaming twin of [[append]] ([[DedupIndex.ingestStream]]'s shape):
+    * every micro-batch of `vectors` (a streaming DataFrame) is assigned
+    * against the stored centroids and upserted — the standing index grows
+    * with the ingest stream, probes always see the latest appended batch.
+    * Exactly-once note: foreachBatch delivers at-least-once, and the batch
+    * body is IDEMPOTENT by construction — assignment against the (never
+    * retrained) centroids is deterministic and the upsert is keyed by
+    * vec_id, so a crash-replay re-lands the same entries.
+    */
+  def ingestStream(
+      vectors: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!b.isEmpty) append(b.sparkSession, indexPath, b.toDF(), idCol, vecCol)
+        ()
+      }
+      .start()
+
   /** ANN top-k of `queries` against the STORED index: nprobe nearest cells
     * per query (broadcast centroids), then an exact cosine re-rank over
     * only the stored vectors of the probed cells (broadcast bucket join —

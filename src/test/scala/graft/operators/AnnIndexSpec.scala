@@ -98,6 +98,45 @@ class AnnIndexSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).sum === corpus.count())
   }
 
+  test("streaming ingest: micro-batches grow the index; end state ≡ batch appends; " +
+      "a redelivered batch changes nothing (keyed upsert idempotence)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val dir = tmpDir("ann-stream")
+    val idx = s"$dir/idx"
+    val corpus = emb.filter(col("vec_id") >= 50)
+    AnnIndex.build(spark, idx, corpus, nlist = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+
+    def rows(f: org.apache.spark.sql.Column) = emb.filter(f)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val b1 = rows(col("vec_id") >= 35 && col("vec_id") < 50)
+    val b2 = rows(col("vec_id") >= 25 && col("vec_id") < 35)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = AnnIndex.ingestStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, tmpDir("ann-ckpt"))
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      // a source-level redelivery folds into the same keyed entries
+      stream.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10))
+    // end state ≡ the equivalent batch appends (same centroids, same corpus)
+    val idx2 = s"$dir/idx2"
+    AnnIndex.build(spark, idx2, corpus, nlist = 16, iters = 2)
+    AnnIndex.append(spark, idx2, emb.filter(col("vec_id") >= 25 && col("vec_id") < 50))
+    assert(streamed === pairs(AnnIndex.probe(spark, idx2, queries, k = 10, nprobe = 10)))
+    // one entry per vec_id despite the redelivery
+    assert(AnnIndex.cellStats(spark, idx).collect().map(_.getLong(1)).sum ===
+      corpus.count() + b1.size + b2.size)
+  }
+
   test("probe recall@10 clears the x62 bar against the exact top-10") {
     val idx = s"${tmpDir("ann-recall")}/idx"
     val corpus = emb.filter(col("vec_id") >= 25)
