@@ -480,6 +480,9 @@ object CommitLog {
     // may trigger publish their own instants through this very method —
     // the hook's ThreadLocal + operation filter stop the recursion
     IndexAutoRefresh.afterPublish(spark, tablePath, tagged.operation)
+    // compact.auto (best-effort, same recursion guards): fold MOR delta
+    // chains the moment they cross the policy thresholds
+    AutoCompact.afterPublish(spark, tablePath, tagged.operation)
     // campaign.reclaim (best-effort, same recursion guards): one bounded
     // reclamation batch rides each data publish
     ReclaimCampaign.afterPublish(spark, tablePath, tagged.operation)

@@ -38,6 +38,22 @@ object TableProperties {
     */
   val IndexBloomColumns = "index.bloom.columns"
 
+  /** When "true", every delta-producing publish runs [[KeyedTable.compactIfNeeded]]
+    * afterwards — MOR delta batches fold into base files as soon as they
+    * cross the policy thresholds, with no scheduled compactor. The policy
+    * knobs default to compactIfNeeded's own (ratio 0.10, 10 commits) and
+    * tune via [[CompactAutoRatio]] / [[CompactAutoDeltas]]. This is what
+    * keeps continuously-ingesting MOR tables — the standing dedup/ANN/PQ
+    * indexes above all — from accumulating unbounded delta chains.
+    */
+  val CompactAuto = "compact.auto"
+
+  /** Override for [[CompactAuto]]'s delta-bytes / base-bytes trigger ratio. */
+  val CompactAutoRatio = "compact.auto.ratio"
+
+  /** Override for [[CompactAuto]]'s live-delta-commit-count trigger. */
+  val CompactAutoDeltas = "compact.auto.deltas"
+
   /** Positive integer N: after every data publish, run ONE bounded reclaim
     * campaign batch — rewrite up to N native partitions whose files still
     * physically carry a metadata-dropped column ([[ReclaimCampaign]]). The

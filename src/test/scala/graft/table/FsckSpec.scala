@@ -157,6 +157,42 @@ class FsckSpec extends SparkTestBase {
     assert(Deltas.liveCommits(spark, table).isEmpty)
   }
 
+  test("compact.auto property: delta chains fold inline once they cross the " +
+      "commit-count threshold; quiet below it and for non-delta publishes") {
+    val table = boot(TableType.MergeOnRead)
+    TableProperties.set(spark, table, Map(
+      TableProperties.CompactAuto -> "true",
+      TableProperties.CompactAutoDeltas -> "2",
+      TableProperties.CompactAutoRatio -> "0.9")) // ratio loose: count triggers
+    val base = KeyedTable.read(spark, table)
+    val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+    // materialized ONCE: the auto compaction below swaps the files the
+    // lazy `base` plan would otherwise re-read
+    val snap = spark.createDataFrame(
+      base.filter(col("o_orderkey") % 100 === 0).select(dataCols: _*)
+        .collect().toSeq.asJava,
+      base.select(dataCols: _*).schema)
+    def batch(tag: String) = snap.withColumn("o_orderstatus", lit(tag))
+
+    // first delta: below the 2-commit bound — no auto compaction
+    KeyedTable.upsert(spark, table, batch("A"))
+    assert(Deltas.liveCommits(spark, table).size === 1)
+    assert(!CommitLog.commits(spark, table).exists(_.operation == "compact"))
+
+    // second delta crosses the bound: the publish hook folds both
+    KeyedTable.upsert(spark, table, batch("B"))
+    assert(Deltas.liveCommits(spark, table).isEmpty)
+    assert(CommitLog.commits(spark, table).count(_.operation == "compact") === 1)
+    assert(KeyedTable.read(spark, table)
+      .filter(col("o_orderstatus") === "B").count() === batch("B").count())
+
+    // unset → chains accumulate again (manual control restored)
+    TableProperties.unset(spark, table, Seq(TableProperties.CompactAuto))
+    KeyedTable.upsert(spark, table, batch("C"))
+    KeyedTable.upsert(spark, table, batch("D"))
+    assert(Deltas.liveCommits(spark, table).size === 2)
+  }
+
   test("crashed create: fsck restores the moved-aside table; stale siblings sweep") {
     val table = boot()
     val fs = fsOf(table)
