@@ -59,7 +59,7 @@ object SparkEntry {
     // round 10: standing-index probes — the scale path of similarity
     // search; the trained index is staged (benchStaged), the timed number
     // is the probe itself
-    "x62_ann_index", "x64_pq_index")
+    "x62_ann_index", "x64_pq_index", "x66_ivf_pq")
 
   /** Bench queries whose FIRST evaluation per sf dir stages standing state
     * (a scaffolded table, a trained index) that later evaluations reuse.
@@ -68,7 +68,8 @@ object SparkEntry {
     * which is the operator — not the one-off scaffolding.
     */
   val benchStaged: Set[String] = Set(
-    "q50b_index_refresh", "q28b_table_sync_inc", "x62_ann_index", "x64_pq_index")
+    "q50b_index_refresh", "q28b_table_sync_inc", "x62_ann_index", "x64_pq_index",
+    "x66_ivf_pq")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

@@ -44,39 +44,80 @@ object PqIndex {
   val CodebookKind = "codebook"
   val CodeKind = "code"
   val VectorKind = "vector"
+  val CentroidKind = "centroid" // coarse IVF cells (present when nlist > 0)
 
   private def codebookRows(cb: DataFrame): DataFrame =
     cb.select(lit(CodebookKind).as(KindCol), col("s").cast("int").as("s"),
       col("cent_id").cast(LongType).as("id"), lit(null).cast(LongType).as("code"),
-      col("cv").as("v"))
+      lit(null).cast(LongType).as("cell"), col("cv").as("v"))
 
+  private def centroidRows(coarse: DataFrame): DataFrame =
+    coarse.select(lit(CentroidKind).as(KindCol), lit(0).as("s"),
+      col("cent_id").cast(LongType).as("id"), lit(null).cast(LongType).as("code"),
+      col("cent_id").cast(LongType).as("cell"), col("cv").as("v"))
+
+  // codes/vecs arrive with a (possibly null) `cell` column already attached
   private def codeRows(codes: DataFrame): DataFrame =
     codes.select(lit(CodeKind).as(KindCol), col("s").cast("int").as("s"),
       col("vec_id").cast(LongType).as("id"), col("code").cast(LongType).as("code"),
-      lit(null).cast(ArrayType(FloatType)).as("v"))
+      col("cell").cast(LongType).as("cell"), lit(null).cast(ArrayType(FloatType)).as("v"))
 
   private def vectorRows(vecs: DataFrame): DataFrame =
     vecs.select(lit(VectorKind).as(KindCol), lit(0).as("s"),
       col("vec_id").cast(LongType).as("id"), lit(null).cast(LongType).as("code"),
-      col("v"))
+      col("cell").cast(LongType).as("cell"), col("v"))
+
+  /** Nearest coarse cell per vector (broadcast + map-side argmax), or a
+    * null cell column when no coarse centroids exist (flat-PQ mode).
+    */
+  private def withCell(vecs: DataFrame, coarse: Option[DataFrame]): DataFrame =
+    coarse match {
+      case None => vecs.withColumn("cell", lit(null).cast(LongType))
+      case Some(c) =>
+        vecs.join(broadcast(c), lit(true))
+          .select(col("vec_id"), col("v"), col("cent_id"),
+            Similarity.cosine(col("v"), col("cv")).as("csim"))
+          .groupBy("vec_id")
+          .agg(Similarity.argmaxById(col("csim"), col("cent_id")).as("cell"),
+            first(col("v")).as("v"))
+    }
 
   /** Train ONCE and persist: grouped Lloyd over the m subspaces (decimal-
     * deterministic, one corpus scan per iteration for all subspaces), one
-    * encode pass, one table create. The only place training ever runs.
+    * encode pass, one table create — the only place training ever runs.
+    * `nlist > 0` additionally trains COARSE IVF centroids and stamps every
+    * code/vector row with its cell (the FAISS IVF-PQ layout): probes with
+    * `nprobe > 0` then scan only the probed cells' codes, making ADC cost
+    * track nprobe/nlist of the corpus instead of all of it.
     */
   def build(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
       dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      nlist: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cb = Similarity.pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
+    val vecs0 = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val coarse =
+      if (nlist <= 0) None
+      else Some(Similarity.kmeansCentroids(corpus, nlist, iters, idCol, vecCol))
+    val vecs = withCell(vecs0, coarse)
     val codes = Similarity.pqEncode(corpus, cb, dim, m, idCol, vecCol)
-    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val rows = codebookRows(cb).unionByName(codeRows(codes)).unionByName(vectorRows(vecs))
+      .join(vecs.select(col("vec_id"), col("cell")), "vec_id")
+    val rows = (Seq(codebookRows(cb)) ++ coarse.map(centroidRows) ++
+      Seq(codeRows(codes), vectorRows(vecs))).reduce(_ unionByName _)
     KeyedTable.create(spark, tablePath, rows,
       tableName = "graft_pq_index",
       keyFields = Seq(KindCol, "s", "id"), precombineField = "id",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
   }
+
+  /** The stored coarse IVF centroids (empty in flat-PQ mode). */
+  def coarseCentroids(
+      spark: SparkSession, tablePath: String,
+      asOf: Option[String] = None): DataFrame =
+    readIndex(spark, tablePath, asOf)
+      .filter(col(KindCol) === CentroidKind)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
 
   /** The stored codebooks `(s, cent_id, cv)` at the live tip (or `asOf`). */
   def codebooks(
@@ -100,8 +141,12 @@ object PqIndex {
       dim: Int, m: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cb = codebooks(spark, tablePath)
+    val coarseDf = coarseCentroids(spark, tablePath)
+    val coarse = if (coarseDf.isEmpty) None else Some(coarseDf)
+    val vecs = withCell(
+      batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")), coarse)
     val codes = Similarity.pqEncode(batch, cb, dim, m, idCol, vecCol)
-    val vecs = batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(vecs.select(col("vec_id"), col("cell")), "vec_id")
     KeyedTable.upsert(spark, tablePath,
       codeRows(codes).unionByName(vectorRows(vecs)))
   }
@@ -115,17 +160,39 @@ object PqIndex {
     */
   def probe(
       spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
-      dim: Int, m: Int = 8, shortlist: Int = 5,
+      dim: Int, m: Int = 8, shortlist: Int = 5, nprobe: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       asOf: Option[String] = None): DataFrame = {
     val d = dim / m
     val t = readIndex(spark, tablePath, asOf)
     val cb = t.filter(col(KindCol) === CodebookKind)
       .select(col("s"), col("id").as("cent_id"), col("v").as("cv"))
-    val codes = t.filter(col(KindCol) === CodeKind)
-      .select(col("id").as("vec_id"), col("s"), col("code"))
+    val allCodes = t.filter(col(KindCol) === CodeKind)
+      .select(col("id").as("vec_id"), col("s"), col("code"), col("cell"))
     val vectors = t.filter(col(KindCol) === VectorKind)
       .select(col("id").as("vec_id"), col("v"))
+
+    // IVF leg (nprobe > 0 on a cell-stamped index): each query picks its
+    // nprobe nearest COARSE cells against the tiny broadcast centroid set,
+    // and the ADC scan below reads only those cells' codes — cost tracks
+    // nprobe/nlist of the corpus, the FAISS IVF-PQ shape
+    val codes =
+      if (nprobe <= 0) allCodes.select(col("vec_id"), col("s"), col("code"))
+      else {
+        val coarse = t.filter(col(KindCol) === CentroidKind)
+          .select(col("id").as("cent_id"), col("v").as("cv"))
+        val wProbe = Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cent_id").asc)
+        val cellProbes = queries
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+          .join(broadcast(coarse), lit(true))
+          .select(col("query_id"), col("cent_id"),
+            Similarity.cosine(col("qv"), col("cv")).as("csim"))
+          .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
+          .select(col("query_id").as("probe_query"), col("cent_id").as("cell"))
+        allCodes.join(broadcast(cellProbes), "cell")
+          .select(col("probe_query"), col("vec_id"), col("s"), col("code"))
+      }
 
     val qsubs = queries.select(col(idCol).as("query_id"),
       Similarity.norm(col(vecCol)).as("qnorm"),
@@ -137,7 +204,13 @@ object PqIndex {
         Similarity.dot(col("cv"), col("cv")).as("cn2"))
 
     val wShort = Window.partitionBy("query_id").orderBy(col("adc_sim").desc, col("vec_id").asc)
-    val short = codes.join(broadcast(lut), Seq("s", "code"))
+    val scored =
+      if (nprobe <= 0) codes.join(broadcast(lut), Seq("s", "code"))
+      else codes.join(broadcast(lut),
+        codes("probe_query") === lut("query_id") &&
+          codes("s") === lut("s") && codes("code") === lut("code"))
+        .drop("probe_query").drop(codes("s")).drop(codes("code"))
+    val short = scored
       .groupBy("query_id", "vec_id")
       .agg(sum(col("pdot")).as("num"), sum(col("cn2")).as("den2"), max(col("qnorm")).as("qn"))
       .withColumn("adc_sim", col("num") / (col("qn") * sqrt(col("den2"))))

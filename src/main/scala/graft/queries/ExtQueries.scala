@@ -1004,6 +1004,45 @@ object ExtQueries {
       .orderBy("query_id")
   }
 
+  /** IVF-PQ composition ([[graft.operators.PqIndex]] with coarse cells —
+    * the FAISS IVF-PQ layout): PQ codes are stamped with their coarse cell
+    * at build/append, and the probe scans ONLY the nprobe probed cells'
+    * codes before the bounded exact re-rank — ADC cost tracks
+    * nprobe/nlist of the corpus instead of all of it, the sublinear scale
+    * path x64's flat scan stops short of. Same staged-index + per-
+    * evaluation-probe shape as x62/x64 (benchable), same recall@10 ≥ 0.7
+    * oracle bar; PqIndexSpec pins that every candidate comes from a
+    * probed cell.
+    */
+  private val x66Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x66: Q = (s, d) => {
+    val idx = x66Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x66")
+      val emb = Tables.embeddings(s, d)
+      val p = s"$root/idx"
+      graft.operators.PqIndex.build(
+        s, p, emb.filter(col("vec_id") >= 50), dim = 64, m = 16, iters = 2, nlist = 16)
+      graft.operators.PqIndex.append(
+        s, p, emb.filter(col("vec_id") >= 25 && col("vec_id") < 50), dim = 64, m = 16)
+      p
+    })
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val pq = graft.operators.PqIndex.probe(
+        s, idx, queries, k = 10, dim = 64, m = 16, shortlist = 10, nprobe = 10)
+      .select(col("query_id"), col("vec_id"))
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 25), queries, k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = pq.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** Audio QUALITY signals under oracle check ([[Multimodal.audioQuality]]):
     * the same closed-form PCM16 fixtures as x61, cut into 16-sample
     * segments — per segment the mean square power and the silence permille
@@ -1119,6 +1158,7 @@ object ExtQueries {
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
+    "x66_ivf_pq" -> x66,
   )
 
   // ----------------------------------------------------------------- oracle
@@ -2073,6 +2113,11 @@ object ExtQueries {
     "x64_pq_index" ->
       // same bar-style oracle as x62/x44: the stored-codebook ADC probe
       // must reach recall@10 ≥ 0.7 vs the exact top-10
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x66_ivf_pq" ->
+      // bar-style oracle: the cell-restricted (IVF-PQ) probe must still
+      // reach recall@10 ≥ 0.7 vs the exact top-10
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "x63_audio_quality" ->

@@ -86,6 +86,56 @@ class PqIndexSpec extends SparkTestBase {
       m = 16, shortlist = 10, asOf = Some(tip0))) === before)
   }
 
+  test("IVF-PQ (nlist at build, nprobe at probe): candidates come only from the " +
+      "probed coarse cells, flat probes on the same index are unaffected, and " +
+      "recall clears the bar") {
+    val idx = s"${tmpDir("pq-ivf")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 25)
+    val queries = emb.filter(col("vec_id") < 5)
+    PqIndex.build(spark, idx, corpus, dim = 64, m = 16, iters = 2, nlist = 16)
+
+    // the flat probe ignores cells: still bit-identical to the recompute
+    val flat = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10))
+    val recompute = Similarity.pqTopK(corpus, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10, codebooks = Some(PqIndex.codebooks(spark, idx)))
+    assert(flat === pairs(recompute))
+
+    // the IVF probe: every returned candidate's stored cell is one of the
+    // query's nprobe nearest coarse cells (recomputed here independently)
+    val got = PqIndex.probe(spark, idx, queries, k = 10, dim = 64, m = 16,
+      shortlist = 10, nprobe = 10)
+    val coarse = PqIndex.coarseCentroids(spark, idx)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val probeCells = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(broadcast(coarse), lit(true))
+      .select(col("query_id"), col("cent_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 10)
+      .select("query_id", "cent_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val cells = graft.table.KeyedTable.read(spark, idx)
+      .filter(col(PqIndex.KindCol) === PqIndex.VectorKind)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.select("query_id", "vec_id").collect().foreach { r =>
+      assert(probeCells(r.getLong(0)).contains(cells(r.getLong(1))),
+        s"candidate ${r.getLong(1)} came from an unprobed cell for query ${r.getLong(0)}")
+    }
+
+    // recall bar, x64-style, on the cell-restricted search
+    val ann = got.select("query_id", "vec_id")
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select("query_id", "vec_id")
+    val hits = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val bad = exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .filter(coalesce(col("n_hits"), lit(0)) < col("n_truth") * 0.7)
+    assert(bad.isEmpty, s"recall bar missed: ${bad.collect().mkString(", ")}")
+  }
+
   test("probe recall@10 clears the x64 bar against the exact top-10") {
     val idx = s"${tmpDir("pq-recall")}/idx"
     val corpus = emb.filter(col("vec_id") >= 25)
