@@ -93,6 +93,14 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
         import spark.implicits._
         GraftCatalog.lockRows(spark, path)
           .toDF("owner", "token", "acquired_at", "expires_at", "state")
+      case "maintenance" =>
+        // last outcome of each best-effort maintenance hook (index.auto /
+        // compact.auto / campaign.reclaim) — the SAME rows show_maintenance
+        // serves (graft.table.MaintenanceLog.read — one code path)
+        import spark.implicits._
+        graft.table.MaintenanceLog.read(spark, path)
+          .map(e => (e.service, e.at, e.trigger, e.outcome, e.detail))
+          .toDF("service", "at", "trigger", "outcome", "detail")
       case "indexes" =>
         // index-sidecar observability: what is indexed, how fresh, how big —
         // the SAME rows the show_indexes procedure serves
@@ -594,6 +602,17 @@ private[sources] object GraftProcedures {
           s"covered_files=${r.covered_files}/${r.live_files} " +
           s"fpp=${r.fpp.map(_.toString).getOrElse("-")} bytes=${r.bytes} " +
           s"auto=${r.auto}")
+    },
+    proc("show_maintenance", Seq("table" -> StringType),
+      "Last outcome of each best-effort maintenance hook (index.auto, " +
+        "compact.auto, campaign.reclaim): when, after what publish, ok/skipped, detail") { (s, a) =>
+      // a string projection of the SAME rows the `.maintenance` meta
+      // relation serves (graft.table.MaintenanceLog.read) — one code path
+      val rows = graft.table.MaintenanceLog.read(s, a(0).toString)
+      if (rows.isEmpty) Seq("no maintenance has run")
+      else rows.map(e =>
+        s"${e.service} at=${e.at} trigger=${e.trigger} outcome=${e.outcome} " +
+          s"detail=${e.detail}")
     },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +

@@ -44,12 +44,19 @@ private[table] object AutoCompact {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
       .getOrElse(10)
     inCompact.set(true)
-    try { KeyedTable.compactIfNeeded(spark, tablePath, ratio, commits); () }
-    catch {
+    try {
+      val touched = KeyedTable.compactIfNeeded(spark, tablePath, ratio, commits)
+      MaintenanceLog.record(spark, tablePath, TableProperties.CompactAuto,
+        operation, "ok",
+        touched.map(t => s"compacted=[${t.mkString(",")}]")
+          .getOrElse("below thresholds"))
+    } catch {
       case e: Exception =>
         // an un-compacted table stays correct; the next publish retries
         System.err.println(
           s"[graft] compact.auto after $operation at $tablePath skipped: ${e.getMessage}")
+        MaintenanceLog.record(spark, tablePath, TableProperties.CompactAuto,
+          operation, "skipped", String.valueOf(e.getMessage))
     } finally inCompact.set(false)
   }
 }

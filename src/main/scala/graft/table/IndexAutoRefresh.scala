@@ -52,24 +52,29 @@ private[table] object IndexAutoRefresh {
     inRefresh.set(true)
     try {
       val statsCols = csv(props, TableProperties.IndexStatsColumns)
-      if (statsCols.nonEmpty && StatsIndex.latestIndex(spark, tablePath).isEmpty)
-        StatsIndex.build(spark, tablePath, statsCols)
-      else
-        StatsIndex.refresh(spark, tablePath)
+      val statsAt =
+        if (statsCols.nonEmpty && StatsIndex.latestIndex(spark, tablePath).isEmpty)
+          Some(StatsIndex.build(spark, tablePath, statsCols))
+        else
+          StatsIndex.refresh(spark, tablePath)
       val m = CommitLog.requireState(spark, tablePath).columnMapping
       csv(props, TableProperties.IndexBloomColumns).foreach { c =>
         val phys = KeyedTable.physicalNameOf(m, c)
         if (BloomIndex.latestIndex(spark, tablePath, phys).isEmpty)
           BloomIndex.build(spark, tablePath, logicalColumn = c)
       }
-      BloomIndex.refreshAll(spark, tablePath)
-      ()
+      val bloomAt = BloomIndex.refreshAll(spark, tablePath)
+      MaintenanceLog.record(spark, tablePath, TableProperties.IndexAuto,
+        operation, "ok",
+        s"stats=${statsAt.getOrElse("none")} bloom=[${bloomAt.mkString(",")}]")
     } catch {
       case e: Exception =>
         // stale indexes stay correct (unseen files are never pruned); the
         // next publish retries the refresh
         System.err.println(
           s"[graft] index.auto refresh after $operation at $tablePath skipped: ${e.getMessage}")
+        MaintenanceLog.record(spark, tablePath, TableProperties.IndexAuto,
+          operation, "skipped", String.valueOf(e.getMessage))
     } finally inRefresh.set(false)
   }
 }

@@ -96,12 +96,20 @@ private[table] object ReclaimCampaign {
       if (it.hasNext) // mid-cycle: continue from here next publish
         TableProperties.set(spark, tablePath, Map(cursorKey -> lastInspected.get))
       else TableProperties.unset(spark, tablePath, Seq(cursorKey))
-      if (targets.nonEmpty) KeyedTable.reclaim(spark, tablePath, Some(targets.toSeq))
-      else if (!it.hasNext)
+      if (targets.nonEmpty) {
+        KeyedTable.reclaim(spark, tablePath, Some(targets.toSeq))
+        MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
+          operation, "ok", s"batch=[${targets.mkString(",")}]")
+      } else if (!it.hasNext) {
         // a full cycle found no carrier: one bounded run sheds the ddl +
         // mapping (its footer check of everything outside the single
         // target passes by construction)
         KeyedTable.reclaim(spark, tablePath, Some(Seq(sorted.head)))
+        MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
+          operation, "ok", s"shed run over ${sorted.head}")
+      } else
+        MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
+          operation, "ok", "no carrier in this cycle slice")
       ()
     } catch {
       case e: Exception =>
@@ -109,6 +117,8 @@ private[table] object ReclaimCampaign {
         // next data publish retries the batch
         System.err.println(
           s"[graft] campaign.reclaim batch after $operation at $tablePath skipped: ${e.getMessage}")
+        MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
+          operation, "skipped", String.valueOf(e.getMessage))
     } finally inCampaign.set(false)
   }
 }

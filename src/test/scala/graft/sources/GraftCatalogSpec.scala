@@ -194,6 +194,34 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("show_maintenance procedure + .maintenance relation expose hook outcomes") {
+    val tbl = bootstrapOrders(tmpDir("cat-maint"), TableType.CopyOnWrite)
+    assert(callRows(s"CALL graft.system.show_maintenance('$tbl')") ===
+      Seq("no maintenance has run"))
+    assert(spark.sql(s"SELECT * FROM graft.`$tbl`.maintenance").count() === 0)
+
+    // enable index.auto and publish once: the hook records its outcome
+    callRows(s"CALL graft.system.index_stats('$tbl', 'o_custkey')")
+    callRows(s"CALL graft.system.set_property('$tbl', 'index.auto', 'true')")
+    val base = KeyedTable.read(spark, tbl)
+    KeyedTable.upsert(spark, tbl, base
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(base.columns.filterNot(_.startsWith("_")).map(col).toSeq: _*)
+      .withColumn("o_orderstatus", lit("MX")))
+
+    val row = spark.sql(s"SELECT service, at, trigger, outcome, detail " +
+      s"FROM graft.`$tbl`.maintenance").head()
+    assert(row.getString(0) === "index.auto")
+    assert(CommitLog.isInstant(row.getString(1)))
+    assert(row.getString(2) === "upsert")
+    assert(row.getString(3) === "ok")
+    assert(row.getString(4).contains("stats="))
+    // one code path: the procedure renders the same rows
+    val lines = callRows(s"CALL graft.system.show_maintenance('$tbl')")
+    assert(lines === Seq(s"index.auto at=${row.getString(1)} trigger=upsert " +
+      s"outcome=ok detail=${row.getString(4)}"))
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves the engine schema (add-only; refusals loud)") {
     val tbl = bootstrapOrders(tmpDir("cat-alter"), TableType.CopyOnWrite)
     val before = KeyedTable.read(spark, tbl)

@@ -186,6 +186,13 @@ class FsckSpec extends SparkTestBase {
     assert(KeyedTable.read(spark, table)
       .filter(col("o_orderstatus") === "B").count() === batch("B").count())
 
+    // the maintenance journal recorded BOTH outcomes (below-threshold and
+    // the fold), newest wins
+    val entry = MaintenanceLog.read(spark, table)
+      .find(_.service == TableProperties.CompactAuto)
+    assert(entry.exists(e => e.outcome == "ok" && e.detail.startsWith("compacted=[")),
+      s"journal: $entry")
+
     // unset → chains accumulate again (manual control restored)
     TableProperties.unset(spark, table, Seq(TableProperties.CompactAuto))
     KeyedTable.upsert(spark, table, batch("C"))
