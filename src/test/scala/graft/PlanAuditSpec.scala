@@ -31,11 +31,17 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x50/x51: |groups|-row per-source totals (the group-pair enumeration)
     *  - x56: the 127-row pow2 table (same exact-integer-log2 range join as
     *    x49, probing the |vocab|-bounded per-token count table)
+    *  - x62/x64/x66: the standing-index probes' recall gates run
+    *    bruteForceTopK as in-plan ground truth — the query-vector set
+    *    broadcasts (x06's contract); the probes themselves join broadcast
+    *    centroid/probe/LUT sides (bounded by nlist / queries·nprobe /
+    *    m·codebookSize)
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
       "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells", "x48_diverse_sample",
-      "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix", "x56_nb_classifier")
+      "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix", "x56_nb_classifier",
+      "x62_ann_index", "x64_pq_index", "x66_ivf_pq")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|[3-9][0-9])[a-z]?_.*")
