@@ -93,6 +93,12 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog with TableCatalog
         import spark.implicits._
         GraftCatalog.lockRows(spark, path)
           .toDF("owner", "token", "acquired_at", "expires_at", "state")
+      case "properties" =>
+        // the table's key/value properties as a typed relation — the same
+        // pairs show_properties renders (TableProperties.get, one source)
+        import spark.implicits._
+        graft.table.TableProperties.get(spark, path).toSeq.sorted
+          .toDF("key", "value")
       case "maintenance" =>
         // last outcome of each best-effort maintenance hook (index.auto /
         // compact.auto / campaign.reclaim) — the SAME rows show_maintenance

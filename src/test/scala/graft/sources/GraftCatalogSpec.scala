@@ -203,6 +203,10 @@ class GraftCatalogSpec extends SparkTestBase {
     // enable index.auto and publish once: the hook records its outcome
     callRows(s"CALL graft.system.index_stats('$tbl', 'o_custkey')")
     callRows(s"CALL graft.system.set_property('$tbl', 'index.auto', 'true')")
+    // the .properties meta relation serves the same pairs show_properties does
+    assert(spark.sql(s"SELECT `key`, value FROM graft.`$tbl`.properties")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("index.auto", "true")))
     val base = KeyedTable.read(spark, tbl)
     KeyedTable.upsert(spark, tbl, base
       .filter(col("o_orderkey") % 10 === 0)
