@@ -14,10 +14,15 @@ import org.apache.spark.sql.SparkSession
   *
   * One tiny JSON beside the properties file (`.graft/maintenance.json`),
   * one row per service, overwritten per run (temp-file + rename, like
-  * [[TableProperties]]; concurrent hooks are last-writer-wins, which is
-  * the right semantics for a "latest outcome" surface). Recording is
-  * itself best-effort: a journal write failure never fails the hook, let
-  * alone the data publish under it.
+  * [[TableProperties]]). Each record is a whole-file read-modify-write, so
+  * it runs under the same "props" [[MetaMutex]] as property writes:
+  * concurrent hooks for DIFFERENT services (index.auto in writer A racing
+  * compact.auto in writer B) each keep the other's latest row — without
+  * the mutex a stale read would rewrite the file minus the other service.
+  * Within ONE service, last-writer-wins stands (a "latest outcome"
+  * surface). Recording is itself best-effort: a journal write failure —
+  * including a mutex acquire timeout — never fails the hook, let alone the
+  * data publish under it.
   */
 object MaintenanceLog {
 
@@ -31,7 +36,7 @@ object MaintenanceLog {
   def record(
       spark: SparkSession, tablePath: String, service: String,
       trigger: String, outcome: String, detail: String): Unit =
-    try {
+    try MetaMutex.withLock(spark, tablePath, "props") {
       val entries = read(spark, tablePath).filterNot(_.service == service) :+
         Entry(service, CommitLog.instantOfMillis(System.currentTimeMillis()),
           trigger, outcome, detail.take(500))

@@ -13,16 +13,29 @@ import org.apache.spark.sql.types.StructType
   * argument from T41: files written after the DROP null-fill the column
   * (so a partition can become carrying again after an append — the scan
   * below re-finds it), rewritten files never carry it, and the ddl +
-  * mapping shed automatically on the batch after which no live file
-  * carries a hidden column.
+  * mapping shed automatically once no live file carries a hidden column.
   *
-  * Per-publish cost is bounded: partitions are footer-inspected one at a
-  * time (distributed parquet-footer reads, zero data decode) ONLY until N
-  * carriers are found, and the batch itself rewrites at most N partitions.
-  * Once nothing carries, one final single-partition run sheds the ddl
-  * (serialize-against-everyone applies to exactly that run) and the
-  * campaign goes quiet — `hidden.isEmpty` short-circuits every later
-  * publish at the cost of one state read.
+  * BOTH sides of the per-publish cost are bounded. The REWRITE rewrites at
+  * most N partitions, and the INSPECTION footer-reads at most
+  * `campaign.reclaim.inspect` partitions (default max(16, 4·N)) per
+  * publish — without that cap, the normal end-of-campaign state (few or no
+  * carriers left) made one unlucky publish inspect every partition from
+  * the cursor to table end. The inspected slice is probed in ONE
+  * distributed job per chunk ([[StatsIndex.footerCarriers]]), not one job
+  * per partition. The rotation cursor persists after EVERY slice — found a
+  * carrier or not — so consecutive publishes walk the partition list
+  * exactly once per cycle.
+  *
+  * Shedding is therefore a CROSS-PUBLISH decision: a persisted clean-streak
+  * counter (`campaign.reclaim.clean`) counts consecutively inspected
+  * carrier-free partitions, resetting whenever a carrier turns up; when the
+  * streak covers the whole partition list — a full no-carrier cycle, which
+  * may span many publishes — one final single-partition run sheds the ddl +
+  * mapping (serialize-against-everyone applies to exactly that run) and the
+  * campaign goes quiet: `hidden.isEmpty` short-circuits every later publish
+  * at the cost of one state read. (A batch run can also shed EARLIER via
+  * reclaim's own outside-files check — the streak is the bounded fallback
+  * when no carrier exists to rewrite.)
   *
   * Failure posture: BEST-EFFORT, like `index.auto`. A batch that loses OCC
   * (e.g. the shedding run racing a concurrent writer) logs and leaves the
@@ -44,6 +57,13 @@ private[table] object ReclaimCampaign {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
+  /** Footer-probe chunk size: one distributed job inspects up to this many
+    * partitions' files at once. Small enough that dense carriers waste few
+    * reads past the Nth, large enough that a sparse-carrier slice is a
+    * handful of jobs, never one per partition.
+    */
+  private val ProbeChunk = 8
+
   def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
     if (inCampaign.get() || skipOps(operation)) return
     val props =
@@ -63,6 +83,9 @@ private[table] object ReclaimCampaign {
         KeyedTable.reclaim(spark, tablePath)
         return
       }
+      val inspectBudget = props.get(TableProperties.CampaignReclaimInspect)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
+        .getOrElse(math.max(16, 4 * batchSize.get))
       val fs = CommitLog.fs(spark, tablePath)
       def partitionFiles(p: String): Seq[String] = {
         val dir = new Path(s"$tablePath/${PathCodec.escape(p)}")
@@ -72,44 +95,74 @@ private[table] object ReclaimCampaign {
             !f.getPath.getName.startsWith("_"))
           .map(_.getPath.toString).toSeq
       }
-      // inspect partitions one at a time and stop at N carriers — the
-      // per-publish footer-read bound. A ROTATION CURSOR (a best-effort
-      // table property) starts each publish's scan after the previous
-      // publish's last inspected partition: ordinary writes null-fill the
-      // still-physical column into fresh files, so the most-written
-      // partition is usually carrying — without rotation a sorted-first
-      // scan would re-clean it forever and never reach the tail.
+      // ROTATION CURSOR (a best-effort table property) starts each publish's
+      // slice after the previous publish's last inspected partition:
+      // ordinary writes null-fill the still-physical column into fresh
+      // files, so the most-written partition is usually carrying — without
+      // rotation a sorted-first scan would re-clean it forever and never
+      // reach the tail.
       val cursorKey = TableProperties.CampaignReclaim + ".cursor"
+      val cleanKey = TableProperties.CampaignReclaimClean
       val sorted = st.nativePartitions.sorted
       val rotated = props.get(cursorKey) match {
         case Some(c) => val (a, b) = sorted.span(_ <= c); b ++ a
         case None => sorted
       }
+      var cleanStreak = props.get(cleanKey)
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ >= 0)
+        .getOrElse(0L)
+      // consume partitions IN ROTATION ORDER, footer-probing a chunk at a
+      // time (one job per chunk); stop at N carriers or the inspection
+      // budget. Chunk results past the Nth carrier are discarded UNCONSUMED
+      // (the cursor stays at the Nth), preserving exactly the sequential
+      // walk's semantics at 1/ProbeChunk of its job count.
       val targets = scala.collection.mutable.ArrayBuffer[String]()
       var lastInspected: Option[String] = None
-      val it = rotated.iterator
-      while (targets.size < batchSize.get && it.hasNext) {
-        val p = it.next()
-        lastInspected = Some(p)
-        if (StatsIndex.footerCarriesAny(spark, partitionFiles(p), hidden)) targets += p
+      var inspected = 0
+      val chunks = rotated.take(inspectBudget).grouped(ProbeChunk)
+      var done = false
+      while (!done && chunks.hasNext) {
+        val chunk = chunks.next()
+        val carriers = StatsIndex.footerCarriers(
+          spark, chunk.map(p => p -> partitionFiles(p)), hidden)
+        val it = chunk.iterator
+        while (!done && it.hasNext) {
+          val p = it.next()
+          lastInspected = Some(p)
+          inspected += 1
+          if (carriers(p)) { targets += p; cleanStreak = 0L }
+          else cleanStreak += 1
+          if (targets.size >= batchSize.get) done = true
+        }
       }
-      if (it.hasNext) // mid-cycle: continue from here next publish
-        TableProperties.set(spark, tablePath, Map(cursorKey -> lastInspected.get))
-      else TableProperties.unset(spark, tablePath, Seq(cursorKey))
+      val fullCycleClean = cleanStreak >= sorted.size
+      // one property write per publish: cursor + streak together (the shed
+      // path below unsets them instead)
+      if (targets.nonEmpty || !fullCycleClean)
+        TableProperties.set(spark, tablePath, Map(
+          cursorKey -> lastInspected.getOrElse(sorted.last),
+          cleanKey -> cleanStreak.toString))
       if (targets.nonEmpty) {
         KeyedTable.reclaim(spark, tablePath, Some(targets.toSeq))
+        // the batch itself may have shed (reclaim's own outside-files
+        // check) — then retire the campaign's bookkeeping too
+        if (CommitLog.requireState(spark, tablePath).columnMapping.dropped.isEmpty)
+          TableProperties.unset(spark, tablePath, Seq(cursorKey, cleanKey))
         MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
-          operation, "ok", s"batch=[${targets.mkString(",")}]")
-      } else if (!it.hasNext) {
-        // a full cycle found no carrier: one bounded run sheds the ddl +
-        // mapping (its footer check of everything outside the single
-        // target passes by construction)
+          operation, "ok",
+          s"batch=[${targets.mkString(",")}] inspected=$inspected")
+      } else if (fullCycleClean) {
+        // a full no-carrier CYCLE (possibly spanning many publishes): one
+        // bounded run sheds the ddl + mapping (its footer check of
+        // everything outside the single target passes by construction)
         KeyedTable.reclaim(spark, tablePath, Some(Seq(sorted.head)))
+        TableProperties.unset(spark, tablePath, Seq(cursorKey, cleanKey))
         MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
-          operation, "ok", s"shed run over ${sorted.head}")
+          operation, "ok", s"shed run over ${sorted.head} inspected=$inspected")
       } else
         MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
-          operation, "ok", "no carrier in this cycle slice")
+          operation, "ok",
+          s"no carrier in this cycle slice inspected=$inspected clean=$cleanStreak/${sorted.size}")
       ()
     } catch {
       case e: Exception =>

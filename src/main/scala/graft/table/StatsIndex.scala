@@ -229,6 +229,35 @@ object StatsIndex {
       .filter(identity).take(1).nonEmpty
   }
 
+  /** Which of the given partitions carry one of `columns` in ANY file's
+    * parquet footer — [[footerCarriesAny]] batched over MANY partitions in
+    * ONE distributed job, so a campaign publish inspecting K partitions
+    * costs one job, not K ([[ReclaimCampaign]]'s per-publish sweep; the
+    * one-job-per-partition shape absorbed thousands of tiny jobs into a
+    * single publish on wide tables). Result size is bounded by the caller's
+    * inspection budget.
+    */
+  private[table] def footerCarriers(
+      spark: SparkSession, filesByPartition: Seq[(String, Seq[String])],
+      columns: Set[String]): Set[String] = {
+    val pairs = filesByPartition.flatMap { case (p, fs) => fs.map(p -> _) }
+    if (pairs.isEmpty || columns.isEmpty) return Set.empty
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val slices = math.max(1, math.min(pairs.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(pairs, slices)
+      .map { case (part, f) =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+        val carries = try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .exists(fld => columns.contains(fld.getName))
+        finally r.close()
+        (part, carries)
+      }
+      .filter(_._2).map(_._1).distinct().collect().toSet
+  }
+
   private[table] def footerRowCounts(
       spark: SparkSession, pairs: Seq[(String, String)]): Map[String, Long] = {
     if (pairs.isEmpty) return Map.empty

@@ -122,7 +122,7 @@ object TableLock {
           "spark.graft.lock.assumeAtomicCreate=true if your store is atomic.")
   }
 
-  private def createExclusive(
+  private[table] def createExclusive(
       spark: SparkSession, tablePath: String, p: Path, content: Array[Byte]): Boolean = {
     val f = CommitLog.fs(spark, tablePath)
     val isLocal = Option(f.getUri.getScheme).forall(s => s == "file" || s.isEmpty)

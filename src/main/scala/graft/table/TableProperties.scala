@@ -13,8 +13,14 @@ import graft.model.GraftException
   * SERVICES (e.g. [[IndexAutoRefresh]]'s `index.auto`), never data
   * semantics, so they are deliberately outside the commit timeline: setting
   * one is O(1), needs no instant, and applies to every subsequent write.
-  * Updates are atomic (temp file + rename); concurrent setters are
-  * last-writer-wins, which is fine for rare administrative flips.
+  * Updates are atomic (temp file + rename) AND serialized: each set/unset
+  * is a read-modify-write of the whole file, so it runs under the table's
+  * metadata mutex ([[MetaMutex]], scope "props") — otherwise a maintenance
+  * hook's cursor write racing a user `set_property` could silently drop the
+  * other's key (reverting `compact.auto`/`index.auto` turns hands-off
+  * maintenance OFF with no error anywhere). Hooks run outside the commit
+  * lease, so the table lease cannot cover this; the mutex is dedicated and
+  * never nests with it.
   */
 object TableProperties {
 
@@ -64,6 +70,21 @@ object TableProperties {
     */
   val CampaignReclaim = "campaign.reclaim"
 
+  /** Positive integer M: per-publish INSPECTION budget of the reclaim
+    * campaign — at most M partitions are footer-probed per data publish
+    * (default max(16, 4·N)). Bounds the hook's metadata cost on
+    * many-partition tables when carriers are sparse; the rotation cursor
+    * persists every slice, so the cycle completes across publishes.
+    */
+  val CampaignReclaimInspect = "campaign.reclaim.inspect"
+
+  /** INTERNAL campaign state (written by the hook, not an operator knob):
+    * consecutive carrier-free inspected partitions across publishes. When
+    * the streak covers every native partition — a full no-carrier cycle —
+    * the next publish runs the single shed run and the campaign retires.
+    */
+  val CampaignReclaimClean = "campaign.reclaim.clean"
+
   def propsPath(tablePath: String): Path =
     new Path(CommitLog.logDir(tablePath), "properties.json")
 
@@ -77,18 +98,25 @@ object TableProperties {
     node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
-  /** Merge `kv` into the table's properties (existing keys overwritten). */
+  /** Merge `kv` into the table's properties (existing keys overwritten).
+    * The whole read-modify-write holds the "props" mutex: concurrent
+    * setters of DIFFERENT keys both survive.
+    */
   def set(spark: SparkSession, tablePath: String, kv: Map[String, String]): Unit = {
     require(kv.nonEmpty, "set needs at least one property")
     CommitLog.requireState(spark, tablePath) // a real table, not a bare dir
-    write(spark, tablePath, get(spark, tablePath) ++ kv)
+    MetaMutex.withLock(spark, tablePath, "props") {
+      write(spark, tablePath, get(spark, tablePath) ++ kv)
+    }
   }
 
-  /** Remove `keys` (unknown keys are ignored). */
+  /** Remove `keys` (unknown keys are ignored). Mutex-guarded like [[set]]. */
   def unset(spark: SparkSession, tablePath: String, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "unset needs at least one key")
     CommitLog.requireState(spark, tablePath)
-    write(spark, tablePath, get(spark, tablePath) -- keys)
+    MetaMutex.withLock(spark, tablePath, "props") {
+      write(spark, tablePath, get(spark, tablePath) -- keys)
+    }
   }
 
   private def write(

@@ -572,4 +572,77 @@ class ConcurrencySpec extends SparkTestBase {
       assert(TableLock.current(spark, tbl).isEmpty)
     } finally spark.conf.unset("spark.graft.lock.ttlMs")
   }
+
+  test("concurrent property writers never drop each other's keys " +
+      "(user set_property racing a maintenance-hook cursor write)") {
+    val dir = tmpDir("props-race")
+    val (tbl, _) = bootstrapMor(dir, "props_race")
+    // the r10 failure shape: a hook's cursor RMW racing a user's flag RMW —
+    // under last-writer-wins one silently reverts the other. 8 threads × 5
+    // rounds of disjoint-key set/unset; every final key must reflect ITS
+    // writer, not a stale snapshot from another's read.
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try (1 to 5).foreach { r =>
+            TableProperties.set(spark, tbl, Map(s"writer.$i" -> s"round-$r"))
+          } catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"property writers failed: ${failures.peek()}")
+    val props = TableProperties.get(spark, tbl)
+    (0 until 8).foreach { i =>
+      assert(props.get(s"writer.$i") === Some("round-5"),
+        s"writer.$i lost its final write — concurrent RMW dropped a key")
+    }
+    // racing set against unset of DISJOINT keys: the survivor set is exact
+    val pool2 = Executors.newFixedThreadPool(2)
+    val start2 = new CountDownLatch(1)
+    pool2.submit(new Runnable { def run(): Unit = {
+      start2.await()
+      (1 to 5).foreach(_ => TableProperties.set(spark, tbl, Map("keep.me" -> "yes")))
+    }})
+    pool2.submit(new Runnable { def run(): Unit = {
+      start2.await()
+      (0 until 8).foreach(i => TableProperties.unset(spark, tbl, Seq(s"writer.$i")))
+    }})
+    start2.countDown()
+    pool2.shutdown()
+    assert(pool2.awaitTermination(60, TimeUnit.SECONDS))
+    val after = TableProperties.get(spark, tbl)
+    assert(after.get("keep.me") === Some("yes"))
+    (0 until 8).foreach(i => assert(!after.contains(s"writer.$i")))
+  }
+
+  test("concurrent maintenance hooks for different services both keep their journal rows") {
+    val dir = tmpDir("maint-race")
+    val (tbl, _) = bootstrapMor(dir, "maint_race")
+    // two services journaling concurrently (index.auto in writer A,
+    // compact.auto in writer B): without the shared mutex each stale read
+    // rewrites the file minus the OTHER service's latest row
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    Seq("index.auto", "compact.auto").foreach { svc =>
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        (1 to 10).foreach(r =>
+          MaintenanceLog.record(spark, tbl, svc, "upsert", "ok", s"run-$r"))
+      }})
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    val rows = MaintenanceLog.read(spark, tbl)
+    assert(rows.map(_.service).sorted === Seq("compact.auto", "index.auto"))
+    // per-service last-writer-wins still stands: each row is ITS latest run
+    rows.foreach(e => assert(e.detail === "run-10", s"${e.service} lost its tail write"))
+  }
 }

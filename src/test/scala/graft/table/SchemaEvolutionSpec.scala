@@ -470,6 +470,110 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(reclaims.size === n)
   }
 
+  test("campaign.reclaim inspection budget: no publish probes more partitions " +
+      "than the budget, the cursor walks the table across publishes, and sparse " +
+      "campaigns still converge to the shed") {
+    // 5 partitions, every file carrying the dropped column — with
+    // inspect=2 a publish may footer-probe AT MOST 2 partitions even
+    // though carriers abound, and the rotation cursor spreads one full
+    // cycle over consecutive publishes instead of one unlucky publish
+    // sweeping partition after partition (the r10 unbounded-inspection
+    // defect on many-partition tables)
+    val rows = (0 until 5).flatMap(p =>
+      (0 until 2).map(i => ((p * 10 + i).toLong, 1L, s"v$i", s"p$p")))
+    val in = tmpDir("in")
+    rows.toDF("id", "ver", "v", "p").write.mode("overwrite").parquet(in)
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = table, tableName = "budget_t",
+      keyFields = Seq("id"), precombineField = "ver",
+      partitionFields = Seq("p"), tableType = TableType.CopyOnWrite))
+    KeyedTable.dropColumns(spark, table, Seq("v"))
+    TableProperties.set(spark, table, Map(
+      TableProperties.CampaignReclaim -> "1",
+      TableProperties.CampaignReclaimInspect -> "2"))
+    def ddlHas(c: String) = org.apache.spark.sql.types.StructType
+      .fromDDL(CommitLog.requireState(spark, table).latest.schemaDdl)
+      .fieldNames.contains(c)
+    def inspectedOf(detail: String): Int =
+      "inspected=(\\d+)".r.findFirstMatchIn(detail).map(_.group(1).toInt)
+        .getOrElse(fail(s"journal detail lacks the inspection count: '$detail'"))
+    var i = 2L
+    val details = scala.collection.mutable.ArrayBuffer[String]()
+    while (ddlHas("v") && i < 20) {
+      KeyedTable.upsert(spark, table, Seq((0L, i, "p0")).toDF("id", "ver", "p"))
+      val e = MaintenanceLog.read(spark, table)
+        .find(_.service == TableProperties.CampaignReclaim)
+        .getOrElse(fail("campaign hook left no journal row"))
+      details += e.detail
+      i += 1
+    }
+    assert(!ddlHas("v"), "budgeted campaign never shed the ddl")
+    assert(CommitLog.requireState(spark, table).columnMapping.dropped.isEmpty)
+    // EVERY publish respected the inspection budget — the defect was one
+    // publish probing the whole table when carriers ran sparse
+    details.foreach(d => assert(inspectedOf(d) <= 2, s"budget exceeded: '$d'"))
+    // and the rewrite bound still holds
+    val reclaims = CommitLog.commits(spark, table).filter(_.operation == "reclaim")
+    assert(reclaims.nonEmpty && reclaims.forall(_.partitions.size <= 1))
+    // bookkeeping retired with the campaign
+    val props = TableProperties.get(spark, table)
+    assert(!props.contains(TableProperties.CampaignReclaim + ".cursor"))
+    assert(!props.contains(TableProperties.CampaignReclaimClean))
+    val snap = KeyedTable.read(spark, table)
+    assert(snap.count() === 10 && !snap.columns.contains("v"))
+  }
+
+  test("campaign.reclaim clean streak: with zero carriers anywhere the shed " +
+      "arrives via a cross-publish full-clean cycle, one bounded slice at a time") {
+    // v is added then dropped with NO intervening write: no file ever
+    // carried it, so the campaign's only path to the shed is the clean
+    // streak accumulating across publishes (inspect=1 forces >1 publish)
+    val rows = (0 until 4).map(p => (p.toLong, 1L, s"p$p"))
+    val in = tmpDir("in")
+    rows.toDF("id", "ver", "p").write.mode("overwrite").parquet(in)
+    val table = tmpDir("tbl")
+    KeyedTable.bootstrap(spark, BootstrapConfig(
+      dataFilePath = in, tablePath = table, tableName = "streak_t",
+      keyFields = Seq("id"), precombineField = "ver",
+      partitionFields = Seq("p"), tableType = TableType.CopyOnWrite))
+    KeyedTable.addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    KeyedTable.dropColumns(spark, table, Seq("note"))
+    TableProperties.set(spark, table, Map(
+      TableProperties.CampaignReclaim -> "1",
+      TableProperties.CampaignReclaimInspect -> "1"))
+    def ddlHas(c: String) = org.apache.spark.sql.types.StructType
+      .fromDDL(CommitLog.requireState(spark, table).latest.schemaDdl)
+      .fieldNames.contains(c)
+    assert(ddlHas("note"))
+    // trigger data publishes that write NO carrying files: partition drops.
+    // each hook slice probes exactly ONE clean partition; the streak has to
+    // cover every remaining partition before the shed run fires
+    KeyedTable.dropPartitions(spark, table, Seq("p=p3"))
+    assert(ddlHas("note"), "shed too early: streak cannot cover 3 partitions after 1 probe")
+    val propsMid = TableProperties.get(spark, table)
+    assert(propsMid.contains(TableProperties.CampaignReclaim + ".cursor"),
+      "cursor must persist even when no carrier was found")
+    assert(propsMid.get(TableProperties.CampaignReclaimClean) === Some("1"))
+    KeyedTable.dropPartitions(spark, table, Seq("p=p2"))
+    // 2 native partitions remain; the accumulated streak (2) covers them →
+    // this publish ran the single shed run
+    assert(!ddlHas("note"), "full-clean streak never shed the ddl")
+    assert(CommitLog.requireState(spark, table).columnMapping.dropped.isEmpty)
+    val e = MaintenanceLog.read(spark, table)
+      .find(_.service == TableProperties.CampaignReclaim).get
+    assert(e.detail.contains("shed run"), s"unexpected journal detail '${e.detail}'")
+    val props = TableProperties.get(spark, table)
+    assert(!props.contains(TableProperties.CampaignReclaim + ".cursor"))
+    assert(!props.contains(TableProperties.CampaignReclaimClean))
+    // quiet afterwards
+    val n = CommitLog.commits(spark, table).count(_.operation == "reclaim")
+    KeyedTable.upsert(spark, table, Seq((0L, 9L, "p0")).toDF("id", "ver", "p"))
+    assert(CommitLog.commits(spark, table).count(_.operation == "reclaim") === n)
+  }
+
   test("randomized reclaim campaigns: any batch order converges, the ddl sheds " +
       "exactly on the final batch, the snapshot never moves (fixed seed)") {
     val rnd = new scala.util.Random(29)
