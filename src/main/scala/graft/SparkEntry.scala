@@ -32,7 +32,7 @@ object SparkEntry {
     "q13_runaway_sweep", "q18_star_join", "q19_pagination", "q21_salted_join",
     "q10_upsert_merge", "q22_table_lifecycle", "q23_incremental_read",
     "q24_time_travel", "q26_global_upsert", "q28b_table_sync_inc",
-    "q31_key_lookup", "q33_partition_ttl", "q35_read_optimized",
+    "q33_partition_ttl", "q35_read_optimized",
     "q39_sql_table_read",
     "x01_dedup_exact", "x02_dedup_minhash_lsh", "x03_dedup_simhash",
     "x04_dedup_ngram_jaccard", "x05_dedup_embedding", "x06_ann_topk_brute",
@@ -46,7 +46,11 @@ object SparkEntry {
     // same engine paths q42/q45 already time — benching it too would push
     // the run past the harness window for no new signal
     "q42_sql_maintenance", "x49_lm_quality", "x50_domain_drift",
-    "q45_sql_merge",
+    // round 11: q45/q31's slots were ~all scaffolding (table create +
+    // bloom build at sf0.1) — their staged twins time the one-commit MERGE
+    // and the bloom point lookup alone (the q28b/q50b pattern); the full
+    // lifecycles stay in the correctness surface as q45/q31
+    "q45b_sql_merge_inc", "q31b_key_lookup_inc",
     // round 8: substring-level span dedup, learned-BPE training, trained
     // quality classifier — each a new operator family leg
     "x54_span_dedup", "x55_bpe_tokenizer", "x56_nb_classifier",
@@ -69,7 +73,7 @@ object SparkEntry {
     */
   val benchStaged: Set[String] = Set(
     "q50b_index_refresh", "q28b_table_sync_inc", "x62_ann_index", "x64_pq_index",
-    "x66_ivf_pq")
+    "x66_ivf_pq", "q45b_sql_merge_inc", "q31b_key_lookup_inc")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

@@ -80,6 +80,10 @@ object AnnIndex {
       tableName = "graft_ann_index",
       keyFields = Seq(KindCol, "k"), precombineField = "k",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
+    // born with compact.auto: a standing index LIVES on streamed appends —
+    // the unbounded-delta-chain shape the policy hook exists for
+    graft.table.TableProperties.set(spark, tablePath,
+      Map(graft.table.TableProperties.CompactAuto -> "true"))
   }
 
   /** The stored centroid set `(cent_id, cv)` at the live tip (or `asOf`). */
@@ -110,6 +114,39 @@ object AnnIndex {
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("n_vectors").desc, col("cell").asc)
 
+  /** Retrain the coarse quantizer IN PLACE from the STORED vectors — the
+    * remedy [[cellStats]]' skew signal calls for: appends assign against
+    * frozen centroids, so a drifting corpus piles into few cells and those
+    * probes degrade toward a scan. `retrain` re-runs deterministic Lloyd
+    * over the vector partition (`nlist = 0` keeps the current list count;
+    * pass a larger one to SPLIT a hot index), reassigns every vector, and
+    * lands new centroids + reassignments + stale-centroid tombstones as
+    * ONE commit ([[KeyedTable.mergeRows]] — images beat same-key
+    * tombstones, so shrinking nlist retires the surplus centroid rows in
+    * the same instant). No read ever sees a half-retrained index: probes
+    * before the commit use the old geometry, after it the new; an `asOf`
+    * probe at a pre-retrain instant still reproduces the historical search
+    * exactly, and rollback restores the old geometry wholesale.
+    */
+  def retrain(
+      spark: SparkSession, tablePath: String,
+      nlist: Int = 0, iters: Int = 2): Unit = {
+    val t = KeyedTable.read(spark, tablePath)
+    val vecs = t.filter(col(KindCol) === VectorKind)
+      .select(col("k").as("vec_id"), col("v"))
+    val oldCentKeys = t.filter(col(KindCol) === CentroidKind)
+      .select(lit(CentroidKind).as(KindCol), col("k"))
+    val n = if (nlist > 0) nlist else oldCentKeys.count().toInt
+    require(n > 0, "retrain needs nlist > 0 (or an index with existing centroids)")
+    val cents = Similarity.kmeansCentroids(vecs, n, iters, "vec_id", "v")
+    val centRows = cents.select(lit(CentroidKind).as(KindCol),
+      col("cent_id").cast("long").as("k"), col("cent_id").cast("long").as("cell"),
+      col("cv").as("v"))
+    val images = centRows.unionByName(vectorRows(assignCells(vecs, cents)))
+    KeyedTable.mergeRows(spark, tablePath, oldCentKeys, images)
+    ()
+  }
+
   /** Index a new vector batch WITHOUT retraining: assign against the stored
     * centroids (broadcast argmax over the batch only) and upsert — one MOR
     * delta commit, O(batch) cost, re-delivered ids fold to one entry.
@@ -121,6 +158,25 @@ object AnnIndex {
     val assigned = assignCells(vecs, centroids(spark, tablePath))
     KeyedTable.upsert(spark, tablePath, vectorRows(assigned))
   }
+
+  /** Takedown leg: drop `ids`' VECTOR rows from the standing index — one
+    * keyed tombstone delta (O(|ids|)), so a corpus deletion (PII takedown)
+    * propagates: the removed vector never surfaces from a [[probe]] again
+    * and stops occupying its cell in [[cellStats]]. Centroids are
+    * untouched — they are trained state, not corpus rows (the FAISS
+    * posture: removing list entries never retrains the quantizer; a
+    * drifted index is [[retrain]]'s job). History is retained, not
+    * rewritten: an `asOf` probe BEFORE the removal still reproduces the
+    * historical search, tombstone semantics a takedown audit wants; pair
+    * with `cleanArchive` when the bytes themselves must go. Re-appending
+    * the id later re-serves it (the newer delta wins).
+    */
+  def remove(
+      spark: SparkSession, tablePath: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    KeyedTable.delete(spark, tablePath,
+      ids.select(lit(VectorKind).as(KindCol), col(idCol).cast("long").as("k"))
+        .distinct())
 
   /** Streaming twin of [[append]] ([[DedupIndex.ingestStream]]'s shape):
     * every micro-batch of `vectors` (a streaming DataFrame) is assigned

@@ -52,17 +52,23 @@ object DedupIndex {
       .withColumn(SigCol, Dedup.minhashSignature(col(ShCol), numHashes))
 
   /** Create the index table from the standing corpus — one pass over the
-    * corpus, ever. MOR keyed table so subsequent appends are delta commits.
+    * corpus, ever. MOR keyed table so subsequent appends are delta commits;
+    * `compact.auto` is set at birth (continuous ingest is this table's
+    * whole life, exactly the unbounded-delta-chain shape the policy hook
+    * exists for), so streamed appends fold into base files hands-off.
     */
   def bootstrap(
       spark: SparkSession, indexPath: String, corpus: DataFrame,
       idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16): Unit =
+      shingleN: Int = 3, numHashes: Int = 16): Unit = {
     KeyedTable.create(spark, indexPath,
       entriesOf(corpus, idCol, textCol, shingleN, numHashes),
       tableName = "graft_dedup_index",
       keyFields = Seq(idCol), precombineField = idCol,
       partitionFields = Seq.empty, tableType = TableType.MergeOnRead)
+    graft.table.TableProperties.set(spark, indexPath,
+      Map(graft.table.TableProperties.CompactAuto -> "true"))
+  }
 
   /** Near-dup pairs (a_id = index doc, b_id = batch doc, jaccard ≥
     * threshold) of `batch` against the table-backed index — same contract
@@ -191,6 +197,24 @@ object DedupIndex {
       KeyedTable.upsert(spark, indexPath,
         entriesOf(survivors, idCol, textCol, shingleN, numHashes))
   }
+
+  /** Takedown leg: drop `ids`' entries from the standing index — one keyed
+    * tombstone delta (O(|ids|), [[KeyedTable.delete]] on the MOR table), so
+    * a corpus deletion (PII takedown, a DMCA pull) PROPAGATES to the derived
+    * dedup state. Afterwards the removed doc's minhash entry no longer
+    * screens future batches — content re-sent after a takedown is treated
+    * as NOVEL, not killed as a dup of a ghost — and its shingles never ship
+    * to a verify join again. History is retained, not rewritten: an `asOf`
+    * read BEFORE the removal still reproduces yesterday's screening
+    * decisions (the compliance posture of tombstones over physical erasure;
+    * pair with `cleanArchive` when the bytes themselves must go). Re-adding
+    * the id later (an ordinary append/upsert) re-enables screening — the
+    * newer delta wins over the tombstone.
+    */
+  def remove(
+      spark: SparkSession, indexPath: String, ids: DataFrame,
+      idCol: String): Unit =
+    KeyedTable.delete(spark, indexPath, ids.select(col(idCol)).distinct())
 
   /** The continuous-ingest gate: screen `batch` against the index, keep the
     * novel docs, and APPEND their entries (one MOR delta commit) so the next

@@ -86,9 +86,13 @@ object PqIndex {
     * deterministic, one corpus scan per iteration for all subspaces), one
     * encode pass, one table create — the only place training ever runs.
     * `nlist > 0` additionally trains COARSE IVF centroids and stamps every
-    * code/vector row with its cell (the FAISS IVF-PQ layout): probes with
-    * `nprobe > 0` then scan only the probed cells' codes, making ADC cost
-    * track nprobe/nlist of the corpus instead of all of it.
+    * code/vector row with its cell (the FAISS IVF-PQ TABLE LAYOUT — cells
+    * restrict the scan): probes with `nprobe > 0` then scan only the
+    * probed cells' codes, making ADC cost track nprobe/nlist of the corpus
+    * instead of all of it. Quantization note: codes encode the RAW vector,
+    * not the residual (vector − coarse centroid) FAISS IVFPQ encodes —
+    * recall at equal (nlist, m) trails residual PQ; the exact re-rank over
+    * the shortlist (which raw FAISS omits) is what carries the recall bar.
     */
   def build(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
@@ -109,6 +113,10 @@ object PqIndex {
       tableName = "graft_pq_index",
       keyFields = Seq(KindCol, "s", "id"), precombineField = "id",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
+    // born with compact.auto: a standing index LIVES on streamed appends —
+    // the unbounded-delta-chain shape the policy hook exists for
+    graft.table.TableProperties.set(spark, tablePath,
+      Map(graft.table.TableProperties.CompactAuto -> "true"))
   }
 
   /** The stored coarse IVF centroids (empty in flat-PQ mode). */
@@ -151,6 +159,29 @@ object PqIndex {
       codeRows(codes).unionByName(vectorRows(vecs)))
   }
 
+  /** Takedown leg: drop `ids`' CODE and VECTOR rows from the standing
+    * index — one keyed tombstone delta of (kind, s, id) keys, O(|ids|·m)
+    * three-scalar rows, so a corpus deletion propagates: the removed
+    * vector's codes never enter an ADC scan again and its full-precision
+    * row never re-ranks. Codebooks and coarse centroids are untouched —
+    * trained state, not corpus rows (the FAISS posture). History is
+    * retained, not rewritten: an `asOf` probe BEFORE the removal still
+    * reproduces the historical search; pair with `cleanArchive` when the
+    * bytes themselves must go. Re-appending the id re-serves it.
+    */
+  def remove(
+      spark: SparkSession, tablePath: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val idsN = ids.select(col(idCol).cast(LongType).as("id")).distinct()
+    // one code row per (subspace, id): the stored codebook partition knows m
+    val ss = readIndex(spark, tablePath, None)
+      .filter(col(KindCol) === CodebookKind).select("s").distinct()
+    val codeKeys = idsN.crossJoin(broadcast(ss))
+      .select(lit(CodeKind).as(KindCol), col("s"), col("id"))
+    val vecKeys = idsN.select(lit(VectorKind).as(KindCol), lit(0).as("s"), col("id"))
+    KeyedTable.delete(spark, tablePath, codeKeys.unionByName(vecKeys))
+  }
+
   /** PQ-ADC top-k against the STORED index ([[Similarity.pqTopK]]'s exact
     * plan shape, with codebooks/codes/vectors served from storage): per
     * query the (s, code) → partial-dot LUT broadcasts, the code scan sums
@@ -181,6 +212,14 @@ object PqIndex {
       else {
         val coarse = t.filter(col(KindCol) === CentroidKind)
           .select(col("id").as("cent_id"), col("v").as("cv"))
+        // fail FAST on the silent-empty misconfiguration: nprobe > 0 against
+        // an index built flat (nlist = 0) would match no cell anywhere and
+        // read as "no neighbors" instead of an error
+        if (coarse.limit(1).isEmpty)
+          throw new IllegalArgumentException(
+            s"probe(nprobe=$nprobe) needs coarse IVF cells, but the index at " +
+              s"$tablePath was built flat (nlist = 0). Rebuild with nlist > 0 " +
+              "or probe with nprobe = 0 (full ADC scan).")
         val wProbe = Window.partitionBy("query_id")
           .orderBy(col("csim").desc, col("cent_id").asc)
         val cellProbes = queries

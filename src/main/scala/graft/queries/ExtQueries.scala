@@ -1092,6 +1092,87 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** Standing-index TAKEDOWN, ANN leg ([[graft.operators.AnnIndex.remove]]):
+    * the removal set is exactly what the index was SERVING — the
+    * pre-removal top-3 hits of the query set (the realistic compliance
+    * shape: the flagged vectors were in results). After one keyed
+    * tombstone delta, no removed id may ever surface from a probe again
+    * (removed_hit) AND the probe must still clear the x62 recall bar
+    * against the exact top-10 over the REMAINING corpus (recall_ok) — a
+    * takedown that nukes quality is not a fix. Staged like x62; the
+    * removal set persists beside the index so re-evaluations (and the
+    * in-plan truth) see the same set.
+    */
+  private val x67Cache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val x67: Q = (s, d) => {
+    val (idx, removedP) = x67Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x67")
+      val emb = Tables.embeddings(s, d)
+      val p = s"$root/idx"
+      graft.operators.AnnIndex.build(
+        s, p, emb.filter(col("vec_id") >= 25), nlist = 16, iters = 2)
+      graft.operators.AnnIndex.probe(
+          s, p, emb.filter(col("vec_id") < 5), k = 3, nprobe = 10)
+        .select(col("vec_id")).distinct()
+        .write.mode("overwrite").parquet(s"$root/removed")
+      graft.operators.AnnIndex.remove(s, p, s.read.parquet(s"$root/removed"))
+      (p, s"$root/removed")
+    })
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val removed = s.read.parquet(removedP)
+    val ann = graft.operators.AnnIndex.probe(s, idx, queries, k = 10, nprobe = 10)
+      .select(col("query_id"), col("vec_id"))
+    val ghost = ann.join(removed, Seq("vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_ghost"))
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 25).join(removed, Seq("vec_id"), "left_anti"),
+        queries, k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val hits = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .join(ghost, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_ghost"), lit(0)) > 0).as("removed_hit"),
+        (coalesce(col("n_hits"), lit(0)) >= col("n_truth") * 0.7).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
+  /** Standing-index TAKEDOWN, dedup leg ([[graft.operators.DedupIndex.remove]]):
+    * every corpus doc with doc_id % 10 == 3 is taken down, then ONE batch
+    * probes the index carrying (a) the ordinary % 10 == 0 delivery and (b)
+    * the REMOVED docs' exact content re-sent under shifted ids. A removed
+    * entry left as a ghost would kill every (b) doc at Jaccard 1.0; the
+    * contract is that re-sent content is screened ONLY by the remaining
+    * corpus (the oracle's NOT-EXISTS runs against corpus MINUS the removed
+    * set). Survivors append, so the takedown also re-opens the gate for
+    * the content's next delivery. Staged like x53 — remove/append mutate
+    * the index, so re-evaluation must not re-commit.
+    */
+  private val x68Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x68: Q = (s, d) => {
+    val out = x68Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x68")
+      val docs = Tables.documents(s, d)
+      val idx = s"$root/idx"
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      graft.operators.DedupIndex.bootstrap(s, idx, corpus, "doc_id", "text")
+      graft.operators.DedupIndex.remove(
+        s, idx, corpus.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      val resend = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 700000).as("doc_id"), col("source"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "source", "text").unionByName(resend)
+      graft.operators.DedupIndex.dedupAndAppend(s, idx, batch, "doc_id", "text")
+        .select("doc_id", "source")
+        .write.mode("overwrite").parquet(s"$root/out")
+      s"$root/out"
+    })
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1155,6 +1236,8 @@ object ExtQueries {
     "x60_frame_sample" -> x60,
     "x61_audio_meta" -> x61,
     "x62_ann_index" -> x62,
+    "x67_ann_takedown" -> x67,
+    "x68_dedup_takedown" -> x68,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2120,6 +2203,33 @@ object ExtQueries {
       // reach recall@10 ≥ 0.7 vs the exact top-10
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x67_ann_takedown" ->
+      // bar-style oracle (x62 pattern): after the takedown no query may
+      // ever see a removed id, and recall@10 vs the exact top-10 over the
+      // REMAINING corpus must still clear 0.7 (the Spark side computes
+      // both signals in-plan against the persisted removal set)
+      """SELECT vec_id AS query_id, false AS removed_hit, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "x68_dedup_takedown" ->
+      // exhaustive recompute of the post-takedown screen: the batch is the
+      // %10=0 delivery plus the REMOVED (%10=3) docs' content under shifted
+      // ids, and the NOT-EXISTS runs against corpus MINUS the removed set —
+      // a ghost entry would kill every re-sent doc at Jaccard 1.0
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingles3 AS s
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents)),
+         |bsh AS (
+         |  SELECT doc_id, source, s FROM sh WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000 AS doc_id, source, s FROM sh WHERE doc_id % 10 = 3),
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN bsh b
+         |    ON a.doc_id % 5 != 0 AND a.doc_id % 10 != 3
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5)
+         |SELECT doc_id, source FROM bsh
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin,
     "x63_audio_quality" ->
       // per 16-sample segment: mean square power and silence permille, all
       // integer arithmetic closed-form in doc_id — the PCM walk must

@@ -36,12 +36,15 @@ class PlanAuditSpec extends SparkTestBase {
     *    broadcasts (x06's contract); the probes themselves join broadcast
     *    centroid/probe/LUT sides (bounded by nlist / queries·nprobe /
     *    m·codebookSize)
+    *  - x67: the takedown twin of x62 — same in-plan bruteForceTopK recall
+    *    gate (over the post-removal corpus) and the same bounded probe
+    *    broadcasts
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
       "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells", "x48_diverse_sample",
       "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix", "x56_nb_classifier",
-      "x62_ann_index", "x64_pq_index", "x66_ivf_pq")
+      "x62_ann_index", "x64_pq_index", "x66_ivf_pq", "x67_ann_takedown")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|[3-9][0-9])[a-z]?_.*")

@@ -65,9 +65,11 @@ class AnnIndexSpec extends SparkTestBase {
 
     val centsBefore = AnnIndex.centroids(spark, idx).collect().map(_.toString).sorted
     AnnIndex.append(spark, idx, batch)
-    // one delta commit; centroids untouched (no retraining)
-    assert(CommitLog.commits(spark, idx).map(_.operation) ===
-      Seq("bootstrap", "delta_commit"))
+    // one delta commit; centroids untouched (no retraining). compact.auto
+    // (on by default for standing indexes) may fold the delta right after —
+    // a file rewrite, never a logical change, so it is filtered here
+    assert(CommitLog.commits(spark, idx).map(_.operation)
+      .filterNot(_ == "compact") === Seq("bootstrap", "delta_commit"))
     assert(AnnIndex.centroids(spark, idx).collect().map(_.toString).sorted
       === centsBefore)
 
@@ -135,6 +137,115 @@ class AnnIndexSpec extends SparkTestBase {
     // one entry per vec_id despite the redelivery
     assert(AnnIndex.cellStats(spark, idx).collect().map(_.getLong(1)).sum ===
       corpus.count() + b1.size + b2.size)
+  }
+
+  test("remove: a taken-down vector never probes again, leaves cellStats, " +
+      "asOf pre-removal still reproduces the old search, and a re-append re-serves it") {
+    import spark.implicits._
+    val idx = s"${tmpDir("ann-remove")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 25)
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndex.build(spark, idx, corpus, nlist = 16, iters = 2)
+    val before = pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10))
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+    // take down exactly what the index is SERVING — the pre-removal top
+    // hits (the realistic compliance shape: the flagged doc was in results)
+    val victims = before.map(_._2)
+    assert(victims.nonEmpty)
+    AnnIndex.remove(spark, idx, victims.toSeq.toDF("vec_id"))
+    // one keyed tombstone delta, no rewrite of the corpus rows
+    assert(CommitLog.commits(spark, idx).map(_.operation)
+      .filterNot(_ == "compact") === Seq("bootstrap", "delete"))
+
+    // the ghost is gone: no removed id ever surfaces, and the probe is
+    // bit-identical to an index that NEVER contained the victims
+    val after = pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10))
+    assert(after.map(_._2).intersect(victims).isEmpty,
+      "a removed vector surfaced from a probe")
+    val remaining = corpus.filter(!col("vec_id").isin(victims.toSeq: _*))
+    val ivf = Similarity.ivfTopK(remaining, queries, k = 10, nlist = 16,
+      nprobe = 10, centroids = Some(AnnIndex.centroids(spark, idx)))
+    assert(after === pairs(ivf))
+
+    // the health signal sheds them too
+    assert(AnnIndex.cellStats(spark, idx).collect().map(_.getLong(1)).sum ===
+      corpus.count() - victims.size)
+
+    // history retained, not rewritten: the historical search reproduces
+    assert(pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10,
+      asOf = Some(tip0))) === before)
+
+    // re-appending a removed id re-serves it: assignment against the same
+    // frozen centroids is deterministic, so the probe returns to the
+    // original results exactly
+    AnnIndex.append(spark, idx, corpus.filter(col("vec_id").isin(victims.toSeq: _*)))
+    assert(pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10)) === before)
+  }
+
+  test("retrain re-fits a skewed index IN PLACE as one commit: the geometry equals a " +
+      "fresh build, asOf pre-retrain is unchanged, and nlist can grow and shrink") {
+    val idx = s"${tmpDir("ann-retrain")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 25)
+    val queries = emb.filter(col("vec_id") < 5)
+    // deliberately COARSE build (nlist=2): the under-split geometry whose
+    // cellStats skew a retrain/split is meant to cure
+    AnnIndex.build(spark, idx, corpus, nlist = 2, iters = 2)
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+    val before = pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 1))
+    assert(AnnIndex.cellStats(spark, idx).count() === 2)
+
+    // SPLIT: retrain to 16 lists — ONE merge commit carries new centroids +
+    // full reassignment (+ any stale-centroid tombstones)
+    AnnIndex.retrain(spark, idx, nlist = 16, iters = 2)
+    assert(CommitLog.commits(spark, idx).map(_.operation)
+      .filterNot(_ == "compact") === Seq("bootstrap", "merge"))
+    assert(AnnIndex.centroids(spark, idx).count() === 16)
+    // every vector reassigned, none lost
+    assert(AnnIndex.cellStats(spark, idx).collect().map(_.getLong(1)).sum ===
+      corpus.count())
+    // the retrained index is bit-identical to a FRESH nlist=16 build over
+    // the same vectors (deterministic Lloyd): history is the only difference
+    val fresh = s"${tmpDir("ann-retrain-fresh")}/idx"
+    AnnIndex.build(spark, fresh, corpus, nlist = 16, iters = 2)
+    assert(pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 10)) ===
+      pairs(AnnIndex.probe(spark, fresh, queries, k = 10, nprobe = 10)))
+
+    // history: the pre-retrain geometry still answers asOf probes
+    assert(pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 1,
+      asOf = Some(tip0))) === before)
+
+    // SHRINK: retraining back to nlist=2 retires the 14 surplus centroid
+    // keys in the SAME commit (mergeRows tombstones) and reproduces the
+    // original coarse geometry exactly — centroid ids are the seed vec_ids
+    // (the 2 lowest), so the id set must match the original build's
+    AnnIndex.retrain(spark, idx, nlist = 2, iters = 2)
+    def centIds(p: String) = AnnIndex.centroids(spark, p)
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(centIds(idx) === Set(25L, 26L),
+      s"stale centroid keys survived the shrink: ${centIds(idx)}")
+    assert(pairs(AnnIndex.probe(spark, idx, queries, k = 10, nprobe = 1)) === before)
+  }
+
+  test("standing indexes are born with compact.auto: a delta chain crossing the " +
+      "policy threshold folds hands-off, changing files but never results") {
+    val idx = s"${tmpDir("ann-birth")}/idx"
+    // small base + big append: the delta/base byte ratio crosses the 0.10
+    // policy bar, so the publish hook must fold WITHOUT any property call
+    val corpus = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    val batch = emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndex.build(spark, idx, corpus, nlist = 4, iters = 2)
+    assert(graft.table.TableProperties.get(spark, idx)
+      .get(graft.table.TableProperties.CompactAuto) === Some("true"),
+      "index builds must set compact.auto at birth")
+    AnnIndex.append(spark, idx, batch)
+    val ops = CommitLog.commits(spark, idx).map(_.operation)
+    assert(ops === Seq("bootstrap", "delta_commit", "compact"),
+      s"the hook should have folded the oversized delta chain, got $ops")
+    // folding rewrote files, not results
+    val ivf = Similarity.ivfTopK(corpus.unionByName(batch), queries, k = 5,
+      nlist = 4, nprobe = 4, centroids = Some(AnnIndex.centroids(spark, idx)))
+    assert(pairs(AnnIndex.probe(spark, idx, queries, k = 5, nprobe = 4)) === pairs(ivf))
   }
 
   test("probe recall@10 clears the x62 bar against the exact top-10") {

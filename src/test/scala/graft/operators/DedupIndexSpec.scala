@@ -42,9 +42,12 @@ class DedupIndexSpec extends SparkTestBase {
     assert(ids(s2) === ids(expect2))
 
     // reuse, not rebuild: exactly one delta append per batch after the one
-    // bootstrap; nothing rewrote the corpus entries
+    // bootstrap; nothing rewrote the corpus entries. compact.auto (on by
+    // default for standing indexes) may FOLD deltas after either append —
+    // folding rewrites files, never logical state, so it is filtered here
     val ops = CommitLog.commits(spark, idx).map(_.operation)
-    assert(ops === Seq("bootstrap", "delta_commit", "delta_commit"))
+    assert(ops.filterNot(_ == "compact") ===
+      Seq("bootstrap", "delta_commit", "delta_commit"))
     // the index now holds corpus + survivors of both batches, keyed by id
     val n = graft.table.KeyedTable.read(spark, idx).count()
     assert(n === corpus.count() + ids(s1).size + ids(s2).size)
@@ -179,6 +182,53 @@ class DedupIndexSpec extends SparkTestBase {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.nonEmpty, "fixture lost its planted cross dups — regenerate expectations")
     assert(lsh === truth)
+
+    // the x68 takedown shape: corpus minus the %10=3 removals, probed by the
+    // %10=0 delivery ∪ the removed docs' content (identical shingles under
+    // shifted ids, so the original ids stand in for them here)
+    val corpus68 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+    val batch68 = docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 3)
+    val truth68 = sh(corpus68, "a_id").crossJoin(sh(batch68, "b_id"))
+      .filter(Dedup.jaccard(col("sh_a_id"), col("sh_b_id")) >= 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh68 = Dedup.minhashNearDupsAgainst(corpus68, batch68, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh68 === truth68)
+  }
+
+  test("remove: a taken-down doc's ghost no longer screens re-sent content, " +
+      "its entry leaves live reads, and asOf pre-removal still has it") {
+    import spark.implicits._
+    val dir = tmpDir("dedup-index-remove")
+    val idx = s"$dir/idx"
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, "web", textA), (2L, "web", textB))
+      .toDF("doc_id", "source", "text")
+    DedupIndex.bootstrap(spark, idx, corpus, "doc_id", "text")
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+
+    // today doc 1's entry screens a verbatim re-send of its content
+    val resend = Seq((101L, "web", textA)).toDF("doc_id", "source", "text")
+    assert(DedupIndex.probe(spark, idx, resend, "doc_id", "text").count() === 1)
+
+    // takedown: one tombstone delta; doc 1 leaves live reads but not history
+    DedupIndex.remove(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(CommitLog.commits(spark, idx).map(_.operation)
+      .filterNot(_ == "compact") === Seq("bootstrap", "delete"))
+    assert(ids(graft.table.KeyedTable.read(spark, idx)) === Set(2L))
+    assert(ids(graft.table.KeyedTable.readAsOf(spark, idx, tip0)) === Set(1L, 2L),
+      "asOf before the takedown must still reproduce the old screening state")
+
+    // the ghost is gone: the SAME content re-sent after the takedown is
+    // NOVEL — it probes clean, survives the gate, and (re)enters the index
+    assert(DedupIndex.probe(spark, idx, resend, "doc_id", "text").isEmpty)
+    val survivors = DedupIndex.dedupAndAppend(spark, idx, resend, "doc_id", "text")
+    assert(ids(survivors) === Set(101L))
+    assert(ids(graft.table.KeyedTable.read(spark, idx)) === Set(2L, 101L))
+    // and the re-entered content screens the NEXT delivery again
+    val next = Seq((202L, "web", textA + " tail")).toDF("doc_id", "source", "text")
+    assert(DedupIndex.dedupAndAppend(spark, idx, next, "doc_id", "text").isEmpty)
   }
 
   test("an all-duplicate batch appends nothing and the index stays unchanged") {

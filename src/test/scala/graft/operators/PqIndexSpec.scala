@@ -63,8 +63,10 @@ class PqIndexSpec extends SparkTestBase {
 
     val cbBefore = PqIndex.codebooks(spark, idx).collect().map(_.toString).sorted
     PqIndex.append(spark, idx, batch, dim = 64, m = 16)
-    assert(CommitLog.commits(spark, idx).map(_.operation) ===
-      Seq("bootstrap", "delta_commit"))
+    // compact.auto (default-on for standing indexes) may fold the delta —
+    // a file rewrite, never a logical change, so it is filtered here
+    assert(CommitLog.commits(spark, idx).map(_.operation)
+      .filterNot(_ == "compact") === Seq("bootstrap", "delta_commit"))
     assert(PqIndex.codebooks(spark, idx).collect().map(_.toString).sorted === cbBefore)
 
     // post-append probe ≡ pqTopK over corpus ∪ batch with the same stored
@@ -134,6 +136,58 @@ class PqIndexSpec extends SparkTestBase {
       .join(hits, Seq("query_id"), "left")
       .filter(coalesce(col("n_hits"), lit(0)) < col("n_truth") * 0.7)
     assert(bad.isEmpty, s"recall bar missed: ${bad.collect().mkString(", ")}")
+  }
+
+  test("remove drops code AND vector rows: the taken-down id never probes again " +
+      "(flat or cell-restricted), asOf pre-removal is unchanged, and a flat index " +
+      "refuses nprobe instead of returning nothing") {
+    import spark.implicits._
+    val idx = s"${tmpDir("pq-remove")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 25)
+    val queries = emb.filter(col("vec_id") < 5)
+    PqIndex.build(spark, idx, corpus, dim = 64, m = 16, iters = 2, nlist = 16)
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+    val before = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10))
+    // take down what the index is serving: the pre-removal top hits
+    val victims = before.map(_._2)
+    assert(victims.nonEmpty)
+    PqIndex.remove(spark, idx, victims.toSeq.toDF("vec_id"))
+    assert(CommitLog.commits(spark, idx).map(_.operation)
+      .filterNot(_ == "compact") === Seq("bootstrap", "delete"))
+
+    // BOTH row kinds are gone: m code rows and 1 vector row per victim
+    val t = graft.table.KeyedTable.read(spark, idx)
+    val n = corpus.count() - victims.size
+    assert(t.filter(col(PqIndex.KindCol) === PqIndex.CodeKind).count() === n * 16)
+    assert(t.filter(col(PqIndex.KindCol) === PqIndex.VectorKind).count() === n)
+
+    // no ghost in the ADC scan or the re-rank — flat and cell-restricted —
+    // and the flat probe is bit-identical to an index never containing them
+    val remaining = corpus.filter(!col("vec_id").isin(victims.toSeq: _*))
+    val flatAfter = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10))
+    assert(flatAfter.map(_._2).intersect(victims).isEmpty)
+    assert(flatAfter === pairs(Similarity.pqTopK(remaining, queries, k = 10,
+      dim = 64, m = 16, shortlist = 10,
+      codebooks = Some(PqIndex.codebooks(spark, idx)))))
+    val ivfAfter = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10, nprobe = 10))
+    assert(ivfAfter.map(_._2).intersect(victims).isEmpty)
+
+    // history retained: the historical search still reproduces
+    assert(pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10, asOf = Some(tip0))) === before)
+
+    // misconfiguration fails FAST: an index built flat refuses nprobe > 0
+    val flatIdx = s"${tmpDir("pq-flat")}/idx"
+    PqIndex.build(spark, flatIdx, emb.filter(col("vec_id") >= 400),
+      dim = 64, m = 16, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.probe(spark, flatIdx, queries, k = 5, dim = 64, m = 16,
+        shortlist = 5, nprobe = 4).count()
+    }
+    assert(e.getMessage.contains("built flat"))
   }
 
   test("probe recall@10 clears the x64 bar against the exact top-10") {
