@@ -67,6 +67,15 @@ object PqIndex {
       col("vec_id").cast(LongType).as("id"), lit(null).cast(LongType).as("code"),
       col("cell").cast(LongType).as("cell"), col("v"))
 
+  /** Residual frame `(vec_id, rv = v − c_cell, cell)` of cell-stamped
+    * vectors against their coarse centroids — what residual PQ trains on
+    * and encodes (broadcast centroid join + one zip_with, no shuffle).
+    */
+  private def residualize(vecs: DataFrame, coarse: DataFrame): DataFrame =
+    vecs.join(broadcast(coarse), col("cell") === col("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"), col("cell"))
+
   /** Nearest coarse cell per vector (broadcast + map-side argmax), or a
     * null cell column when no coarse centroids exist (flat-PQ mode).
     */
@@ -85,28 +94,41 @@ object PqIndex {
   /** Train ONCE and persist: grouped Lloyd over the m subspaces (decimal-
     * deterministic, one corpus scan per iteration for all subspaces), one
     * encode pass, one table create — the only place training ever runs.
-    * `nlist > 0` additionally trains COARSE IVF centroids and stamps every
-    * code/vector row with its cell (the FAISS IVF-PQ TABLE LAYOUT — cells
-    * restrict the scan): probes with `nprobe > 0` then scan only the
-    * probed cells' codes, making ADC cost track nprobe/nlist of the corpus
-    * instead of all of it. Quantization note: codes encode the RAW vector,
-    * not the residual (vector − coarse centroid) FAISS IVFPQ encodes —
-    * recall at equal (nlist, m) trails residual PQ; the exact re-rank over
-    * the shortlist (which raw FAISS omits) is what carries the recall bar.
+    * `nlist > 0` additionally trains COARSE IVF centroids, stamps every
+    * code/vector row with its cell, and — the FAISS IVFPQ quantization
+    * scheme, not just its table layout — trains the PQ codebooks on
+    * RESIDUALS (vector − its coarse centroid) and encodes residuals: the
+    * residual distribution is far tighter than the raw one, so the same
+    * (m, codebookSize) budget spends its precision where vectors actually
+    * differ from their cell, and recall under cell restriction rises.
+    * Probes with `nprobe > 0` scan only the probed cells' codes (ADC cost
+    * tracks nprobe/nlist of the corpus); the probe reconstitutes the
+    * absolute score from the broadcast per-(cell, s, code) cross terms.
+    * Flat builds (`nlist = 0`) encode raw vectors and stay bit-identical
+    * to [[Similarity.pqTopK]] over the same codebooks.
     */
   def build(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
       dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
       nlist: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cb = Similarity.pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
     val vecs0 = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
     val coarse =
       if (nlist <= 0) None
       else Some(Similarity.kmeansCentroids(corpus, nlist, iters, idCol, vecCol))
     val vecs = withCell(vecs0, coarse)
-    val codes = Similarity.pqEncode(corpus, cb, dim, m, idCol, vecCol)
-      .join(vecs.select(col("vec_id"), col("cell")), "vec_id")
+    val (cb, codes) = coarse match {
+      case None =>
+        val cb0 = Similarity.pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
+        (cb0, Similarity.pqEncode(corpus, cb0, dim, m, idCol, vecCol)
+          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"))
+      case Some(c) =>
+        // FAISS residual PQ: codebooks train on (v − c_cell), codes encode it
+        val resid = residualize(vecs, c)
+        val cb0 = Similarity.pqCodebooks(resid, dim, m, codebookSize, iters, "vec_id", "rv")
+        (cb0, Similarity.pqEncode(resid, cb0, dim, m, "vec_id", "rv")
+          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"))
+    }
     val rows = (Seq(codebookRows(cb)) ++ coarse.map(centroidRows) ++
       Seq(codeRows(codes), vectorRows(vecs))).reduce(_ unionByName _)
     KeyedTable.create(spark, tablePath, rows,
@@ -153,8 +175,12 @@ object PqIndex {
     val coarse = if (coarseDf.isEmpty) None else Some(coarseDf)
     val vecs = withCell(
       batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")), coarse)
-    val codes = Similarity.pqEncode(batch, cb, dim, m, idCol, vecCol)
-      .join(vecs.select(col("vec_id"), col("cell")), "vec_id")
+    // cell-stamped indexes encode RESIDUALS against the stored coarse
+    // centroids (matching build); flat indexes encode raw vectors
+    val codes = (coarse match {
+      case None => Similarity.pqEncode(batch, cb, dim, m, idCol, vecCol)
+      case Some(c) => Similarity.pqEncode(residualize(vecs, c), cb, dim, m, "vec_id", "rv")
+    }).join(vecs.select(col("vec_id"), col("cell")), "vec_id")
     KeyedTable.upsert(spark, tablePath,
       codeRows(codes).unionByName(vectorRows(vecs)))
   }
@@ -188,6 +214,15 @@ object PqIndex {
     * it per (query, vector), and the `k·shortlist` ADC winners re-rank
     * exactly against the stored vector rows (bounded broadcast semi-join).
     * Zero training, zero encode, zero table writes at query time.
+    *
+    * Cell-stamped indexes store RESIDUAL codes, so their ADC score
+    * reconstitutes cos(q, c + r̂) from three broadcast-sized tables:
+    * per-(query, s, code) residual partial dots (the ordinary LUT over the
+    * residual codebooks), per-(query, cell) coarse dots, and the
+    * per-(cell, s, code) cross terms ⟨c_s, cv⟩ + ‖cv‖² (nlist·m·K rows)
+    * that complete ‖c + r̂‖² = ‖c‖² + 2Σ⟨c_s, cv_s⟩ + Σ‖cv_s‖² — still a
+    * codes-scan + broadcast joins + one (query, vec) sum, nothing
+    * vector-sized shuffles. Flat indexes keep the raw two-term form.
     */
   def probe(
       spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
@@ -202,20 +237,22 @@ object PqIndex {
       .select(col("id").as("vec_id"), col("s"), col("code"), col("cell"))
     val vectors = t.filter(col(KindCol) === VectorKind)
       .select(col("id").as("vec_id"), col("v"))
+    val coarse = t.filter(col(KindCol) === CentroidKind)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    // coarse centroids present ⟺ the stored codes are residual-encoded
+    val residual = !coarse.limit(1).isEmpty
 
     // IVF leg (nprobe > 0 on a cell-stamped index): each query picks its
     // nprobe nearest COARSE cells against the tiny broadcast centroid set,
     // and the ADC scan below reads only those cells' codes — cost tracks
     // nprobe/nlist of the corpus, the FAISS IVF-PQ shape
     val codes =
-      if (nprobe <= 0) allCodes.select(col("vec_id"), col("s"), col("code"))
+      if (nprobe <= 0) allCodes
       else {
-        val coarse = t.filter(col(KindCol) === CentroidKind)
-          .select(col("id").as("cent_id"), col("v").as("cv"))
         // fail FAST on the silent-empty misconfiguration: nprobe > 0 against
         // an index built flat (nlist = 0) would match no cell anywhere and
         // read as "no neighbors" instead of an error
-        if (coarse.limit(1).isEmpty)
+        if (!residual)
           throw new IllegalArgumentException(
             s"probe(nprobe=$nprobe) needs coarse IVF cells, but the index at " +
               s"$tablePath was built flat (nlist = 0). Rebuild with nlist > 0 " +
@@ -230,7 +267,7 @@ object PqIndex {
           .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
           .select(col("query_id").as("probe_query"), col("cent_id").as("cell"))
         allCodes.join(broadcast(cellProbes), "cell")
-          .select(col("probe_query"), col("vec_id"), col("s"), col("code"))
+          .select(col("probe_query"), col("vec_id"), col("s"), col("code"), col("cell"))
       }
 
     val qsubs = queries.select(col(idCol).as("query_id"),
@@ -249,10 +286,39 @@ object PqIndex {
         codes("probe_query") === lut("query_id") &&
           codes("s") === lut("s") && codes("code") === lut("code"))
         .drop("probe_query").drop(codes("s")).drop(codes("code"))
-    val short = scored
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("pdot")).as("num"), sum(col("cn2")).as("den2"), max(col("qnorm")).as("qn"))
-      .withColumn("adc_sim", col("num") / (col("qn") * sqrt(col("den2"))))
+    val grouped =
+      if (!residual)
+        scored.groupBy("query_id", "vec_id")
+          .agg(sum(col("pdot")).as("num"), sum(col("cn2")).as("den2"),
+            max(col("qnorm")).as("qn"))
+          .withColumn("adc_sim", col("num") / (col("qn") * sqrt(col("den2"))))
+      else {
+        // residual reconstruction: the cross-term table is nlist·m·K rows
+        // (e.g. 16·16·16 = 4k) and the per-(query, cell) coarse dots are
+        // |queries|·nlist rows — both broadcast with the plan
+        val csubs = coarse.select(col("cent_id").as("cell"),
+          posexplode(array((0 until m).map(s => slice(col("cv"), s * d + 1, d)): _*))
+            .as(Seq("s", "csub")))
+        val crossT = csubs.join(cb, "s")
+          .select(col("cell"), col("s"), col("cent_id").as("code"),
+            Similarity.dot(col("csub"), col("cv")).as("ccross"))
+        val cnorm = coarse.select(col("cent_id").as("cell"),
+          Similarity.dot(col("cv"), col("cv")).as("cn2c"))
+        val qcell = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+          .join(broadcast(coarse), lit(true))
+          .select(col("query_id"), col("cent_id").as("cell"),
+            Similarity.dot(col("qv"), col("cv")).as("qdotc"))
+        scored.join(broadcast(crossT), Seq("cell", "s", "code"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum(col("pdot")).as("pnum"),
+            sum(col("ccross") * lit(2.0) + col("cn2")).as("rden"),
+            max(col("qnorm")).as("qn"), max(col("cell")).as("cell"))
+          .join(broadcast(qcell), Seq("query_id", "cell"))
+          .join(broadcast(cnorm), Seq("cell"))
+          .withColumn("adc_sim", (col("qdotc") + col("pnum")) /
+            (col("qn") * sqrt(col("cn2c") + col("rden"))))
+      }
+    val short = grouped
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("r", row_number().over(wShort)).filter(col("r") <= k * shortlist)
       .select(col("query_id"), col("vec_id"))

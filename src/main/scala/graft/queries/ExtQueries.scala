@@ -1005,14 +1005,19 @@ object ExtQueries {
   }
 
   /** IVF-PQ composition ([[graft.operators.PqIndex]] with coarse cells —
-    * the FAISS IVF-PQ layout): PQ codes are stamped with their coarse cell
-    * at build/append, and the probe scans ONLY the nprobe probed cells'
-    * codes before the bounded exact re-rank — ADC cost tracks
-    * nprobe/nlist of the corpus instead of all of it, the sublinear scale
-    * path x64's flat scan stops short of. Same staged-index + per-
-    * evaluation-probe shape as x62/x64 (benchable), same recall@10 ≥ 0.7
-    * oracle bar; PqIndexSpec pins that every candidate comes from a
-    * probed cell.
+    * the FAISS IVF-PQ scheme, layout AND quantization): codes encode the
+    * RESIDUAL (vector − coarse centroid) against residual-trained
+    * codebooks — the tighter distribution spends the (m, codebookSize)
+    * budget where vectors differ from their cell — and every code/vector
+    * row is stamped with its cell at build/append, so the probe scans
+    * ONLY the nprobe probed cells' codes (reconstituting the absolute
+    * score from broadcast cross-term tables) before the bounded exact
+    * re-rank — ADC cost tracks nprobe/nlist of the corpus instead of all
+    * of it, the sublinear scale path x64's flat scan stops short of. Same
+    * staged-index + per-evaluation-probe shape as x62/x64 (benchable),
+    * same recall@10 ≥ 0.7 oracle bar; PqIndexSpec pins that every
+    * candidate comes from a probed cell and that nprobe only restricts,
+    * never rescores (flat scan ≡ probing all cells, bit-identical).
     */
   private val x66Cache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val x66: Q = (s, d) => {

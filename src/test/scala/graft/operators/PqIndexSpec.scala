@@ -89,19 +89,23 @@ class PqIndexSpec extends SparkTestBase {
   }
 
   test("IVF-PQ (nlist at build, nprobe at probe): candidates come only from the " +
-      "probed coarse cells, flat probes on the same index are unaffected, and " +
-      "recall clears the bar") {
+      "probed coarse cells, the flat scan is bit-identical to probing every cell " +
+      "(residual scoring is restriction-invariant), and recall clears the bar") {
     val idx = s"${tmpDir("pq-ivf")}/idx"
     val corpus = emb.filter(col("vec_id") >= 25)
     val queries = emb.filter(col("vec_id") < 5)
     PqIndex.build(spark, idx, corpus, dim = 64, m = 16, iters = 2, nlist = 16)
 
-    // the flat probe ignores cells: still bit-identical to the recompute
+    // a cell-stamped index stores RESIDUAL codes, so the old raw-pqTopK
+    // equality no longer applies; the invariant that replaces it: nprobe
+    // only RESTRICTS which cells are scanned, never how a code scores, so
+    // probing ALL nlist cells must be bit-identical to the flat scan
     val flat = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
       m = 16, shortlist = 10))
-    val recompute = Similarity.pqTopK(corpus, queries, k = 10, dim = 64,
-      m = 16, shortlist = 10, codebooks = Some(PqIndex.codebooks(spark, idx)))
-    assert(flat === pairs(recompute))
+    val allCells = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10, nprobe = 16))
+    assert(flat === allCells,
+      "flat scan and nprobe=nlist diverged — residual scoring depends on the restriction")
 
     // the IVF probe: every returned candidate's stored cell is one of the
     // query's nprobe nearest coarse cells (recomputed here independently)
@@ -163,14 +167,13 @@ class PqIndexSpec extends SparkTestBase {
     assert(t.filter(col(PqIndex.KindCol) === PqIndex.VectorKind).count() === n)
 
     // no ghost in the ADC scan or the re-rank — flat and cell-restricted —
-    // and the flat probe is bit-identical to an index never containing them
-    val remaining = corpus.filter(!col("vec_id").isin(victims.toSeq: _*))
+    // and the restriction-invariance of residual scoring survives removal
+    // (only stored code rows can score, so the tombstones are invisible)
     val flatAfter = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
       m = 16, shortlist = 10))
     assert(flatAfter.map(_._2).intersect(victims).isEmpty)
-    assert(flatAfter === pairs(Similarity.pqTopK(remaining, queries, k = 10,
-      dim = 64, m = 16, shortlist = 10,
-      codebooks = Some(PqIndex.codebooks(spark, idx)))))
+    assert(flatAfter === pairs(PqIndex.probe(spark, idx, queries, k = 10,
+      dim = 64, m = 16, shortlist = 10, nprobe = 16)))
     val ivfAfter = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
       m = 16, shortlist = 10, nprobe = 10))
     assert(ivfAfter.map(_._2).intersect(victims).isEmpty)
