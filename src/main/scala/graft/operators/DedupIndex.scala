@@ -198,6 +198,20 @@ object DedupIndex {
         entriesOf(survivors, idCol, textCol, shingleN, numHashes))
   }
 
+  /** MIRROR leg: (re)index `docs` WITHOUT screening them — one keyed
+    * upsert of their signature/shingle entries. This is what a consistency
+    * sync from a base corpus table rides ([[IndexSync]]): the corpus
+    * already decided the docs exist, so the index must reflect them;
+    * [[dedupAndAppend]] stays the GATE face where the index decides
+    * admission. Re-delivered ids fold to one entry (keyed upsert).
+    */
+  def append(
+      spark: SparkSession, indexPath: String, docs: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16): Unit =
+    KeyedTable.upsert(spark, indexPath,
+      entriesOf(docs, idCol, textCol, shingleN, numHashes))
+
   /** Takedown leg: drop `ids`' entries from the standing index — one keyed
     * tombstone delta (O(|ids|), [[KeyedTable.delete]] on the MOR table), so
     * a corpus deletion (PII takedown, a DMCA pull) PROPAGATES to the derived

@@ -46,6 +46,13 @@ object PqIndex {
   val VectorKind = "vector"
   val CentroidKind = "centroid" // coarse IVF cells (present when nlist > 0)
 
+  /** Table property stamping how the stored codes were produced
+    * ("residual" | "raw") — a build-time constant for the table's life, so
+    * probes (including `asOf` ones) read it as one tiny JSON get instead
+    * of running a Spark action against the centroid partition per probe.
+    */
+  val EncodingProp = "pq.encoding"
+
   private def codebookRows(cb: DataFrame): DataFrame =
     cb.select(lit(CodebookKind).as(KindCol), col("s").cast("int").as("s"),
       col("cent_id").cast(LongType).as("id"), lit(null).cast(LongType).as("code"),
@@ -135,10 +142,12 @@ object PqIndex {
       tableName = "graft_pq_index",
       keyFields = Seq(KindCol, "s", "id"), precombineField = "id",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
-    // born with compact.auto: a standing index LIVES on streamed appends —
-    // the unbounded-delta-chain shape the policy hook exists for
-    graft.table.TableProperties.set(spark, tablePath,
-      Map(graft.table.TableProperties.CompactAuto -> "true"))
+    // born with compact.auto (a standing index LIVES on streamed appends —
+    // the unbounded-delta-chain shape the policy hook exists for) and the
+    // encoding stamp probes read instead of probing the centroid partition
+    graft.table.TableProperties.set(spark, tablePath, Map(
+      graft.table.TableProperties.CompactAuto -> "true",
+      EncodingProp -> (if (nlist > 0) "residual" else "raw")))
   }
 
   /** The stored coarse IVF centroids (empty in flat-PQ mode). */
@@ -239,8 +248,15 @@ object PqIndex {
       .select(col("id").as("vec_id"), col("v"))
     val coarse = t.filter(col(KindCol) === CentroidKind)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    // coarse centroids present ⟺ the stored codes are residual-encoded
-    val residual = !coarse.limit(1).isEmpty
+    // coarse centroids present ⟺ the stored codes are residual-encoded;
+    // the build-time property answers without a Spark action (the encoding
+    // is constant for the table's life, so asOf probes read it too); the
+    // centroid-partition probe remains as the fallback for older tables
+    val residual = graft.table.TableProperties.get(spark, tablePath)
+      .get(EncodingProp) match {
+      case Some(e) => e == "residual"
+      case None => !coarse.limit(1).isEmpty
+    }
 
     // IVF leg (nprobe > 0 on a cell-stamped index): each query picks its
     // nprobe nearest COARSE cells against the tiny broadcast centroid set,

@@ -1178,6 +1178,56 @@ object ExtQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Derived-index CONSISTENCY from the base table's change feed
+    * ([[graft.operators.IndexSync]]): the corpus lives as a keyed graft
+    * table; one checkpointed CDC pull propagates its mutations to the
+    * standing dedup index — the %10=3 docs DELETED from the corpus leave
+    * the index (their re-sent content screens as NOVEL, the automated
+    * x68), the %10=0 docs UPSERTED into the corpus start screening. The
+    * probe batch carries both proofs at once and the oracle recomputes
+    * the screen exhaustively against the corpus END STATE (original
+    * members − deleted + inserted). Staged like x53/x68 — the sync
+    * mutates corpus and index, so re-evaluation must not re-commit.
+    */
+  private val x69Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x69: Q = (s, d) => {
+    val out = x69Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x69")
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val corpusTbl = s"$root/corpus"
+      val idx = s"$root/idx"
+      graft.table.KeyedTable.create(s, corpusTbl,
+        docs.filter(col("doc_id") % 5 =!= 0),
+        tableName = "x69_corpus", keyFields = Seq("doc_id"),
+        precombineField = "doc_id", partitionFields = Seq.empty,
+        tableType = graft.model.TableType.MergeOnRead)
+      graft.operators.DedupIndex.bootstrap(
+        s, idx, graft.table.KeyedTable.read(s, corpusTbl), "doc_id", "text")
+      val tip0 = graft.table.CommitLog.commits(s, corpusTbl).last.commitTime
+      // corpus mutations: take down the %10=3 members, insert the %10=0 docs
+      graft.table.KeyedTable.delete(s, corpusTbl,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"))
+      graft.table.KeyedTable.upsert(s, corpusTbl,
+        docs.filter(col("doc_id") % 10 === 0))
+      graft.operators.IndexSync.syncDedup(
+        s, corpusTbl, idx, s"$root/ckpt", "doc_id", "text",
+        startAt = Some(tip0))
+      // one batch probes both proofs: the ordinary %10=5 delivery plus the
+      // deleted docs' content re-sent under shifted ids
+      val resend = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 700000).as("doc_id"), col("source"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 5).unionByName(resend)
+      val dups = graft.operators.DedupIndex.probe(
+        s, idx, batch, "doc_id", "text")
+      batch.join(dups.select(col("b_id")).distinct(),
+          col("doc_id") === col("b_id"), "left_anti")
+        .select("doc_id", "source")
+        .write.mode("overwrite").parquet(s"$root/out")
+      s"$root/out"
+    })
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1243,6 +1293,7 @@ object ExtQueries {
     "x62_ann_index" -> x62,
     "x67_ann_takedown" -> x67,
     "x68_dedup_takedown" -> x68,
+    "x69_index_sync" -> x69,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2231,6 +2282,26 @@ object ExtQueries {
          |  SELECT DISTINCT b.doc_id AS doc_id
          |  FROM sh a JOIN bsh b
          |    ON a.doc_id % 5 != 0 AND a.doc_id % 10 != 3
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5)
+         |SELECT doc_id, source FROM bsh
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin,
+    "x69_index_sync" ->
+      // exhaustive recompute of the screen against the corpus END STATE:
+      // members = (%5!=0 minus the deleted %10=3) plus the inserted %10=0;
+      // the probe batch = the %10=5 delivery plus the deleted docs' content
+      // under shifted ids (which must now screen as NOVEL)
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingles3 AS s
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents)),
+         |bsh AS (
+         |  SELECT doc_id, source, s FROM sh WHERE doc_id % 10 = 5
+         |  UNION ALL
+         |  SELECT doc_id + 700000 AS doc_id, source, s FROM sh WHERE doc_id % 10 = 3),
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN bsh b
+         |    ON ((a.doc_id % 5 != 0 AND a.doc_id % 10 != 3) OR a.doc_id % 10 = 0)
          |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5)
          |SELECT doc_id, source FROM bsh
          |WHERE doc_id NOT IN (SELECT doc_id FROM dup)

@@ -194,6 +194,19 @@ class DedupIndexSpec extends SparkTestBase {
     val lsh68 = Dedup.minhashNearDupsAgainst(corpus68, batch68, "doc_id", "text")
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh68 === truth68)
+
+    // the x69 sync shape: corpus end state = (%5!=0 minus %10=3) plus the
+    // inserted %10=0 docs, probed by the %10=5 delivery ∪ the deleted
+    // docs' content (original ids stand in for the shifted re-sends)
+    val corpus69 = docs.filter(
+      (col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3) || col("doc_id") % 10 === 0)
+    val batch69 = docs.filter(col("doc_id") % 10 === 5 || col("doc_id") % 10 === 3)
+    val truth69 = sh(corpus69, "a_id").crossJoin(sh(batch69, "b_id"))
+      .filter(Dedup.jaccard(col("sh_a_id"), col("sh_b_id")) >= 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh69 = Dedup.minhashNearDupsAgainst(corpus69, batch69, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh69 === truth69)
   }
 
   test("remove: a taken-down doc's ghost no longer screens re-sent content, " +
