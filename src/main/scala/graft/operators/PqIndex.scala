@@ -114,6 +114,29 @@ object PqIndex {
     * Flat builds (`nlist = 0`) encode raw vectors and stay bit-identical
     * to [[Similarity.pqTopK]] over the same codebooks.
     */
+  /** Train the model over `vecs0` = (vec_id, v) and encode it: flat mode
+    * trains/encodes raw vectors, coarse mode residuals. Returns
+    * (codebooks, cell-stamped codes, cell-stamped vectors) — shared by
+    * [[build]] and [[retrain]] so the two cannot drift.
+    */
+  private def trainEncode(
+      vecs0: DataFrame, coarse: Option[DataFrame],
+      dim: Int, m: Int, codebookSize: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val vecs = withCell(vecs0, coarse)
+    coarse match {
+      case None =>
+        val cb = Similarity.pqCodebooks(vecs0, dim, m, codebookSize, iters, "vec_id", "v")
+        (cb, Similarity.pqEncode(vecs0, cb, dim, m, "vec_id", "v")
+          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"), vecs)
+      case Some(c) =>
+        // FAISS residual PQ: codebooks train on (v − c_cell), codes encode it
+        val resid = residualize(vecs, c)
+        val cb = Similarity.pqCodebooks(resid, dim, m, codebookSize, iters, "vec_id", "rv")
+        (cb, Similarity.pqEncode(resid, cb, dim, m, "vec_id", "rv")
+          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"), vecs)
+    }
+  }
+
   def build(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
       dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
@@ -123,19 +146,7 @@ object PqIndex {
     val coarse =
       if (nlist <= 0) None
       else Some(Similarity.kmeansCentroids(corpus, nlist, iters, idCol, vecCol))
-    val vecs = withCell(vecs0, coarse)
-    val (cb, codes) = coarse match {
-      case None =>
-        val cb0 = Similarity.pqCodebooks(corpus, dim, m, codebookSize, iters, idCol, vecCol)
-        (cb0, Similarity.pqEncode(corpus, cb0, dim, m, idCol, vecCol)
-          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"))
-      case Some(c) =>
-        // FAISS residual PQ: codebooks train on (v − c_cell), codes encode it
-        val resid = residualize(vecs, c)
-        val cb0 = Similarity.pqCodebooks(resid, dim, m, codebookSize, iters, "vec_id", "rv")
-        (cb0, Similarity.pqEncode(resid, cb0, dim, m, "vec_id", "rv")
-          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"))
-    }
+    val (cb, codes, vecs) = trainEncode(vecs0, coarse, dim, m, codebookSize, iters)
     val rows = (Seq(codebookRows(cb)) ++ coarse.map(centroidRows) ++
       Seq(codeRows(codes), vectorRows(vecs))).reduce(_ unionByName _)
     KeyedTable.create(spark, tablePath, rows,
@@ -192,6 +203,52 @@ object PqIndex {
     }).join(vecs.select(col("vec_id"), col("cell")), "vec_id")
     KeyedTable.upsert(spark, tablePath,
       codeRows(codes).unionByName(vectorRows(vecs)))
+  }
+
+  /** Re-fit the quantization model IN PLACE from the STORED vectors —
+    * [[AnnIndex.retrain]]'s compressed twin: appends encode against FROZEN
+    * codebooks (and coarse centroids), so a drifting corpus degrades ADC
+    * fidelity cell by cell; retrain re-runs coarse Lloyd (cell-stamped
+    * indexes; `nlist = 0` keeps the current list count, larger SPLITS) and
+    * the grouped subspace Lloyd over the stored vector partition,
+    * re-encodes every vector, and lands new centroids + codebooks + codes
+    * (+ tombstones for every stale (kind, s, id) key — so `m`,
+    * `codebookSize`, and `nlist` may all change) as ONE commit
+    * ([[KeyedTable.mergeRows]], images beat same-key tombstones). No read
+    * ever sees a half-retrained index; `asOf` probes reproduce the old
+    * model; rollback restores it wholesale. MODE-PRESERVING by design:
+    * flat stays flat, cell-stamped stays cell-stamped — the encoding stamp
+    * is a build-time constant that historical probes rely on, so switching
+    * layouts is a rebuild, not a retrain (the FAISS posture too: the index
+    * type is fixed, training refits it).
+    */
+  def retrain(
+      spark: SparkSession, tablePath: String,
+      dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      nlist: Int = 0): Unit = {
+    val t = KeyedTable.read(spark, tablePath)
+    val residual = graft.table.TableProperties.get(spark, tablePath)
+      .get(EncodingProp).map(_ == "residual")
+      .getOrElse(!t.filter(col(KindCol) === CentroidKind).limit(1).isEmpty)
+    require(!(nlist > 0 && !residual),
+      "retrain cannot convert a flat index to IVF-PQ — the encoding is a " +
+        "build-time layout historical probes rely on; rebuild with nlist > 0 instead")
+    val vecs0 = t.filter(col(KindCol) === VectorKind)
+      .select(col("id").as("vec_id"), col("v"))
+    val coarse =
+      if (!residual) None
+      else {
+        val n = if (nlist > 0) nlist
+          else t.filter(col(KindCol) === CentroidKind).count().toInt
+        Some(Similarity.kmeansCentroids(vecs0, n, iters, "vec_id", "v"))
+      }
+    val (cb, codes, vecs) = trainEncode(vecs0, coarse, dim, m, codebookSize, iters)
+    val images = (Seq(codebookRows(cb)) ++ coarse.map(centroidRows) ++
+      Seq(codeRows(codes), vectorRows(vecs))).reduce(_ unionByName _)
+    val dels = t.filter(col(KindCol).isin(CodebookKind, CentroidKind, CodeKind))
+      .select(col(KindCol), col("s"), col("id"))
+    KeyedTable.mergeRows(spark, tablePath, dels, images)
+    ()
   }
 
   /** Takedown leg: drop `ids`' CODE and VECTOR rows from the standing

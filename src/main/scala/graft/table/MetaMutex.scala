@@ -13,16 +13,17 @@ import graft.model.GraftException
   * (e.g. a campaign cursor write reverting a user's `compact.auto` flip —
   * the silent-maintenance-off failure ADVICE r10 flagged).
   *
-  * Same race-proof core as [[TableLock]], minus fencing (the critical
-  * section is held end-to-end, so no publisher ever needs to re-validate a
-  * token later): lease files under `<logDir>/<scope>.mutex/` NAMED BY a
-  * monotonic token; the holder is the highest-token unexpired lease;
-  * acquiring — fresh or past an expired lease — is one atomic exclusive
-  * create of the NEXT token's file, so concurrent acquirers produce exactly
-  * one winner and nobody deletes another's live lease. Critical sections
-  * here are millisecond-sized metadata rewrites, so the TTL is short
-  * (default 30 s): a holder that dies mid-write stalls other writers for at
-  * most that long.
+  * Same race-proof core as [[TableLock]]: lease files under
+  * `<logDir>/<scope>.mutex/` NAMED BY a monotonic token (next = max(listed,
+  * never-deleted `token.seq`) + 1), taken with one atomic exclusive create.
+  * Where TableLock closes the stale-listing ABA window with its
+  * publish-time FENCING check, a mutex has no later validation point — so
+  * the guard moves to acquisition: after winning the create, the acquirer
+  * lists again and backs off if ANY other unexpired lease exists (see
+  * tryAcquire). Nobody ever deletes a live lease. Critical sections here
+  * are millisecond-sized metadata rewrites, so the TTL is short (default
+  * 30 s): a holder that dies mid-write stalls other writers for at most
+  * that long.
   *
   * Posture: serialization is GUARANTEED between participating writers on
   * filesystems with atomic exclusive create (local via NIO O_EXCL, HDFS,
@@ -75,13 +76,59 @@ private[table] object MetaMutex {
       if (expiryOf(spark, tablePath, top) >= now) return None // held and live
       top.getName.stripPrefix("m-").stripSuffix(".lock").toLong
     }
-    val mine = new Path(dir, f"m-${topToken + 1}%020d.lock")
+    // the NEXT token derives from max(listing, token.seq) — like TableLock.
+    // The seq file is the piece that makes token reuse safe: a release
+    // DELETES the top lease, so an acquirer with a stale (pre-delete)
+    // listing and one with a fresh (post-delete, empty) listing would
+    // otherwise derive DIFFERENT next tokens and both "win" their own —
+    // two writers inside the critical section (caught as a tmp-file
+    // collision under a full-suite run). With the never-deleted seq both
+    // derive the SAME next token and the atomic exclusive create
+    // arbitrates exactly one winner.
+    val next = math.max(topToken, readSeq(spark, tablePath, scope)) + 1
+    val mine = new Path(dir, f"m-$next%020d.lock")
     val content = (now + ttlMs(spark)).toString.getBytes("UTF-8")
     if (!TableLock.createExclusive(spark, tablePath, mine, content)) return None
-    // winner-only housekeeping: sweep superseded (strictly lower) leases
-    try leases.filter(_.getName < mine.getName).foreach(p => f.delete(p, false))
+    // winner-only housekeeping: persist the token (best-effort)
+    try {
+      val out = f.create(seqFile(tablePath, scope), true)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () }
+    // MUTUAL-EXCLUSION GUARD (what TableLock gets from its publish-time
+    // fencing check, restated for a fence-less mutex): a racer holding a
+    // stale listing can create a DIFFERENT token and "win" its own create;
+    // so after winning, list again — ANY other unexpired lease means back
+    // off (delete mine, retry). Both racers' files exist from each create
+    // until its delete, and each guard runs after its own create, so the
+    // later guard always sees the earlier file: two concurrent entries are
+    // impossible, and mutual back-off just retries under jitter. Only
+    // EXPIRED leftovers are swept — never a live rival.
+    val rivals = f.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.matches("m-\\d{20}\\.lock") && p.getName != mine.getName)
+    val live = rivals.filter(p =>
+      expiryOf(spark, tablePath, p) >= System.currentTimeMillis())
+    if (live.nonEmpty) {
+      try f.delete(mine, false) catch { case _: Exception => () }
+      return None
+    }
+    try rivals.foreach(p => f.delete(p, false))
     catch { case _: Exception => () }
     Some(Held(dir, mine))
+  }
+
+  private def seqFile(tablePath: String, scope: String): Path =
+    new Path(mutexDir(tablePath, scope), "token.seq")
+
+  private def readSeq(spark: SparkSession, tablePath: String, scope: String): Long = {
+    val f = CommitLog.fs(spark, tablePath)
+    val p = seqFile(tablePath, scope)
+    if (!f.exists(p)) return 0L
+    try {
+      val in = f.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toLong
+      finally in.close()
+    } catch { case _: Exception => 0L }
   }
 
   /** Run `body` under the scope's mutex. Throws a retryable conflict when

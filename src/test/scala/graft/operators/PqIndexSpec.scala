@@ -193,6 +193,56 @@ class PqIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("built flat"))
   }
 
+  test("retrain re-fits the model IN PLACE as one commit: equals a fresh build " +
+      "over the stored vectors, history stays asOf-able, m and nlist may change, " +
+      "and flat→IVF conversion refuses") {
+    import spark.implicits._
+    val idx = s"${tmpDir("pq-retrain")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val batch = emb.filter(col("vec_id") >= 25 && col("vec_id") < 50)
+    val queries = emb.filter(col("vec_id") < 5)
+    PqIndex.build(spark, idx, corpus, dim = 64, m = 16, iters = 2, nlist = 4)
+    PqIndex.append(spark, idx, batch, dim = 64, m = 16) // drift under the frozen model
+    val tip1 = CommitLog.commits(spark, idx).last.commitTime
+    val before = pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64,
+      m = 16, shortlist = 10, nprobe = 4))
+
+    // SPLIT + re-fit: nlist 4→8 AND m 16→8 in one merge commit — every
+    // stale (kind, s, id) key (the s ∈ [8,16) code rows, the old coarse
+    // ids) dies in the same instant the new model lands
+    PqIndex.retrain(spark, idx, dim = 64, m = 8, iters = 2, nlist = 8)
+    assert(CommitLog.commits(spark, idx).map(_.operation)
+      .filterNot(_ == "compact") === Seq("bootstrap", "delta_commit", "merge"))
+    val t = graft.table.KeyedTable.read(spark, idx)
+    val n = corpus.count() + batch.count()
+    assert(t.filter(col(PqIndex.KindCol) === PqIndex.CodeKind).count() === n * 8)
+    assert(PqIndex.coarseCentroids(spark, idx).count() === 8)
+    assert(PqIndex.codebooks(spark, idx).count() === 8 * 16)
+
+    // the retrained index is bit-identical to a FRESH (nlist=8, m=8) build
+    // over the same vectors — deterministic Lloyd; history is the only diff
+    val fresh = s"${tmpDir("pq-retrain-fresh")}/idx"
+    PqIndex.build(spark, fresh, corpus.unionByName(batch),
+      dim = 64, m = 8, iters = 2, nlist = 8)
+    assert(pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64, m = 8,
+      shortlist = 10, nprobe = 8)) ===
+      pairs(PqIndex.probe(spark, fresh, queries, k = 10, dim = 64, m = 8,
+        shortlist = 10, nprobe = 8)))
+
+    // history: the pre-retrain (m=16, nlist=4) model still answers asOf
+    assert(pairs(PqIndex.probe(spark, idx, queries, k = 10, dim = 64, m = 16,
+      shortlist = 10, nprobe = 4, asOf = Some(tip1))) === before)
+
+    // mode preservation: a FLAT index refuses an IVF retrain loudly
+    val flat = s"${tmpDir("pq-retrain-flat")}/idx"
+    PqIndex.build(spark, flat, emb.filter(col("vec_id") >= 400),
+      dim = 64, m = 16, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.retrain(spark, flat, dim = 64, m = 16, nlist = 8)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("probe recall@10 clears the x64 bar against the exact top-10") {
     val idx = s"${tmpDir("pq-recall")}/idx"
     val corpus = emb.filter(col("vec_id") >= 25)
