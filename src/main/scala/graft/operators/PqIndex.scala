@@ -114,25 +114,28 @@ object PqIndex {
     * Flat builds (`nlist = 0`) encode raw vectors and stay bit-identical
     * to [[Similarity.pqTopK]] over the same codebooks.
     */
-  /** Train the model over `vecs0` = (vec_id, v) and encode it: flat mode
-    * trains/encodes raw vectors, coarse mode residuals. Returns
-    * (codebooks, cell-stamped codes, cell-stamped vectors) — shared by
-    * [[build]] and [[retrain]] so the two cannot drift.
+  /** Train the model over `vecs0` = (vec_id, v) and encode it: raw or
+    * residual per `residualEnc` (residual needs coarse cells; raw may still
+    * be cell-stamped — the pre-residual layout [[retrain]] must PRESERVE so
+    * historical `asOf` probes keep scoring against the encoding their codes
+    * were written under). Returns (codebooks, cell-stamped codes,
+    * cell-stamped vectors) — shared by [[build]] and [[retrain]] so the two
+    * cannot drift.
     */
   private def trainEncode(
-      vecs0: DataFrame, coarse: Option[DataFrame],
+      vecs0: DataFrame, coarse: Option[DataFrame], residualEnc: Boolean,
       dim: Int, m: Int, codebookSize: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
     val vecs = withCell(vecs0, coarse)
     coarse match {
-      case None =>
-        val cb = Similarity.pqCodebooks(vecs0, dim, m, codebookSize, iters, "vec_id", "v")
-        (cb, Similarity.pqEncode(vecs0, cb, dim, m, "vec_id", "v")
-          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"), vecs)
-      case Some(c) =>
+      case Some(c) if residualEnc =>
         // FAISS residual PQ: codebooks train on (v − c_cell), codes encode it
         val resid = residualize(vecs, c)
         val cb = Similarity.pqCodebooks(resid, dim, m, codebookSize, iters, "vec_id", "rv")
         (cb, Similarity.pqEncode(resid, cb, dim, m, "vec_id", "rv")
+          .join(vecs.select(col("vec_id"), col("cell")), "vec_id"), vecs)
+      case _ =>
+        val cb = Similarity.pqCodebooks(vecs0, dim, m, codebookSize, iters, "vec_id", "v")
+        (cb, Similarity.pqEncode(vecs0, cb, dim, m, "vec_id", "v")
           .join(vecs.select(col("vec_id"), col("cell")), "vec_id"), vecs)
     }
   }
@@ -146,7 +149,8 @@ object PqIndex {
     val coarse =
       if (nlist <= 0) None
       else Some(Similarity.kmeansCentroids(corpus, nlist, iters, idCol, vecCol))
-    val (cb, codes, vecs) = trainEncode(vecs0, coarse, dim, m, codebookSize, iters)
+    val (cb, codes, vecs) =
+      trainEncode(vecs0, coarse, residualEnc = coarse.isDefined, dim, m, codebookSize, iters)
     val rows = (Seq(codebookRows(cb)) ++ coarse.map(centroidRows) ++
       Seq(codeRows(codes), vectorRows(vecs))).reduce(_ unionByName _)
     KeyedTable.create(spark, tablePath, rows,
@@ -182,6 +186,16 @@ object PqIndex {
     asOf.map(KeyedTable.readAsOf(spark, tablePath, _))
       .getOrElse(KeyedTable.read(spark, tablePath))
 
+  /** True when the stored codes are residual-encoded. The build-time stamp
+    * answers without a Spark action; an ABSENT stamp means the table
+    * predates the residual scheme, whose cell-stamped builds encoded RAW —
+    * so absence reads as raw (never as "centroids present ⇒ residual":
+    * that fallback silently mis-scored exactly those older tables).
+    */
+  private def encodingOf(spark: SparkSession, tablePath: String): Boolean =
+    graft.table.TableProperties.get(spark, tablePath)
+      .get(EncodingProp).contains("residual")
+
   /** Encode a new batch against the STORED codebooks (no retraining) and
     * upsert its code + vector rows — one MOR delta commit, O(batch) cost;
     * re-delivered ids fold to one entry per (kind, s, id).
@@ -195,11 +209,14 @@ object PqIndex {
     val coarse = if (coarseDf.isEmpty) None else Some(coarseDf)
     val vecs = withCell(
       batch.select(col(idCol).as("vec_id"), col(vecCol).as("v")), coarse)
-    // cell-stamped indexes encode RESIDUALS against the stored coarse
-    // centroids (matching build); flat indexes encode raw vectors
+    // encode MATCHING the stored codes' scheme: the build-time stamp says
+    // residual or raw; an absent stamp means a pre-residual-scheme table,
+    // whose codes are RAW even when cell-stamped — residualizing a new
+    // batch against raw codebooks would corrupt its ADC scores silently
     val codes = (coarse match {
-      case None => Similarity.pqEncode(batch, cb, dim, m, idCol, vecCol)
-      case Some(c) => Similarity.pqEncode(residualize(vecs, c), cb, dim, m, "vec_id", "rv")
+      case Some(c) if encodingOf(spark, tablePath) => // residual
+        Similarity.pqEncode(residualize(vecs, c), cb, dim, m, "vec_id", "rv")
+      case _ => Similarity.pqEncode(batch, cb, dim, m, idCol, vecCol)
     }).join(vecs.select(col("vec_id"), col("cell")), "vec_id")
     KeyedTable.upsert(spark, tablePath,
       codeRows(codes).unionByName(vectorRows(vecs)))
@@ -227,27 +244,41 @@ object PqIndex {
       dim: Int, m: Int = 8, codebookSize: Int = 16, iters: Int = 2,
       nlist: Int = 0): Unit = {
     val t = KeyedTable.read(spark, tablePath)
-    val residual = graft.table.TableProperties.get(spark, tablePath)
-      .get(EncodingProp).map(_ == "residual")
-      .getOrElse(!t.filter(col(KindCol) === CentroidKind).limit(1).isEmpty)
-    require(!(nlist > 0 && !residual),
+    // MODE (cell-stamped vs flat) and ENCODING (residual vs raw) are
+    // separate build-time facts: post-stamp builds tie them together
+    // (nlist > 0 ⟺ residual), but a table built before the residual scheme
+    // can be cell-stamped with RAW codes — its retrain must re-encode RAW
+    // (probes score under the stamped/absent encoding, and historical asOf
+    // probes keep doing so, so flipping the encoding here would silently
+    // mis-score them all)
+    val residualEnc = graft.table.TableProperties.get(spark, tablePath)
+      .get(EncodingProp).contains("residual")
+    val cellStamped =
+      residualEnc || !t.filter(col(KindCol) === CentroidKind).limit(1).isEmpty
+    require(!(nlist > 0 && !cellStamped),
       "retrain cannot convert a flat index to IVF-PQ — the encoding is a " +
         "build-time layout historical probes rely on; rebuild with nlist > 0 instead")
     val vecs0 = t.filter(col(KindCol) === VectorKind)
       .select(col("id").as("vec_id"), col("v"))
     val coarse =
-      if (!residual) None
+      if (!cellStamped) None
       else {
         val n = if (nlist > 0) nlist
           else t.filter(col(KindCol) === CentroidKind).count().toInt
         Some(Similarity.kmeansCentroids(vecs0, n, iters, "vec_id", "v"))
       }
-    val (cb, codes, vecs) = trainEncode(vecs0, coarse, dim, m, codebookSize, iters)
+    val (cb, codes, vecs) =
+      trainEncode(vecs0, coarse, residualEnc, dim, m, codebookSize, iters)
     val images = (Seq(codebookRows(cb)) ++ coarse.map(centroidRows) ++
       Seq(codeRows(codes), vectorRows(vecs))).reduce(_ unionByName _)
     val dels = t.filter(col(KindCol).isin(CodebookKind, CentroidKind, CodeKind))
       .select(col(KindCol), col("s"), col("id"))
     KeyedTable.mergeRows(spark, tablePath, dels, images)
+    // stamp the (preserved) encoding alongside the merge, mirroring build:
+    // a pre-stamp table leaves retrain self-describing instead of
+    // fallback-dependent forever
+    graft.table.TableProperties.set(spark, tablePath,
+      Map(EncodingProp -> (if (residualEnc) "residual" else "raw")))
     ()
   }
 
@@ -305,15 +336,11 @@ object PqIndex {
       .select(col("id").as("vec_id"), col("v"))
     val coarse = t.filter(col(KindCol) === CentroidKind)
       .select(col("id").as("cent_id"), col("v").as("cv"))
-    // coarse centroids present ⟺ the stored codes are residual-encoded;
-    // the build-time property answers without a Spark action (the encoding
-    // is constant for the table's life, so asOf probes read it too); the
-    // centroid-partition probe remains as the fallback for older tables
-    val residual = graft.table.TableProperties.get(spark, tablePath)
-      .get(EncodingProp) match {
-      case Some(e) => e == "residual"
-      case None => !coarse.limit(1).isEmpty
-    }
+    // the build-time stamp answers the ENCODING question without a Spark
+    // action (constant for the table's life, so asOf probes read it too);
+    // an absent stamp = pre-residual-scheme table = raw codes, even when
+    // cell-stamped — those cells still serve the IVF restriction below
+    val residual = encodingOf(spark, tablePath)
 
     // IVF leg (nprobe > 0 on a cell-stamped index): each query picks its
     // nprobe nearest COARSE cells against the tiny broadcast centroid set,
@@ -324,8 +351,11 @@ object PqIndex {
       else {
         // fail FAST on the silent-empty misconfiguration: nprobe > 0 against
         // an index built flat (nlist = 0) would match no cell anywhere and
-        // read as "no neighbors" instead of an error
-        if (!residual)
+        // read as "no neighbors" instead of an error. Residual-stamped
+        // tables have cells by construction (no action); raw/unstamped ones
+        // probe the centroid partition (one limit(1) off the hot path —
+        // every post-stamp IVF table is residual)
+        if (!residual && coarse.limit(1).isEmpty)
           throw new IllegalArgumentException(
             s"probe(nprobe=$nprobe) needs coarse IVF cells, but the index at " +
               s"$tablePath was built flat (nlist = 0). Rebuild with nlist > 0 " +

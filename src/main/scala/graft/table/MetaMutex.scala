@@ -137,8 +137,16 @@ private[table] object MetaMutex {
   def withLock[T](spark: SparkSession, tablePath: String, scope: String)(body: => T): T = {
     val deadline = System.currentTimeMillis() + timeoutMs(spark)
     var held = tryAcquire(spark, tablePath, scope)
+    // exponential backoff (~10 ms doubling to a 250 ms cap, jittered to
+    // de-synchronize spinners): each attempt lists the lease dir + reads the
+    // top lease, so a fixed 10–25 ms spin against a dead holder burned
+    // hundreds of object-store round-trips before the TTL freed it — the
+    // cap keeps worst-case extra latency after a release at a quarter second
+    // on this millisecond-sized administrative path
+    var backoffMs = 10L
     while (held.isEmpty && System.currentTimeMillis() < deadline) {
-      Thread.sleep(10 + scala.util.Random.nextInt(15)) // jitter de-synchronizes spinners
+      Thread.sleep(backoffMs + scala.util.Random.nextInt(15))
+      backoffMs = math.min(backoffMs * 2, 250L)
       held = tryAcquire(spark, tablePath, scope)
     }
     val h = held.getOrElse(throw GraftException.conflict(

@@ -154,11 +154,20 @@ private[table] object ReclaimCampaign {
       } else if (fullCycleClean) {
         // a full no-carrier CYCLE (possibly spanning many publishes): one
         // bounded run sheds the ddl + mapping (its footer check of
-        // everything outside the single target passes by construction)
-        KeyedTable.reclaim(spark, tablePath, Some(Seq(sorted.head)))
+        // everything outside the single target passes by construction).
+        // sorted can only be empty here if every native partition vanished
+        // since the early-exit check — then no live file can carry the
+        // column and a partition-less reclaim sheds directly (head of an
+        // empty list would throw into the best-effort catch and log a
+        // failure on EVERY publish, never shedding)
+        sorted.headOption match {
+          case Some(h) => KeyedTable.reclaim(spark, tablePath, Some(Seq(h)))
+          case None => KeyedTable.reclaim(spark, tablePath)
+        }
         TableProperties.unset(spark, tablePath, Seq(cursorKey, cleanKey))
         MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
-          operation, "ok", s"shed run over ${sorted.head} inspected=$inspected")
+          operation, "ok",
+          s"shed run over ${sorted.headOption.getOrElse("<no partitions>")} inspected=$inspected")
       } else
         MaintenanceLog.record(spark, tablePath, TableProperties.CampaignReclaim,
           operation, "ok",

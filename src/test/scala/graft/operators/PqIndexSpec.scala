@@ -243,6 +243,82 @@ class PqIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("pre-stamp cell-stamped tables (built before the residual scheme) score " +
+      "RAW: nprobe stays allowed, append encodes raw to match, and retrain " +
+      "re-encodes raw AND stamps the preserved encoding") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.table.{KeyedTable, TableProperties}
+    val idx = s"${tmpDir("pq-prestamp")}/idx"
+    val corpus = emb.filter(col("vec_id") >= 25).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    // fabricate exactly what a pre-residual-scheme IVF build stored: RAW
+    // codes + coarse cells + NO pq.encoding stamp (public pieces only)
+    val coarse = Similarity.kmeansCentroids(corpus, 4, 1)
+    val wc = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val cells = corpus.crossJoin(coarse)
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        Similarity.cosine(col("embedding"), col("cv")).as("csim"))
+      .withColumn("r", row_number().over(wc)).filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding").as("v"), col("cent_id").cast("long").as("cell"))
+    val cb = Similarity.pqCodebooks(corpus, dim = 64, m = 16, codebookSize = 16, iters = 1)
+    val rawCodes = Similarity.pqEncode(corpus, cb, 64, 16)
+      .join(cells.select("vec_id", "cell"), "vec_id")
+    val rows = cb.select(lit("codebook").as("kind"), col("s").cast("int").as("s"),
+        col("cent_id").cast("long").as("id"), lit(null).cast("long").as("code"),
+        lit(null).cast("long").as("cell"), col("cv").as("v"))
+      .unionByName(coarse.select(lit("centroid").as("kind"), lit(0).as("s"),
+        col("cent_id").cast("long").as("id"), lit(null).cast("long").as("code"),
+        col("cent_id").cast("long").as("cell"), col("cv").as("v")))
+      .unionByName(rawCodes.select(lit("code").as("kind"), col("s").cast("int").as("s"),
+        col("vec_id").cast("long").as("id"), col("code").cast("long").as("code"),
+        col("cell"), lit(null).cast("array<float>").as("v")))
+      .unionByName(cells.select(lit("vector").as("kind"), lit(0).as("s"),
+        col("vec_id").cast("long").as("id"), lit(null).cast("long").as("code"),
+        col("cell"), col("v")))
+    KeyedTable.create(spark, idx, rows, tableName = "pq_prestamp",
+      keyFields = Seq("kind", "s", "id"), precombineField = "id",
+      partitionFields = Seq("kind"), tableType = graft.model.TableType.MergeOnRead)
+    assert(!TableProperties.get(spark, idx).contains(PqIndex.EncodingProp))
+
+    // the absent stamp reads as RAW: the ADC shortlist (pinned by
+    // shortlist = 1, where ADC order IS the candidate set) matches the raw
+    // recompute — the old centroids-present⇒residual fallback mis-scored
+    // exactly this table
+    assert(pairs(PqIndex.probe(spark, idx, queries, k = 5, dim = 64, m = 16,
+      shortlist = 1)) ===
+      pairs(Similarity.pqTopK(corpus, queries, k = 5, dim = 64, m = 16,
+        shortlist = 1, codebooks = Some(cb))))
+    // the cells still serve the IVF restriction (no flat-index refusal)
+    assert(PqIndex.probe(spark, idx, queries, k = 5, dim = 64, m = 16,
+      shortlist = 2, nprobe = 2).count() > 0)
+
+    // append encodes RAW to match the stored codes
+    val batch = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select("vec_id", "embedding")
+    PqIndex.append(spark, idx, batch, dim = 64, m = 16)
+    def codeSet(ids: Seq[Long]) = KeyedTable.read(spark, idx)
+      .filter(col("kind") === "code" && col("id").isin(ids: _*))
+      .select(col("id"), col("s"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = Similarity.pqEncode(batch, cb, 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(codeSet(Seq(10L, 11L, 12L, 13L, 14L)) === expected,
+      "append residualized against a raw-coded table")
+
+    // retrain PRESERVES the raw encoding, keeps the cell-stamped mode, and
+    // stamps pq.encoding so the table stops depending on the fallback
+    PqIndex.retrain(spark, idx, dim = 64, m = 16, codebookSize = 16, iters = 1)
+    assert(TableProperties.get(spark, idx).get(PqIndex.EncodingProp) === Some("raw"))
+    val cbNew = PqIndex.codebooks(spark, idx)
+    val all = corpus.unionByName(batch)
+    assert(pairs(PqIndex.probe(spark, idx, queries, k = 5, dim = 64, m = 16,
+      shortlist = 1)) ===
+      pairs(Similarity.pqTopK(all, queries, k = 5, dim = 64, m = 16,
+        shortlist = 1, codebooks = Some(cbNew))))
+    assert(PqIndex.probe(spark, idx, queries, k = 5, dim = 64, m = 16,
+      shortlist = 2, nprobe = 2).count() > 0, "retrain lost the coarse cells")
+  }
+
   test("probe recall@10 clears the x64 bar against the exact top-10") {
     val idx = s"${tmpDir("pq-recall")}/idx"
     val corpus = emb.filter(col("vec_id") >= 25)
