@@ -43,6 +43,16 @@ object DedupIndex {
   val SigCol = "sig"
   val ShCol = "sh"
 
+  /** Informational parameter stamps written at [[bootstrap]]/[[rebuild]]/
+    * [[cutover]]: the shingle/signature parameters the stored entries were
+    * computed under. Probes still take the parameters explicitly (they must
+    * match the INDEX, and the caller owns that contract); the stamps make
+    * the contract inspectable (`show_properties`) and give the SQL rebuild
+    * procedure its defaults.
+    */
+  val ShingleNProp = "dedup.shingle_n"
+  val NumHashesProp = "dedup.num_hashes"
+
   /** Per-doc index entry: id, minhash signature, distinct shingle set. */
   private def entriesOf(
       docs: DataFrame, idCol: String, textCol: String,
@@ -67,7 +77,73 @@ object DedupIndex {
       keyFields = Seq(idCol), precombineField = idCol,
       partitionFields = Seq.empty, tableType = TableType.MergeOnRead)
     graft.table.TableProperties.set(spark, indexPath,
-      Map(graft.table.TableProperties.CompactAuto -> "true"))
+      Map(graft.table.TableProperties.CompactAuto -> "true",
+        ShingleNProp -> shingleN.toString, NumHashesProp -> numHashes.toString))
+  }
+
+  /** Re-parameterize IN PLACE — the [[graft.operators.PqIndex.retrain]]
+    * analogue for the one index whose "model" is its parameters: recompute
+    * every entry from `corpus` under NEW (shingleN, numHashes) and land the
+    * images plus tombstones for every current id (ids no longer in the
+    * corpus die; ids still present get their new-parameter image — images
+    * beat same-key tombstones) as ONE commit ([[KeyedTable.mergeRows]]).
+    * No batch ever screens against a half-rebuilt index: probes before the
+    * commit use the old entries (old parameters), after it the new — flip
+    * the probe-side parameters (and any [[SyncRegistry]] spec) at the same
+    * moment. `asOf` before the commit still reproduces the old screening;
+    * rollback restores it wholesale. Requires a corpus scan by nature (the
+    * index deliberately stores no raw text — shingles are normalized
+    * derivations); when that scan is too long to run in place, stage with
+    * [[rebuildTo]] + [[cutover]] instead.
+    */
+  def rebuild(
+      spark: SparkSession, indexPath: String, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16): Unit = {
+    val keyF = graft.table.CommitLog.requireState(spark, indexPath).latest.keyFields
+    require(keyF == Seq(idCol),
+      s"index at $indexPath is keyed by ${keyF.mkString(",")}, not $idCol")
+    val dels = KeyedTable.read(spark, indexPath).select(col(idCol))
+    KeyedTable.mergeRows(spark, indexPath, dels,
+      entriesOf(corpus, idCol, textCol, shingleN, numHashes))
+    graft.table.TableProperties.set(spark, indexPath,
+      Map(ShingleNProp -> shingleN.toString, NumHashesProp -> numHashes.toString))
+  }
+
+  /** Stage a rebuild: bootstrap a FRESH index under new parameters at a
+    * staging path while the live index keeps serving (batches in flight
+    * screen against the OLD entries until [[cutover]]). Just [[bootstrap]],
+    * named for the flow it belongs to.
+    */
+  def rebuildTo(
+      spark: SparkSession, stagingPath: String, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16): Unit =
+    bootstrap(spark, stagingPath, corpus, idCol, textCol, shingleN, numHashes)
+
+  /** Atomic cutover from a [[rebuildTo]] staging index: replace the live
+    * index's entries wholesale with the staging index's as ONE mergeRows
+    * commit at the LIVE path — readers and in-flight gate batches see the
+    * old entries until the commit and the new ones after, never a mix; the
+    * live path's history stays `asOf`-able (the compliance posture — a
+    * directory swap would orphan it). The parameter stamps copy over; flip
+    * probe-side parameters (and any [[SyncRegistry]] spec) with the
+    * cutover. The staging index is left untouched for the caller to retire.
+    */
+  def cutover(
+      spark: SparkSession, indexPath: String, stagingPath: String): Unit = {
+    val keyF = graft.table.CommitLog.requireState(spark, indexPath).latest.keyFields
+    val stagingKeyF =
+      graft.table.CommitLog.requireState(spark, stagingPath).latest.keyFields
+    require(keyF == stagingKeyF,
+      s"cutover key mismatch: live ${keyF.mkString(",")} vs staging ${stagingKeyF.mkString(",")}")
+    val idCol = keyF.head
+    val dels = KeyedTable.read(spark, indexPath).select(col(idCol))
+    KeyedTable.mergeRows(spark, indexPath, dels,
+      KeyedTable.read(spark, stagingPath).select(col(idCol), col(SigCol), col(ShCol)))
+    val stamps = graft.table.TableProperties.get(spark, stagingPath)
+      .filter { case (k, _) => k == ShingleNProp || k == NumHashesProp }
+    if (stamps.nonEmpty) graft.table.TableProperties.set(spark, indexPath, stamps)
   }
 
   /** Near-dup pairs (a_id = index doc, b_id = batch doc, jaccard ≥

@@ -19,10 +19,13 @@ import graft.table.KeyedTable
   * STORED trained state, never a retrain).
   *
   * Delivery is at-least-once (the handler runs before the watermark
-  * write), and the apply is IDEMPOTENT — keyed tombstones + keyed
-  * upserts, deletes applied before upserts like [[graft.table.TableSync]]
-  * (a key appears in an interval as its END state: deleted or upserted,
-  * not both) — so a crash-replayed interval converges to the same index.
+  * write), and the apply is IDEMPOTENT — keyed tombstones + keyed upserts,
+  * deletes applied before upserts like [[graft.table.TableSync]]. The
+  * order is LOAD-BEARING: `readChanges` emits BOTH a tombstone and the
+  * latest image for a key deleted then re-inserted inside one interval,
+  * so only deletes-first lets the upserted end state win — reordering
+  * would silently drop re-inserted keys from the index. Under that order
+  * a crash-replayed interval converges to the same index.
   * Schedule the call per corpus publish (or poll with
   * [[ChangeStream.follow]]'s shape); `startAt` pins the first interval,
   * e.g. the corpus instant the index was BUILT from — the batch
@@ -38,6 +41,29 @@ object IndexSync {
     changes.filter(col(KeyedTable.ChangeOp) === "delete"),
     changes.filter(col(KeyedTable.ChangeOp) === "upsert"))
 
+  /** Apply one CDC interval to one standing index: deletes tombstone first,
+    * then upserts (re)index the latest images — see the ordering note in
+    * the object doc. Shared by the explicit `sync*` faces and the
+    * registry-driven apply ([[SyncRegistry]]).
+    */
+  private[operators] def applyInterval(
+      spark: SparkSession, indexPath: String, changes: DataFrame,
+      spec: SyncRegistry.Spec): Unit = {
+    val (dels, ups) = split(changes)
+    spec match {
+      case d: SyncRegistry.DedupSpec =>
+        if (!dels.isEmpty) DedupIndex.remove(spark, indexPath, dels.select(d.idCol), d.idCol)
+        if (!ups.isEmpty)
+          DedupIndex.append(spark, indexPath, ups, d.idCol, d.textCol, d.shingleN, d.numHashes)
+      case a: SyncRegistry.AnnSpec =>
+        if (!dels.isEmpty) AnnIndex.remove(spark, indexPath, dels.select(a.idCol), a.idCol)
+        if (!ups.isEmpty) AnnIndex.append(spark, indexPath, ups, a.idCol, a.vecCol)
+      case p: SyncRegistry.PqSpec =>
+        if (!dels.isEmpty) PqIndex.remove(spark, indexPath, dels.select(p.idCol), p.idCol)
+        if (!ups.isEmpty) PqIndex.append(spark, indexPath, ups, p.dim, p.m, p.idCol, p.vecCol)
+    }
+  }
+
   /** Apply one corpus CDC interval to a standing [[DedupIndex]]. Returns
     * the applied interval, or None when the corpus has no new commits.
     */
@@ -45,34 +71,36 @@ object IndexSync {
       spark: SparkSession, corpusPath: String, indexPath: String,
       checkpointDir: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16,
-      startAt: Option[String] = None): Option[ChangeStream.Pull] =
-    ChangeStream.pull(spark, corpusPath, checkpointDir, startAt) { (changes, _) =>
-      val (dels, ups) = split(changes)
-      if (!dels.isEmpty) DedupIndex.remove(spark, indexPath, dels.select(idCol), idCol)
-      if (!ups.isEmpty)
-        DedupIndex.append(spark, indexPath, ups, idCol, textCol, shingleN, numHashes)
+      startAt: Option[String] = None): Option[ChangeStream.Pull] = {
+    val spec = SyncRegistry.DedupSpec(indexPath, idCol, textCol, shingleN, numHashes)
+    ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
+      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      applyInterval(spark, indexPath, changes, spec)
     }
+  }
 
   /** Apply one corpus CDC interval to a standing [[AnnIndex]]. */
   def syncAnn(
       spark: SparkSession, corpusPath: String, indexPath: String,
       checkpointDir: String, idCol: String = "vec_id", vecCol: String = "embedding",
-      startAt: Option[String] = None): Option[ChangeStream.Pull] =
-    ChangeStream.pull(spark, corpusPath, checkpointDir, startAt) { (changes, _) =>
-      val (dels, ups) = split(changes)
-      if (!dels.isEmpty) AnnIndex.remove(spark, indexPath, dels.select(idCol), idCol)
-      if (!ups.isEmpty) AnnIndex.append(spark, indexPath, ups, idCol, vecCol)
+      startAt: Option[String] = None): Option[ChangeStream.Pull] = {
+    val spec = SyncRegistry.AnnSpec(indexPath, idCol, vecCol)
+    ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
+      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      applyInterval(spark, indexPath, changes, spec)
     }
+  }
 
   /** Apply one corpus CDC interval to a standing [[PqIndex]]. */
   def syncPq(
       spark: SparkSession, corpusPath: String, indexPath: String,
       checkpointDir: String, dim: Int, m: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      startAt: Option[String] = None): Option[ChangeStream.Pull] =
-    ChangeStream.pull(spark, corpusPath, checkpointDir, startAt) { (changes, _) =>
-      val (dels, ups) = split(changes)
-      if (!dels.isEmpty) PqIndex.remove(spark, indexPath, dels.select(idCol), idCol)
-      if (!ups.isEmpty) PqIndex.append(spark, indexPath, ups, dim, m, idCol, vecCol)
+      startAt: Option[String] = None): Option[ChangeStream.Pull] = {
+    val spec = SyncRegistry.PqSpec(indexPath, idCol, vecCol, dim, m)
+    ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
+      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      applyInterval(spark, indexPath, changes, spec)
     }
+  }
 }

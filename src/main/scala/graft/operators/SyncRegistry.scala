@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.model.GraftException
+import graft.streaming.ChangeStream
+import graft.table.{CommitLog, KeyedTable, MaintenanceLog, TableProperties}
+
+/** Hands-off derived-index consistency: a REGISTRY of a corpus table's
+  * standing indexes (`index.sync.<name>` table properties), applied by an
+  * afterPublish maintenance hook — so a corpus delete/upsert PROPAGATES to
+  * every registered dedup/ANN/PQ index with nobody scheduling per-index
+  * [[IndexSync]] calls. This closes the gap T46 left open: the sync
+  * MECHANISM existed, but each index needed its own hand-wired call with
+  * its own checkpoint, which is exactly the operator-babysitting failure
+  * the other policy hooks (`index.auto`, `compact.auto`, `campaign.reclaim`)
+  * were built to remove — a takedown reached only the indexes someone
+  * remembered. (Reference posture: app.py's background-task automation —
+  * maintenance rides write traffic, it is not a human's job.)
+  *
+  * ONE checkpointed [[ChangeStream.pull]] per corpus publish feeds EVERY
+  * registered index (name-ordered applies): N indexes no longer read the
+  * same CDC interval N times through N checkpoints, and they cannot drift
+  * to different watermarks — an apply failure on any index leaves the
+  * shared watermark untouched, so the next publish re-delivers the same
+  * interval to all of them (keyed-idempotent applies converge; see
+  * [[IndexSync]]'s ordering note). The checkpoint lives beside the commit
+  * log (`.graft/indexsync.ckpt`) and is IDENTITY-STAMPED to the corpus, so
+  * pointing a copied/mispointed checkpoint at a different corpus fails
+  * loudly instead of silently skipping pulled intervals.
+  *
+  * Registration: [[register]] stores the spec and, when `basis` names the
+  * corpus instant the index was BUILT from, immediately CATCHES the index
+  * UP over `(basis, tip]` — so an index built from an older snapshot joins
+  * the registry consistent, even when the shared watermark has already
+  * advanced past its build point (over-delivery is idempotent). Without a
+  * basis the index must have been built from the corpus at-or-after the
+  * current watermark — pass the build instant whenever in doubt.
+  *
+  * Cost per publish: one tiny properties read when nothing is registered;
+  * otherwise one partition-pruned CDC read (O(changes), never O(table))
+  * plus per-index O(|deletes|) tombstones and O(|upserts|) encode/assign
+  * work — appends go against each index's FROZEN trained state, never a
+  * retrain. Failure posture: BEST-EFFORT like the other hooks — a sync
+  * failure never fails the data publish that already landed; it journals
+  * to `.maintenance` and the untouched watermark retries the interval on
+  * the next publish (a lagging index serves a STALE-but-consistent view,
+  * the same correctness class as a stale stats sidecar). The ThreadLocal
+  * guard stops the apply's own index-table commits from cascading — a
+  * registered index that is itself a corpus with registered indexes does
+  * NOT sync transitively inside one hook; chain depth > 1 needs its own
+  * publishes or an explicit [[syncNow]].
+  */
+object SyncRegistry {
+
+  /** What to maintain: one standing index, with the parameters its apply
+    * needs (the corpus-side column names and the index's frozen-model
+    * shape). Serialized as compact JSON into the `index.sync.<name>`
+    * property.
+    */
+  sealed trait Spec {
+    def indexPath: String
+    def kind: String
+    def describe: String
+  }
+  final case class DedupSpec(
+      indexPath: String, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16) extends Spec {
+    def kind = "dedup"
+    def describe =
+      s"dedup $indexPath id=$idCol text=$textCol shingleN=$shingleN numHashes=$numHashes"
+  }
+  final case class AnnSpec(
+      indexPath: String, idCol: String = "vec_id",
+      vecCol: String = "embedding") extends Spec {
+    def kind = "ann"
+    def describe = s"ann $indexPath id=$idCol vec=$vecCol"
+  }
+  final case class PqSpec(
+      indexPath: String, idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 0, m: Int = 8) extends Spec {
+    def kind = "pq"
+    def describe = s"pq $indexPath id=$idCol vec=$vecCol dim=$dim m=$m"
+  }
+
+  private def toJson(spec: Spec): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("kind", spec.kind)
+    n.put("path", spec.indexPath)
+    spec match {
+      case d: DedupSpec =>
+        n.put("id", d.idCol); n.put("text", d.textCol)
+        n.put("shingleN", d.shingleN); n.put("numHashes", d.numHashes)
+      case a: AnnSpec =>
+        n.put("id", a.idCol); n.put("vec", a.vecCol)
+      case p: PqSpec =>
+        n.put("id", p.idCol); n.put("vec", p.vecCol)
+        n.put("dim", p.dim); n.put("m", p.m)
+    }
+    mapper.writeValueAsString(n)
+  }
+
+  private def fromJson(name: String, json: String): Spec = {
+    val n = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch {
+        case e: Exception => throw GraftException.config(
+          s"index.sync.$name is not a valid registry spec: ${e.getMessage}")
+      }
+    def str(f: String): String = {
+      val v = n.get(f)
+      if (v == null) throw GraftException.config(
+        s"index.sync.$name is missing the '$f' field: $json")
+      v.asText()
+    }
+    str("kind") match {
+      case "dedup" => DedupSpec(str("path"), str("id"), str("text"),
+        n.get("shingleN").asInt(3), n.get("numHashes").asInt(16))
+      case "ann" => AnnSpec(str("path"), str("id"), str("vec"))
+      case "pq" => PqSpec(str("path"), str("id"), str("vec"),
+        n.get("dim").asInt(0), n.get("m").asInt(8))
+      case k => throw GraftException.config(
+        s"index.sync.$name has unknown index kind '$k' (dedup | ann | pq).")
+    }
+  }
+
+  /** The shared checkpoint: one watermark for the WHOLE registry, stamped
+    * to the corpus. Beside the commit log like every other sidecar.
+    */
+  def checkpointDir(corpusPath: String): String =
+    new Path(CommitLog.logDir(corpusPath), "indexsync.ckpt").toString
+
+  private def identityOf(corpusPath: String): String =
+    s"indexsync.registry $corpusPath"
+
+  /** Register `spec` under `name` and make the index CONSISTENT with the
+    * registry's watermark: ensures the shared checkpoint exists (initialized
+    * at the corpus tip — never consuming an interval other registered
+    * indexes still need) and, when `basis` is given (the corpus instant the
+    * index was built from — recommended), catches this index up over
+    * `(basis, tip]` right away. Re-registering a name overwrites its spec.
+    */
+  def register(
+      spark: SparkSession, corpusPath: String, name: String, spec: Spec,
+      basis: Option[String] = None): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"registry name must be [A-Za-z0-9_-]+, got '$name'")
+    require(new Path(spec.indexPath).toString != new Path(corpusPath).toString,
+      "an index cannot be registered on itself as its own corpus")
+    CommitLog.requireState(spark, spec.indexPath) // a real index table
+    TableProperties.set(spark, corpusPath,
+      Map(TableProperties.IndexSyncPrefix + name -> toJson(spec)))
+    ChangeStream.initialize(spark, corpusPath, checkpointDir(corpusPath),
+      identity = Some(identityOf(corpusPath)))
+    basis.foreach { b =>
+      val changes = KeyedTable.readChanges(spark, corpusPath, b)
+      if (!changes.isEmpty) IndexSync.applyInterval(spark, spec.indexPath, changes, spec)
+    }
+  }
+
+  /** Drop `name` from the registry (its index table is left untouched). */
+  def unregister(spark: SparkSession, corpusPath: String, name: String): Unit =
+    TableProperties.unset(spark, corpusPath,
+      Seq(TableProperties.IndexSyncPrefix + name))
+
+  /** The registered indexes, name-sorted — the order applies run in. */
+  def registered(spark: SparkSession, corpusPath: String): Seq[(String, Spec)] =
+    TableProperties.get(spark, corpusPath).toSeq
+      .filter(_._1.startsWith(TableProperties.IndexSyncPrefix))
+      .sortBy(_._1)
+      .map { case (k, v) =>
+        val name = k.stripPrefix(TableProperties.IndexSyncPrefix)
+        name -> fromJson(name, v)
+      }
+
+  /** Pull the corpus's next CDC interval ONCE and apply it to every
+    * registered index in name order. Returns the applied interval and the
+    * index names it reached, or None when the corpus has no new commits
+    * (or nothing is registered). Any index's failure aborts the pull with
+    * the watermark untouched — the interval re-delivers to ALL indexes on
+    * the next call, and the keyed-idempotent applies converge.
+    */
+  def syncNow(
+      spark: SparkSession,
+      corpusPath: String): Option[(ChangeStream.Pull, Seq[String])] = {
+    val regs = registered(spark, corpusPath)
+    if (regs.isEmpty) return None
+    ChangeStream.pull(spark, corpusPath, checkpointDir(corpusPath),
+      identity = Some(identityOf(corpusPath))) { (changes, _) =>
+      regs.foreach { case (_, spec) =>
+        IndexSync.applyInterval(spark, spec.indexPath, changes, spec)
+      }
+    }.map(p => (p, regs.map(_._1)))
+  }
+
+  /** Corpus publishes that change no logical rows (or ARE maintenance)
+    * never trigger a sync: their CDC interval is empty by construction —
+    * compaction/clustering/sizing rewrites keep original commit times, and
+    * index sidecar builds touch no data — so pulling it would spend a CDC
+    * read to deliver nothing.
+    */
+  private val skipOps = Set(
+    "index_stats", "index_bloom", "alter_schema", "compact", "reclaim",
+    "cluster", "materialize")
+
+  private val inSync = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** The maintenance hook ([[graft.table.CommitLog.write]]): after a data
+    * publish on a corpus with a non-empty registry, run [[syncNow]] —
+    * best-effort, journaled, recursion-guarded (the applies publish commits
+    * on the INDEX tables; their hooks run normally — compact.auto keeps a
+    * busy index folded — but do not cascade another registry sync inside
+    * this one).
+    */
+  def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
+    if (inSync.get() || skipOps(operation)) return
+    val props =
+      try TableProperties.get(spark, tablePath)
+      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
+    if (!props.keys.exists(_.startsWith(TableProperties.IndexSyncPrefix))) return
+    inSync.set(true)
+    try {
+      syncNow(spark, tablePath) match {
+        case Some((p, names)) =>
+          MaintenanceLog.record(spark, tablePath, "index.sync", operation, "ok",
+            s"interval=(${p.sinceExclusive},${p.upToInclusive}] indexes=[${names.mkString(",")}]")
+        case None => () // quiet corpus: nothing new since the watermark
+      }
+    } catch {
+      case e: Exception =>
+        // a lagging index is stale-but-consistent (the watermark did not
+        // advance); the next data publish retries the same interval
+        System.err.println(
+          s"[graft] index.sync after $operation at $tablePath skipped: ${e.getMessage}")
+        MaintenanceLog.record(spark, tablePath, "index.sync", operation,
+          "skipped", String.valueOf(e.getMessage))
+    } finally inSync.set(false)
+  }
+}

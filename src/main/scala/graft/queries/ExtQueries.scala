@@ -1228,6 +1228,54 @@ object ExtQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** x69's HANDS-OFF twin ([[graft.operators.SyncRegistry]], T47): the
+    * dedup index is REGISTERED on the corpus and never explicitly synced —
+    * the corpus's own delete/upsert publishes fire the afterPublish hook,
+    * whose single checkpointed CDC pull propagates each interval. Same
+    * dual proof as x69 (different residues): the deleted %10=4 docs' re-sent
+    * content screens as NOVEL, the inserted %10=1 docs screen the %10=6
+    * delivery; the oracle recomputes the screen exhaustively against the
+    * corpus END STATE. Staged like x69 — the publishes mutate corpus and
+    * index, so re-evaluation must not re-commit.
+    */
+  private val x70Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x70: Q = (s, d) => {
+    val out = x70Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x70")
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val corpusTbl = s"$root/corpus"
+      val idx = s"$root/idx"
+      graft.table.KeyedTable.create(s, corpusTbl,
+        docs.filter(col("doc_id") % 5 =!= 1),
+        tableName = "x70_corpus", keyFields = Seq("doc_id"),
+        precombineField = "doc_id", partitionFields = Seq.empty,
+        tableType = graft.model.TableType.MergeOnRead)
+      graft.operators.DedupIndex.bootstrap(
+        s, idx, graft.table.KeyedTable.read(s, corpusTbl), "doc_id", "text")
+      val tip0 = graft.table.CommitLog.commits(s, corpusTbl).last.commitTime
+      graft.operators.SyncRegistry.register(s, corpusTbl, "dedup",
+        graft.operators.SyncRegistry.DedupSpec(idx, "doc_id", "text"),
+        basis = Some(tip0))
+      // corpus mutations — NO sync call anywhere: each publish's hook
+      // propagates its own interval to the registered index
+      graft.table.KeyedTable.delete(s, corpusTbl,
+        docs.filter(col("doc_id") % 10 === 4).select("doc_id"))
+      graft.table.KeyedTable.upsert(s, corpusTbl,
+        docs.filter(col("doc_id") % 10 === 1))
+      val resend = docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 800000).as("doc_id"), col("source"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 6).unionByName(resend)
+      val dups = graft.operators.DedupIndex.probe(
+        s, idx, batch, "doc_id", "text")
+      batch.join(dups.select(col("b_id")).distinct(),
+          col("doc_id") === col("b_id"), "left_anti")
+        .select("doc_id", "source")
+        .write.mode("overwrite").parquet(s"$root/out")
+      s"$root/out"
+    })
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1294,6 +1342,7 @@ object ExtQueries {
     "x67_ann_takedown" -> x67,
     "x68_dedup_takedown" -> x68,
     "x69_index_sync" -> x69,
+    "x70_auto_sync" -> x70,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2302,6 +2351,27 @@ object ExtQueries {
          |  SELECT DISTINCT b.doc_id AS doc_id
          |  FROM sh a JOIN bsh b
          |    ON ((a.doc_id % 5 != 0 AND a.doc_id % 10 != 3) OR a.doc_id % 10 = 0)
+         |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5)
+         |SELECT doc_id, source FROM bsh
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |ORDER BY doc_id""".stripMargin,
+    "x70_auto_sync" ->
+      // x69's exhaustive end-state recompute under the hands-off residues:
+      // members = (%5!=1 minus the deleted %10=4) plus the inserted %10=1;
+      // the probe batch = the %10=6 delivery plus the deleted docs' content
+      // under shifted ids (which must now screen as NOVEL — the registry
+      // hook, not an explicit sync, propagated the takedown)
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, $shingles3 AS s
+         |  FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents)),
+         |bsh AS (
+         |  SELECT doc_id, source, s FROM sh WHERE doc_id % 10 = 6
+         |  UNION ALL
+         |  SELECT doc_id + 800000 AS doc_id, source, s FROM sh WHERE doc_id % 10 = 4),
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM sh a JOIN bsh b
+         |    ON ((a.doc_id % 5 != 1 AND a.doc_id % 10 != 4) OR a.doc_id % 10 = 1)
          |  WHERE ${jaccardSql("a.s", "b.s")} >= 0.5)
          |SELECT doc_id, source FROM bsh
          |WHERE doc_id NOT IN (SELECT doc_id FROM dup)

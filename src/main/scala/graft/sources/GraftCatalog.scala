@@ -446,7 +446,7 @@ private[sources] object GraftProcedures {
     pieces.result().map(_.trim).filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf('=')
       if (i <= 0) throw GraftException.config(
-        s"update_where assignment must be 'col = expr', got '$kv'.")
+        s"assignment must be 'key = value', got '$kv'.")
       kv.take(i).trim -> kv.drop(i + 1).trim
     }.toMap
   }
@@ -619,6 +619,145 @@ private[sources] object GraftProcedures {
       else rows.map(e =>
         s"${e.service} at=${e.at} trigger=${e.trigger} outcome=${e.outcome} " +
           s"detail=${e.detail}")
+    },
+    proc("index_register", Seq("corpus" -> StringType, "name" -> StringType,
+        "spec" -> StringType, "basis" -> StringType),
+      "Register a standing dedup/ann/pq index on its corpus table: every " +
+        "later data publish propagates the corpus's deletes/upserts to it " +
+        "through one checkpointed CDC pull (T47). spec is assignments like " +
+        "'kind = dedup; path = /idx; id = doc_id; text = text'; basis is " +
+        "the corpus instant the index was built from ('' = corpus tip)") { (s, a) =>
+      val p = parseAssignments(a(2).toString)
+      def need(k: String) = p.getOrElse(k, throw GraftException.config(
+        s"index_register spec needs '$k = ...' (got: ${a(2)})"))
+      def num(k: String, d: Int) = p.get(k).map(_.trim.toInt).getOrElse(d)
+      val spec = need("kind") match {
+        case "dedup" => graft.operators.SyncRegistry.DedupSpec(
+          need("path"), need("id"), need("text"),
+          num("shingle_n", 3), num("num_hashes", 16))
+        case "ann" => graft.operators.SyncRegistry.AnnSpec(
+          need("path"), p.getOrElse("id", "vec_id"), p.getOrElse("vec", "embedding"))
+        case "pq" => graft.operators.SyncRegistry.PqSpec(
+          need("path"), p.getOrElse("id", "vec_id"), p.getOrElse("vec", "embedding"),
+          num("dim", 0), num("m", 8))
+        case k => throw GraftException.config(
+          s"unknown index kind '$k' (dedup | ann | pq)")
+      }
+      val basis = Option(a(3).toString.trim).filter(_.nonEmpty)
+      graft.operators.SyncRegistry.register(s, a(0).toString, a(1).toString, spec, basis)
+      Seq(s"registered ${a(1)}: ${spec.describe}")
+    },
+    proc("index_unregister", Seq("table" -> StringType, "name" -> StringType),
+      "Drop a registered index from the sync registry (the index table " +
+        "itself is untouched)") { (s, a) =>
+      graft.operators.SyncRegistry.unregister(s, a(0).toString, a(1).toString)
+      Seq(s"unregistered ${a(1)}")
+    },
+    proc("show_sync", Seq("table" -> StringType),
+      "The table's derived-index sync registry: shared watermark + one row " +
+        "per registered index") { (s, a) =>
+      val regs = graft.operators.SyncRegistry.registered(s, a(0).toString)
+      if (regs.isEmpty) Seq("no indexes registered")
+      else {
+        val wm = graft.streaming.ChangeStream.readWatermark(
+          graft.table.CommitLog.fs(s, a(0).toString),
+          graft.operators.SyncRegistry.checkpointDir(a(0).toString))
+        s"watermark: ${wm.getOrElse("<none>")}" +:
+          regs.map { case (n, sp) => s"$n: ${sp.describe}" }
+      }
+    },
+    proc("index_sync", Seq("table" -> StringType),
+      "Pull the corpus's next CDC interval once and apply it to every " +
+        "registered index (the publish hook's explicit spelling — e.g. to " +
+        "drain a lagging registry without writing data)") { (s, a) =>
+      graft.operators.SyncRegistry.syncNow(s, a(0).toString) match {
+        case Some((p, names)) =>
+          Seq(s"synced (${p.sinceExclusive},${p.upToInclusive}] to [${names.mkString(",")}]")
+        case None => Seq("nothing to sync")
+      }
+    },
+    proc("index_remove", Seq("kind" -> StringType, "index" -> StringType,
+        "ids" -> StringType),
+      "Takedown on a standing index: tombstone the comma-separated ids' " +
+        "entries (dedup: signature+shingles; ann: vector rows; pq: code and " +
+        "vector rows) — one keyed delta, history stays asOf-able") { (s, a) =>
+      val path = a(1).toString
+      val ids = csv(a(2))
+      if (ids.isEmpty) throw GraftException.config(
+        "index_remove needs a non-empty comma-separated id list.")
+      def longs = ids.map(x => try x.toLong catch {
+        case _: NumberFormatException => throw GraftException.config(
+          s"index_remove ids for ann/pq indexes must be integers, got '$x'.")
+      })
+      import org.apache.spark.sql.{functions => F}
+      a(0).toString match {
+        case "dedup" =>
+          val st = graft.table.CommitLog.requireState(s, path)
+          val idCol = st.latest.keyFields.head
+          val dt = StructType.fromDDL(st.latest.schemaDdl)(idCol).dataType
+          graft.operators.DedupIndex.remove(s, path,
+            s.createDataset(ids)(org.apache.spark.sql.Encoders.STRING)
+              .toDF(idCol).select(F.col(idCol).cast(dt)), idCol)
+        case "ann" => graft.operators.AnnIndex.remove(s, path,
+          s.createDataset(longs)(org.apache.spark.sql.Encoders.scalaLong).toDF("id"), "id")
+        case "pq" => graft.operators.PqIndex.remove(s, path,
+          s.createDataset(longs)(org.apache.spark.sql.Encoders.scalaLong).toDF("id"), "id")
+        case k => throw GraftException.config(
+          s"unknown index kind '$k' (dedup | ann | pq)")
+      }
+      Seq(s"removed ${ids.size} id(s)")
+    },
+    proc("index_retrain", Seq("kind" -> StringType, "index" -> StringType,
+        "params" -> StringType),
+      "Re-fit a standing index's trained state in place as ONE commit (T45): " +
+        "ann params 'nlist = ...; iters = ...' (0 keeps the list count), pq " +
+        "adds 'dim = ...' (required), 'm', 'codebook_size'. A dedup index " +
+        "has no retrain — its parameters ARE its model; use index_rebuild") { (s, a) =>
+      val p = if (a(2).toString.trim.isEmpty) Map.empty[String, String]
+        else parseAssignments(a(2).toString)
+      def num(k: String, d: Int) = p.get(k).map(_.trim.toInt).getOrElse(d)
+      val path = a(1).toString
+      a(0).toString match {
+        case "ann" =>
+          graft.operators.AnnIndex.retrain(s, path,
+            nlist = num("nlist", 0), iters = num("iters", 2))
+          Seq("retrained ann index")
+        case "pq" =>
+          val dim = p.get("dim").map(_.trim.toInt).getOrElse(
+            throw GraftException.config("pq index_retrain params need 'dim = <int>'."))
+          graft.operators.PqIndex.retrain(s, path, dim, num("m", 8),
+            num("codebook_size", 16), num("iters", 2), num("nlist", 0))
+          Seq("retrained pq index")
+        case "dedup" => throw GraftException.config(
+          "a dedup index has no retrain — its parameters ARE its model and " +
+            "it stores no raw text; CALL graft.system.index_rebuild instead.")
+        case k => throw GraftException.config(
+          s"unknown index kind '$k' (dedup | ann | pq)")
+      }
+    },
+    proc("index_rebuild", Seq("index" -> StringType, "corpus" -> StringType,
+        "params" -> StringType),
+      "Re-parameterize a standing dedup index in place as ONE commit from " +
+        "its corpus table: params 'text = <corpus text col>' (required), " +
+        "'id', 'shingle_n', 'num_hashes' (defaults: index key / stored " +
+        "stamps). Flip probe-side parameters with the commit") { (s, a) =>
+      val path = a(0).toString
+      val p = if (a(2).toString.trim.isEmpty) Map.empty[String, String]
+        else parseAssignments(a(2).toString)
+      val props = graft.table.TableProperties.get(s, path)
+      val idCol = p.getOrElse("id",
+        graft.table.CommitLog.requireState(s, path).latest.keyFields.head)
+      val textCol = p.getOrElse("text", throw GraftException.config(
+        "index_rebuild params need 'text = <corpus text column>'."))
+      val shingleN = p.get("shingle_n")
+        .orElse(props.get(graft.operators.DedupIndex.ShingleNProp))
+        .map(_.trim.toInt).getOrElse(3)
+      val numHashes = p.get("num_hashes")
+        .orElse(props.get(graft.operators.DedupIndex.NumHashesProp))
+        .map(_.trim.toInt).getOrElse(16)
+      graft.operators.DedupIndex.rebuild(s, path,
+        KeyedTable.read(s, a(1).toString), idCol, textCol, shingleN, numHashes)
+      Seq(s"rebuilt under shingle_n=$shingleN num_hashes=$numHashes")
     },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +

@@ -32,6 +32,47 @@ object ChangeStream {
   private def watermarkFile(checkpointDir: String): Path =
     new Path(checkpointDir, "graft-change-watermark")
 
+  private def identityFile(checkpointDir: String): Path =
+    new Path(checkpointDir, "graft-change-identity")
+
+  /** Stamp/validate WHOSE feed this checkpoint belongs to. A checkpoint is
+    * one consumer's watermark over one source: pointing an existing one at
+    * a different destination (or the same destination under different
+    * parameters) silently applies a PARTIAL feed — every interval already
+    * pulled is simply missing from the new consumer's view, with no error
+    * anywhere. Consumers pass an identity string (source + destination +
+    * the parameters that shape the apply); the first stamped pull persists
+    * it beside the watermark, every later one compares, and a mismatch
+    * fails loudly instead. Pre-stamp checkpoints adopt the identity on
+    * their next pull (the file is additive — old checkpoints keep working).
+    */
+  private def checkIdentity(
+      fs: FileSystem, checkpointDir: String, identity: String): Unit = {
+    val f = identityFile(checkpointDir)
+    if (fs.exists(f)) {
+      val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      val stored = try { in.readFully(0, buf); new String(buf, "UTF-8").trim }
+      finally in.close()
+      if (stored != identity)
+        throw graft.model.GraftException.config(
+          s"Change-stream checkpoint at $checkpointDir belongs to '$stored' " +
+            s"but this pull declares '$identity'. Reusing a checkpoint " +
+            "against a different consumer/parameters would silently skip " +
+            "every interval already pulled — use a fresh checkpoint dir " +
+            "(and backfill the new consumer from its own basis).")
+    } else {
+      val dir = new Path(checkpointDir)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val tmp = new Path(checkpointDir, ".graft-change-identity.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(identity.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, f))
+        throw graft.model.GraftException.unexpected(
+          s"could not stamp change-stream identity under $checkpointDir")
+    }
+  }
+
   def readWatermark(fs: FileSystem, checkpointDir: String): Option[String] = {
     val f = watermarkFile(checkpointDir)
     if (!fs.exists(f)) None
@@ -56,6 +97,27 @@ object ChangeStream {
         s"could not commit change-stream watermark under $checkpointDir")
   }
 
+  /** Initialize a checkpoint WITHOUT delivering: write the watermark (at
+    * `at`, or the source tip when None) only if none exists, and stamp the
+    * identity. Unlike a first `pull`, this never consumes an interval — a
+    * registrar ensuring a shared checkpoint exists must not eat changes
+    * other consumers of that checkpoint still need. No-op when the
+    * watermark is already present (the identity is still validated).
+    */
+  def initialize(
+      spark: SparkSession,
+      tablePath: String,
+      checkpointDir: String,
+      at: Option[String] = None,
+      identity: Option[String] = None): Unit = {
+    val fs = CommitLog.fs(spark, checkpointDir)
+    identity.foreach(checkIdentity(fs, checkpointDir, _))
+    if (readWatermark(fs, checkpointDir).isEmpty) {
+      val tip = CommitLog.requireState(spark, tablePath).latest.commitTime
+      writeWatermark(fs, checkpointDir, at.getOrElse(tip))
+    }
+  }
+
   /** Deliver the changes since the checkpointed watermark to `handler`,
     * then advance the watermark. Returns the delivered interval, or None
     * when the source has no new commits (or this call only initialized the
@@ -67,17 +129,19 @@ object ChangeStream {
       spark: SparkSession,
       tablePath: String,
       checkpointDir: String,
-      startAt: Option[String] = None)(
+      startAt: Option[String] = None,
+      identity: Option[String] = None)(
       handler: (DataFrame, Pull) => Unit): Option[Pull] = {
     val st = CommitLog.requireState(spark, tablePath)
     val tip = st.latest.commitTime
     val fs = CommitLog.fs(spark, checkpointDir)
+    identity.foreach(checkIdentity(fs, checkpointDir, _))
     readWatermark(fs, checkpointDir) match {
       case None =>
         startAt match {
           case Some(at) =>
             writeWatermark(fs, checkpointDir, at)
-            pull(spark, tablePath, checkpointDir, None)(handler)
+            pull(spark, tablePath, checkpointDir, None, identity)(handler)
           case None =>
             writeWatermark(fs, checkpointDir, tip) // "latest": stream future changes only
             None
@@ -104,7 +168,8 @@ object ChangeStream {
       dstPath: String,
       checkpointDir: String,
       startAt: Option[String] = None): Option[Pull] =
-    pull(spark, srcPath, checkpointDir, startAt) { (_, interval) =>
+    pull(spark, srcPath, checkpointDir, startAt,
+      identity = Some(s"tablesync $srcPath -> $dstPath")) { (_, interval) =>
       TableSync.sync(spark, srcPath, dstPath, interval.sinceExclusive)
       ()
     }

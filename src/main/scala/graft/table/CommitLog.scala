@@ -486,6 +486,15 @@ object CommitLog {
     // campaign.reclaim (best-effort, same recursion guards): one bounded
     // reclamation batch rides each data publish
     ReclaimCampaign.afterPublish(spark, tablePath, tagged.operation)
+    // index.sync.* (best-effort, same recursion guards): one checkpointed
+    // CDC pull propagates this publish to every registered standing
+    // dedup/ANN/PQ index — after the sidecar hooks above, so a synced
+    // index's own hooks see the corpus's final per-publish state
+    graft.operators.SyncRegistry.afterPublish(spark, tablePath, tagged.operation)
+    // retrain.auto (best-effort, opt-in, amortized): journal a retrain
+    // RECOMMENDATION when a standing index's hottest coarse cell crosses
+    // the skew threshold — observability, never an auto-retrain
+    RetrainAdvisor.afterPublish(spark, tablePath, tagged.operation)
   }
 
   /** Thread-scoped streaming-batch identity: [[graft.streaming.GraftStreamSink]]

@@ -60,6 +60,15 @@ object TableProperties {
   /** Override for [[CompactAuto]]'s live-delta-commit-count trigger. */
   val CompactAutoDeltas = "compact.auto.deltas"
 
+  /** Prefix of the derived-index SYNC REGISTRY (`index.sync.<name>` = a
+    * compact JSON spec): after every data publish on this table, one
+    * checkpointed CDC pull propagates its deletes/upserts to every
+    * registered standing dedup/ANN/PQ index
+    * ([[graft.operators.SyncRegistry]]) — takedowns and inserts reach the
+    * derived state with nobody scheduling per-index sync calls.
+    */
+  val IndexSyncPrefix = "index.sync."
+
   /** Positive integer N: after every data publish, run ONE bounded reclaim
     * campaign batch — rewrite up to N native partitions whose files still
     * physically carry a metadata-dropped column ([[ReclaimCampaign]]). The

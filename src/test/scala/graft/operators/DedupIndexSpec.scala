@@ -207,6 +207,19 @@ class DedupIndexSpec extends SparkTestBase {
     val lsh69 = Dedup.minhashNearDupsAgainst(corpus69, batch69, "doc_id", "text")
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh69 === truth69)
+
+    // the x70 auto-sync shape (x69's residues shifted): corpus end state =
+    // (%5!=1 minus %10=4) plus the inserted %10=1 docs, probed by the
+    // %10=6 delivery ∪ the deleted docs' content (original ids stand in)
+    val corpus70 = docs.filter(
+      (col("doc_id") % 5 =!= 1 && col("doc_id") % 10 =!= 4) || col("doc_id") % 10 === 1)
+    val batch70 = docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 4)
+    val truth70 = sh(corpus70, "a_id").crossJoin(sh(batch70, "b_id"))
+      .filter(Dedup.jaccard(col("sh_a_id"), col("sh_b_id")) >= 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh70 = Dedup.minhashNearDupsAgainst(corpus70, batch70, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh70 === truth70)
   }
 
   test("remove: a taken-down doc's ghost no longer screens re-sent content, " +
@@ -242,6 +255,83 @@ class DedupIndexSpec extends SparkTestBase {
     // and the re-entered content screens the NEXT delivery again
     val next = Seq((202L, "web", textA + " tail")).toDF("doc_id", "source", "text")
     assert(DedupIndex.dedupAndAppend(spark, idx, next, "doc_id", "text").isEmpty)
+  }
+
+  test("rebuild re-parameterizes in place as ONE commit; rebuildTo + cutover " +
+      "stage the same change with the old index serving until the swap; " +
+      "history stays asOf-able at the live path") {
+    import spark.implicits._
+    import graft.table.{KeyedTable, TableProperties}
+    val dir = tmpDir("dedup-rebuild")
+    val idx = s"$dir/idx"
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    DedupIndex.bootstrap(spark, idx, corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 16)
+    assert(TableProperties.get(spark, idx).get(DedupIndex.ShingleNProp)
+      === Some("3"))
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+    val sigLen0 = KeyedTable.read(spark, idx)
+      .select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .head().getInt(0)
+    assert(sigLen0 === 16)
+
+    // corpus moved on: doc 2 gone, doc 3 new — rebuild under (4, 32) must
+    // land new-parameter images AND retire doc 2, as one commit
+    val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+    val corpus2 = Seq((1L, textA), (3L, textC)).toDF("doc_id", "text")
+    // compact.auto (birth default) may fold the delta afterwards — a file
+    // rewrite, never a logical change — so count non-compact commits
+    val commits0 = CommitLog.commits(spark, idx).count(_.operation != "compact")
+    DedupIndex.rebuild(spark, idx, corpus2, "doc_id", "text",
+      shingleN = 4, numHashes = 32)
+    assert(CommitLog.commits(spark, idx).count(_.operation != "compact")
+      === commits0 + 1, "not ONE commit")
+    val t = KeyedTable.read(spark, idx)
+    assert(t.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(t.select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .collect().forall(_.getInt(0) === 32), "entries not under the new numHashes")
+    assert(TableProperties.get(spark, idx).get(DedupIndex.NumHashesProp)
+      === Some("32"))
+    // the new parameters screen: doc 3's content probed under (4, 32) dups
+    assert(DedupIndex.probe(spark, idx, Seq((103L, textC)).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 4, numHashes = 32).count() === 1)
+    // history: asOf before the rebuild still answers under the OLD model
+    assert(KeyedTable.readAsOf(spark, idx, tip0)
+      .select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .collect().forall(_.getInt(0) === 16))
+
+    // staged flow: rebuildTo a fresh staging index under (5, 8) while the
+    // live one keeps screening under (4, 32) — in-flight batches see OLD
+    val staging = s"$dir/staging"
+    DedupIndex.rebuildTo(spark, staging, corpus2, "doc_id", "text",
+      shingleN = 5, numHashes = 8)
+    assert(KeyedTable.read(spark, idx)
+      .select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .head().getInt(0) === 32, "live index changed before cutover")
+    val tip1 = CommitLog.commits(spark, idx).last.commitTime
+    DedupIndex.cutover(spark, idx, staging)
+    val after = KeyedTable.read(spark, idx)
+    assert(after.select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .collect().forall(_.getInt(0) === 8), "cutover did not swap the entries")
+    assert(TableProperties.get(spark, idx).get(DedupIndex.NumHashesProp)
+      === Some("8"), "cutover did not carry the parameter stamps")
+    // the next batch screens under the NEW parameters at the LIVE path
+    assert(DedupIndex.probe(spark, idx, Seq((104L, textA)).toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 5, numHashes = 8).count() === 1)
+    // pre-cutover history still asOf-able at the live path
+    assert(KeyedTable.readAsOf(spark, idx, tip1)
+      .select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .collect().forall(_.getInt(0) === 32))
+    // key-mismatch cutover refuses
+    val other = s"$dir/other"
+    DedupIndex.bootstrap(spark, other,
+      Seq((9L, textA)).toDF("other_id", "text"), "other_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.cutover(spark, idx, other)
+    }
+    assert(e.getMessage.contains("key mismatch"))
   }
 
   test("an all-duplicate batch appends nothing and the index stays unchanged") {

@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.model.{GraftException, TableType}
+import graft.streaming.ChangeStream
+import graft.table.{CommitLog, KeyedTable, MaintenanceLog, TableProperties}
+
+/** The hands-off face of derived-index consistency: registered indexes must
+  * follow corpus publishes with NO explicit sync call, one shared
+  * checkpoint must feed them all atomically, a mispointed checkpoint must
+  * fail loudly, registration must catch an older-basis index up, and
+  * unregistering must stop the follow.
+  */
+class SyncRegistrySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(sf("embeddings"))
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  private val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+  private val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+  private val textC = (1 to 30).map(i => s"gamma$i").mkString(" ")
+
+  test("one corpus publish propagates to a registered dedup AND ann index " +
+      "hands-off; the journal records the interval; unregister stops the follow") {
+    val dir = tmpDir("sync-reg")
+    val corpusTbl = s"$dir/corpus"
+    val dedupIdx = s"$dir/dedup"
+    val annIdx = s"$dir/ann"
+    // corpus carries text AND an embedding per doc so both index kinds hang
+    // off the same table — the realistic multi-index shape
+    val docs = emb.filter(col("vec_id") >= 25)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .withColumn("text", concat_ws(" ",
+        (1 to 30).map(i => concat(lit(s"w$i-"), col("doc_id"))): _*))
+    KeyedTable.create(spark, corpusTbl, docs,
+      tableName = "reg_corpus", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, dedupIdx,
+      KeyedTable.read(spark, corpusTbl), "doc_id", "text")
+    AnnIndex.build(spark, annIdx, KeyedTable.read(spark, corpusTbl),
+      nlist = 8, iters = 1, idCol = "doc_id", vecCol = "embedding")
+    val tip0 = CommitLog.commits(spark, corpusTbl).last.commitTime
+    SyncRegistry.register(spark, corpusTbl, "dedup",
+      SyncRegistry.DedupSpec(dedupIdx, "doc_id", "text"), basis = Some(tip0))
+    SyncRegistry.register(spark, corpusTbl, "ann",
+      SyncRegistry.AnnSpec(annIdx, "doc_id", "embedding"), basis = Some(tip0))
+    assert(SyncRegistry.registered(spark, corpusTbl).map(_._1) === Seq("ann", "dedup"))
+
+    // ONE delete publish + ONE upsert publish on the corpus — no sync call
+    KeyedTable.delete(spark, corpusTbl, Seq(30L, 31L).toDF("doc_id"))
+    val inserted = emb.filter(col("vec_id").isin(10L, 11L))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .withColumn("text", lit(textC))
+    KeyedTable.upsert(spark, corpusTbl, inserted)
+
+    // dedup index followed: members = corpus end state
+    assert(ids(KeyedTable.read(spark, dedupIdx)) ===
+      ids(KeyedTable.read(spark, corpusTbl)))
+    // removed content (docs 30/31's unique text) re-sent is NOVEL — the
+    // takedown reached the derived minhash state with nobody syncing
+    val removedText = docs.filter(col("doc_id") === 30L)
+      .select((col("doc_id") + 900).as("doc_id"), col("text"))
+    assert(DedupIndex.probe(spark, dedupIdx, removedText,
+      "doc_id", "text").isEmpty, "ghost entry still screening after takedown")
+    // inserted content screens its dup
+    assert(DedupIndex.probe(spark, dedupIdx,
+      KeyedTable.read(spark, corpusTbl).filter(col("doc_id") === 10L)
+        .select(col("doc_id") + 900, col("text").as("text"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text").count() >= 1)
+    // ann index followed: deletes unreachable, inserts searchable
+    val served = AnnIndex.probe(spark, annIdx,
+      emb.filter(col("vec_id") < 1), k = 100000, nprobe = 8,
+      idCol = "vec_id", vecCol = "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 11L).subsetOf(served), "synced inserts must be searchable")
+    assert(served.intersect(Set(30L, 31L)).isEmpty, "synced deletes still probed")
+
+    // journal: the hook recorded the applied interval over both indexes
+    val entry = MaintenanceLog.read(spark, corpusTbl).find(_.service == "index.sync")
+    assert(entry.exists(_.outcome == "ok"), s"journal: $entry")
+    assert(entry.exists(_.detail.contains("indexes=[ann,dedup]")), s"journal: $entry")
+
+    // unregister the ann index: the next publish reaches only dedup
+    SyncRegistry.unregister(spark, corpusTbl, "ann")
+    KeyedTable.delete(spark, corpusTbl, Seq(35L).toDF("doc_id"))
+    assert(!ids(KeyedTable.read(spark, dedupIdx)).contains(35L))
+    assert(AnnIndex.probe(spark, annIdx, emb.filter(col("vec_id") < 1),
+      k = 100000, nprobe = 8, idCol = "vec_id", vecCol = "embedding")
+      .filter(col("vec_id") === 35L).count() === 1,
+      "an unregistered index must stop following")
+  }
+
+  test("replay converges: re-delivering an applied interval through a fresh " +
+      "checkpoint leaves the registered index's logical state unchanged") {
+    val dir = tmpDir("sync-reg-replay")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    KeyedTable.create(spark, corpusTbl,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      tableName = "reg_replay", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    val tip0 = CommitLog.commits(spark, corpusTbl).last.commitTime
+    SyncRegistry.register(spark, corpusTbl, "d",
+      SyncRegistry.DedupSpec(idx, "doc_id", "text"), basis = Some(tip0))
+    KeyedTable.delete(spark, corpusTbl, Seq(1L).toDF("doc_id"))
+    KeyedTable.upsert(spark, corpusTbl, Seq((3L, textC)).toDF("doc_id", "text"))
+    assert(ids(KeyedTable.read(spark, idx)) === Set(2L, 3L))
+    def dataState() = KeyedTable.read(spark, idx)
+      .select("doc_id", DedupIndex.SigCol, DedupIndex.ShCol)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val before = dataState()
+    // a crash between apply and watermark re-delivers: simulate with a
+    // fresh-checkpoint explicit sync over the SAME interval
+    assert(IndexSync.syncDedup(spark, corpusTbl, idx, s"$dir/ckpt2",
+      "doc_id", "text", startAt = Some(tip0)).nonEmpty)
+    assert(dataState() === before, "replaying the interval diverged the index")
+  }
+
+  test("registering with an older basis catches the index up over (basis, tip] " +
+      "even when the shared watermark has already advanced") {
+    val dir = tmpDir("sync-reg-basis")
+    val corpusTbl = s"$dir/corpus"
+    val idxA = s"$dir/a"
+    val idxB = s"$dir/b"
+    KeyedTable.create(spark, corpusTbl,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      tableName = "reg_basis", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, idxA, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    val tip0 = CommitLog.commits(spark, corpusTbl).last.commitTime
+    SyncRegistry.register(spark, corpusTbl, "a",
+      SyncRegistry.DedupSpec(idxA, "doc_id", "text"), basis = Some(tip0))
+    // index B is built from THIS snapshot, then the corpus moves on while
+    // B is still outside the registry — the watermark advances past B's basis
+    DedupIndex.bootstrap(spark, idxB, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    val basisB = CommitLog.commits(spark, corpusTbl).last.commitTime
+    KeyedTable.delete(spark, corpusTbl, Seq(1L).toDF("doc_id"))
+    KeyedTable.upsert(spark, corpusTbl, Seq((3L, textC)).toDF("doc_id", "text"))
+    assert(ids(KeyedTable.read(spark, idxA)) === Set(2L, 3L))
+    assert(ids(KeyedTable.read(spark, idxB)) === Set(1L, 2L), "B lagging pre-register")
+    // late registration with the build basis: catch-up closes the gap NOW
+    SyncRegistry.register(spark, corpusTbl, "b",
+      SyncRegistry.DedupSpec(idxB, "doc_id", "text"), basis = Some(basisB))
+    assert(ids(KeyedTable.read(spark, idxB)) === Set(2L, 3L),
+      "register(basis) must catch the index up")
+    // and from here both follow ordinary publishes together
+    KeyedTable.delete(spark, corpusTbl, Seq(2L).toDF("doc_id"))
+    assert(ids(KeyedTable.read(spark, idxA)) === Set(3L))
+    assert(ids(KeyedTable.read(spark, idxB)) === Set(3L))
+  }
+
+  test("a mispointed checkpoint fails loudly: the registry's shared checkpoint " +
+      "refuses a different consumer, and an explicit sync refuses a checkpoint " +
+      "stamped to another index/params") {
+    val dir = tmpDir("sync-reg-identity")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    KeyedTable.create(spark, corpusTbl,
+      Seq((1L, textA)).toDF("doc_id", "text"),
+      tableName = "reg_ident", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    val tip0 = CommitLog.commits(spark, corpusTbl).last.commitTime
+    SyncRegistry.register(spark, corpusTbl, "d",
+      SyncRegistry.DedupSpec(idx, "doc_id", "text"), basis = Some(tip0))
+    // pointing an EXPLICIT per-index sync at the registry's checkpoint: the
+    // stored identity is the registry's, not this consumer's
+    val e1 = intercept[GraftException] {
+      IndexSync.syncDedup(spark, corpusTbl, idx,
+        SyncRegistry.checkpointDir(corpusTbl), "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("belongs to"), e1.getMessage)
+    // same explicit consumer, then the SAME checkpoint under different
+    // params: partial-feed misuse, refused
+    IndexSync.syncDedup(spark, corpusTbl, idx, s"$dir/ckpt",
+      "doc_id", "text", startAt = Some(tip0))
+    val e2 = intercept[GraftException] {
+      IndexSync.syncDedup(spark, corpusTbl, idx, s"$dir/ckpt",
+        "doc_id", "text", numHashes = 32)
+    }
+    assert(e2.getMessage.contains("belongs to"), e2.getMessage)
+    // pre-stamp checkpoints ADOPT: a bare ChangeStream checkpoint written
+    // before identities existed keeps working once a stamped pull touches it
+    ChangeStream.pull(spark, corpusTbl, s"$dir/old-ckpt") { (_, _) => () }
+    assert(ChangeStream.pull(spark, corpusTbl, s"$dir/old-ckpt",
+      identity = Some("adopting consumer")) { (_, _) => () }.isEmpty)
+    val e3 = intercept[GraftException] {
+      ChangeStream.pull(spark, corpusTbl, s"$dir/old-ckpt",
+        identity = Some("someone else")) { (_, _) => () }
+    }
+    assert(e3.getMessage.contains("belongs to"), e3.getMessage)
+  }
+
+  test("registry hygiene: self-registration refuses, unknown spec JSON fails " +
+      "loudly, and a corpus with no registry pays one property read only") {
+    val dir = tmpDir("sync-reg-hygiene")
+    val corpusTbl = s"$dir/corpus"
+    KeyedTable.create(spark, corpusTbl,
+      Seq((1L, textA)).toDF("doc_id", "text"),
+      tableName = "reg_hyg", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    intercept[IllegalArgumentException] {
+      SyncRegistry.register(spark, corpusTbl, "self",
+        SyncRegistry.DedupSpec(corpusTbl, "doc_id", "text"))
+    }
+    TableProperties.set(spark, corpusTbl,
+      Map(TableProperties.IndexSyncPrefix + "bad" -> """{"kind":"what"}"""))
+    val e = intercept[GraftException] { SyncRegistry.registered(spark, corpusTbl) }
+    assert(e.getMessage.contains("unknown index kind"), e.getMessage)
+    TableProperties.unset(spark, corpusTbl,
+      Seq(TableProperties.IndexSyncPrefix + "bad"))
+    // no registry: publishes stay publishes (no checkpoint ever appears)
+    KeyedTable.upsert(spark, corpusTbl, Seq((2L, textB)).toDF("doc_id", "text"))
+    val fs = CommitLog.fs(spark, corpusTbl)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      SyncRegistry.checkpointDir(corpusTbl))))
+  }
+}

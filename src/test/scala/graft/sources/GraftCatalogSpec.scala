@@ -108,8 +108,109 @@ class GraftCatalogSpec extends SparkTestBase {
   test("SHOW PROCEDURES lists the surface") {
     val names = spark.sql("SHOW PROCEDURES IN graft.system")
       .select("procedure_name").as[String].collect().toSet
-    assert(Set("compact", "rollback", "fsck", "sync_agg", "timeline", "show_lock")
+    assert(Set("compact", "rollback", "fsck", "sync_agg", "timeline", "show_lock",
+      "index_register", "index_unregister", "show_sync", "index_sync",
+      "index_remove", "index_retrain", "index_rebuild")
       .subsetOf(names))
+  }
+
+  test("standing-index lifecycle via pure SQL CALLs: register + show_sync + " +
+      "sync, takedown propagates, retrain preserves mode, rebuild " +
+      "re-parameterizes, refusals are loud") {
+    import graft.operators.{AnnIndex, DedupIndex}
+    val dir = tmpDir("cat-index-lifecycle")
+    val corpusTbl = s"$dir/corpus"
+    val dedupIdx = s"$dir/dedup"
+    val annIdx = s"$dir/ann"
+    val textA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val emb = spark.read.parquet(sf("embeddings"))
+    val docs = emb.filter(col("vec_id") >= 25)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .withColumn("text", concat_ws(" ",
+        (1 to 30).map(i => concat(lit(s"w$i-"), col("doc_id"))): _*))
+    KeyedTable.create(spark, corpusTbl, docs,
+      tableName = "cat_idx_corpus", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, dedupIdx,
+      KeyedTable.read(spark, corpusTbl), "doc_id", "text")
+    AnnIndex.build(spark, annIdx, KeyedTable.read(spark, corpusTbl),
+      nlist = 4, iters = 1, idCol = "doc_id", vecCol = "embedding")
+    val tip0 = CommitLog.commits(spark, corpusTbl).last.commitTime
+
+    // register both through SQL; show_sync lists them with the watermark
+    assert(callRows(s"CALL graft.system.index_register('$corpusTbl', 'd', " +
+      s"'kind = dedup; path = $dedupIdx; id = doc_id; text = text', '$tip0')")
+      .head.startsWith("registered d"))
+    assert(callRows(s"CALL graft.system.index_register('$corpusTbl', 'a', " +
+      s"'kind = ann; path = $annIdx; id = doc_id; vec = embedding', '$tip0')")
+      .head.startsWith("registered a"))
+    val shown = callRows(s"CALL graft.system.show_sync('$corpusTbl')")
+    assert(shown.head.startsWith("watermark: "), shown)
+    assert(shown.exists(_.startsWith("a: ann")), shown)
+    assert(shown.exists(_.startsWith("d: dedup")), shown)
+
+    // a corpus publish propagates through the hook; the explicit
+    // index_sync spelling then reports nothing to do
+    KeyedTable.delete(spark, corpusTbl, Seq(30L).toDF("doc_id"))
+    assert(KeyedTable.read(spark, dedupIdx)
+      .filter(col("doc_id") === 30L).isEmpty)
+    assert(callRows(s"CALL graft.system.index_sync('$corpusTbl')")
+      === Seq("nothing to sync"))
+
+    // SQL takedown on the ann index: the id stops probing
+    assert(callRows(s"CALL graft.system.index_remove('ann', '$annIdx', '31, 32')")
+      === Seq("removed 2 id(s)"))
+    assert(AnnIndex.probe(spark, annIdx, emb.filter(col("vec_id") < 1),
+      k = 100000, nprobe = 4).filter(col("vec_id").isin(31L, 32L)).isEmpty)
+    // dedup takedown: the ghost stops screening a verbatim re-send
+    val doc33Text = docs.filter(col("doc_id") === 33L)
+      .select("text").head().getString(0)
+    assert(callRows(s"CALL graft.system.index_remove('dedup', '$dedupIdx', '33')")
+      === Seq("removed 1 id(s)"))
+    assert(DedupIndex.probe(spark, dedupIdx,
+      Seq((933L, doc33Text)).toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+
+    // SQL retrain preserves the ann geometry contract (one merge commit)
+    val nonCompact0 = CommitLog.commits(spark, annIdx)
+      .count(_.operation != "compact")
+    assert(callRows(s"CALL graft.system.index_retrain('ann', '$annIdx', " +
+      "'nlist = 8; iters = 1')") === Seq("retrained ann index"))
+    assert(CommitLog.commits(spark, annIdx).count(_.operation != "compact")
+      === nonCompact0 + 1)
+    assert(AnnIndex.centroids(spark, annIdx).count() === 8)
+
+    // dedup "retrain" refuses loudly toward index_rebuild...
+    def message(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.index_retrain('dedup', '$dedupIdx', '')").collect()
+    }
+    assert(message(e1).contains("index_rebuild"), message(e1))
+    // ...and index_rebuild re-parameterizes from the corpus table
+    assert(callRows(s"CALL graft.system.index_rebuild('$dedupIdx', '$corpusTbl', " +
+      "'text = text; num_hashes = 32')")
+      === Seq("rebuilt under shingle_n=3 num_hashes=32"))
+    assert(KeyedTable.read(spark, dedupIdx)
+      .select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .collect().forall(_.getInt(0) === 32))
+
+    // unregister through SQL; the registry empties
+    callRows(s"CALL graft.system.index_unregister('$corpusTbl', 'a')")
+    callRows(s"CALL graft.system.index_unregister('$corpusTbl', 'd')")
+    assert(callRows(s"CALL graft.system.show_sync('$corpusTbl')")
+      === Seq("no indexes registered"))
+
+    // refusals: unknown kind, malformed ids
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.index_remove('what', '$annIdx', '1')").collect()
+    }
+    assert(message(e2).contains("unknown index kind"), message(e2))
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.index_remove('ann', '$annIdx', 'abc')").collect()
+    }
+    assert(message(e3).contains("integers"), message(e3))
   }
 
   test("show_lock procedure + .locks relation expose the writer lease") {
