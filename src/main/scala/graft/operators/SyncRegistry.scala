@@ -215,11 +215,10 @@ object SyncRegistry {
     * busy index folded — but do not cascade another registry sync inside
     * this one).
     */
-  def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
+  def afterPublish(
+      spark: SparkSession, tablePath: String, operation: String,
+      props: Map[String, String]): Unit = {
     if (inSync.get() || skipOps(operation)) return
-    val props =
-      try TableProperties.get(spark, tablePath)
-      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
     if (!props.keys.exists(_.startsWith(TableProperties.IndexSyncPrefix))) return
     inSync.set(true)
     try {

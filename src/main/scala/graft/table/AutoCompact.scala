@@ -31,11 +31,10 @@ private[table] object AutoCompact {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
-  def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
+  def afterPublish(
+      spark: SparkSession, tablePath: String, operation: String,
+      props: Map[String, String]): Unit = {
     if (inCompact.get() || skipOps(operation)) return
-    val props =
-      try TableProperties.get(spark, tablePath)
-      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
     if (!props.get(TableProperties.CompactAuto).exists(_.equalsIgnoreCase("true"))) return
     val ratio = props.get(TableProperties.CompactAutoRatio)
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).filter(_ > 0)

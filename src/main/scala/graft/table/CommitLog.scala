@@ -476,25 +476,33 @@ object CommitLog {
     acquireLease(spark, tablePath, tagged.commitTime)
     try writeUnderLock(spark, tablePath, tagged, baseInstant)
     finally releaseLease(spark, tablePath, tagged.commitTime)
-    // index.auto (best-effort, outside the lease): the index builds this
-    // may trigger publish their own instants through this very method —
-    // the hook's ThreadLocal + operation filter stop the recursion
-    IndexAutoRefresh.afterPublish(spark, tablePath, tagged.operation)
-    // compact.auto (best-effort, same recursion guards): fold MOR delta
-    // chains the moment they cross the policy thresholds
-    AutoCompact.afterPublish(spark, tablePath, tagged.operation)
-    // campaign.reclaim (best-effort, same recursion guards): one bounded
-    // reclamation batch rides each data publish
-    ReclaimCampaign.afterPublish(spark, tablePath, tagged.operation)
-    // index.sync.* (best-effort, same recursion guards): one checkpointed
-    // CDC pull propagates this publish to every registered standing
-    // dedup/ANN/PQ index — after the sidecar hooks above, so a synced
-    // index's own hooks see the corpus's final per-publish state
-    graft.operators.SyncRegistry.afterPublish(spark, tablePath, tagged.operation)
-    // retrain.auto (best-effort, opt-in, amortized): journal a retrain
-    // RECOMMENDATION when a standing index's hottest coarse cell crosses
-    // the skew threshold — observability, never an auto-retrain
-    RetrainAdvisor.afterPublish(spark, tablePath, tagged.operation)
+    // the maintenance hooks below are all best-effort and share the same
+    // recursion guards (ThreadLocal + operation filter). They key off table
+    // PROPERTIES, read ONCE here and passed down — five per-hook reads per
+    // publish would be five object-store round-trips on every write at
+    // scale. Keys a hook WRITES (campaign cursor/streak, retrain counter)
+    // are read only by that same hook on a LATER publish, so the shared
+    // snapshot cannot go stale across the hook chain within one publish.
+    val hookProps =
+      try TableProperties.get(spark, tablePath)
+      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
+    // index.auto: the index builds this may trigger publish their own
+    // instants through this very method — the guards stop the recursion
+    IndexAutoRefresh.afterPublish(spark, tablePath, tagged.operation, hookProps)
+    // compact.auto: fold MOR delta chains the moment they cross thresholds
+    AutoCompact.afterPublish(spark, tablePath, tagged.operation, hookProps)
+    // campaign.reclaim: one bounded reclamation batch rides each publish
+    ReclaimCampaign.afterPublish(spark, tablePath, tagged.operation, hookProps)
+    // index.sync.*: one checkpointed CDC pull propagates this publish to
+    // every registered standing dedup/ANN/PQ index — after the sidecar
+    // hooks above, so a synced index's own hooks see the corpus's final
+    // per-publish state
+    graft.operators.SyncRegistry.afterPublish(
+      spark, tablePath, tagged.operation, hookProps)
+    // retrain.auto (opt-in, amortized): journal a retrain RECOMMENDATION
+    // when a standing index's hottest coarse cell crosses the skew
+    // threshold — observability, never an auto-retrain
+    RetrainAdvisor.afterPublish(spark, tablePath, tagged.operation, hookProps)
   }
 
   /** Thread-scoped streaming-batch identity: [[graft.streaming.GraftStreamSink]]

@@ -43,11 +43,10 @@ private[table] object IndexAutoRefresh {
   private def csv(props: Map[String, String], key: String): Seq[String] =
     props.get(key).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
-  def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
+  def afterPublish(
+      spark: SparkSession, tablePath: String, operation: String,
+      props: Map[String, String]): Unit = {
     if (inRefresh.get() || skipOps(operation)) return
-    val props =
-      try TableProperties.get(spark, tablePath)
-      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
     if (!props.get(TableProperties.IndexAuto).exists(_.equalsIgnoreCase("true"))) return
     inRefresh.set(true)
     try {

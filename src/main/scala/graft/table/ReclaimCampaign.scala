@@ -64,11 +64,10 @@ private[table] object ReclaimCampaign {
     */
   private val ProbeChunk = 8
 
-  def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
+  def afterPublish(
+      spark: SparkSession, tablePath: String, operation: String,
+      props: Map[String, String]): Unit = {
     if (inCampaign.get() || skipOps(operation)) return
-    val props =
-      try TableProperties.get(spark, tablePath)
-      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
     val batchSize = props.get(TableProperties.CampaignReclaim)
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
     if (batchSize.isEmpty) return

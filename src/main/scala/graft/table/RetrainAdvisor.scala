@@ -48,11 +48,10 @@ private[table] object RetrainAdvisor {
     override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 
-  def afterPublish(spark: SparkSession, tablePath: String, operation: String): Unit = {
+  def afterPublish(
+      spark: SparkSession, tablePath: String, operation: String,
+      props: Map[String, String]): Unit = {
     if (inCheck.get() || skipOps(operation)) return
-    val props =
-      try TableProperties.get(spark, tablePath)
-      catch { case _: Exception => Map.empty[String, String] } // dir gone mid-teardown
     val threshold = props.get(Prop)
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
       .filter(t => t > 0 && t <= 1)
