@@ -148,6 +148,13 @@ object SyncRegistry {
       s"registry name must be [A-Za-z0-9_-]+, got '$name'")
     require(new Path(spec.indexPath).toString != new Path(corpusPath).toString,
       "an index cannot be registered on itself as its own corpus")
+    spec match {
+      // fail at REGISTRATION, not on every later publish's apply
+      case p: PqSpec => require(p.dim > 0,
+        s"a pq registry spec needs dim > 0 (got ${p.dim}) — appends encode " +
+          "against the stored codebooks and must know the vector dimension")
+      case _ => ()
+    }
     CommitLog.requireState(spark, spec.indexPath) // a real index table
     TableProperties.set(spark, corpusPath,
       Map(TableProperties.IndexSyncPrefix + name -> toJson(spec)))

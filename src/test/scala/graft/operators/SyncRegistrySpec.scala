@@ -220,6 +220,12 @@ class SyncRegistrySpec extends SparkTestBase {
       SyncRegistry.register(spark, corpusTbl, "self",
         SyncRegistry.DedupSpec(corpusTbl, "doc_id", "text"))
     }
+    // a pq spec without a dimension would fail on every later apply —
+    // refused at registration instead
+    intercept[IllegalArgumentException] {
+      SyncRegistry.register(spark, corpusTbl, "pq0",
+        SyncRegistry.PqSpec(s"$dir/pq", "vec_id", "embedding"))
+    }
     TableProperties.set(spark, corpusTbl,
       Map(TableProperties.IndexSyncPrefix + "bad" -> """{"kind":"what"}"""))
     val e = intercept[GraftException] { SyncRegistry.registered(spark, corpusTbl) }

@@ -35,6 +35,32 @@ class ChangeStreamSpec extends SparkTestBase {
       Some(CommitLog.requireState(spark, table).latest.commitTime))
   }
 
+  test("initialize writes the watermark WITHOUT consuming; re-initialize is a " +
+      "no-op; a pending interval survives for the next pull") {
+    val table = tmpDir("tbl"); val cp = tmpDir("cp")
+    boot(table)
+    ChangeStream.initialize(spark, table, cp, identity = Some("consumer-a"))
+    val fs = CommitLog.fs(spark, cp)
+    val tip0 = CommitLog.requireState(spark, table).latest.commitTime
+    assert(ChangeStream.readWatermark(fs, cp) === Some(tip0))
+    // table moves on; a registrar-style re-initialize must NOT eat the
+    // pending interval (that is pull's job)
+    val base = KeyedTable.read(spark, table)
+    KeyedTable.upsert(spark, table, base.filter(col("o_orderkey") <= 50)
+      .select(dataCols(table): _*).withColumn("o_orderstatus", lit("I1")))
+    ChangeStream.initialize(spark, table, cp, identity = Some("consumer-a"))
+    assert(ChangeStream.readWatermark(fs, cp) === Some(tip0), "re-init moved the watermark")
+    var delivered = 0L
+    val r = ChangeStream.pull(spark, table, cp, identity = Some("consumer-a")) {
+      (df, _) => delivered = df.count()
+    }
+    assert(r.nonEmpty && delivered > 0, "the interval was eaten before the pull")
+    // identity validation applies to initialize too
+    intercept[graft.model.GraftException] {
+      ChangeStream.initialize(spark, table, cp, identity = Some("consumer-b"))
+    }
+  }
+
   test("pull delivers each interval once; empty pulls after catch-up") {
     val table = tmpDir("tbl"); val cp = tmpDir("cp")
     boot(table)
