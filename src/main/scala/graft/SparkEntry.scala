@@ -68,7 +68,12 @@ object SparkEntry {
     // round 10: standing-index probes — the scale path of similarity
     // search; the trained index is staged (benchStaged), the timed number
     // is the probe itself
-    "x62_ann_index", "x64_pq_index", "x66_ivf_pq")
+    "x62_ann_index", "x64_pq_index", "x66_ivf_pq",
+    // round 12: the derived-index sync hook's steady-state loop — one
+    // corpus upsert + one retire publish, each propagated to the
+    // registered dedup index by the afterPublish CDC pull, then a probe
+    // that only passes if the sync landed (scaffolding staged once)
+    "x71_sync_hook")
 
   /** Bench queries whose FIRST evaluation per sf dir stages standing state
     * (a scaffolded table, a trained index) that later evaluations reuse.
@@ -80,7 +85,7 @@ object SparkEntry {
     "q50b_index_refresh", "q28b_table_sync_inc", "x62_ann_index", "x64_pq_index",
     "x66_ivf_pq", "q45b_sql_merge_inc", "q31b_key_lookup_inc",
     "q22b_mor_write_inc", "q24b_time_travel_inc", "q26b_global_move_inc",
-    "q42b_sql_maintenance_inc")
+    "q42b_sql_maintenance_inc", "x71_sync_hook")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

@@ -156,13 +156,24 @@ object SyncRegistry {
       case _ => ()
     }
     CommitLog.requireState(spark, spec.indexPath) // a real index table
+    // property FIRST, then catch-up: a corpus publish racing the catch-up
+    // then syncs the new index too (over-application is idempotent),
+    // whereas catch-up-first would let that interval slip past unregistered
     TableProperties.set(spark, corpusPath,
       Map(TableProperties.IndexSyncPrefix + name -> toJson(spec)))
     ChangeStream.initialize(spark, corpusPath, checkpointDir(corpusPath),
       identity = Some(identityOf(corpusPath)))
-    basis.foreach { b =>
+    try basis.foreach { b =>
       val changes = KeyedTable.readChanges(spark, corpusPath, b)
       if (!changes.isEmpty) IndexSync.applyInterval(spark, spec.indexPath, changes, spec)
+    } catch {
+      case e: Exception =>
+        // a failed catch-up must not leave a registered-but-gapped index:
+        // later syncs apply only NEW intervals, so (basis, watermark] would
+        // stay silently missing forever. Unregister and fail loudly — the
+        // operator re-registers (catch-up is idempotent) or rebuilds.
+        try unregister(spark, corpusPath, name) catch { case _: Exception => () }
+        throw e
     }
   }
 

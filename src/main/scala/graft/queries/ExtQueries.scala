@@ -1276,6 +1276,58 @@ object ExtQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Bench twin of x70 that times the SYNC HOOK's steady-state loop alone
+    * (the q22b pattern): corpus + registered dedup index stage ONCE per sf
+    * dir; each evaluation upserts one run-stamped batch into the CORPUS
+    * (the publish hook pulls the CDC interval and appends the entries to
+    * the index), retires the previous run's batch (hook propagates the
+    * tombstones too — net index growth stays one batch), then probes the
+    * index with the same content under shifted ids: every probe doc must
+    * screen as a dup of THIS run's just-synced entries, so the result is
+    * the probe batch itself — and a hook that failed to propagate returns
+    * too few rows (insert leg) instead of silently passing. A fresh JVM
+    * (Verify) evaluates run 1, which the oracle pins exhaustively.
+    */
+  private val x71Scaffold = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val x71Run = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x71: Q = (s, d) => {
+    val (corpusTbl, idx) = x71Scaffold.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x71")
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val c = s"$root/corpus"
+      val i = s"$root/idx"
+      graft.table.KeyedTable.create(s, c, docs.filter(col("doc_id") % 5 =!= 2),
+        tableName = "x71_corpus", keyFields = Seq("doc_id"),
+        precombineField = "doc_id", partitionFields = Seq.empty,
+        tableType = graft.model.TableType.MergeOnRead)
+      graft.operators.DedupIndex.bootstrap(
+        s, i, graft.table.KeyedTable.read(s, c), "doc_id", "text")
+      graft.operators.SyncRegistry.register(s, c, "dedup",
+        graft.operators.SyncRegistry.DedupSpec(i, "doc_id", "text"),
+        basis = Some(graft.table.CommitLog.commits(s, c).last.commitTime))
+      (c, i)
+    })
+    val n = x71Run.incrementAndGet()
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    // %10=7 content is OUTSIDE the corpus residue (7 % 5 = 2), so run n's
+    // offset copies are the only index entries carrying it
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    graft.table.KeyedTable.upsert(s, corpusTbl, batch
+      .select((col("doc_id") + lit(n * 100000000L)).as("doc_id"),
+        col("source"), col("text")))
+    if (n > 1)
+      graft.table.KeyedTable.delete(s, corpusTbl, batch
+        .select((col("doc_id") + lit((n - 1) * 100000000L)).as("doc_id")))
+    val probe = batch.select((col("doc_id") + 700000).as("doc_id"),
+      col("source"), col("text"))
+    val dups = graft.operators.DedupIndex.probe(
+      s, idx, probe, "doc_id", "text")
+    probe.join(dups.select(col("b_id")).distinct(),
+        col("doc_id") === col("b_id"), "left_semi")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1343,6 +1395,7 @@ object ExtQueries {
     "x68_dedup_takedown" -> x68,
     "x69_index_sync" -> x69,
     "x70_auto_sync" -> x70,
+    "x71_sync_hook" -> x71,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2376,6 +2429,14 @@ object ExtQueries {
          |SELECT doc_id, source FROM bsh
          |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
          |ORDER BY doc_id""".stripMargin,
+    "x71_sync_hook" ->
+      // run 1 (the fresh-JVM Verify evaluation): the upserted %10=7 copies
+      // are the only entries carrying that content, so EVERY probe doc
+      // screens as their dup and the result is the probe batch itself — a
+      // hook that failed to propagate the insert leg loses rows here
+      """SELECT doc_id + 700000 AS doc_id, source
+        |FROM documents WHERE doc_id % 10 = 7
+        |ORDER BY doc_id""".stripMargin,
     "x63_audio_quality" ->
       // per 16-sample segment: mean square power and silence permille, all
       // integer arithmetic closed-form in doc_id — the PCM walk must

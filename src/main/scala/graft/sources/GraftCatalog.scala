@@ -757,7 +757,23 @@ private[sources] object GraftProcedures {
         .map(_.trim.toInt).getOrElse(16)
       graft.operators.DedupIndex.rebuild(s, path,
         KeyedTable.read(s, a(1).toString), idCol, textCol, shingleN, numHashes)
-      Seq(s"rebuilt under shingle_n=$shingleN num_hashes=$numHashes")
+      // the corpus is in hand here (unlike the library-level rebuild), so
+      // refresh any registry spec pointing at this index — otherwise the
+      // next publish's sync would append OLD-parameter entries into the
+      // just-rebuilt index
+      val refreshed = graft.operators.SyncRegistry.registered(s, a(1).toString)
+        .collect {
+          case (n, d: graft.operators.SyncRegistry.DedupSpec)
+              if new org.apache.hadoop.fs.Path(d.indexPath).toString ==
+                new org.apache.hadoop.fs.Path(path).toString =>
+            graft.operators.SyncRegistry.register(s, a(1).toString, n,
+              d.copy(shingleN = shingleN, numHashes = numHashes))
+            n
+        }
+      Seq(s"rebuilt under shingle_n=$shingleN num_hashes=$numHashes") ++
+        (if (refreshed.nonEmpty)
+          Seq(s"registry spec(s) refreshed: ${refreshed.mkString(",")}")
+        else Seq.empty)
     },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +

@@ -237,5 +237,22 @@ class SyncRegistrySpec extends SparkTestBase {
     val fs = CommitLog.fs(spark, corpusTbl)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       SyncRegistry.checkpointDir(corpusTbl))))
+
+    // a FAILED catch-up must not leave a registered-but-gapped index: the
+    // skipped (basis, watermark] interval would stay silently missing from
+    // that index forever (later syncs apply only NEW intervals)
+    val idx2 = s"$dir/idx2"
+    DedupIndex.bootstrap(spark, idx2,
+      KeyedTable.read(spark, corpusTbl), "doc_id", "text")
+    val basis0 = CommitLog.commits(spark, corpusTbl).last.commitTime
+    KeyedTable.upsert(spark, corpusTbl, Seq((3L, textC)).toDF("doc_id", "text"))
+    val e2 = intercept[Exception] {
+      SyncRegistry.register(spark, corpusTbl, "gapped",
+        SyncRegistry.DedupSpec(idx2, "doc_id", "no_such_column"),
+        basis = Some(basis0))
+    }
+    assert(e2 != null)
+    assert(SyncRegistry.registered(spark, corpusTbl).isEmpty,
+      "a failed catch-up left a gapped registration behind")
   }
 }

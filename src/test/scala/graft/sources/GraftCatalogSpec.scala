@@ -188,13 +188,19 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"CALL graft.system.index_retrain('dedup', '$dedupIdx', '')").collect()
     }
     assert(message(e1).contains("index_rebuild"), message(e1))
-    // ...and index_rebuild re-parameterizes from the corpus table
+    // ...and index_rebuild re-parameterizes from the corpus table AND
+    // refreshes the still-registered spec (else the next publish's sync
+    // would append old-parameter entries into the rebuilt index)
     assert(callRows(s"CALL graft.system.index_rebuild('$dedupIdx', '$corpusTbl', " +
       "'text = text; num_hashes = 32')")
-      === Seq("rebuilt under shingle_n=3 num_hashes=32"))
+      === Seq("rebuilt under shingle_n=3 num_hashes=32",
+        "registry spec(s) refreshed: d"))
     assert(KeyedTable.read(spark, dedupIdx)
       .select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
       .collect().forall(_.getInt(0) === 32))
+    val refreshedSpec = graft.operators.SyncRegistry.registered(spark, corpusTbl)
+      .collectFirst { case ("d", sp: graft.operators.SyncRegistry.DedupSpec) => sp }
+    assert(refreshedSpec.exists(_.numHashes === 32), s"spec: $refreshedSpec")
 
     // unregister through SQL; the registry empties
     callRows(s"CALL graft.system.index_unregister('$corpusTbl', 'a')")
