@@ -184,7 +184,10 @@ object SyncRegistry {
 
   /** The registered indexes, name-sorted — the order applies run in. */
   def registered(spark: SparkSession, corpusPath: String): Seq[(String, Spec)] =
-    TableProperties.get(spark, corpusPath).toSeq
+    parseRegs(TableProperties.get(spark, corpusPath))
+
+  private def parseRegs(props: Map[String, String]): Seq[(String, Spec)] =
+    props.toSeq
       .filter(_._1.startsWith(TableProperties.IndexSyncPrefix))
       .sortBy(_._1)
       .map { case (k, v) =>
@@ -201,8 +204,12 @@ object SyncRegistry {
     */
   def syncNow(
       spark: SparkSession,
-      corpusPath: String): Option[(ChangeStream.Pull, Seq[String])] = {
-    val regs = registered(spark, corpusPath)
+      corpusPath: String): Option[(ChangeStream.Pull, Seq[String])] =
+    syncNow(spark, corpusPath, registered(spark, corpusPath))
+
+  private def syncNow(
+      spark: SparkSession, corpusPath: String,
+      regs: Seq[(String, Spec)]): Option[(ChangeStream.Pull, Seq[String])] = {
     if (regs.isEmpty) return None
     ChangeStream.pull(spark, corpusPath, checkpointDir(corpusPath),
       identity = Some(identityOf(corpusPath))) { (changes, _) =>
@@ -240,7 +247,9 @@ object SyncRegistry {
     if (!props.keys.exists(_.startsWith(TableProperties.IndexSyncPrefix))) return
     inSync.set(true)
     try {
-      syncNow(spark, tablePath) match {
+      // parse from the snapshot CommitLog already read — no second
+      // properties round-trip on the per-publish path
+      syncNow(spark, tablePath, parseRegs(props)) match {
         case Some((p, names)) =>
           MaintenanceLog.record(spark, tablePath, "index.sync", operation, "ok",
             s"interval=(${p.sinceExclusive},${p.upToInclusive}] indexes=[${names.mkString(",")}]")
