@@ -654,16 +654,22 @@ private[sources] object GraftProcedures {
       Seq(s"unregistered ${a(1)}")
     },
     proc("show_sync", Seq("table" -> StringType),
-      "The table's derived-index sync registry: shared watermark + one row " +
-        "per registered index") { (s, a) =>
+      "The table's derived-index sync registry: shared watermark (with " +
+        "commits-behind-tip lag) + one row per registered index") { (s, a) =>
       val regs = graft.operators.SyncRegistry.registered(s, a(0).toString)
       if (regs.isEmpty) Seq("no indexes registered")
       else {
         val wm = graft.streaming.ChangeStream.readWatermark(
           graft.table.CommitLog.fs(s, a(0).toString),
           graft.operators.SyncRegistry.checkpointDir(a(0).toString))
-        s"watermark: ${wm.getOrElse("<none>")}" +:
-          regs.map { case (n, sp) => s"$n: ${sp.describe}" }
+        // lag in COMMITS, not instants: the operator question is "how many
+        // publishes have not reached the indexes" (> 0 means a hook apply
+        // failed and is retrying — see the index.sync journal row)
+        val commits = graft.table.CommitLog.commits(s, a(0).toString)
+        val lag = wm.map(w => commits.count(_.commitTime > w))
+        val head = s"watermark: ${wm.getOrElse("<none>")}" +
+          lag.map(l => s" (lag: $l commit(s) behind tip)").getOrElse("")
+        head +: regs.map { case (n, sp) => s"$n: ${sp.describe}" }
       }
     },
     proc("index_sync", Seq("table" -> StringType),

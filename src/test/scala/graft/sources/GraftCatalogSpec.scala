@@ -148,6 +148,7 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.startsWith("registered a"))
     val shown = callRows(s"CALL graft.system.show_sync('$corpusTbl')")
     assert(shown.head.startsWith("watermark: "), shown)
+    assert(shown.head.contains("lag: 0 commit(s)"), shown)
     assert(shown.exists(_.startsWith("a: ann")), shown)
     assert(shown.exists(_.startsWith("d: dedup")), shown)
 
