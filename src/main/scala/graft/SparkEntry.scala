@@ -72,8 +72,9 @@ object SparkEntry {
     // round 12: the derived-index sync hook's steady-state loop — one
     // corpus upsert + one retire publish, each propagated to the
     // registered dedup index by the afterPublish CDC pull, then a probe
-    // that only passes if the sync landed (scaffolding staged once)
-    "x71_sync_hook")
+    // that only passes if the sync landed (scaffolding staged once) —
+    // and BM25 retrieval, the text-search leg
+    "x71_sync_hook", "x72_bm25_topk")
 
   /** Bench queries whose FIRST evaluation per sf dir stages standing state
     * (a scaffolded table, a trained index) that later evaluations reuse.

@@ -1328,6 +1328,25 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval over the corpus ([[graft.operators.Retrieval.bm25TopK]]):
+    * five fixed multi-term queries, top-10 docs each. Oracle-checked with
+    * the rational-idf variant (`lnIdf = false` — libm's ln is not
+    * bit-portable across engines; per-term contributions are IEEE-exact,
+    * quantized to DECIMAL(38,12) and summed exactly on both sides, one
+    * double cast at the end, rank ties broken by doc_id).
+    */
+  private val x72: Q = (s, d) => {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "fast join query"), (2L, "stream window batch"),
+      (3L, "customer table scan"), (4L, "slow merge sort agg dup"),
+      (5L, "spark data row value")).toDF("query_id", "qtext")
+    graft.operators.Retrieval.bm25TopK(
+        Tables.documents(s, d), col("doc_id"), col("text"), qs,
+        k = 10, lnIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1396,6 +1415,7 @@ object ExtQueries {
     "x69_index_sync" -> x69,
     "x70_auto_sync" -> x70,
     "x71_sync_hook" -> x71,
+    "x72_bm25_topk" -> x72,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2437,6 +2457,42 @@ object ExtQueries {
       """SELECT doc_id + 700000 AS doc_id, source
         |FROM documents WHERE doc_id % 10 = 7
         |ORDER BY doc_id""".stripMargin,
+    "x72_bm25_topk" ->
+      // rational-idf BM25 mirrored expression-for-expression: per-term
+      // contributions are IEEE-exact given the same integer tf/df/dl/N
+      // (mul/div only — no libm), quantized to DECIMAL(38,12) and summed
+      // EXACTLY (double summation is order-sensitive; decimal is not),
+      // one double cast at the end; ties broken by doc_id
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*)::BIGINT FROM dl) AS n,
+        |  (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE FROM dl) AS avgdl),
+        |q(query_id, qtext) AS (VALUES
+        |  (1, 'fast join query'), (2, 'stream window batch'),
+        |  (3, 'customer table scan'), (4, 'slow merge sort agg dup'),
+        |  (5, 'spark data row value')),
+        |qt AS (SELECT DISTINCT query_id::BIGINT AS query_id,
+        |  unnest(string_split_regex(qtext, '\s+')) AS term FROM q),
+        |dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(((s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+        |      AS DECIMAL(38,12)) AS c
+        |  FROM qt JOIN tf USING (term) JOIN dfreq d USING (term)
+        |    JOIN dl USING (doc_id), stats s),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS sc FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (
+        |  SELECT query_id, doc_id, sc::DOUBLE AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sc DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x63_audio_quality" ->
       // per 16-sample segment: mean square power and silence permille, all
       // integer arithmetic closed-form in doc_id — the PCM walk must

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** BM25 retrieval: ranking semantics (coverage and saturation), k and
+  * tie-break contracts, and the two idf variants' shared ordering on
+  * single-term queries.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // doc 1: both query terms, short — the clear winner
+    (1L, "alpha beta gamma"),
+    // doc 2: one query term, repeated (tf saturation must not beat coverage)
+    (2L, "alpha alpha alpha alpha alpha alpha alpha alpha"),
+    // doc 3: one query term once, long doc (length-normalized down)
+    (3L, "alpha " + (1 to 20).map(i => s"filler$i").mkString(" ")),
+    // doc 4: no query terms
+    (4L, "delta epsilon zeta")).toDF("doc_id", "text")
+
+  private def ranks(lnIdf: Boolean): Seq[(Long, Long, Long)] =
+    Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq((1L, "alpha beta")).toDF("query_id", "qtext"), k = 10, lnIdf = lnIdf)
+      .select("query_id", "doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+  test("coverage beats saturation, length normalization demotes, absent terms " +
+      "never rank; both idf variants agree here") {
+    for (ln <- Seq(true, false)) {
+      val r = ranks(ln)
+      assert(r.map(_._2).toSet === Set(1L, 2L, 3L), s"lnIdf=$ln: $r")
+      assert(r === Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L)),
+        s"lnIdf=$ln ranking: $r (doc1 covers both terms; doc2's 8x tf " +
+          "saturates below coverage; doc3 is length-normalized under doc2)")
+    }
+  }
+
+  test("k bounds each query independently and ties break by doc_id") {
+    val twins = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "gamma")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(twins, col("doc_id"), col("text"),
+        Seq((7L, "alpha"), (8L, "gamma")).toDF("query_id", "qtext"), k = 2)
+      .select("query_id", "doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // query 7: docs 1-3 are identical scorers; k=2 keeps the two lowest ids
+    assert(out === Seq((7L, 1L, 1L), (7L, 2L, 2L), (8L, 4L, 1L)), out.toString)
+  }
+
+  test("duplicate query terms count once (bag of terms, not bag of tokens)") {
+    val once = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq((1L, "alpha")).toDF("query_id", "qtext"), k = 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val thrice = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq((1L, "alpha alpha alpha")).toDF("query_id", "qtext"), k = 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(once === thrice)
+  }
+}
