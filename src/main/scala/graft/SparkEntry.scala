@@ -73,8 +73,9 @@ object SparkEntry {
     // corpus upsert + one retire publish, each propagated to the
     // registered dedup index by the afterPublish CDC pull, then a probe
     // that only passes if the sync landed (scaffolding staged once) —
-    // and BM25 retrieval, the text-search leg
-    "x71_sync_hook", "x72_bm25_topk")
+    // and BM25 retrieval, the text-search leg: the batch recompute (x72)
+    // and the standing inverted index's stored-postings probe (x73)
+    "x71_sync_hook", "x72_bm25_topk", "x73_text_index")
 
   /** Bench queries whose FIRST evaluation per sf dir stages standing state
     * (a scaffolded table, a trained index) that later evaluations reuse.
@@ -86,7 +87,7 @@ object SparkEntry {
     "q50b_index_refresh", "q28b_table_sync_inc", "x62_ann_index", "x64_pq_index",
     "x66_ivf_pq", "q45b_sql_merge_inc", "q31b_key_lookup_inc",
     "q22b_mor_write_inc", "q24b_time_travel_inc", "q26b_global_move_inc",
-    "q42b_sql_maintenance_inc", "x71_sync_hook")
+    "q42b_sql_maintenance_inc", "x71_sync_hook", "x73_text_index")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

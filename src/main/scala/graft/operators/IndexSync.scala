@@ -61,6 +61,9 @@ object IndexSync {
       case p: SyncRegistry.PqSpec =>
         if (!dels.isEmpty) PqIndex.remove(spark, indexPath, dels.select(p.idCol), p.idCol)
         if (!ups.isEmpty) PqIndex.append(spark, indexPath, ups, p.dim, p.m, p.idCol, p.vecCol)
+      case t: SyncRegistry.TextSpec =>
+        if (!dels.isEmpty) TextIndex.remove(spark, indexPath, dels.select(t.idCol), t.idCol)
+        if (!ups.isEmpty) TextIndex.append(spark, indexPath, ups, t.idCol, t.textCol)
     }
   }
 
@@ -85,6 +88,18 @@ object IndexSync {
       checkpointDir: String, idCol: String = "vec_id", vecCol: String = "embedding",
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.AnnSpec(indexPath, idCol, vecCol)
+    ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
+      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      applyInterval(spark, indexPath, changes, spec)
+    }
+  }
+
+  /** Apply one corpus CDC interval to a standing [[TextIndex]]. */
+  def syncText(
+      spark: SparkSession, corpusPath: String, indexPath: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      startAt: Option[String] = None): Option[ChangeStream.Pull] = {
+    val spec = SyncRegistry.TextSpec(indexPath, idCol, textCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
       identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
       applyInterval(spark, indexPath, changes, spec)

@@ -31,19 +31,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Retrieval {
 
-  /** BM25 top-k: `queries` is (query_id, qtext); returns
-    * (query_id, doc_id, rank, score) with rank 1..k per query, ties broken
-    * by doc_id. Duplicate terms in a query count once (the standard
-    * bag-of-TERMS form).
+  /** Whitespace bag-of-tokens: `(doc_id, term)` one row per token. The one
+    * tokenization every BM25 face shares — recompute and stored postings
+    * must agree on it or the index silently diverges from the operator.
     */
-  def bm25TopK(
-      docs: DataFrame, idCol: Column, textCol: Column, queries: DataFrame,
-      k: Int, k1: Double = 1.2, b: Double = 0.75,
-      lnIdf: Boolean = true): DataFrame = {
-    val terms = docs.select(idCol.as("doc_id"),
-      explode(split(textCol, "\\s+")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+  private[operators] def tokens(
+      docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"), explode(split(textCol, "\\s+")).as("term"))
+
+  /** The scoring core over materialized postings: `post` = (term, doc_id,
+    * tf), `dl` = (doc_id, dl), `queries` = (query_id, qtext). Shared by
+    * [[bm25TopK]] (postings built in-plan) and [[TextIndex.probe]]
+    * (postings served from storage), so the two are bit-identical by
+    * construction.
+    */
+  private[operators] def bm25Score(
+      post: DataFrame, dl: DataFrame, queries: DataFrame,
+      k: Int, k1: Double, b: Double, lnIdf: Boolean): DataFrame = {
     // N and avgdl: one tiny broadcast row. avgdl as exact-long-sum / count
     // (a single double division — engine-portable; built-in avg orderings
     // are not)
@@ -55,11 +59,11 @@ object Retrieval {
       .distinct()
     // df restricted to the query terms BEFORE grouping: the vocabulary is
     // corpus-sized, the query vocabulary is not
-    val dfreq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    val dfreq = post.join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("df"))
     val idfRaw = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val idf = if (lnIdf) log(idfRaw + lit(1.0)) else idfRaw
-    val contrib = tf
+    val contrib = post
       .join(broadcast(qterms), Seq("term")) // postings of query terms only
       .join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -74,5 +78,21 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"),
         col("sc").cast("double").as("score"))
+  }
+
+  /** BM25 top-k: `queries` is (query_id, qtext); returns
+    * (query_id, doc_id, rank, score) with rank 1..k per query, ties broken
+    * by doc_id. Duplicate terms in a query count once (the standard
+    * bag-of-TERMS form).
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: Column, textCol: Column, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = true): DataFrame = {
+    val terms = tokens(docs, idCol, textCol)
+    val post = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    bm25Score(post, dl, queries, k, k1, b, lnIdf)
   }
 }

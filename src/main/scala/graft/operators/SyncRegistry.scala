@@ -10,7 +10,7 @@ import graft.table.{CommitLog, KeyedTable, MaintenanceLog, TableProperties}
 /** Hands-off derived-index consistency: a REGISTRY of a corpus table's
   * standing indexes (`index.sync.<name>` table properties), applied by an
   * afterPublish maintenance hook — so a corpus delete/upsert PROPAGATES to
-  * every registered dedup/ANN/PQ index with nobody scheduling per-index
+  * every registered dedup/ANN/PQ/text index with nobody scheduling per-index
   * [[IndexSync]] calls. This closes the gap T46 left open: the sync
   * MECHANISM existed, but each index needed its own hand-wired call with
   * its own checkpoint, which is exactly the operator-babysitting failure
@@ -83,6 +83,11 @@ object SyncRegistry {
     def kind = "pq"
     def describe = s"pq $indexPath id=$idCol vec=$vecCol dim=$dim m=$m"
   }
+  final case class TextSpec(
+      indexPath: String, idCol: String, textCol: String) extends Spec {
+    def kind = "text"
+    def describe = s"text $indexPath id=$idCol text=$textCol"
+  }
 
   private def toJson(spec: Spec): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -98,6 +103,8 @@ object SyncRegistry {
       case p: PqSpec =>
         n.put("id", p.idCol); n.put("vec", p.vecCol)
         n.put("dim", p.dim); n.put("m", p.m)
+      case t: TextSpec =>
+        n.put("id", t.idCol); n.put("text", t.textCol)
     }
     mapper.writeValueAsString(n)
   }
@@ -120,8 +127,9 @@ object SyncRegistry {
       case "ann" => AnnSpec(str("path"), str("id"), str("vec"))
       case "pq" => PqSpec(str("path"), str("id"), str("vec"),
         n.get("dim").asInt(0), n.get("m").asInt(8))
+      case "text" => TextSpec(str("path"), str("id"), str("text"))
       case k => throw GraftException.config(
-        s"index.sync.$name has unknown index kind '$k' (dedup | ann | pq).")
+        s"index.sync.$name has unknown index kind '$k' (dedup | ann | pq | text).")
     }
   }
 

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TableType
+import graft.table.KeyedTable
+
+/** Standing INVERTED INDEX as a keyed graft table — the scale leg of text
+  * retrieval, the way [[DedupIndex]]/[[AnnIndex]]/[[PqIndex]] are the scale
+  * legs of their operators. [[Retrieval.bm25TopK]] re-tokenizes the corpus
+  * per query run: correct, but at 100 TB the O(corpus tokens) pass
+  * dominates every search. Here the postings — per-(term, doc) term
+  * frequencies and per-doc lengths — persist ONCE, and:
+  *
+  *  1. [[probe]] serves BM25 from STORAGE: the query-term filter pushes
+  *     into the posting scan (`term` is a key prefix — clustered scans and
+  *     blooms apply), and the scoring core is [[Retrieval.bm25Score]], so
+  *     probe ≡ bm25TopK over the same corpus BIT-FOR-BIT (spec-pinned);
+  *  2. [[append]] (re)indexes a doc batch with REPLACE semantics: one
+  *     mergeRows commit tombstones every existing posting/doclen key of the
+  *     batch's ids and lands the new entries — a re-upserted doc's REMOVED
+  *     terms stop matching in the same instant its new terms start (plain
+  *     keyed upsert could not retire them);
+  *  3. [[remove]] is the takedown leg: all of an id's posting/doclen keys
+  *     tombstone in one delta — the doc never ranks again, history stays
+  *     `asOf`-able (the x67/x68 compliance posture).
+  *
+  * Registered as `kind = text` in the [[SyncRegistry]], the index follows
+  * its corpus hands-off like the other three. Layout — one table,
+  * hive-partitioned by `kind`, keyed (kind, term, id):
+  * `kind='posting'` rows (term, id = doc id, tf); `kind='doclen'` rows
+  * (term = '', id, tf = token count). N and avgdl derive from the doclen
+  * partition at probe time (one column-pruned count/sum — the cellStats
+  * pattern; they change with every append, so storing them would just be
+  * a cache of the same scan).
+  */
+object TextIndex {
+
+  val KindCol = "kind"
+  val PostingKind = "posting"
+  val DoclenKind = "doclen"
+
+  private def entriesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = Retrieval.tokens(docs, col(idCol), col(textCol))
+    val post = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(lit(PostingKind).as(KindCol), col("term"),
+        col("doc_id").as("id"), col("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .select(lit(DoclenKind).as(KindCol), lit("").as("term"),
+        col("doc_id").as("id"), col("tf"))
+    post.unionByName(dl)
+  }
+
+  /** Build ONCE from the corpus: one tokenization pass, one table create.
+    * MOR keyed table (appends are delta commits), `compact.auto` at birth
+    * like every standing index.
+    */
+  def build(
+      spark: SparkSession, tablePath: String, corpus: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    KeyedTable.create(spark, tablePath, entriesOf(corpus, idCol, textCol),
+      tableName = "graft_text_index",
+      keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
+      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
+    graft.table.TableProperties.set(spark, tablePath,
+      Map(graft.table.TableProperties.CompactAuto -> "true"))
+  }
+
+  private def readIndex(
+      spark: SparkSession, tablePath: String, asOf: Option[String]): DataFrame =
+    asOf.map(KeyedTable.readAsOf(spark, tablePath, _))
+      .getOrElse(KeyedTable.read(spark, tablePath))
+
+  /** All stored keys belonging to `ids` — the tombstone set for both
+    * replace-append and takedown. One column-pruned scan of the index,
+    * semi-joined on the (broadcast) id set.
+    */
+  private def keysOf(t: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    t.select(col(KindCol), col("term"), col("id"))
+      .join(broadcast(ids.select(col(idCol).as("id")).distinct()), Seq("id"), "left_semi")
+      .select(col(KindCol), col("term"), col("id"))
+
+  /** (Re)index a doc batch with REPLACE semantics as ONE commit: every
+    * existing posting/doclen key of the batch's ids tombstones and the new
+    * entries land together ([[KeyedTable.mergeRows]], images beat same-key
+    * tombstones) — a re-upserted doc's removed terms stop matching in the
+    * same instant its new terms start, and no probe ever sees half a doc.
+    */
+  def append(
+      spark: SparkSession, tablePath: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val dels = keysOf(KeyedTable.read(spark, tablePath),
+      docs.select(col(idCol)), idCol)
+    KeyedTable.mergeRows(spark, tablePath, dels, entriesOf(docs, idCol, textCol))
+    ()
+  }
+
+  /** Takedown leg: tombstone every posting/doclen key of `ids` — one keyed
+    * delta, O(the ids' postings). The doc never ranks again and stops
+    * counting toward df/N/avgdl; history is retained, not rewritten (an
+    * `asOf` probe before the removal reproduces the historical ranking;
+    * pair with `cleanArchive` when the bytes must go). Re-appending
+    * re-serves.
+    */
+  def remove(
+      spark: SparkSession, tablePath: String, ids: DataFrame,
+      idCol: String): Unit = {
+    KeyedTable.delete(spark, tablePath,
+      keysOf(KeyedTable.read(spark, tablePath), ids, idCol))
+    ()
+  }
+
+  /** BM25 top-k against the STORED postings — [[Retrieval.bm25TopK]]'s
+    * exact scoring core with the posting/doclen sides served from storage
+    * (bit-identical over the same corpus, spec-pinned). No tokenization,
+    * no table writes; `asOf` reproduces a historical ranking.
+    */
+  def probe(
+      spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = true,
+      asOf: Option[String] = None): DataFrame = {
+    val t = readIndex(spark, tablePath, asOf)
+    val post = t.filter(col(KindCol) === PostingKind)
+      .select(col("term"), col("id").as("doc_id"), col("tf"))
+    val dl = t.filter(col(KindCol) === DoclenKind)
+      .select(col("id").as("doc_id"), col("tf").as("dl"))
+    Retrieval.bm25Score(post, dl, queries, k, k1, b, lnIdf)
+  }
+}

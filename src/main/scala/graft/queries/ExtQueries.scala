@@ -1347,6 +1347,34 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Standing inverted index ([[graft.operators.TextIndex]]): BM25 served
+    * from STORED postings. The index stages once per sf dir as build(half
+    * corpus) + append(other half) — so the replace-append path is inside
+    * the oracle-checked surface — and the probe must match the exhaustive
+    * full-corpus recompute (x72's SQL shape under different queries). Probe
+    * is read-only, so evaluations after the first time the probe alone.
+    */
+  private val x73Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x73: Q = (s, d) => {
+    import s.implicits._
+    val idx = x73Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x73")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val i = s"$root/idx"
+      graft.operators.TextIndex.build(s, i,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.TextIndex.append(s, i,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      i
+    })
+    val qs = Seq(
+      (1L, "merge window dup"), (2L, "hash scan part"),
+      (3L, "big line column"), (4L, "the a value"),
+      (5L, "query customer stream sort")).toDF("query_id", "qtext")
+    graft.operators.TextIndex.probe(s, idx, qs, k = 10, lnIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1416,6 +1444,7 @@ object ExtQueries {
     "x70_auto_sync" -> x70,
     "x71_sync_hook" -> x71,
     "x72_bm25_topk" -> x72,
+    "x73_text_index" -> x73,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2473,6 +2502,41 @@ object ExtQueries {
         |  (1, 'fast join query'), (2, 'stream window batch'),
         |  (3, 'customer table scan'), (4, 'slow merge sort agg dup'),
         |  (5, 'spark data row value')),
+        |qt AS (SELECT DISTINCT query_id::BIGINT AS query_id,
+        |  unnest(string_split_regex(qtext, '\s+')) AS term FROM q),
+        |dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(((s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+        |      AS DECIMAL(38,12)) AS c
+        |  FROM qt JOIN tf USING (term) JOIN dfreq d USING (term)
+        |    JOIN dl USING (doc_id), stats s),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS sc FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (
+        |  SELECT query_id, doc_id, sc::DOUBLE AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sc DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x73_text_index" ->
+      // x72's exhaustive recompute under the x73 query set: the STORED
+      // postings (built on half the corpus, replace-appended with the
+      // other half) must serve the same rankings as tokenizing the whole
+      // corpus — an append that left stale or missing postings mismatches
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*)::BIGINT FROM dl) AS n,
+        |  (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE FROM dl) AS avgdl),
+        |q(query_id, qtext) AS (VALUES
+        |  (1, 'merge window dup'), (2, 'hash scan part'),
+        |  (3, 'big line column'), (4, 'the a value'),
+        |  (5, 'query customer stream sort')),
         |qt AS (SELECT DISTINCT query_id::BIGINT AS query_id,
         |  unnest(string_split_regex(qtext, '\s+')) AS term FROM q),
         |dfreq AS (

@@ -640,8 +640,10 @@ private[sources] object GraftProcedures {
         case "pq" => graft.operators.SyncRegistry.PqSpec(
           need("path"), p.getOrElse("id", "vec_id"), p.getOrElse("vec", "embedding"),
           num("dim", 0), num("m", 8))
+        case "text" => graft.operators.SyncRegistry.TextSpec(
+          need("path"), need("id"), need("text"))
         case k => throw GraftException.config(
-          s"unknown index kind '$k' (dedup | ann | pq)")
+          s"unknown index kind '$k' (dedup | ann | pq | text)")
       }
       val basis = Option(a(3).toString.trim).filter(_.nonEmpty)
       graft.operators.SyncRegistry.register(s, a(0).toString, a(1).toString, spec, basis)
@@ -708,8 +710,16 @@ private[sources] object GraftProcedures {
           s.createDataset(longs)(org.apache.spark.sql.Encoders.scalaLong).toDF("id"), "id")
         case "pq" => graft.operators.PqIndex.remove(s, path,
           s.createDataset(longs)(org.apache.spark.sql.Encoders.scalaLong).toDF("id"), "id")
+        case "text" =>
+          // the text index is keyed (kind, term, id): type the ids by the
+          // stored id column, then let remove enumerate the posting keys
+          val dt = StructType.fromDDL(
+            graft.table.CommitLog.requireState(s, path).latest.schemaDdl)("id").dataType
+          graft.operators.TextIndex.remove(s, path,
+            s.createDataset(ids)(org.apache.spark.sql.Encoders.STRING)
+              .toDF("id").select(F.col("id").cast(dt)), "id")
         case k => throw GraftException.config(
-          s"unknown index kind '$k' (dedup | ann | pq)")
+          s"unknown index kind '$k' (dedup | ann | pq | text)")
       }
       Seq(s"removed ${ids.size} id(s)")
     },

@@ -63,7 +63,7 @@ object TableProperties {
   /** Prefix of the derived-index SYNC REGISTRY (`index.sync.<name>` = a
     * compact JSON spec): after every data publish on this table, one
     * checkpointed CDC pull propagates its deletes/upserts to every
-    * registered standing dedup/ANN/PQ index
+    * registered standing dedup/ANN/PQ/text index
     * ([[graft.operators.SyncRegistry]]) — takedowns and inserts reach the
     * derived state with nobody scheduling per-index sync calls.
     */

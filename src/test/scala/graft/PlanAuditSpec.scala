@@ -45,7 +45,7 @@ class PlanAuditSpec extends SparkTestBase {
       "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells", "x48_diverse_sample",
       "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix", "x56_nb_classifier",
       "x62_ann_index", "x64_pq_index", "x66_ivf_pq", "x67_ann_takedown",
-      "x72_bm25_topk")
+      "x72_bm25_topk", "x73_text_index")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|[3-9][0-9])[a-z]?_.*")
