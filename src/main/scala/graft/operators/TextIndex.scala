@@ -121,8 +121,22 @@ object TextIndex {
       k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = true,
       asOf: Option[String] = None): DataFrame = {
     val t = readIndex(spark, tablePath, asOf)
-    val post = t.filter(col(KindCol) === PostingKind)
+    // push the query terms into the posting SCAN as a literal IN filter:
+    // parquet row-group min/max prune it (decisively so after a
+    // clusterSort("term") layout pass), where the scoring core's broadcast
+    // join alone would still read every posting row group. The collect is
+    // bounded by the QUERY's distinct terms (not the corpus vocabulary) and
+    // capped — past 1000 terms the semi-join path stands alone. Semantics
+    // are unchanged either way: the scoring core only ever looks at
+    // query-term postings.
+    val qterms = queries
+      .select(explode(split(col(queries.columns(1)), "\\s+")).as("term"))
+      .distinct().limit(1001).collect().map(_.getString(0)).toSeq
+    val postAll = t.filter(col(KindCol) === PostingKind)
       .select(col("term"), col("id").as("doc_id"), col("tf"))
+    val post =
+      if (qterms.size <= 1000) postAll.filter(col("term").isin(qterms: _*))
+      else postAll
     val dl = t.filter(col(KindCol) === DoclenKind)
       .select(col("id").as("doc_id"), col("tf").as("dl"))
     Retrieval.bm25Score(post, dl, queries, k, k1, b, lnIdf)
