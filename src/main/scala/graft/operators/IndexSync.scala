@@ -60,7 +60,12 @@ object IndexSync {
         if (!ups.isEmpty) AnnIndex.append(spark, indexPath, ups, a.idCol, a.vecCol)
       case p: SyncRegistry.PqSpec =>
         if (!dels.isEmpty) PqIndex.remove(spark, indexPath, dels.select(p.idCol), p.idCol)
-        if (!ups.isEmpty) PqIndex.append(spark, indexPath, ups, p.dim, p.m, p.idCol, p.vecCol)
+        if (!ups.isEmpty) {
+          // geometry from STORAGE, never from configuration: a reshaping
+          // retrain (m may change) must not strand the sync on stale (dim, m)
+          val (dim, m) = PqIndex.storedGeometry(spark, indexPath)
+          PqIndex.append(spark, indexPath, ups, dim, m, p.idCol, p.vecCol)
+        }
       case t: SyncRegistry.TextSpec =>
         if (!dels.isEmpty) TextIndex.remove(spark, indexPath, dels.select(t.idCol), t.idCol)
         if (!ups.isEmpty) TextIndex.append(spark, indexPath, ups, t.idCol, t.textCol)
@@ -106,13 +111,16 @@ object IndexSync {
     }
   }
 
-  /** Apply one corpus CDC interval to a standing [[PqIndex]]. */
+  /** Apply one corpus CDC interval to a standing [[PqIndex]]. The encode
+    * geometry comes from the STORED codebooks, not a parameter — a
+    * reshaping retrain must not strand the sync on a stale (dim, m).
+    */
   def syncPq(
       spark: SparkSession, corpusPath: String, indexPath: String,
-      checkpointDir: String, dim: Int, m: Int = 8,
+      checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
-    val spec = SyncRegistry.PqSpec(indexPath, idCol, vecCol, dim, m)
+    val spec = SyncRegistry.PqSpec(indexPath, idCol, vecCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
       identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
       applyInterval(spark, indexPath, changes, spec)

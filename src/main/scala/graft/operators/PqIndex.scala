@@ -173,6 +173,21 @@ object PqIndex {
       .filter(col(KindCol) === CentroidKind)
       .select(col("id").as("cent_id"), col("v").as("cv"))
 
+  /** The stored model's (dim, m), read from the codebook partition (m =
+    * subspace count, dim = m · sub-centroid length; m·K rows, one bounded
+    * agg). The geometry an append MUST encode under — callers that hold a
+    * configured (dim, m) drift the moment a reshaping retrain lands, so
+    * sync paths derive it from storage instead ([[IndexSync]]).
+    */
+  def storedGeometry(spark: SparkSession, tablePath: String): (Int, Int) = {
+    val r = codebooks(spark, tablePath)
+      .agg(countDistinct(col("s")).as("m"), max(size(col("cv")))
+        .as("d")).collect()(0)
+    require(!r.isNullAt(1), s"no codebooks stored at $tablePath")
+    val m = r.getLong(0).toInt
+    (m * r.getInt(1), m)
+  }
+
   /** The stored codebooks `(s, cent_id, cv)` at the live tip (or `asOf`). */
   def codebooks(
       spark: SparkSession, tablePath: String,

@@ -77,11 +77,17 @@ object SyncRegistry {
     def kind = "ann"
     def describe = s"ann $indexPath id=$idCol vec=$vecCol"
   }
+  /** No (dim, m) here ON PURPOSE: a reshaping `PqIndex.retrain` (m /
+    * codebookSize may change) would silently strand a configured copy, and
+    * the sync would then encode appends under the WRONG geometry — so the
+    * apply derives (dim, m) from the stored codebooks every interval
+    * ([[PqIndex.storedGeometry]], one bounded agg).
+    */
   final case class PqSpec(
-      indexPath: String, idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 0, m: Int = 8) extends Spec {
+      indexPath: String, idCol: String = "vec_id",
+      vecCol: String = "embedding") extends Spec {
     def kind = "pq"
-    def describe = s"pq $indexPath id=$idCol vec=$vecCol dim=$dim m=$m"
+    def describe = s"pq $indexPath id=$idCol vec=$vecCol"
   }
   final case class TextSpec(
       indexPath: String, idCol: String, textCol: String) extends Spec {
@@ -102,7 +108,6 @@ object SyncRegistry {
         n.put("id", a.idCol); n.put("vec", a.vecCol)
       case p: PqSpec =>
         n.put("id", p.idCol); n.put("vec", p.vecCol)
-        n.put("dim", p.dim); n.put("m", p.m)
       case t: TextSpec =>
         n.put("id", t.idCol); n.put("text", t.textCol)
     }
@@ -125,8 +130,9 @@ object SyncRegistry {
       case "dedup" => DedupSpec(str("path"), str("id"), str("text"),
         n.get("shingleN").asInt(3), n.get("numHashes").asInt(16))
       case "ann" => AnnSpec(str("path"), str("id"), str("vec"))
-      case "pq" => PqSpec(str("path"), str("id"), str("vec"),
-        n.get("dim").asInt(0), n.get("m").asInt(8))
+      // older specs may carry dim/m fields — ignored: the apply derives
+      // the geometry from the stored codebooks (see PqSpec's doc)
+      case "pq" => PqSpec(str("path"), str("id"), str("vec"))
       case "text" => TextSpec(str("path"), str("id"), str("text"))
       case k => throw GraftException.config(
         s"index.sync.$name has unknown index kind '$k' (dedup | ann | pq | text).")
@@ -156,13 +162,6 @@ object SyncRegistry {
       s"registry name must be [A-Za-z0-9_-]+, got '$name'")
     require(new Path(spec.indexPath).toString != new Path(corpusPath).toString,
       "an index cannot be registered on itself as its own corpus")
-    spec match {
-      // fail at REGISTRATION, not on every later publish's apply
-      case p: PqSpec => require(p.dim > 0,
-        s"a pq registry spec needs dim > 0 (got ${p.dim}) — appends encode " +
-          "against the stored codebooks and must know the vector dimension")
-      case _ => ()
-    }
     CommitLog.requireState(spark, spec.indexPath) // a real index table
     // property FIRST, then catch-up: a corpus publish racing the catch-up
     // then syncs the new index too (over-application is idempotent),

@@ -622,11 +622,12 @@ private[sources] object GraftProcedures {
     },
     proc("index_register", Seq("corpus" -> StringType, "name" -> StringType,
         "spec" -> StringType, "basis" -> StringType),
-      "Register a standing dedup/ann/pq index on its corpus table: every " +
-        "later data publish propagates the corpus's deletes/upserts to it " +
-        "through one checkpointed CDC pull (T47). spec is assignments like " +
-        "'kind = dedup; path = /idx; id = doc_id; text = text'; basis is " +
-        "the corpus instant the index was built from ('' = corpus tip)") { (s, a) =>
+      "Register a standing dedup/ann/pq/text index on its corpus table: " +
+        "every later data publish propagates the corpus's deletes/upserts " +
+        "to it through one checkpointed CDC pull (T47). spec is assignments " +
+        "like 'kind = dedup; path = /idx; id = doc_id; text = text' (pq " +
+        "geometry derives from the stored codebooks); basis is the corpus " +
+        "instant the index was built from ('' = corpus tip)") { (s, a) =>
       val p = parseAssignments(a(2).toString)
       def need(k: String) = p.getOrElse(k, throw GraftException.config(
         s"index_register spec needs '$k = ...' (got: ${a(2)})"))
@@ -638,8 +639,7 @@ private[sources] object GraftProcedures {
         case "ann" => graft.operators.SyncRegistry.AnnSpec(
           need("path"), p.getOrElse("id", "vec_id"), p.getOrElse("vec", "embedding"))
         case "pq" => graft.operators.SyncRegistry.PqSpec(
-          need("path"), p.getOrElse("id", "vec_id"), p.getOrElse("vec", "embedding"),
-          num("dim", 0), num("m", 8))
+          need("path"), p.getOrElse("id", "vec_id"), p.getOrElse("vec", "embedding"))
         case "text" => graft.operators.SyncRegistry.TextSpec(
           need("path"), need("id"), need("text"))
         case k => throw GraftException.config(

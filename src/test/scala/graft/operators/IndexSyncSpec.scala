@@ -130,7 +130,7 @@ class IndexSyncSpec extends SparkTestBase {
     KeyedTable.upsert(spark, corpusTbl,
       emb.filter(col("vec_id").isin(5L, 6L)).select("vec_id", "embedding"))
     assert(IndexSync.syncPq(spark, corpusTbl, idx, s"$dir/ckpt",
-      dim = 64, m = 16, startAt = Some(tip0)).nonEmpty)
+      startAt = Some(tip0)).nonEmpty)
 
     val t = KeyedTable.read(spark, idx)
     val n = n0 - 3 + 2

@@ -98,6 +98,39 @@ class SyncRegistrySpec extends SparkTestBase {
       "an unregistered index must stop following")
   }
 
+  test("a reshaping pq retrain does not strand the sync: post-retrain corpus " +
+      "publishes encode appends under the STORED geometry, not the " +
+      "registration-time one") {
+    val dir = tmpDir("sync-reg-pq-retrain")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/pq"
+    KeyedTable.create(spark, corpusTbl,
+      emb.filter(col("vec_id") >= 25).select("vec_id", "embedding"),
+      tableName = "reg_pq", keyFields = Seq("vec_id"),
+      precombineField = "vec_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    PqIndex.build(spark, idx, KeyedTable.read(spark, corpusTbl),
+      dim = 64, m = 16, iters = 1, nlist = 4)
+    SyncRegistry.register(spark, corpusTbl, "pq",
+      SyncRegistry.PqSpec(idx, "vec_id", "embedding"),
+      basis = Some(CommitLog.commits(spark, corpusTbl).last.commitTime))
+    // reshape: m 16 → 8 (one merge commit; the registry spec is untouched)
+    PqIndex.retrain(spark, idx, dim = 64, m = 8, codebookSize = 16, iters = 1)
+    // the next corpus publish must encode the appended ids under m = 8 —
+    // a configured-geometry sync would write 16 phantom subspace codes
+    KeyedTable.upsert(spark, corpusTbl,
+      emb.filter(col("vec_id").isin(5L, 6L)).select("vec_id", "embedding"))
+    val codes = KeyedTable.read(spark, idx)
+      .filter(col(PqIndex.KindCol) === PqIndex.CodeKind && col("id").isin(5L, 6L))
+    assert(codes.count() === 2 * 8, "appends not under the retrained m")
+    assert(codes.select("s").distinct().count() === 8)
+    // and the synced entries actually serve
+    val served = PqIndex.probe(spark, idx, emb.filter(col("vec_id") < 1),
+      k = 100000, dim = 64, m = 8, shortlist = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Set(5L, 6L).subsetOf(served))
+  }
+
   test("replay converges: re-delivering an applied interval through a fresh " +
       "checkpoint leaves the registered index's logical state unchanged") {
     val dir = tmpDir("sync-reg-replay")
@@ -219,12 +252,6 @@ class SyncRegistrySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SyncRegistry.register(spark, corpusTbl, "self",
         SyncRegistry.DedupSpec(corpusTbl, "doc_id", "text"))
-    }
-    // a pq spec without a dimension would fail on every later apply —
-    // refused at registration instead
-    intercept[IllegalArgumentException] {
-      SyncRegistry.register(spark, corpusTbl, "pq0",
-        SyncRegistry.PqSpec(s"$dir/pq", "vec_id", "embedding"))
     }
     TableProperties.set(spark, corpusTbl,
       Map(TableProperties.IndexSyncPrefix + "bad" -> """{"kind":"what"}"""))
