@@ -53,8 +53,20 @@ object IndexSync {
     spec match {
       case d: SyncRegistry.DedupSpec =>
         if (!dels.isEmpty) DedupIndex.remove(spark, indexPath, dels.select(d.idCol), d.idCol)
-        if (!ups.isEmpty)
-          DedupIndex.append(spark, indexPath, ups, d.idCol, d.textCol, d.shingleN, d.numHashes)
+        if (!ups.isEmpty) {
+          // parameters from the index's own STAMPS when present (written by
+          // bootstrap/rebuild/cutover): a library-level rebuild under new
+          // (shingleN, numHashes) must not strand the sync on the
+          // registration-time values — entries appended under the old
+          // parameters would silently never collide with the new ones.
+          // Pre-stamp indexes fall back to the spec.
+          val props = graft.table.TableProperties.get(spark, indexPath)
+          val shingleN = props.get(DedupIndex.ShingleNProp)
+            .map(_.trim.toInt).getOrElse(d.shingleN)
+          val numHashes = props.get(DedupIndex.NumHashesProp)
+            .map(_.trim.toInt).getOrElse(d.numHashes)
+          DedupIndex.append(spark, indexPath, ups, d.idCol, d.textCol, shingleN, numHashes)
+        }
       case a: SyncRegistry.AnnSpec =>
         if (!dels.isEmpty) AnnIndex.remove(spark, indexPath, dels.select(a.idCol), a.idCol)
         if (!ups.isEmpty) AnnIndex.append(spark, indexPath, ups, a.idCol, a.vecCol)

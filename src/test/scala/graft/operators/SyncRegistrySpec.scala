@@ -131,6 +131,39 @@ class SyncRegistrySpec extends SparkTestBase {
     assert(Set(5L, 6L).subsetOf(served))
   }
 
+  test("a library-level dedup rebuild does not strand the sync: post-rebuild " +
+      "publishes append under the index's STAMPED parameters, not the " +
+      "registration-time ones") {
+    val dir = tmpDir("sync-reg-dedup-rebuild")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    KeyedTable.create(spark, corpusTbl,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      tableName = "reg_dd_rebuild", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text", shingleN = 3, numHashes = 16)
+    SyncRegistry.register(spark, corpusTbl, "d",
+      SyncRegistry.DedupSpec(idx, "doc_id", "text", shingleN = 3, numHashes = 16),
+      basis = Some(CommitLog.commits(spark, corpusTbl).last.commitTime))
+    // library rebuild under (4, 32) — nobody touches the registry spec
+    DedupIndex.rebuild(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text", shingleN = 4, numHashes = 32)
+    // the next corpus publish must append under the STAMPED (4, 32) — a
+    // spec-parameter sync would write 16-hash signatures that never collide
+    // with the rebuilt 32-hash entries
+    KeyedTable.upsert(spark, corpusTbl, Seq((3L, textC)).toDF("doc_id", "text"))
+    val sigLens = KeyedTable.read(spark, idx)
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sigLens === Map(1L -> 32, 2L -> 32, 3L -> 32), s"got $sigLens")
+    // and the synced entry screens under the new parameters
+    assert(DedupIndex.probe(spark, idx,
+      Seq((903L, textC)).toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 4, numHashes = 32).count() === 1)
+  }
+
   test("replay converges: re-delivering an applied interval through a fresh " +
       "checkpoint leaves the registered index's logical state unchanged") {
     val dir = tmpDir("sync-reg-replay")
