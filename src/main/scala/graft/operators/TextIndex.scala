@@ -96,6 +96,29 @@ object TextIndex {
     ()
   }
 
+  /** Streaming twin of [[append]] ([[AnnIndex.ingestStream]]'s shape): every
+    * micro-batch of `docs` (a streaming DataFrame) replace-appends into the
+    * standing index — probes always see the latest ingested batch.
+    * Exactly-once note: foreachBatch delivers at-least-once, and the batch
+    * body is IDEMPOTENT — replace-append tombstones the batch ids' old keys
+    * and lands entries derived deterministically from the batch, so a
+    * crash-replay re-lands the same state.
+    */
+  def ingestStream(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!b.isEmpty) append(b.sparkSession, indexPath, b.toDF(), idCol, textCol)
+        ()
+      }
+      .start()
+
   /** Takedown leg: tombstone every posting/doclen key of `ids` — one keyed
     * delta, O(the ids' postings). The doc never ranks again and stops
     * counting toward df/N/avgdl; history is retained, not rewritten (an

@@ -89,6 +89,45 @@ class TextIndexSpec extends SparkTestBase {
     assert(rows(TextIndex.probe(spark, idx, q, k = 10)) === before)
   }
 
+  test("streaming ingest: micro-batches replace-append; end state ≡ batch " +
+      "appends; a redelivered batch (including a re-worded doc) changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val dir = tmpDir("text-stream")
+    val idx = s"$dir/idx"
+    TextIndex.build(spark, idx,
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val b1 = Seq((3L, "alpha epsilon"), (4L, "zeta"))
+    val b2 = Seq((3L, "eta theta"), (5L, "beta")) // doc 3 RE-WORDED mid-stream
+    val stream = MemoryStream[(Long, String)]
+    val q = TextIndex.ingestStream(
+      stream.toDF().toDF("doc_id", "text"), idx, tmpDir("text-ckpt"),
+      "doc_id", "text")
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable() // source-level redelivery
+    } finally q.stop()
+    val queries = Seq((1L, "alpha"), (2L, "eta"), (3L, "epsilon"))
+      .toDF("query_id", "qtext")
+    val streamed = rows(TextIndex.probe(spark, idx, queries, k = 10))
+    // end state ≡ the equivalent batch sequence on a fresh index
+    val idx2 = s"$dir/idx2"
+    TextIndex.build(spark, idx2,
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    TextIndex.append(spark, idx2, b1.toDF("doc_id", "text"), "doc_id", "text")
+    TextIndex.append(spark, idx2, b2.toDF("doc_id", "text"), "doc_id", "text")
+    assert(streamed === rows(TextIndex.probe(spark, idx2, queries, k = 10)))
+    // doc 3's v1 term (epsilon, query 3) no longer matches ANYTHING — the
+    // mid-stream replace retired it — while its v2 term (eta, query 2) serves
+    assert(!streamed.exists(t => t._1 == 3L),
+      s"epsilon still matches re-worded doc 3: $streamed")
+    assert(streamed.exists(t => t._1 == 2L && t._2 == 3L), "doc 3 v2 must match eta")
+  }
+
   test("a text index registered on its corpus follows publishes hands-off") {
     val dir = tmpDir("text-sync")
     val corpusTbl = s"$dir/corpus"
