@@ -45,10 +45,16 @@ object TextIndex {
     val terms = Retrieval.tokens(docs, col(idCol), col(textCol))
     val post = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .select(lit(PostingKind).as(KindCol), col("term"),
-        col("doc_id").as("id"), col("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("tf"))
+        col("doc_id").as("id"), col("tf"),
+        lit(null).cast("array<string>").as("terms"))
+    // the doclen row doubles as the doc's FORWARD list (its distinct terms):
+    // replace-append/remove enumerate a doc's posting keys from this ONE
+    // key-addressed row instead of scanning the posting partition — the
+    // piece that keeps those tombstone sets O(batch docs' rows), not O(index)
+    val dl = terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("tf"), collect_set(col("term")).as("terms"))
       .select(lit(DoclenKind).as(KindCol), lit("").as("term"),
-        col("doc_id").as("id"), col("tf"))
+        col("doc_id").as("id"), col("tf"), col("terms"))
     post.unionByName(dl)
   }
 
@@ -73,13 +79,21 @@ object TextIndex {
       .getOrElse(KeyedTable.read(spark, tablePath))
 
   /** All stored keys belonging to `ids` — the tombstone set for both
-    * replace-append and takedown. One column-pruned scan of the index,
-    * semi-joined on the (broadcast) id set.
+    * replace-append and takedown. Enumerated from the ids' DOCLEN rows
+    * (each carries its doc's forward term list), so the cost is one
+    * kind-pruned scan of the doclen partition semi-joined to the id set —
+    * never a pass over the posting partition, which is ~avg-doc-length
+    * times larger. Ids never indexed simply contribute no keys.
     */
-  private def keysOf(t: DataFrame, ids: DataFrame, idCol: String): DataFrame =
-    t.select(col(KindCol), col("term"), col("id"))
+  private def keysOf(t: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
+    val dlRows = t.filter(col(KindCol) === DoclenKind)
+      .select(col("id"), col("terms"))
       .join(broadcast(ids.select(col(idCol).as("id")).distinct()), Seq("id"), "left_semi")
-      .select(col(KindCol), col("term"), col("id"))
+    dlRows.select(lit(PostingKind).as(KindCol),
+        explode(col("terms")).as("term"), col("id"))
+      .unionByName(dlRows.select(lit(DoclenKind).as(KindCol),
+        lit("").as("term"), col("id")))
+  }
 
   /** (Re)index a doc batch with REPLACE semantics as ONE commit: every
     * existing posting/doclen key of the batch's ids tombstones and the new
