@@ -273,6 +273,58 @@ class SyncRegistrySpec extends SparkTestBase {
     assert(e3.getMessage.contains("belongs to"), e3.getMessage)
   }
 
+  test("randomized convergence: any seeded interleaving of corpus upserts, " +
+      "re-words, and deletes leaves the registered index data-identical to " +
+      "a fresh bootstrap of the corpus end state") {
+    val rnd = new scala.util.Random(20260816L)
+    val dir = tmpDir("sync-reg-random")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    def text(id: Long, v: Int) =
+      (1 to 30).map(i => s"t$id-$v-$i").mkString(" ")
+    KeyedTable.create(spark, corpusTbl,
+      (1L to 8L).map(i => (i, text(i, 0))).toDF("doc_id", "text"),
+      tableName = "reg_random", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    SyncRegistry.register(spark, corpusTbl, "d",
+      SyncRegistry.DedupSpec(idx, "doc_id", "text"),
+      basis = Some(CommitLog.commits(spark, corpusTbl).last.commitTime))
+    for (step <- 1 to 10) {
+      val present = ids(KeyedTable.read(spark, corpusTbl)).toSeq.sorted
+      rnd.nextInt(3) match {
+        case 0 => // insert/re-word 1-3 docs (ids 1..12, possibly existing)
+          val picks = Seq.fill(1 + rnd.nextInt(3))(1L + rnd.nextInt(12))
+            .distinct.map(i => (i, text(i, step)))
+          KeyedTable.upsert(spark, corpusTbl, picks.toDF("doc_id", "text"))
+        case 1 if present.nonEmpty => // delete 1-2 present docs
+          val picks = Seq.fill(1 + rnd.nextInt(2))(
+            present(rnd.nextInt(present.size))).distinct
+          KeyedTable.delete(spark, corpusTbl, picks.toDF("doc_id"))
+        case _ => // delete-then-reinsert inside separate publishes
+          if (present.nonEmpty) {
+            val p = present(rnd.nextInt(present.size))
+            KeyedTable.delete(spark, corpusTbl, Seq(p).toDF("doc_id"))
+            KeyedTable.upsert(spark, corpusTbl,
+              Seq((p, text(p, step))).toDF("doc_id", "text"))
+          }
+      }
+    }
+    // the hook propagated every interval; entries are deterministic
+    // functions of the corpus text, so index state must equal a FRESH
+    // bootstrap of the end state, row for row
+    def entries(path: String) = KeyedTable.read(spark, path)
+      .select("doc_id", DedupIndex.SigCol, DedupIndex.ShCol)
+      .collect().map(_.toString).toSet
+    val fresh = s"$dir/fresh"
+    DedupIndex.bootstrap(spark, fresh, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    assert(entries(idx) === entries(fresh),
+      "registered index diverged from the corpus end state")
+  }
+
   test("registry hygiene: self-registration refuses, unknown spec JSON fails " +
       "loudly, and a corpus with no registry pays one property read only") {
     val dir = tmpDir("sync-reg-hygiene")
