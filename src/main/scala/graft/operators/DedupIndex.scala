@@ -104,10 +104,17 @@ object DedupIndex {
     require(keyF == Seq(idCol),
       s"index at $indexPath is keyed by ${keyF.mkString(",")}, not $idCol")
     val dels = KeyedTable.read(spark, indexPath).select(col(idCol))
-    KeyedTable.mergeRows(spark, indexPath, dels,
-      entriesOf(corpus, idCol, textCol, shingleN, numHashes))
+    // stamp BEFORE the merge: probes take caller-passed parameters (an
+    // early stamp misleads nothing), but the SYNC reads the stamps — with
+    // a crash between merge and a late stamp, every later synced append
+    // would land old-parameter entries into the rebuilt index until
+    // someone noticed. Early-stamp crashes heal on the natural retry (the
+    // re-run recomputes every entry, retiring any interim mismatch).
     graft.table.TableProperties.set(spark, indexPath,
       Map(ShingleNProp -> shingleN.toString, NumHashesProp -> numHashes.toString))
+    KeyedTable.mergeRows(spark, indexPath, dels,
+      entriesOf(corpus, idCol, textCol, shingleN, numHashes))
+    ()
   }
 
   /** Stage a rebuild: bootstrap a FRESH index under new parameters at a
@@ -139,11 +146,13 @@ object DedupIndex {
       s"cutover key mismatch: live ${keyF.mkString(",")} vs staging ${stagingKeyF.mkString(",")}")
     val idCol = keyF.head
     val dels = KeyedTable.read(spark, indexPath).select(col(idCol))
-    KeyedTable.mergeRows(spark, indexPath, dels,
-      KeyedTable.read(spark, stagingPath).select(col(idCol), col(SigCol), col(ShCol)))
+    // stamps BEFORE the swap commit, same reasoning as rebuild's
     val stamps = graft.table.TableProperties.get(spark, stagingPath)
       .filter { case (k, _) => k == ShingleNProp || k == NumHashesProp }
     if (stamps.nonEmpty) graft.table.TableProperties.set(spark, indexPath, stamps)
+    KeyedTable.mergeRows(spark, indexPath, dels,
+      KeyedTable.read(spark, stagingPath).select(col(idCol), col(SigCol), col(ShCol)))
+    ()
   }
 
   /** Near-dup pairs (a_id = index doc, b_id = batch doc, jaccard ≥

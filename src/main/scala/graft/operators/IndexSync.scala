@@ -84,6 +84,19 @@ object IndexSync {
     }
   }
 
+  /** [[applyInterval]] with the interval materialized once: a single apply
+    * still runs several actions over it (split isEmpty probes + writes),
+    * each re-executing the CDC read from storage without the persist.
+    * Single-index call sites use this; [[SyncRegistry]]'s multi-index pull
+    * persists once around its whole loop instead.
+    */
+  private[operators] def applyPersisted(
+      spark: SparkSession, indexPath: String, changes: DataFrame,
+      spec: SyncRegistry.Spec): Unit = {
+    val c = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyInterval(spark, indexPath, c, spec) finally c.unpersist()
+  }
+
   /** Apply one corpus CDC interval to a standing [[DedupIndex]]. Returns
     * the applied interval, or None when the corpus has no new commits.
     */
@@ -95,7 +108,7 @@ object IndexSync {
     val spec = SyncRegistry.DedupSpec(indexPath, idCol, textCol, shingleN, numHashes)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
       identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
-      applyInterval(spark, indexPath, changes, spec)
+      applyPersisted(spark, indexPath, changes, spec)
     }
   }
 
@@ -107,7 +120,7 @@ object IndexSync {
     val spec = SyncRegistry.AnnSpec(indexPath, idCol, vecCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
       identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
-      applyInterval(spark, indexPath, changes, spec)
+      applyPersisted(spark, indexPath, changes, spec)
     }
   }
 
@@ -119,7 +132,7 @@ object IndexSync {
     val spec = SyncRegistry.TextSpec(indexPath, idCol, textCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
       identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
-      applyInterval(spark, indexPath, changes, spec)
+      applyPersisted(spark, indexPath, changes, spec)
     }
   }
 
@@ -135,7 +148,7 @@ object IndexSync {
     val spec = SyncRegistry.PqSpec(indexPath, idCol, vecCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
       identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
-      applyInterval(spark, indexPath, changes, spec)
+      applyPersisted(spark, indexPath, changes, spec)
     }
   }
 }

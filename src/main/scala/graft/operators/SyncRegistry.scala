@@ -30,13 +30,15 @@ import graft.table.{CommitLog, KeyedTable, MaintenanceLog, TableProperties}
   * pointing a copied/mispointed checkpoint at a different corpus fails
   * loudly instead of silently skipping pulled intervals.
   *
-  * Registration: [[register]] stores the spec and, when `basis` names the
-  * corpus instant the index was BUILT from, immediately CATCHES the index
-  * UP over `(basis, tip]` — so an index built from an older snapshot joins
-  * the registry consistent, even when the shared watermark has already
-  * advanced past its build point (over-delivery is idempotent). Without a
-  * basis the index must have been built from the corpus at-or-after the
-  * current watermark — pass the build instant whenever in doubt.
+  * Registration: [[register]] stores the spec and immediately CATCHES the
+  * index UP — over `(basis, tip]` when `basis` names the corpus instant
+  * the index was built from (recommended: an index built from an older
+  * snapshot joins consistent even when the shared watermark already
+  * advanced past its build point), or over `(pre-registration watermark,
+  * tip]` without one, which covers any publish racing the registration
+  * itself (over-delivery is idempotent either way). Without a basis the
+  * index must have been built from the corpus at-or-after the watermark —
+  * pass the build instant whenever in doubt.
   *
   * Cost per publish: one tiny properties read when nothing is registered;
   * otherwise one partition-pruned CDC read (O(changes), never O(table))
@@ -126,9 +128,13 @@ object SyncRegistry {
         s"index.sync.$name is missing the '$f' field: $json")
       v.asText()
     }
+    // int fields default like the case class (absent ≠ malformed — a
+    // hand-written spec may omit them); a bare n.get(...).asInt would NPE
+    def num(f: String, d: Int): Int =
+      Option(n.get(f)).map(_.asInt(d)).getOrElse(d)
     str("kind") match {
       case "dedup" => DedupSpec(str("path"), str("id"), str("text"),
-        n.get("shingleN").asInt(3), n.get("numHashes").asInt(16))
+        num("shingleN", 3), num("numHashes", 16))
       case "ann" => AnnSpec(str("path"), str("id"), str("vec"))
       // older specs may carry dim/m fields — ignored: the apply derives
       // the geometry from the stored codebooks (see PqSpec's doc)
@@ -145,15 +151,24 @@ object SyncRegistry {
   def checkpointDir(corpusPath: String): String =
     new Path(CommitLog.logDir(corpusPath), "indexsync.ckpt").toString
 
+  // Path-normalized so slash variants of the same table spelling agree —
+  // the checkpoint dir resolves to one location for all of them, and a
+  // raw-string identity would refuse the pull for every spelling but one
   private def identityOf(corpusPath: String): String =
-    s"indexsync.registry $corpusPath"
+    s"indexsync.registry ${new Path(corpusPath).toString}"
 
   /** Register `spec` under `name` and make the index CONSISTENT with the
     * registry's watermark: ensures the shared checkpoint exists (initialized
     * at the corpus tip — never consuming an interval other registered
-    * indexes still need) and, when `basis` is given (the corpus instant the
-    * index was built from — recommended), catches this index up over
-    * `(basis, tip]` right away. Re-registering a name overwrites its spec.
+    * indexes still need), then catches this index up over `(basis, tip]`
+    * (`basis` = the corpus instant the index was built from — recommended)
+    * or, without a basis, over `(pre-registration watermark, tip]` — so a
+    * publish RACING the registration is covered either way (it lands above
+    * the pinned point; over-application of an interval the hook also
+    * delivers is idempotent). Any failure after the spec lands unregisters
+    * before rethrowing: a registered-but-gapped index would silently miss
+    * its interval forever (later syncs apply only NEW intervals).
+    * Re-registering a name overwrites its spec.
     */
   def register(
       spark: SparkSession, corpusPath: String, name: String, spec: Spec,
@@ -163,22 +178,30 @@ object SyncRegistry {
     require(new Path(spec.indexPath).toString != new Path(corpusPath).toString,
       "an index cannot be registered on itself as its own corpus")
     CommitLog.requireState(spark, spec.indexPath) // a real index table
-    // property FIRST, then catch-up: a corpus publish racing the catch-up
-    // then syncs the new index too (over-application is idempotent),
-    // whereas catch-up-first would let that interval slip past unregistered
-    TableProperties.set(spark, corpusPath,
-      Map(TableProperties.IndexSyncPrefix + name -> toJson(spec)))
+    // checkpoint FIRST (pins the watermark and validates identity before
+    // the spec becomes visible), spec SECOND (a publish racing the
+    // catch-up then syncs the new index too — idempotent), catch-up LAST
     ChangeStream.initialize(spark, corpusPath, checkpointDir(corpusPath),
       identity = Some(identityOf(corpusPath)))
-    try basis.foreach { b =>
-      val changes = KeyedTable.readChanges(spark, corpusPath, b)
-      if (!changes.isEmpty) IndexSync.applyInterval(spark, spec.indexPath, changes, spec)
+    val w0 = ChangeStream.readWatermark(
+      CommitLog.fs(spark, corpusPath), checkpointDir(corpusPath))
+    TableProperties.set(spark, corpusPath,
+      Map(TableProperties.IndexSyncPrefix + name -> toJson(spec)))
+    try {
+      // without a basis, catch up from the PRE-REGISTRATION watermark: a
+      // publish that raced in while the spec was landing is above it and
+      // would otherwise be the new index's permanent silent gap
+      basis.orElse(w0).foreach { b =>
+        val changes = KeyedTable.readChanges(spark, corpusPath, b)
+        if (!changes.isEmpty)
+          IndexSync.applyPersisted(spark, spec.indexPath, changes, spec)
+      }
     } catch {
       case e: Exception =>
         // a failed catch-up must not leave a registered-but-gapped index:
-        // later syncs apply only NEW intervals, so (basis, watermark] would
-        // stay silently missing forever. Unregister and fail loudly — the
-        // operator re-registers (catch-up is idempotent) or rebuilds.
+        // later syncs apply only NEW intervals, so the uncaught interval
+        // would stay silently missing forever. Unregister and fail loudly —
+        // the operator re-registers (catch-up is idempotent) or rebuilds.
         try unregister(spark, corpusPath, name) catch { case _: Exception => () }
         throw e
     }
@@ -220,9 +243,14 @@ object SyncRegistry {
     if (regs.isEmpty) return None
     ChangeStream.pull(spark, corpusPath, checkpointDir(corpusPath),
       identity = Some(identityOf(corpusPath))) { (changes, _) =>
-      regs.foreach { case (_, spec) =>
-        IndexSync.applyInterval(spark, spec.indexPath, changes, spec)
-      }
+      // materialize the interval ONCE: each apply runs several actions
+      // (split isEmpty probes + the writes) over it, and N indexes multiply
+      // that — without the persist the "one CDC read per publish" the class
+      // doc promises re-executes ~4N times from storage
+      val c = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try regs.foreach { case (_, spec) =>
+        IndexSync.applyInterval(spark, spec.indexPath, c, spec)
+      } finally c.unpersist()
     }.map(p => (p, regs.map(_._1)))
   }
 
@@ -232,7 +260,7 @@ object SyncRegistry {
     * index sidecar builds touch no data — so pulling it would spend a CDC
     * read to deliver nothing.
     */
-  private val skipOps = Set(
+  private[graft] val skipOps = Set(
     "index_stats", "index_bloom", "alter_schema", "compact", "reclaim",
     "cluster", "materialize")
 

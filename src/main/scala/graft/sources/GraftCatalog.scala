@@ -664,11 +664,15 @@ private[sources] object GraftProcedures {
         val wm = graft.streaming.ChangeStream.readWatermark(
           graft.table.CommitLog.fs(s, a(0).toString),
           graft.operators.SyncRegistry.checkpointDir(a(0).toString))
-        // lag in COMMITS, not instants: the operator question is "how many
-        // publishes have not reached the indexes" (> 0 means a hook apply
-        // failed and is retrying — see the index.sync journal row)
+        // lag in DATA commits, not instants: the operator question is "how
+        // many publishes have not reached the indexes" (> 0 means a hook
+        // apply failed and is retrying — see the index.sync journal row).
+        // Maintenance commits past the watermark (compaction, clustering,
+        // index sidecars) are skipped by the hook BY DESIGN and must not
+        // read as failed applies
         val commits = graft.table.CommitLog.commits(s, a(0).toString)
-        val lag = wm.map(w => commits.count(_.commitTime > w))
+        val lag = wm.map(w => commits.count(c =>
+          c.commitTime > w && !graft.operators.SyncRegistry.skipOps(c.operation)))
         val head = s"watermark: ${wm.getOrElse("<none>")}" +
           lag.map(l => s" (lag: $l commit(s) behind tip)").getOrElse("")
         head +: regs.map { case (n, sp) => s"$n: ${sp.describe}" }

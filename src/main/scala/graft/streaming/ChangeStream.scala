@@ -46,30 +46,44 @@ object ChangeStream {
     * fails loudly instead. Pre-stamp checkpoints adopt the identity on
     * their next pull (the file is additive — old checkpoints keep working).
     */
+  private def readIdentity(fs: FileSystem, f: Path): Option[String] = {
+    if (!fs.exists(f)) return None
+    val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+    val in = fs.open(f)
+    try { in.readFully(0, buf); Some(new String(buf, "UTF-8").trim) }
+    finally in.close()
+  }
+
   private def checkIdentity(
       fs: FileSystem, checkpointDir: String, identity: String): Unit = {
     val f = identityFile(checkpointDir)
-    if (fs.exists(f)) {
-      val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-      val in = fs.open(f)
-      val stored = try { in.readFully(0, buf); new String(buf, "UTF-8").trim }
-      finally in.close()
-      if (stored != identity)
-        throw graft.model.GraftException.config(
-          s"Change-stream checkpoint at $checkpointDir belongs to '$stored' " +
-            s"but this pull declares '$identity'. Reusing a checkpoint " +
-            "against a different consumer/parameters would silently skip " +
-            "every interval already pulled — use a fresh checkpoint dir " +
-            "(and backfill the new consumer from its own basis).")
-    } else {
-      val dir = new Path(checkpointDir)
-      if (!fs.exists(dir)) fs.mkdirs(dir)
-      val tmp = new Path(checkpointDir, ".graft-change-identity.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(identity.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, f))
-        throw graft.model.GraftException.unexpected(
-          s"could not stamp change-stream identity under $checkpointDir")
+    def mismatch(stored: String): Nothing =
+      throw graft.model.GraftException.config(
+        s"Change-stream checkpoint at $checkpointDir belongs to '$stored' " +
+          s"but this pull declares '$identity'. Reusing a checkpoint " +
+          "against a different consumer/parameters would silently skip " +
+          "every interval already pulled — use a fresh checkpoint dir " +
+          "(and backfill the new consumer from its own basis).")
+    readIdentity(fs, f) match {
+      case Some(stored) => if (stored != identity) mismatch(stored)
+      case None =>
+        val dir = new Path(checkpointDir)
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val tmp = new Path(checkpointDir, ".graft-change-identity.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(identity.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, f)) {
+          // two first pulls can race the stamp (both saw no file); the
+          // loser's rename fails — if the winner stamped the SAME identity
+          // that is success, not an error (the stamp is idempotent); a
+          // different identity is the genuine mismatch
+          readIdentity(fs, f) match {
+            case Some(stored) if stored == identity => ()
+            case Some(stored) => mismatch(stored)
+            case None => throw graft.model.GraftException.unexpected(
+              s"could not stamp change-stream identity under $checkpointDir")
+          }
+        }
     }
   }
 
