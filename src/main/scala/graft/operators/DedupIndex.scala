@@ -146,10 +146,19 @@ object DedupIndex {
       s"cutover key mismatch: live ${keyF.mkString(",")} vs staging ${stagingKeyF.mkString(",")}")
     val idCol = keyF.head
     val dels = KeyedTable.read(spark, indexPath).select(col(idCol))
-    // stamps BEFORE the swap commit, same reasoning as rebuild's
+    // stamps BEFORE the swap commit, same reasoning as rebuild's. A staging
+    // index with NO stamps (bootstrapped by a pre-stamp binary) must also
+    // UNSET the live table's old stamps: leaving them standing over the
+    // new-parameter entries would make every later registry sync
+    // (IndexSync reads stamps first) append old-parameter entries into the
+    // cut-over index — the exact silent divergence the stamps exist to
+    // prevent. Unstamped, the sync falls back to the spec the operator
+    // flips with the cutover.
     val stamps = graft.table.TableProperties.get(spark, stagingPath)
       .filter { case (k, _) => k == ShingleNProp || k == NumHashesProp }
     if (stamps.nonEmpty) graft.table.TableProperties.set(spark, indexPath, stamps)
+    else graft.table.TableProperties.unset(spark, indexPath,
+      Seq(ShingleNProp, NumHashesProp))
     KeyedTable.mergeRows(spark, indexPath, dels,
       KeyedTable.read(spark, stagingPath).select(col(idCol), col(SigCol), col(ShCol)))
     ()

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -97,6 +98,17 @@ object IndexSync {
     try applyInterval(spark, indexPath, c, spec) finally c.unpersist()
   }
 
+  /** Checkpoint identity for an explicit single-index sync: destination +
+    * parameters beside the watermark, with the corpus path NORMALIZED
+    * ([[SyncRegistry]]'s `identityOf` rule — `spec.describe` normalizes the
+    * index path the same way): slash / relative respellings of the same
+    * tables must resolve to ONE identity, or a previously-working checkpoint
+    * refuses the pull for every spelling but one — and the refusal's "fresh
+    * checkpoint dir" remedy would silently skip already-pulled intervals.
+    */
+  private def identityOf(corpusPath: String, spec: SyncRegistry.Spec): String =
+    s"indexsync ${new Path(corpusPath)} -> ${spec.describe}"
+
   /** Apply one corpus CDC interval to a standing [[DedupIndex]]. Returns
     * the applied interval, or None when the corpus has no new commits.
     */
@@ -107,7 +119,7 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.DedupSpec(indexPath, idCol, textCol, shingleN, numHashes)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }
@@ -119,7 +131,7 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.AnnSpec(indexPath, idCol, vecCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }
@@ -131,7 +143,7 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.TextSpec(indexPath, idCol, textCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }
@@ -147,7 +159,7 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.PqSpec(indexPath, idCol, vecCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(s"indexsync $corpusPath -> ${spec.describe}")) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }

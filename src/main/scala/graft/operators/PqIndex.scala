@@ -206,10 +206,47 @@ object PqIndex {
     * predates the residual scheme, whose cell-stamped builds encoded RAW —
     * so absence reads as raw (never as "centroids present ⇒ residual":
     * that fallback silently mis-scored exactly those older tables).
+    * Caveat for tables built in the narrow pre-stamp window where residual
+    * encoding already existed: storage cannot distinguish raw from residual
+    * codes (both are small ints), so the ONLY safe remedy is the operator
+    * declaring the vintage once via [[stampEncoding]] — the raw default is
+    * the older, larger population.
     */
   private def encodingOf(spark: SparkSession, tablePath: String): Boolean =
     graft.table.TableProperties.get(spark, tablePath)
       .get(EncodingProp).contains("residual")
+
+  /** One-time migration for a PRE-STAMP index table: declare how its stored
+    * codes were produced. Unstamped tables default to raw everywhere
+    * ([[encodingOf]]); a table built by a binary that residual-encoded but
+    * did not yet stamp would then be ADC-scored as raw and extended with
+    * raw-encoded appends — both silently wrong, and a later retrain would
+    * permanently stamp it 'raw'. The codes themselves cannot reveal the
+    * scheme (raw and residual codes are the same small ints), so the
+    * operator states the build vintage once and every probe / append /
+    * retrain after it is self-describing. Refuses to FLIP an existing
+    * stamp: that is a declaration mismatch, not a migration — rebuild
+    * instead.
+    */
+  def stampEncoding(
+      spark: SparkSession, tablePath: String, residual: Boolean): Unit = {
+    val want = if (residual) "residual" else "raw"
+    graft.table.TableProperties.get(spark, tablePath).get(EncodingProp) match {
+      case Some(cur) if cur != want => throw graft.model.GraftException.config(
+        s"index at $tablePath is already stamped pq.encoding=$cur; " +
+          s"stamping '$want' would mis-describe its stored codes — rebuild " +
+          "under the desired scheme instead.")
+      case Some(_) => () // already declared — idempotent
+      case None =>
+        // raw is always declarable; residual additionally needs cells
+        if (residual && KeyedTable.read(spark, tablePath)
+            .filter(col(KindCol) === CentroidKind).limit(1).isEmpty)
+          throw graft.model.GraftException.config(
+            s"index at $tablePath has no coarse centroids - residual codes " +
+              "are impossible without cells; refusing the 'residual' stamp.")
+        graft.table.TableProperties.set(spark, tablePath, Map(EncodingProp -> want))
+    }
+  }
 
   /** Encode a new batch against the STORED codebooks (no retraining) and
     * upsert its code + vector rows — one MOR delta commit, O(batch) cost;

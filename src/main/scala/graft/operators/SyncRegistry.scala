@@ -65,19 +65,24 @@ object SyncRegistry {
     def indexPath: String
     def kind: String
     def describe: String
+    /** `indexPath` normalized ([[identityOf]]'s rule) — `describe` embeds it
+      * so checkpoint identities built from a describe agree across slash /
+      * relative respellings of the same index path.
+      */
+    protected def normPath: String = new Path(indexPath).toString
   }
   final case class DedupSpec(
       indexPath: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16) extends Spec {
     def kind = "dedup"
     def describe =
-      s"dedup $indexPath id=$idCol text=$textCol shingleN=$shingleN numHashes=$numHashes"
+      s"dedup $normPath id=$idCol text=$textCol shingleN=$shingleN numHashes=$numHashes"
   }
   final case class AnnSpec(
       indexPath: String, idCol: String = "vec_id",
       vecCol: String = "embedding") extends Spec {
     def kind = "ann"
-    def describe = s"ann $indexPath id=$idCol vec=$vecCol"
+    def describe = s"ann $normPath id=$idCol vec=$vecCol"
   }
   /** No (dim, m) here ON PURPOSE: a reshaping `PqIndex.retrain` (m /
     * codebookSize may change) would silently strand a configured copy, and
@@ -89,12 +94,12 @@ object SyncRegistry {
       indexPath: String, idCol: String = "vec_id",
       vecCol: String = "embedding") extends Spec {
     def kind = "pq"
-    def describe = s"pq $indexPath id=$idCol vec=$vecCol"
+    def describe = s"pq $normPath id=$idCol vec=$vecCol"
   }
   final case class TextSpec(
       indexPath: String, idCol: String, textCol: String) extends Spec {
     def kind = "text"
-    def describe = s"text $indexPath id=$idCol text=$textCol"
+    def describe = s"text $normPath id=$idCol text=$textCol"
   }
 
   private def toJson(spec: Spec): String = {
@@ -185,6 +190,12 @@ object SyncRegistry {
       identity = Some(identityOf(corpusPath)))
     val w0 = ChangeStream.readWatermark(
       CommitLog.fs(spark, corpusPath), checkpointDir(corpusPath))
+    // capture the prior spec BEFORE overwriting: a failed catch-up of a
+    // REPLACEMENT spec must restore the old, still-consistent registration
+    // (other indexes keep advancing the shared watermark, so unregistering
+    // the name would open a permanent silent gap for a later re-register)
+    val prior = TableProperties.get(spark, corpusPath)
+      .get(TableProperties.IndexSyncPrefix + name)
     TableProperties.set(spark, corpusPath,
       Map(TableProperties.IndexSyncPrefix + name -> toJson(spec)))
     try {
@@ -200,9 +211,17 @@ object SyncRegistry {
       case e: Exception =>
         // a failed catch-up must not leave a registered-but-gapped index:
         // later syncs apply only NEW intervals, so the uncaught interval
-        // would stay silently missing forever. Unregister and fail loudly —
-        // the operator re-registers (catch-up is idempotent) or rebuilds.
-        try unregister(spark, corpusPath, name) catch { case _: Exception => () }
+        // would stay silently missing forever. First registration of the
+        // name: unregister and fail loudly — the operator re-registers
+        // (catch-up is idempotent) or rebuilds. RE-registration: RESTORE
+        // the prior spec instead — the old registration was consistent and
+        // keeps following publishes; dropping it would strand the old index
+        // behind the still-advancing shared watermark.
+        try prior match {
+          case Some(p) => TableProperties.set(spark, corpusPath,
+            Map(TableProperties.IndexSyncPrefix + name -> p))
+          case None => unregister(spark, corpusPath, name)
+        } catch { case _: Exception => () }
         throw e
     }
   }

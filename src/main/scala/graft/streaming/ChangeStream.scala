@@ -182,8 +182,13 @@ object ChangeStream {
       dstPath: String,
       checkpointDir: String,
       startAt: Option[String] = None): Option[Pull] =
+    // paths normalized (SyncRegistry.identityOf's rule): a trailing-slash or
+    // relative respelling of the same tables must resolve to ONE identity —
+    // a raw-string identity would refuse a previously-working checkpoint for
+    // every spelling but one, and the "fresh checkpoint dir" remedy would
+    // silently skip already-pulled intervals
     pull(spark, srcPath, checkpointDir, startAt,
-      identity = Some(s"tablesync $srcPath -> $dstPath")) { (_, interval) =>
+      identity = Some(s"tablesync ${new Path(srcPath)} -> ${new Path(dstPath)}")) { (_, interval) =>
       TableSync.sync(spark, srcPath, dstPath, interval.sinceExclusive)
       ()
     }

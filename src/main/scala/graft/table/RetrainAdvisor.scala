@@ -96,9 +96,12 @@ private[table] object RetrainAdvisor {
             "(CALL graft.system.index_retrain)")
       else
         // below threshold: CLEAR a stale recommendation (a retrain happened
-        // or drift receded) but never add journal churn when none exists
+        // or drift receded) but never add journal churn when none exists —
+        // the journal is last-outcome-per-service, so inspect THE retrain
+        // entry's outcome: once an 'ok' overwrote the 'recommend', later
+        // balanced checks write nothing
         if (MaintenanceLog.read(spark, tablePath)
-            .exists(e => e.service == Service && e.outcome == "recommend"))
+            .find(_.service == Service).exists(_.outcome == "recommend"))
           MaintenanceLog.record(spark, tablePath, Service, operation, "ok",
             f"balanced: hottest cell holds $share%.2f of $total vectors")
     } catch {

@@ -39,6 +39,10 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x67: the takedown twin of x62 — same in-plan bruteForceTopK recall
     *    gate (over the post-removal corpus) and the same bounded probe
     *    broadcasts
+    *  - x72/x73: BM25's 1-row (N, avgdl) stats crossJoin — a broadcast
+    *    scalar shipped with the scoring plan (x73's stored-postings probe
+    *    additionally reads the same stats from 2 keyed stats rows; its
+    *    recompute fallback keeps the crossJoin shape)
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",

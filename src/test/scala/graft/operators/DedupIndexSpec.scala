@@ -332,6 +332,24 @@ class DedupIndexSpec extends SparkTestBase {
       DedupIndex.cutover(spark, idx, other)
     }
     assert(e.getMessage.contains("key mismatch"))
+
+    // an UNSTAMPED staging index (pre-stamp binary) must not leave the live
+    // table's old stamps standing over the new-parameter entries — the
+    // registry sync reads stamps first, and stale ones would append
+    // old-parameter entries into the cut-over index forever
+    val unstamped = s"$dir/unstamped"
+    DedupIndex.rebuildTo(spark, unstamped, corpus2, "doc_id", "text",
+      shingleN = 2, numHashes = 4)
+    TableProperties.unset(spark, unstamped,
+      Seq(DedupIndex.ShingleNProp, DedupIndex.NumHashesProp))
+    DedupIndex.cutover(spark, idx, unstamped)
+    val props = TableProperties.get(spark, idx)
+    assert(!props.contains(DedupIndex.ShingleNProp) &&
+      !props.contains(DedupIndex.NumHashesProp),
+      "cutover from an unstamped staging index left stale stamps standing")
+    assert(KeyedTable.read(spark, idx)
+      .select(org.apache.spark.sql.functions.size(col(DedupIndex.SigCol)))
+      .collect().forall(_.getInt(0) === 4), "entries did not swap")
   }
 
   test("an all-duplicate batch appends nothing and the index stays unchanged") {

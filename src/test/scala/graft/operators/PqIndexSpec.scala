@@ -319,6 +319,47 @@ class PqIndexSpec extends SparkTestBase {
       shortlist = 2, nprobe = 2).count() > 0, "retrain lost the coarse cells")
   }
 
+  test("stampEncoding migrates a residual-vintage unstamped table: probes " +
+      "score residual again; flips and flat-residual stamps refuse") {
+    import graft.table.TableProperties
+    val dir = tmpDir("pq-stamp-migrate")
+    val idx = s"$dir/idx"
+    val corpus = emb.filter(col("vec_id") >= 25).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    // a residual-encoded build whose stamp is then LOST (the narrow vintage
+    // where residual encoding existed one commit before the stamp): the raw
+    // default would ADC-score these residual codes as raw silently
+    PqIndex.build(spark, idx, corpus, dim = 64, m = 16, codebookSize = 16,
+      iters = 1, nlist = 4)
+    val want = pairs(PqIndex.probe(spark, idx, queries, k = 5, dim = 64, m = 16,
+      shortlist = 1))
+    TableProperties.unset(spark, idx, Seq(PqIndex.EncodingProp))
+    // the one-time migration declares the vintage; scoring is residual again
+    PqIndex.stampEncoding(spark, idx, residual = true)
+    assert(TableProperties.get(spark, idx)
+      .get(PqIndex.EncodingProp) === Some("residual"))
+    assert(pairs(PqIndex.probe(spark, idx, queries, k = 5, dim = 64, m = 16,
+      shortlist = 1)) === want, "migrated table must score residual again")
+    // idempotent re-declaration is fine; a FLIP is a mismatch, refused
+    PqIndex.stampEncoding(spark, idx, residual = true)
+    val e = intercept[graft.model.GraftException] {
+      PqIndex.stampEncoding(spark, idx, residual = false)
+    }
+    assert(e.getMessage.contains("already stamped"), e.getMessage)
+    // a FLAT index (no coarse cells) cannot hold residual codes
+    val flat = s"$dir/flat"
+    PqIndex.build(spark, flat, corpus, dim = 64, m = 16, codebookSize = 16,
+      iters = 1, nlist = 0)
+    TableProperties.unset(spark, flat, Seq(PqIndex.EncodingProp))
+    val e2 = intercept[graft.model.GraftException] {
+      PqIndex.stampEncoding(spark, flat, residual = true)
+    }
+    assert(e2.getMessage.contains("no coarse centroids"), e2.getMessage)
+    PqIndex.stampEncoding(spark, flat, residual = false) // raw: declarable
+    assert(TableProperties.get(spark, flat)
+      .get(PqIndex.EncodingProp) === Some("raw"))
+  }
+
   test("probe recall@10 clears the x64 bar against the exact top-10") {
     val idx = s"${tmpDir("pq-recall")}/idx"
     val corpus = emb.filter(col("vec_id") >= 25)

@@ -367,4 +367,88 @@ class SyncRegistrySpec extends SparkTestBase {
     assert(SyncRegistry.registered(spark, corpusTbl).isEmpty,
       "a failed catch-up left a gapped registration behind")
   }
+
+  test("a failed RE-register restores the prior working registration instead " +
+      "of unregistering the name: the old index keeps following publishes") {
+    val dir = tmpDir("sync-reg-restore")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    KeyedTable.create(spark, corpusTbl,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      tableName = "reg_restore", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    DedupIndex.bootstrap(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    val tip0 = CommitLog.commits(spark, corpusTbl).last.commitTime
+    SyncRegistry.register(spark, corpusTbl, "d",
+      SyncRegistry.DedupSpec(idx, "doc_id", "text"), basis = Some(tip0))
+    val good = SyncRegistry.registered(spark, corpusTbl)
+    KeyedTable.upsert(spark, corpusTbl, Seq((3L, textC)).toDF("doc_id", "text"))
+    assert(ids(KeyedTable.read(spark, idx)) === Set(1L, 2L, 3L))
+    // RE-register the same name with a broken replacement spec whose
+    // catch-up (non-empty: basis = tip0 is behind the corpus tip) fails:
+    // the prior, still-consistent registration must come back — other
+    // registered indexes keep advancing the shared watermark, so dropping
+    // the name would leave the old index with a permanent silent gap
+    val idx2 = s"$dir/idx2"
+    DedupIndex.bootstrap(spark, idx2,
+      KeyedTable.read(spark, corpusTbl), "doc_id", "text")
+    intercept[Exception] {
+      SyncRegistry.register(spark, corpusTbl, "d",
+        SyncRegistry.DedupSpec(idx2, "doc_id", "no_such_column"),
+        basis = Some(tip0))
+    }
+    assert(SyncRegistry.registered(spark, corpusTbl) === good,
+      "failed re-register must restore the prior spec, not drop the name")
+    // ...and the restored registration still follows publishes hands-off
+    KeyedTable.delete(spark, corpusTbl, Seq(1L).toDF("doc_id"))
+    assert(ids(KeyedTable.read(spark, idx)) === Set(2L, 3L),
+      "the restored registration stopped following")
+  }
+
+  test("registry depth boundary: a registered index's own hook-driven " +
+      "publishes do NOT cascade a second registry sync inside one hook; an " +
+      "explicit syncNow walks the second level") {
+    val dir = tmpDir("sync-reg-depth")
+    val corpusTbl = s"$dir/corpus"
+    val level1 = s"$dir/text-idx" // registered on the corpus; itself a corpus
+    val level2 = s"$dir/dedup-of-idx" // registered on level1
+    KeyedTable.create(spark, corpusTbl,
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      tableName = "reg_depth", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    TextIndex.build(spark, level1, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text")
+    SyncRegistry.register(spark, corpusTbl, "t",
+      SyncRegistry.TextSpec(level1, "doc_id", "text"),
+      basis = Some(CommitLog.commits(spark, corpusTbl).last.commitTime))
+    // level2 hangs off the TEXT INDEX's rows (id + term columns exist in
+    // level1's CDC feed; doclen rows are unique per id, a clean bootstrap
+    // key); basis = level1's tip, so registration is quiet
+    DedupIndex.bootstrap(spark, level2,
+      KeyedTable.read(spark, level1)
+        .filter(col(TextIndex.KindCol) === TextIndex.DoclenKind),
+      "id", "term")
+    SyncRegistry.register(spark, level1, "d2",
+      SyncRegistry.DedupSpec(level2, "id", "term"),
+      basis = Some(CommitLog.commits(spark, level1).last.commitTime))
+    val fs = CommitLog.fs(spark, level1)
+    val w0 = ChangeStream.readWatermark(
+      fs, SyncRegistry.checkpointDir(level1))
+    // a corpus publish syncs level1 (new commits land there through the
+    // hook) — but level1's own registry must NOT run inside that hook
+    KeyedTable.upsert(spark, corpusTbl, Seq((3L, textC)).toDF("doc_id", "text"))
+    assert(CommitLog.commits(spark, level1).last.commitTime >
+      w0.getOrElse(""), "level1 did not receive the synced publish")
+    assert(ChangeStream.readWatermark(
+      fs, SyncRegistry.checkpointDir(level1)) === w0,
+      "depth-2 cascade ran inside one hook (guard broken)")
+    // the documented shape for depth > 1: an explicit walk of level 2
+    assert(SyncRegistry.syncNow(spark, level1).nonEmpty,
+      "explicit second-level sync must apply the pending interval")
+    assert(ChangeStream.readWatermark(
+      fs, SyncRegistry.checkpointDir(level1)) !== w0)
+  }
 }
