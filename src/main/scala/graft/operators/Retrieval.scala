@@ -8,7 +8,10 @@ import org.apache.spark.sql.types.DecimalType
 /** Text retrieval over the corpus — the search leg of the pipeline set
   * (find the documents about X; pull exemplars for a curriculum bucket;
   * audit what a takedown id's content ranked for). BM25 (Robertson/Spärck
-  * Jones), the bag-of-words ranking function every retrieval stack speaks.
+  * Jones), the bag-of-words ranking function every retrieval stack speaks,
+  * plus the two legs users reach for next: PHRASE queries (positional
+  * intersection — "exact phrase", not bag-of-terms) and FIELD-BOOSTED
+  * BM25F-lite (title-weight-3 style multi-column scoring).
   *
   * Scale shape: one O(corpus tokens) pass builds tf/dl (two grouped
   * counts); the query side is a POSTING-LIST join — the distinct query
@@ -16,7 +19,8 @@ import org.apache.spark.sql.types.DecimalType
   * joins restrict to those same terms, and scoring shuffles only the
   * surviving (query, doc) postings, never the corpus. k winners per query
   * via one rank window. At 100 TB the tf/dl pass is the one-time index
-  * build; persist it with the table stack if queries outlive the job.
+  * build; persist it with the table stack ([[TextIndex]]) if queries
+  * outlive the job.
   *
   * Determinism: per-term contributions are IEEE-exact expressions (same
   * bits in any engine given the same integers), but SUMMING doubles is
@@ -27,7 +31,8 @@ import org.apache.spark.sql.types.DecimalType
   * engines, so oracle-checked paths use `lnIdf = false` — the raw odds
   * ratio (N−df+0.5)/(df+0.5), rational arithmetic only. Per-term idf ORDER
   * is identical (ln is monotone); summed rankings are a (documented)
-  * variant, not textbook BM25.
+  * variant, not textbook BM25. Phrase ranking is all-integer (occurrence
+  * counts) — exact on any engine.
   */
 object Retrieval {
 
@@ -39,11 +44,42 @@ object Retrieval {
       docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
     docs.select(idCol.as("doc_id"), explode(split(textCol, "\\s+")).as("term"))
 
+  /** [[tokens]] with 1-based token positions: `(doc_id, pos, term)` — the
+    * input of phrase scoring and the positional posting build.
+    */
+  private[operators] def tokensWithPos(
+      docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"),
+        posexplode(split(textCol, "\\s+")).as(Seq("p0", "term")))
+      .select(col("doc_id"), (col("p0") + lit(1)).cast("long").as("pos"),
+        col("term"))
+
+  /** One row per (query, DISTINCT term): the standard bag-of-TERMS query
+    * form (duplicate words in a query count once).
+    */
+  private def queryTerms(queries: DataFrame): DataFrame =
+    queries
+      .select(col(queries.columns.head).as("query_id"),
+        explode(split(col(queries.columns(1)), "\\s+")).as("term"))
+      .distinct()
+
+  /** The shared ranking tail: exact-decimal sum per (query, doc), one rank
+    * window (ties by doc_id), k winners, one double cast at the end.
+    */
+  private def rankTopK(contrib: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sc").desc, col("doc_id").asc)
+    contrib.groupBy("query_id", "doc_id").agg(sum(col("c")).as("sc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("sc").cast("double").as("score"))
+  }
+
   /** The scoring core over materialized postings: `post` = (term, doc_id,
     * tf), `dl` = (doc_id, dl), `queries` = (query_id, qtext). Shared by
-    * [[bm25TopK]] (postings built in-plan) and [[TextIndex.probe]]
-    * (postings served from storage), so the two are bit-identical by
-    * construction.
+    * [[bm25TopK]] / [[bm25fTopK]] (postings built in-plan); the stored twin
+    * is [[bm25ScoreStored]] — keep their expression SHAPES identical or the
+    * two faces drift bitwise.
     */
   private[operators] def bm25Score(
       post: DataFrame, dl: DataFrame, queries: DataFrame,
@@ -53,10 +89,7 @@ object Retrieval {
     // are not)
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val qterms = queries
-      .select(col(queries.columns.head).as("query_id"),
-        explode(split(col(queries.columns(1)), "\\s+")).as("term"))
-      .distinct()
+    val qterms = queryTerms(queries)
     // df restricted to the query terms BEFORE grouping: the vocabulary is
     // corpus-sized, the query vocabulary is not
     val dfreq = post.join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
@@ -72,12 +105,35 @@ object Retrieval {
         (idf * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
           .cast(DecimalType(38, 12)))
-    val w = Window.partitionBy("query_id").orderBy(col("sc").desc, col("doc_id").asc)
-    contrib.groupBy("query_id", "doc_id").agg(sum(col("c")).as("sc"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"),
-        col("sc").cast("double").as("score"))
+    rankTopK(contrib, k)
+  }
+
+  /** [[bm25Score]] over STORED postings that carry their doc's length
+    * denormalized (`post` = (term, doc_id, tf, dl)) and corpus stats
+    * maintained incrementally beside them — so a probe touches NOTHING
+    * sized by the corpus: no doclen-relation join, no full-partition stats
+    * aggregate. Bit-identical to [[bm25Score]] given the same integers:
+    * `n`/`avgdl` enter as literals computed with the same long→double casts
+    * and single division, and every expression shape matches.
+    */
+  private[operators] def bm25ScoreStored(
+      post: DataFrame, queries: DataFrame,
+      k: Int, k1: Double, b: Double, lnIdf: Boolean,
+      n: Long, sumDl: Long): DataFrame = {
+    val avgdl = sumDl.toDouble / n.toDouble // same IEEE ops as bm25Score's agg
+    val qterms = queryTerms(queries)
+    val dfreq = post.join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idfRaw = (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (lnIdf) log(idfRaw + lit(1.0)) else idfRaw
+    val contrib = post
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("c",
+        (idf * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+          .cast(DecimalType(38, 12)))
+    rankTopK(contrib, k)
   }
 
   /** BM25 top-k: `queries` is (query_id, qtext); returns
@@ -95,4 +151,76 @@ object Retrieval {
     val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     bm25Score(post, dl, queries, k, k1, b, lnIdf)
   }
+
+  /** Field-boosted BM25F-lite: score over SEVERAL text columns with integer
+    * per-field weights — the "title counts 3×" ranking every curation user
+    * asks for right after plain BM25. The simple-variant BM25F fold
+    * (Robertson/Zaragoza): weighted term frequency tf′(t,d) = Σ_f w_f ·
+    * tf_f(t,d) and weighted length dl′(d) = Σ_f w_f · len_f(d) feed the
+    * UNCHANGED BM25 formula (one idf over "term appears in any field"),
+    * which is exactly [[bm25Score]] over postings built from
+    * weight-annotated tokens — integer weights keep tf′/dl′ exact longs,
+    * so the oracle discipline (rational idf, DECIMAL sums) carries over
+    * unchanged. Equivalent by construction to [[bm25TopK]] over documents
+    * with each field's text repeated w_f times (spec-pinned).
+    */
+  def bm25fTopK(
+      docs: DataFrame, idCol: Column, fields: Seq[(Column, Int)],
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      lnIdf: Boolean = true): DataFrame = {
+    require(fields.nonEmpty, "bm25fTopK needs at least one (field, weight)")
+    require(fields.forall(_._2 > 0), "field weights must be positive integers")
+    val wtok = fields.map { case (c, w) =>
+      docs.select(idCol.as("doc_id"), explode(split(c, "\\s+")).as("term"),
+        lit(w.toLong).as("wt"))
+    }.reduce(_ unionByName _)
+    val post = wtok.groupBy("doc_id", "term").agg(sum(col("wt")).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dl = wtok.groupBy("doc_id").agg(sum(col("wt")).as("dl"))
+    bm25Score(post, dl, queries, k, k1, b, lnIdf)
+  }
+
+  /** The phrase-matching core over positional tokens: `tok` = (doc_id, pos,
+    * term) — built in-plan by [[phraseTopK]] or exploded from stored
+    * positional postings by [[TextIndex.phraseTopK]], so the two faces are
+    * identical by construction. A phrase of L words matches at anchor
+    * position p iff word i sits at p+i for every slot i < L; the classic
+    * adjacency-join form: each (slot i, term) row joins the token table on
+    * term, anchors = pos − i, and an anchor hit by ALL L DISTINCT slots is
+    * one occurrence (count-distinct handles repeated words — "batch batch"
+    * needs slots 0 AND 1, which one token row cannot satisfy alone).
+    * Ranking is n_occ DESC with doc_id ties — all-integer, exact on any
+    * engine. Cost: |tok restricted to phrase terms| shuffled by (query,
+    * doc, anchor) — never the corpus.
+    */
+  private[operators] def phraseScore(
+      tok: DataFrame, phrases: DataFrame, k: Int): DataFrame = {
+    val slots = phrases.select(col(phrases.columns.head).as("query_id"),
+      posexplode(split(col(phrases.columns(1)), "\\s+")).as(Seq("i", "term")))
+    val qlen = slots.groupBy("query_id").agg(count(lit(1)).as("len"))
+    val anchors = tok.join(broadcast(slots), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("i")).as("anchor"), col("i"))
+      .groupBy("query_id", "doc_id", "anchor")
+      .agg(countDistinct(col("i")).as("hit"))
+    val occ = anchors.join(broadcast(qlen), Seq("query_id"))
+      .filter(col("hit") === col("len"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy("query_id").orderBy(col("n_occ").desc, col("doc_id").asc)
+    occ.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_occ"), col("rank"))
+  }
+
+  /** Exact-phrase top-k: `phrases` is (query_id, phrase); returns
+    * (query_id, doc_id, n_occ, rank) — docs ranked by occurrence count of
+    * the CONSECUTIVE word sequence (not the bag of its words), rank ties by
+    * doc_id, docs with zero occurrences absent. The in-plan recompute face;
+    * [[TextIndex.phraseTopK]] answers the same query from stored positional
+    * postings without touching the corpus.
+    */
+  def phraseTopK(
+      docs: DataFrame, idCol: Column, textCol: Column, phrases: DataFrame,
+      k: Int): DataFrame =
+    phraseScore(tokensWithPos(docs, idCol, textCol), phrases, k)
 }

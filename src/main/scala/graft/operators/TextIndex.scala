@@ -1,71 +1,140 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.TableType
+import graft.model.{GraftException, TableType}
 import graft.table.KeyedTable
 
 /** Standing INVERTED INDEX as a keyed graft table — the scale leg of text
   * retrieval, the way [[DedupIndex]]/[[AnnIndex]]/[[PqIndex]] are the scale
   * legs of their operators. [[Retrieval.bm25TopK]] re-tokenizes the corpus
   * per query run: correct, but at 100 TB the O(corpus tokens) pass
-  * dominates every search. Here the postings — per-(term, doc) term
-  * frequencies and per-doc lengths — persist ONCE, and:
+  * dominates every search. Here the postings persist ONCE, and:
   *
-  *  1. [[probe]] serves BM25 from STORAGE: the query-term filter pushes
-  *     into the posting scan (`term` is a key prefix — clustered scans and
-  *     blooms apply), and the scoring core is [[Retrieval.bm25Score]], so
-  *     probe ≡ bm25TopK over the same corpus BIT-FOR-BIT (spec-pinned);
-  *  2. [[append]] (re)indexes a doc batch with REPLACE semantics: one
+  *  1. [[probe]] serves BM25 from STORAGE touching NOTHING sized by the
+  *     corpus: the query-term filter pushes into the posting scan (`term`
+  *     is a key prefix — [[optimize]]'s term-clustered layout makes the IN
+  *     filter row-group/file-prunable), each posting row carries its doc's
+  *     length DENORMALIZED (the textbook posting layout — one extra long
+  *     per posting kills the corpus-sized doclen join outright), and
+  *     (N, Σdl) come from TWO keyed stats rows maintained transactionally
+  *     with every write (never a doclen-partition aggregate). The scoring
+  *     core is [[Retrieval.bm25ScoreStored]], bit-identical to the
+  *     recompute (spec-pinned);
+  *  2. [[phraseTopK]] answers EXACT-PHRASE queries from the stored
+  *     positional postings ([[Retrieval.phraseScore]] over candidate docs
+  *     only, after the same pushed-IN prune) — bag-of-terms cannot;
+  *  3. [[append]] (re)indexes a doc batch with REPLACE semantics: one
   *     mergeRows commit tombstones every existing posting/doclen key of the
-  *     batch's ids and lands the new entries — a re-upserted doc's REMOVED
-  *     terms stop matching in the same instant its new terms start (plain
-  *     keyed upsert could not retire them);
-  *  3. [[remove]] is the takedown leg: all of an id's posting/doclen keys
-  *     tombstone in one delta — the doc never ranks again, history stays
-  *     `asOf`-able (the x67/x68 compliance posture).
+  *     batch's ids, lands the new entries AND the updated stats rows — a
+  *     re-upserted doc's REMOVED terms stop matching in the same instant
+  *     its new terms start, and no probe ever sees half a doc or stale
+  *     stats (plain keyed upsert could retire neither);
+  *  4. [[remove]] is the takedown leg: all of an id's posting/doclen keys
+  *     tombstone in one delta with the stats rows stepping down — the doc
+  *     never ranks again (and stops counting toward df/N/avgdl), history
+  *     stays `asOf`-able (the x67/x68 compliance posture).
   *
   * Registered as `kind = text` in the [[SyncRegistry]], the index follows
   * its corpus hands-off like the other three. Layout — one table,
   * hive-partitioned by `kind`, keyed (kind, term, id):
-  * `kind='posting'` rows (term, id = doc id, tf); `kind='doclen'` rows
-  * (term = '', id, tf = token count). N and avgdl derive from the doclen
-  * partition at probe time (one column-pruned count/sum — the cellStats
-  * pattern; they change with every append, so storing them would just be
-  * a cache of the same scan).
+  *  - `kind='posting'` rows (term, id = doc id, tf, dl = doc length,
+  *    pos = sorted 1-based positions of the term in the doc);
+  *  - `kind='doclen'` rows (term = '', id, tf = token count, terms = the
+  *    doc's FORWARD list): replace-append/remove enumerate a doc's posting
+  *    keys from this ONE key-addressed row instead of scanning the posting
+  *    partition — the piece that keeps tombstone sets O(batch docs' rows),
+  *    not O(index);
+  *  - `kind='stats'` rows (term = 'n' | 'sumdl', id = 0, tf = the value):
+  *    corpus size and total length, written in the SAME commit as the data
+  *    they describe — asOf probes read the historical pair for free, and a
+  *    crash can never strand stats out of step with postings.
+  * Indexes built before this layout (no dl/pos columns, no stats rows)
+  * must be rebuilt with [[build]] — probe and the write legs refuse them
+  * loudly rather than serve silently wrong statistics.
   */
 object TextIndex {
 
   val KindCol = "kind"
   val PostingKind = "posting"
   val DoclenKind = "doclen"
+  val StatsKind = "stats"
 
+  private val StatN = "n"
+  private val StatSumDl = "sumdl"
+
+  /** All index rows for a doc batch — ONE tokenization pass: the positional
+    * postings aggregate first (localCheckpointed: doclen/forward-list rows
+    * and the stats deltas all derive from the much smaller postings instead
+    * of re-exploding the corpus per branch), dl denormalizes onto each
+    * posting via one per-doc window sum.
+    */
   private def entriesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val terms = Retrieval.tokens(docs, col(idCol), col(textCol))
-    val post = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val post0 = Retrieval.tokensWithPos(docs, col(idCol), col(textCol))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("pos"))
+      .localCheckpoint()
+    val post = post0
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
       .select(lit(PostingKind).as(KindCol), col("term"),
         col("doc_id").as("id"), col("tf"),
-        lit(null).cast("array<string>").as("terms"))
-    // the doclen row doubles as the doc's FORWARD list (its distinct terms):
-    // replace-append/remove enumerate a doc's posting keys from this ONE
-    // key-addressed row instead of scanning the posting partition — the
-    // piece that keeps those tombstone sets O(batch docs' rows), not O(index)
-    val dl = terms.groupBy("doc_id")
-      .agg(count(lit(1)).as("tf"), collect_set(col("term")).as("terms"))
+        lit(null).cast("array<string>").as("terms"), col("dl"), col("pos"))
+    val dl = post0.groupBy("doc_id")
+      .agg(sum(col("tf")).as("tf"), collect_set(col("term")).as("terms"))
       .select(lit(DoclenKind).as(KindCol), lit("").as("term"),
-        col("doc_id").as("id"), col("tf"), col("terms"))
+        col("doc_id").as("id"), col("tf"), col("terms"),
+        lit(null).cast("long").as("dl"),
+        lit(null).cast("array<long>").as("pos"))
     post.unionByName(dl)
   }
 
-  /** Build ONCE from the corpus: one tokenization pass, one table create.
-    * MOR keyed table (appends are delta commits), `compact.auto` at birth
-    * like every standing index.
+  /** The two stats rows for (N, Σdl) — keyed (stats, 'n'|'sumdl', 0), so a
+    * later commit's pair replaces the current one wholesale.
+    */
+  private def statsRows(spark: SparkSession, n: Long, sumDl: Long): DataFrame = {
+    import spark.implicits._
+    Seq((StatN, n), (StatSumDl, sumDl)).toDF("term", "tf")
+      .select(lit(StatsKind).as(KindCol), col("term"), lit(0L).as("id"),
+        col("tf"), lit(null).cast("array<string>").as("terms"),
+        lit(null).cast("long").as("dl"),
+        lit(null).cast("array<long>").as("pos"))
+  }
+
+  /** (#docs, Σ token count) of a doclen-row relation — exact longs. */
+  private def dlTotals(dlRows: DataFrame): (Long, Long) = {
+    val r = dlRows.agg(count(lit(1)), coalesce(sum(col("tf")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The stored (N, Σdl) pair — two key-addressed rows, kind-pruned; reads
+    * the snapshot `t` was taken from, so asOf probes see historical stats.
+    * Refuses a pre-stats-layout index (rebuild with [[build]]).
+    */
+  private def requireStats(t: DataFrame, tablePath: String): (Long, Long) = {
+    val rows = t.filter(col(KindCol) === StatsKind).select("term", "tf")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (for (n <- rows.get(StatN); s <- rows.get(StatSumDl)) yield (n, s))
+      .getOrElse(throw GraftException.config(
+        s"text index at $tablePath carries no stats rows - it predates the " +
+          "denormalized posting layout; rebuild it with TextIndex.build."))
+  }
+
+  /** Build ONCE from the corpus: one tokenization pass, one table create
+    * (postings + doclen/forward lists + the stats pair in the bootstrap
+    * commit). MOR keyed table (appends are delta commits), `compact.auto`
+    * at birth like every standing index. Run [[optimize]] after bulk
+    * builds: the term-clustered posting layout is what makes probe scans
+    * file-prunable.
     */
   def build(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
       idCol: String, textCol: String): Unit = {
-    KeyedTable.create(spark, tablePath, entriesOf(corpus, idCol, textCol),
+    val entries = entriesOf(corpus, idCol, textCol)
+    val (n, sumDl) = dlTotals(entries.filter(col(KindCol) === DoclenKind))
+    KeyedTable.create(spark, tablePath,
+      entries.unionByName(statsRows(spark, n, sumDl)),
       tableName = "graft_text_index",
       keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
@@ -78,35 +147,49 @@ object TextIndex {
     asOf.map(KeyedTable.readAsOf(spark, tablePath, _))
       .getOrElse(KeyedTable.read(spark, tablePath))
 
-  /** All stored keys belonging to `ids` — the tombstone set for both
-    * replace-append and takedown. Enumerated from the ids' DOCLEN rows
-    * (each carries its doc's forward term list), so the cost is one
-    * kind-pruned scan of the doclen partition semi-joined to the id set —
-    * never a pass over the posting partition, which is ~avg-doc-length
-    * times larger. Ids never indexed simply contribute no keys.
+  /** The `ids`' stored doclen rows (id, terms = forward list, tf = doc
+    * length) — one kind-pruned scan semi-joined to the id set, materialized
+    * (it feeds both the tombstone keys and the stats delta). Ids never
+    * indexed simply contribute no rows.
     */
-  private def keysOf(t: DataFrame, ids: DataFrame, idCol: String): DataFrame = {
-    val dlRows = t.filter(col(KindCol) === DoclenKind)
-      .select(col("id"), col("terms"))
+  private def doclenOf(t: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+    t.filter(col(KindCol) === DoclenKind)
+      .select(col("id"), col("terms"), col("tf"))
       .join(broadcast(ids.select(col(idCol).as("id")).distinct()), Seq("id"), "left_semi")
+      .localCheckpoint()
+
+  /** Every stored key belonging to the doclen rows' ids — the tombstone set
+    * for both replace-append and takedown, enumerated from the FORWARD
+    * lists: cost is the ids' own rows, never a pass over the posting
+    * partition (~avg-doc-length times larger).
+    */
+  private def keysOf(dlRows: DataFrame): DataFrame =
     dlRows.select(lit(PostingKind).as(KindCol),
         explode(col("terms")).as("term"), col("id"))
       .unionByName(dlRows.select(lit(DoclenKind).as(KindCol),
         lit("").as("term"), col("id")))
-  }
 
   /** (Re)index a doc batch with REPLACE semantics as ONE commit: every
-    * existing posting/doclen key of the batch's ids tombstones and the new
-    * entries land together ([[KeyedTable.mergeRows]], images beat same-key
+    * existing posting/doclen key of the batch's ids tombstones, the new
+    * entries land, and the stats pair steps to the post-batch (N, Σdl) —
+    * all under one instant ([[KeyedTable.mergeRows]], images beat same-key
     * tombstones) — a re-upserted doc's removed terms stop matching in the
-    * same instant its new terms start, and no probe ever sees half a doc.
+    * same instant its new terms start, and no probe ever sees half a doc
+    * or a stats/posting mismatch.
     */
   def append(
       spark: SparkSession, tablePath: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
-    val dels = keysOf(KeyedTable.read(spark, tablePath),
-      docs.select(col(idCol)), idCol)
-    KeyedTable.mergeRows(spark, tablePath, dels, entriesOf(docs, idCol, textCol))
+    val t = KeyedTable.read(spark, tablePath)
+    val dlRows = doclenOf(t, docs.select(col(idCol)), idCol)
+    val (oldN, oldS) = dlTotals(dlRows)
+    val entries = entriesOf(docs, idCol, textCol)
+    val (addN, addS) = dlTotals(entries.filter(col(KindCol) === DoclenKind))
+    if (oldN == 0 && addN == 0) return // empty batch against nothing indexed
+    val (n0, s0) = requireStats(t, tablePath)
+    KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
+      entries.unionByName(
+        statsRows(spark, n0 - oldN + addN, s0 - oldS + addS)))
     ()
   }
 
@@ -115,8 +198,10 @@ object TextIndex {
     * standing index — probes always see the latest ingested batch.
     * Exactly-once note: foreachBatch delivers at-least-once, and the batch
     * body is IDEMPOTENT — replace-append tombstones the batch ids' old keys
-    * and lands entries derived deterministically from the batch, so a
-    * crash-replay re-lands the same state.
+    * and lands entries (and stats: minus the ids' current contribution,
+    * plus the batch's, which re-lands identically on replay) derived
+    * deterministically from the batch, so a crash-replay re-lands the same
+    * state.
     */
   def ingestStream(
       docs: DataFrame,
@@ -133,49 +218,103 @@ object TextIndex {
       }
       .start()
 
-  /** Takedown leg: tombstone every posting/doclen key of `ids` — one keyed
-    * delta, O(the ids' postings). The doc never ranks again and stops
-    * counting toward df/N/avgdl; history is retained, not rewritten (an
-    * `asOf` probe before the removal reproduces the historical ranking;
-    * pair with `cleanArchive` when the bytes must go). Re-appending
-    * re-serves.
+  /** Takedown leg: tombstone every posting/doclen key of `ids` and step the
+    * stats pair down — one keyed delta, O(the ids' postings). The doc never
+    * ranks again and stops counting toward df/N/avgdl; history is retained,
+    * not rewritten (an `asOf` probe before the removal reproduces the
+    * historical ranking; pair with `cleanArchive` when the bytes must go).
+    * Re-appending re-serves.
     */
   def remove(
       spark: SparkSession, tablePath: String, ids: DataFrame,
       idCol: String): Unit = {
-    KeyedTable.delete(spark, tablePath,
-      keysOf(KeyedTable.read(spark, tablePath), ids, idCol))
+    val t = KeyedTable.read(spark, tablePath)
+    val dlRows = doclenOf(t, ids, idCol)
+    val (remN, remS) = dlTotals(dlRows)
+    if (remN == 0) return // nothing of these ids is indexed
+    val (n0, s0) = requireStats(t, tablePath)
+    KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
+      statsRows(spark, n0 - remN, s0 - remS))
     ()
   }
 
+  /** Cluster the POSTING partition by term ([[KeyedTable.clusterSort]] —
+    * a content-neutral layout rewrite, CDC/asOf treat it like any
+    * cluster commit): each rewritten file covers a tight term range, so
+    * the probe-side pushed IN filter prunes files/row groups by parquet
+    * min/max instead of reading every posting row group. THE layout move
+    * for retrieval at 100 TB — without it a selective probe still opens
+    * the whole posting partition; with it, scan bytes track the query's
+    * terms (spec-pinned with a before/after scan-bytes measurement). Run
+    * after bulk builds and periodically under streamed appends (compaction
+    * folds deltas but does not re-sort).
+    */
+  def optimize(
+      spark: SparkSession, tablePath: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    // secondary sort by id: within a term the postings lay out in doc
+    // order — tighter delta/dictionary encoding and sequential candidate
+    // reads — without widening any file's term range
+    KeyedTable.clusterSort(spark, tablePath, Seq("term", "id"), maxRecordsPerFile,
+      partitions = Some(Seq(s"$KindCol=$PostingKind")))
+    ()
+  }
+
+  /** The query side's distinct terms as a pushed-down literal IN filter:
+    * parquet row-group min/max prune it (decisively so after an
+    * [[optimize]] term-clustered layout pass), where a broadcast join alone
+    * would still read every posting row group. The collect is bounded by
+    * the QUERY's distinct terms (not the corpus vocabulary) and capped —
+    * past 1000 terms the semi-join path stands alone. Semantics are
+    * unchanged either way: scoring only ever looks at query-term postings.
+    */
+  private def pushTerms(postAll: DataFrame, queries: DataFrame): DataFrame = {
+    val qterms = queries
+      .select(explode(split(col(queries.columns(1)), "\\s+")).as("term"))
+      .distinct().limit(1001).collect().map(_.getString(0)).toSeq
+    if (qterms.size <= 1000) postAll.filter(col("term").isin(qterms: _*))
+    else postAll
+  }
+
   /** BM25 top-k against the STORED postings — [[Retrieval.bm25TopK]]'s
-    * exact scoring core with the posting/doclen sides served from storage
+    * exact scoring core with every corpus-sized term removed: postings
+    * carry dl denormalized and (N, Σdl) read from the 2-row stats
+    * partition, so the probe's plan never touches the doclen partition
     * (bit-identical over the same corpus, spec-pinned). No tokenization,
-    * no table writes; `asOf` reproduces a historical ranking.
+    * no table writes; `asOf` reproduces a historical ranking with the
+    * historical stats.
     */
   def probe(
       spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = true,
       asOf: Option[String] = None): DataFrame = {
     val t = readIndex(spark, tablePath, asOf)
-    // push the query terms into the posting SCAN as a literal IN filter:
-    // parquet row-group min/max prune it (decisively so after a
-    // clusterSort("term") layout pass), where the scoring core's broadcast
-    // join alone would still read every posting row group. The collect is
-    // bounded by the QUERY's distinct terms (not the corpus vocabulary) and
-    // capped — past 1000 terms the semi-join path stands alone. Semantics
-    // are unchanged either way: the scoring core only ever looks at
-    // query-term postings.
-    val qterms = queries
-      .select(explode(split(col(queries.columns(1)), "\\s+")).as("term"))
-      .distinct().limit(1001).collect().map(_.getString(0)).toSeq
-    val postAll = t.filter(col(KindCol) === PostingKind)
-      .select(col("term"), col("id").as("doc_id"), col("tf"))
-    val post =
-      if (qterms.size <= 1000) postAll.filter(col("term").isin(qterms: _*))
-      else postAll
-    val dl = t.filter(col(KindCol) === DoclenKind)
-      .select(col("id").as("doc_id"), col("tf").as("dl"))
-    Retrieval.bm25Score(post, dl, queries, k, k1, b, lnIdf)
+    val (n, sumDl) = requireStats(t, tablePath)
+    val post = pushTerms(
+      t.filter(col(KindCol) === PostingKind)
+        .select(col("term"), col("id").as("doc_id"), col("tf"), col("dl")),
+      queries)
+    Retrieval.bm25ScoreStored(post, queries, k, k1, b, lnIdf, n, sumDl)
+  }
+
+  /** Exact-phrase top-k against the STORED positional postings —
+    * [[Retrieval.phraseTopK]]'s core over candidate docs only: the
+    * phrase's terms push into the posting scan as the same literal IN
+    * ([[pushTerms]]), the surviving postings explode their position arrays
+    * back to (doc, pos, term) rows, and [[Retrieval.phraseScore]] runs the
+    * positional intersection — identical to the recompute by construction,
+    * at O(phrase terms' postings) cost instead of O(corpus tokens).
+    */
+  def phraseTopK(
+      spark: SparkSession, tablePath: String, phrases: DataFrame, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    val t = readIndex(spark, tablePath, asOf)
+    val post = pushTerms(
+      t.filter(col(KindCol) === PostingKind)
+        .select(col("term"), col("id").as("doc_id"), col("pos")),
+      phrases)
+    Retrieval.phraseScore(
+      post.select(col("doc_id"), explode(col("pos")).as("pos"), col("term")),
+      phrases, k)
   }
 }

@@ -753,6 +753,34 @@ object CoreQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Bench twin of q35 that times the READ-OPTIMIZED read alone: q35's
+    * bench slot re-bootstraps a MOR table and upserts a delta per
+    * evaluation — scaffolding that dwarfed the operator (the r12 verdict's
+    * measurement-hygiene flag). The table + its uncompacted delta stage
+    * ONCE per sf dir; every evaluation is the pure base-file columnar read,
+    * which must keep serving exactly the pre-upsert state.
+    */
+  private val q35bScaffold = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val q35b: Q = (s, d) => {
+    val tbl = q35bScaffold.getOrElseUpdate(d, {
+      val t = freshTableDir("graft-q35b")
+      KeyedTable.bootstrap(s, BootstrapConfig(
+        dataFilePath = ordersInput(s, d), tablePath = t, tableName = "q35b_orders",
+        keyFields = Seq("o_orderkey"), precombineField = "o_orderdate",
+        partitionFields = Seq("o_month"), tableType = TableType.MergeOnRead))
+      val base = KeyedTable.read(s, t)
+      val dataCols = base.columns.filterNot(_.startsWith("_")).map(col).toSeq
+      KeyedTable.upsert(s, t, base
+        .filter(col("o_orderkey") % 10 === 0 && year(col("o_orderdate")) === 1995)
+        .select(dataCols: _*)
+        .withColumn("o_orderstatus", lit("RO-INVISIBLE")))
+      t
+    })
+    KeyedTable.readOptimized(s, tbl)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** T16 file-sizing service: three key-shifted re-appends of the 1995-01
     * month degenerate that partition's file layout; [[KeyedTable.sizeFiles]]
     * selects it by pure FS metadata and rewrites ONLY it into target-sized
@@ -1391,6 +1419,7 @@ object CoreQueries {
     "q33_partition_ttl" -> q33,
     "q34_file_sizing" -> q34,
     "q35_read_optimized" -> q35,
+    "q35b_read_optimized_inc" -> q35b,
     "q36_csv_roundtrip" -> q36,
     "q37_json_roundtrip" -> q37,
     "q38_schema_evolution" -> q38,
@@ -1603,6 +1632,10 @@ object CoreQueries {
         |FROM all_rows GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_read_optimized" ->
       // the uncompacted delta upsert must be INVISIBLE to the RO read
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q35b_read_optimized_inc" ->
+      // staged twin: same contract — the standing delta stays invisible
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q36_csv_roundtrip" ->

@@ -795,6 +795,18 @@ private[sources] object GraftProcedures {
           Seq(s"registry spec(s) refreshed: ${refreshed.mkString(",")}")
         else Seq.empty)
     },
+    proc("index_optimize", Seq("index" -> StringType, "params" -> StringType),
+      "Cluster a standing text index's posting partition by (term, id) — " +
+        "a content-neutral layout rewrite that makes probe-side query-term " +
+        "filters row-group-prunable. Params: 'max_records_per_file = <n>' " +
+        "(optional). Run after bulk builds and periodically under streamed " +
+        "appends (compaction folds deltas but does not re-sort)") { (s, a) =>
+      val p = if (a(1).toString.trim.isEmpty) Map.empty[String, String]
+        else parseAssignments(a(1).toString)
+      val maxRec = p.get("max_records_per_file").map(_.trim.toLong).getOrElse(0L)
+      graft.operators.TextIndex.optimize(s, a(0).toString, maxRec)
+      Seq("optimized: posting partition clustered by (term, id)")
+    },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +
         "or 'no lock held'") { (s, a) =>

@@ -39,17 +39,19 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x67: the takedown twin of x62 — same in-plan bruteForceTopK recall
     *    gate (over the post-removal corpus) and the same bounded probe
     *    broadcasts
-    *  - x72/x73: BM25's 1-row (N, avgdl) stats crossJoin — a broadcast
-    *    scalar shipped with the scoring plan (x73's stored-postings probe
-    *    additionally reads the same stats from 2 keyed stats rows; its
-    *    recompute fallback keeps the crossJoin shape)
+    *  - x72/x75: BM25's 1-row (N, avgdl) stats crossJoin — a broadcast
+    *    scalar shipped with the scoring plan (x75 scores the same way over
+    *    weighted multi-field postings)
+    *  - x73: the stored-postings probe reads (N, Σdl) from 2 keyed stats
+    *    rows instead (no crossJoin since round 13); kept on the list for
+    *    the legacy recompute shapes shared with x72
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
       "x40_line_dedup", "x44_ann_pq", "x46_dedup_embedding_cells", "x48_diverse_sample",
       "x49_lm_quality", "x50_domain_drift", "x51_overlap_matrix", "x56_nb_classifier",
       "x62_ann_index", "x64_pq_index", "x66_ivf_pq", "x67_ann_takedown",
-      "x72_bm25_topk", "x73_text_index")
+      "x72_bm25_topk", "x73_text_index", "x75_bm25f")
 
   private def lifecycle(name: String) =
     name.matches("q(2[2-9]|[3-9][0-9])[a-z]?_.*")

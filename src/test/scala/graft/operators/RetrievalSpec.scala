@@ -59,4 +59,48 @@ class RetrievalSpec extends SparkTestBase {
       .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(once === thrice)
   }
+
+  test("bm25fTopK is BIT-identical to bm25TopK over field-repeated text (the " +
+      "BM25F-lite fold) and a boosted field outranks body matches") {
+    // equal body lengths: with weight 3 every dl′ = 3 + 3, so the 'alpha'
+    // ordering is pure weighted-tf — tag hit (3) > body tf 2 > body tf 1
+    val fielded = Seq(
+      (1L, "alpha beta gamma", "news"),
+      (2L, "epsilon zeta eta", "alpha"),
+      (3L, "alpha alpha beta", "web"),
+      (4L, "eta theta iota", "web")).toDF("doc_id", "body", "tag")
+    val qs = Seq((1L, "alpha"), (2L, "web beta")).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "rank", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for (ln <- Seq(true, false)) {
+      val f = rows(Retrieval.bm25fTopK(fielded, col("doc_id"),
+        Seq(col("body") -> 1, col("tag") -> 3), qs, k = 10, lnIdf = ln))
+      // the defining equivalence of the simple BM25F fold: weight w ≡ the
+      // field's text repeated w times in a single-field document — tf′, dl′,
+      // and df all coincide, so every score bit must match
+      val folded = fielded.withColumn("all",
+        concat_ws(" ", col("body"), col("tag"), col("tag"), col("tag")))
+      val r = rows(Retrieval.bm25TopK(folded, col("doc_id"), col("all"),
+        qs, k = 10, lnIdf = ln))
+      assert(f === r, s"lnIdf=$ln: BM25F diverged from its repeated-text fold")
+      // tag='alpha' at weight 3 beats body-tf matches for query 'alpha'
+      assert(f.filter(_._1 == 1L).minBy(_._3)._2 === 2L,
+        s"lnIdf=$ln: the boosted tag field must dominate: $f")
+    }
+  }
+
+  test("phraseTopK ranks by occurrence count of the CONSECUTIVE sequence, " +
+      "ties by doc_id; zero-occurrence docs are absent") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "beta alpha"),
+      (3L, "alpha beta"),
+      (4L, "alpha gamma beta")).toDF("doc_id", "text")
+    val out = Retrieval.phraseTopK(d, col("doc_id"), col("text"),
+        Seq((1L, "alpha beta")).toDF("query_id", "phrase"), k = 10)
+      .select("query_id", "doc_id", "n_occ", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 1L, 2L, 1L), (1L, 3L, 1L, 2L)), s"got $out")
+  }
 }

@@ -128,6 +128,130 @@ class TextIndexSpec extends SparkTestBase {
     assert(streamed.exists(t => t._1 == 2L && t._2 == 3L), "doc 3 v2 must match eta")
   }
 
+  /** Total task input RECORDS of `action` — stage-level input metrics, the
+    * Bench StageMetricsListener pattern (flush via reflection:
+    * waitUntilEmpty is private[spark] in source, public in bytecode).
+    * Records (not bytes) isolate row-group pruning from layout-dependent
+    * compression and footer overhead: a pruned group's rows never reach the
+    * reader, so recordsRead IS the scan-input size the prune saves.
+    */
+  private def recordsRead(action: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) acc.addAndGet(m.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    def flush(): Unit = {
+      val sc = spark.sparkContext
+      sc.getClass.getMethods.find(_.getName == "listenerBus")
+        .map(_.invoke(sc)).foreach { bus =>
+          bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+            .foreach(_.invoke(bus))
+        }
+    }
+    flush()
+    spark.sparkContext.addSparkListener(l)
+    try { action; flush() } finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
+  test("probe touches nothing corpus-sized: it serves with every doclen file " +
+      "VANDALIZED (proof it opens none of them) and the query terms push " +
+      "into the posting scan as literals") {
+    val idx = s"${tmpDir("text-scanshape")}/idx"
+    TextIndex.build(spark, idx, docsDf.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    TextIndex.append(spark, idx, docsDf.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    val df = TextIndex.probe(spark, idx, queries, k = 10, lnIdf = false)
+    val want = rows(df)
+    assert(want.nonEmpty)
+    // the pushed IN: query-term literals sit in the executed plan's posting
+    // filter (collect() above finalized the adaptive plan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("fast") && plan.contains("stream"),
+      s"query-term literals absent - the IN prune is not reaching the scan:\n$plan")
+    // the one remaining O(corpus) term the r12 verdict flagged: N/avgdl came
+    // from a full doclen aggregate and dl from a corpus-sized join — now dl
+    // rides each posting and (N, Σdl) are 2 keyed stats rows. PROOF the
+    // probe reads no doclen input at all: overwrite every parquet file of
+    // the doclen partition (base AND delta dirs) with garbage — any read
+    // that opened one would die on the magic bytes — and probe again
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val vandalized = Files.walk(Paths.get(idx)).iterator().asScala
+      .filter(p => p.toString.contains(s"${TextIndex.KindCol}=${TextIndex.DoclenKind}")
+        && p.toString.endsWith(".parquet"))
+      .map { p => Files.write(p, "not a parquet file".getBytes); p }
+      .size
+    assert(vandalized > 0, "fixture: no doclen files found to vandalize")
+    assert(rows(TextIndex.probe(spark, idx, queries, k = 10, lnIdf = false))
+      === want, "probe result changed - it must not depend on doclen files")
+    // the phrase probe shares the posting-only scan shape
+    TextIndex.phraseTopK(spark, idx,
+      Seq((1L, "fast join")).toDF("query_id", "phrase"), k = 10).collect()
+  }
+
+  test("optimize clusters postings by term: the pushed IN then actually skips " +
+      "row groups (scan input records drop) and the ranking is unchanged") {
+    val idx = s"${tmpDir("text-optimize")}/idx"
+    // 10× the sf0.001 corpus so posting data dominates footer overhead and
+    // the prune's byte signal is unambiguous
+    val big = docsDf.crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
+    TextIndex.build(spark, idx, big, "doc_id", "text")
+    val q = Seq((1L, "vector")).toDF("query_id", "qtext")
+    def run(): Set[(Long, Long, Long, Double)] =
+      rows(TextIndex.probe(spark, idx, q, k = 10, lnIdf = false))
+    val want = run()
+    assert(want.nonEmpty)
+    val before = recordsRead { run(); () }
+    // term-clustered row groups: every group covers a tight term range, so
+    // the single-term pushed filter prunes all but ~one via parquet min/max
+    // — the probe's scan input shrinks from the whole posting partition to
+    // roughly the query term's postings
+    TextIndex.optimize(spark, idx, maxRecordsPerFile = 2000)
+    val after = recordsRead { assert(run() === want); () }
+    assert(after * 5 < before,
+      s"term-clustered probe scanned $after records vs $before unclustered - " +
+        "the layout pass is not pruning row groups")
+  }
+
+  test("phraseTopK: stored-postings probe ≡ in-plan recompute; phrases match " +
+      "CONSECUTIVE words (a bag-of-terms reordering does NOT rank); repeated-" +
+      "word phrases need every slot") {
+    val idx = s"${tmpDir("text-phrase")}/idx"
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta alpha gamma"), // the bag of query 1, wrong order
+      (3L, "alpha beta alpha beta"), // two occurrences
+      (4L, "batch batch batch"), // repeated-word phrase: two anchors
+      (5L, "alpha gamma beta")).toDF("doc_id", "text")
+    // build(subset) + append(rest): the replace-append leg stays inside the
+    // phrase surface too
+    TextIndex.build(spark, idx, docs.filter(col("doc_id") <= 3), "doc_id", "text")
+    TextIndex.append(spark, idx, docs.filter(col("doc_id") > 3), "doc_id", "text")
+    val phrases = Seq((1L, "alpha beta"), (2L, "batch batch"), (3L, "gamma beta"))
+      .toDF("query_id", "phrase")
+    def occ(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select("query_id", "doc_id", "n_occ", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = occ(TextIndex.phraseTopK(spark, idx, phrases, k = 10))
+    assert(got === occ(Retrieval.phraseTopK(
+      docs, col("doc_id"), col("text"), phrases, k = 10)),
+      "stored positional postings diverge from the recompute")
+    assert(got === Set(
+      (1L, 3L, 2L, 1L), // two occurrences outrank...
+      (1L, 1L, 1L, 2L), // ...one; docs 2 and 5 hold the bag but NOT the phrase
+      (2L, 4L, 2L, 1L), // "batch batch" anchors at positions 1 and 2
+      (3L, 5L, 1L, 1L)), s"got $got")
+  }
+
   test("a text index registered on its corpus follows publishes hands-off") {
     val dir = tmpDir("text-sync")
     val corpusTbl = s"$dir/corpus"

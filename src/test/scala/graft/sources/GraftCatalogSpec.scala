@@ -209,6 +209,23 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(callRows(s"CALL graft.system.show_sync('$corpusTbl')")
       === Seq("no indexes registered"))
 
+    // index_optimize: the text-index layout pass through SQL — one
+    // content-neutral cluster commit, probe unchanged
+    val textIdx = s"$dir/text"
+    graft.operators.TextIndex.build(spark, textIdx,
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val tq = Seq((1L, "beta")).toDF("query_id", "qtext")
+    def tProbe() = graft.operators.TextIndex
+      .probe(spark, textIdx, tq, k = 10, lnIdf = false)
+      .collect().map(_.toString).toSet
+    val tWant = tProbe()
+    assert(callRows(s"CALL graft.system.index_optimize('$textIdx', " +
+      "'max_records_per_file = 100')")
+      === Seq("optimized: posting partition clustered by (term, id)"))
+    assert(CommitLog.commits(spark, textIdx).last.operation === "cluster")
+    assert(tProbe() === tWant, "optimize must be content-neutral")
+
     // refusals: unknown kind, malformed ids
     val e2 = intercept[Exception] {
       spark.sql(s"CALL graft.system.index_remove('what', '$annIdx', '1')").collect()
