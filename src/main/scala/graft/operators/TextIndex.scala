@@ -50,7 +50,12 @@ import graft.table.KeyedTable
   *  - `kind='stats'` rows (term = 'n' | 'sumdl', id = 0, tf = the value):
   *    corpus size and total length, written in the SAME commit as the data
   *    they describe — asOf probes read the historical pair for free, and a
-  *    crash can never strand stats out of step with postings.
+  *    crash can never strand stats out of step with postings. The stats
+  *    read-modify-write is also RACE-safe by construction: every write leg
+  *    touches the `kind=stats` partition, and the commit log's OCC aborts
+  *    any commit whose base moved under it on an overlapping partition
+  *    (retryable [[graft.model.CommitConflictException]]) — so two racing
+  *    appends serialize instead of losing one side's (N, Σdl) delta.
   * Indexes built before this layout (no dl/pos columns, no stats rows)
   * must be rebuilt with [[build]] — probe and the write legs refuse them
   * loudly rather than serve silently wrong statistics.

@@ -252,6 +252,39 @@ class TextIndexSpec extends SparkTestBase {
       (3L, 5L, 1L, 1L)), s"got $got")
   }
 
+  test("racing appends cannot lose a stats delta: every write leg touches the " +
+      "stats partition, so the OCC aborts the stale writer (retryable) and a " +
+      "retry converges to the exact recompute") {
+    import graft.model.CommitConflictException
+    val idx = s"${tmpDir("text-race")}/idx"
+    val a = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val b = Seq((3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val c = Seq((4L, "eta"), (5L, "theta iota")).toDF("doc_id", "text")
+    TextIndex.build(spark, idx, a, "doc_id", "text")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def race(batch: DataFrame): java.util.concurrent.Future[Boolean] =
+      pool.submit({ () =>
+        barrier.await()
+        try { TextIndex.append(spark, idx, batch, "doc_id", "text"); true }
+        catch { case _: CommitConflictException => false }
+      }: java.util.concurrent.Callable[Boolean])
+    val (fb, fc) = (race(b), race(c))
+    val (okB, okC) = (fb.get(), fc.get())
+    pool.shutdown()
+    // either both serialized cleanly or the loser aborted RETRYABLE — a
+    // silent lost (N, Σdl) update is the one forbidden outcome, and the
+    // recompute equivalence below would expose it
+    if (!okB) TextIndex.append(spark, idx, b, "doc_id", "text")
+    if (!okC) TextIndex.append(spark, idx, c, "doc_id", "text")
+    val q = Seq((1L, "alpha delta eta theta")).toDF("query_id", "qtext")
+    val all = a.unionByName(b).unionByName(c)
+    assert(rows(TextIndex.probe(spark, idx, q, k = 10, lnIdf = false)) ===
+      rows(Retrieval.bm25TopK(all, col("doc_id"), col("text"), q,
+        k = 10, lnIdf = false)),
+      s"stats diverged after racing appends (okB=$okB okC=$okC)")
+  }
+
   test("a text index registered on its corpus follows publishes hands-off") {
     val dir = tmpDir("text-sync")
     val corpusTbl = s"$dir/corpus"
