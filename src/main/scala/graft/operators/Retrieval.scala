@@ -212,6 +212,60 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("n_occ"), col("rank"))
   }
 
+  /** Minimal-window proximity over positional tokens — the other classic
+    * positional-index operator: for each doc containing ALL of a query's
+    * distinct terms, the TIGHTEST span covering one occurrence of every
+    * term (the standard sorted-lists minimal-window semantics), ranked
+    * span ASC (tighter co-occurrence = more related), ties by doc_id;
+    * docs missing any term are absent. All-integer scoring — exact on any
+    * engine. Shape: a minimal window always starts AT some query-term
+    * occurrence, so candidate starts are exactly those positions; the
+    * per-(start, term) next-occurrence is an equi-join on (doc, term)
+    * with a `pos >= start` band — everything is restricted to query-term
+    * tokens first, so cost tracks the query terms' per-doc position lists
+    * (quadratic in those, never in the corpus).
+    */
+  private[operators] def proximityScore(
+      tok: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qterms = queryTerms(queries)
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("len"))
+    // query-term tokens only — the sole relation every later step touches
+    val tq = tok.join(broadcast(qterms.select("term").distinct()),
+      Seq("term"), "left_semi")
+    val starts = tq.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("pos").as("p")).distinct()
+    // next occurrence >= p of EACH query term in the doc
+    val t2 = tq.select(col("doc_id").as("t_doc"), col("term").as("t_term"),
+      col("pos").as("t_pos"))
+    val nxt = starts.join(broadcast(qterms), Seq("query_id"))
+      .join(t2, col("t_doc") === col("doc_id") &&
+        col("t_term") === col("term") && col("t_pos") >= col("p"))
+      .groupBy("query_id", "doc_id", "p", "term")
+      .agg(min(col("t_pos")).as("np"))
+    val cover = nxt.groupBy("query_id", "doc_id", "p")
+      .agg((max(col("np")) - col("p") + lit(1L)).as("width"),
+        count(lit(1)).as("nt"))
+    val spans = cover.join(broadcast(qlen), Seq("query_id"))
+      .filter(col("nt") === col("len"))
+      .groupBy("query_id", "doc_id").agg(min(col("width")).as("span"))
+    val w = Window.partitionBy("query_id").orderBy(col("span").asc, col("doc_id").asc)
+    spans.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("span"), col("rank"))
+  }
+
+  /** Minimal-window proximity top-k: `queries` is (query_id, qtext);
+    * returns (query_id, doc_id, span, rank) — span = the tightest window
+    * (in token positions, inclusive) covering every distinct query term,
+    * rank 1..k per query by span ASC with doc_id ties. The in-plan
+    * recompute face; [[TextIndex.proximityTopK]] answers the same query
+    * from stored positional postings.
+    */
+  def proximityTopK(
+      docs: DataFrame, idCol: Column, textCol: Column, queries: DataFrame,
+      k: Int): DataFrame =
+    proximityScore(tokensWithPos(docs, idCol, textCol), queries, k)
+
   /** Exact-phrase top-k: `phrases` is (query_id, phrase); returns
     * (query_id, doc_id, n_occ, rank) — docs ranked by occurrence count of
     * the CONSECUTIVE word sequence (not the bag of its words), rank ties by

@@ -273,6 +273,44 @@ object SyncRegistry {
     }.map(p => (p, regs.map(_._1)))
   }
 
+  /** Explicit ordered walk for REGISTRY CHAINS (depth > 1): breadth-first
+    * over this corpus's registered indexes, pulling each level's shared
+    * checkpoint once — level 0 syncs `corpusPath`'s registry, level 1 the
+    * registries OF those indexes (a registered index that is itself a
+    * corpus with its own registered indexes), and so on. The afterPublish
+    * hook deliberately stops at depth 1 (the cascade guard: one data
+    * publish must not fan into an unbounded transitive walk inside a
+    * best-effort hook); a pipeline that stacks indexes schedules THIS walk
+    * instead — one call per corpus publish (or per drain cycle) reaches
+    * every level, parents before children, so an interval flows down the
+    * chain within one walk. Cycle-safe: each table's registry is pulled at
+    * most once per walk (path-normalized visited set), so a mutual A→B→A
+    * registration converges instead of looping. Returns the per-table
+    * results in walk order (None = that table had nothing new or nothing
+    * registered).
+    */
+  def syncChain(
+      spark: SparkSession, corpusPath: String,
+      maxDepth: Int = 8): Seq[(String, Option[(ChangeStream.Pull, Seq[String])])] = {
+    val visited = scala.collection.mutable.Set.empty[String]
+    val out = Seq.newBuilder[(String, Option[(ChangeStream.Pull, Seq[String])])]
+    var level = Seq(new Path(corpusPath).toString)
+    var depth = 0
+    while (level.nonEmpty && depth <= maxDepth) {
+      val next = Seq.newBuilder[String]
+      level.foreach { p =>
+        if (visited.add(p)) {
+          val regs = registered(spark, p)
+          out += p -> syncNow(spark, p, regs)
+          next ++= regs.map(r => new Path(r._2.indexPath).toString)
+        }
+      }
+      level = next.result()
+      depth += 1
+    }
+    out.result()
+  }
+
   /** Corpus publishes that change no logical rows (or ARE maintenance)
     * never trigger a sync: their CDC interval is empty by construction —
     * compaction/clustering/sizing rewrites keep original commit times, and

@@ -322,4 +322,22 @@ object TextIndex {
       post.select(col("doc_id"), explode(col("pos")).as("pos"), col("term")),
       phrases, k)
   }
+
+  /** Minimal-window proximity top-k against the STORED positional
+    * postings — [[Retrieval.proximityTopK]]'s core over candidate docs
+    * only, after the same pushed-IN prune as [[probe]]/[[phraseTopK]]:
+    * cost tracks the query terms' postings, never the corpus.
+    */
+  def proximityTopK(
+      spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
+      asOf: Option[String] = None): DataFrame = {
+    val t = readIndex(spark, tablePath, asOf)
+    val post = pushTerms(
+      t.filter(col(KindCol) === PostingKind)
+        .select(col("term"), col("id").as("doc_id"), col("pos")),
+      queries)
+    Retrieval.proximityScore(
+      post.select(col("doc_id"), explode(col("pos")).as("pos"), col("term")),
+      queries, k)
+  }
 }

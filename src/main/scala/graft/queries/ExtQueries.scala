@@ -1404,6 +1404,24 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Minimal-window proximity retrieval from the standing index's
+    * positional postings ([[graft.operators.TextIndex.proximityTopK]]):
+    * docs ranked by the TIGHTEST token span covering every query term —
+    * the other classic positional-index operator beside phrases.
+    * All-integer scoring (span ASC, doc_id ties), exact oracle; the query
+    * terms push into the posting scan as the shared literal IN.
+    */
+  private val x76: Q = (s, d) => {
+    import s.implicits._
+    val idx = textIdx(s, d)
+    val qs = Seq(
+      (1L, "customer stream"), (2L, "fast join query"),
+      (3L, "merge sort agg"), (4L, "vector scan"),
+      (5L, "the batch window")).toDF("query_id", "qtext")
+    graft.operators.TextIndex.proximityTopK(s, idx, qs, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Field-boosted BM25F-lite ([[graft.operators.Retrieval.bm25fTopK]]):
     * body (`text`, weight 1) + tag (`source`, weight 3) — weighted tf/dl
     * stay exact longs, so the x72 oracle discipline (rational idf,
@@ -1495,6 +1513,7 @@ object ExtQueries {
     "x73_text_index" -> x73,
     "x74_phrase_topk" -> x74,
     "x75_bm25f" -> x75,
+    "x76_proximity" -> x76,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2638,6 +2657,48 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY n_occ DESC, doc_id ASC)::BIGINT AS rank
         |  FROM occ)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x76_proximity" ->
+      // minimal-window recompute with integer positions: a window is
+      // optimal only if it starts AT a query-term occurrence, so candidate
+      // starts are exactly those positions; per (start, term) the next
+      // occurrence >= start, width = max(next) - start + 1, span = min
+      // width over starts covered by ALL terms; rank span ASC, doc_id ties
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM d),
+        |t AS (SELECT doc_id, pos::BIGINT AS pos, w[pos] AS term FROM p),
+        |q(query_id, qtext) AS (VALUES
+        |  (1, 'customer stream'), (2, 'fast join query'),
+        |  (3, 'merge sort agg'), (4, 'vector scan'),
+        |  (5, 'the batch window')),
+        |qt AS (SELECT DISTINCT query_id::BIGINT AS query_id,
+        |  unnest(string_split_regex(qtext, '\s+')) AS term FROM q),
+        |ql AS (SELECT query_id, count(*)::BIGINT AS len FROM qt GROUP BY 1),
+        |tq AS (SELECT doc_id, pos, term FROM t
+        |  WHERE term IN (SELECT term FROM qt)),
+        |starts AS (SELECT DISTINCT qt.query_id, tq.doc_id, tq.pos AS p
+        |  FROM tq JOIN qt USING (term)),
+        |nxt AS (
+        |  SELECT s.query_id, s.doc_id, s.p, qt.term, min(tq.pos) AS np
+        |  FROM starts s
+        |  JOIN qt ON qt.query_id = s.query_id
+        |  JOIN tq ON tq.doc_id = s.doc_id AND tq.term = qt.term
+        |    AND tq.pos >= s.p
+        |  GROUP BY 1, 2, 3, 4),
+        |cover AS (
+        |  SELECT query_id, doc_id, p, (max(np) - p + 1)::BIGINT AS width,
+        |    count(*)::BIGINT AS nt
+        |  FROM nxt GROUP BY 1, 2, 3),
+        |spans AS (
+        |  SELECT c.query_id, c.doc_id, min(c.width)::BIGINT AS span
+        |  FROM cover c JOIN ql USING (query_id)
+        |  WHERE c.nt = ql.len GROUP BY 1, 2)
+        |SELECT query_id, doc_id, span, rank FROM (
+        |  SELECT query_id, doc_id, span,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY span ASC, doc_id ASC)::BIGINT AS rank
+        |  FROM spans)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x75_bm25f" ->
       // the x72 recompute over WEIGHTED postings (BM25F-lite fold): tf' and

@@ -90,6 +90,26 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("proximityTopK ranks by the MINIMAL window covering every query term " +
+      "(span asc, doc_id ties); docs missing a term are absent; duplicate " +
+      "query words collapse") {
+    val d = Seq(
+      (1L, "alpha x x x beta"), // span 5
+      (2L, "x alpha beta x"), // span 2 — tightest
+      (3L, "beta x alpha x x beta x x x x alpha"), // best window = 3 (pos 9? no: alpha@3,beta@6 -> 4; beta@1,alpha@3 -> 3)
+      (4L, "alpha x x x x x x"), // beta missing: absent
+      (5L, "beta beta alpha")).toDF("doc_id", "text")
+    val out = Retrieval.proximityTopK(d, col("doc_id"), col("text"),
+        Seq((1L, "alpha beta"), (2L, "alpha beta alpha")).toDF("query_id", "qtext"),
+        k = 10)
+      .select("query_id", "doc_id", "span", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val q1 = Set((1L, 2L, 2L, 1L), (1L, 5L, 2L, 2L), (1L, 3L, 3L, 3L),
+      (1L, 1L, 5L, 4L))
+    // duplicate 'alpha' collapses: query 2 ≡ query 1
+    assert(out === q1 ++ q1.map(t => (2L, t._2, t._3, t._4)), s"got $out")
+  }
+
   test("phraseTopK ranks by occurrence count of the CONSECUTIVE sequence, " +
       "ties by doc_id; zero-occurrence docs are absent") {
     val d = Seq(

@@ -445,10 +445,20 @@ class SyncRegistrySpec extends SparkTestBase {
     assert(ChangeStream.readWatermark(
       fs, SyncRegistry.checkpointDir(level1)) === w0,
       "depth-2 cascade ran inside one hook (guard broken)")
-    // the documented shape for depth > 1: an explicit walk of level 2
-    assert(SyncRegistry.syncNow(spark, level1).nonEmpty,
-      "explicit second-level sync must apply the pending interval")
+    // the documented shape for depth > 1: the explicit ordered walk —
+    // level 0 (corpus registry: quiet, the hook already consumed it),
+    // then level 1's registry applies its pending interval to level 2
+    val walk = SyncRegistry.syncChain(spark, corpusTbl)
+    assert(walk.map(_._1) ===
+      Seq(new org.apache.hadoop.fs.Path(corpusTbl).toString,
+        new org.apache.hadoop.fs.Path(level1).toString,
+        new org.apache.hadoop.fs.Path(level2).toString), s"walk: $walk")
+    assert(walk.head._2.isEmpty, "corpus level: hook already synced it")
+    assert(walk(1)._2.nonEmpty, "level1's pending interval must apply")
+    assert(walk(2)._2.isEmpty, "level2 has no registry of its own")
     assert(ChangeStream.readWatermark(
       fs, SyncRegistry.checkpointDir(level1)) !== w0)
+    // a second walk is a no-op end to end (idempotent drain)
+    assert(SyncRegistry.syncChain(spark, corpusTbl).forall(_._2.isEmpty))
   }
 }

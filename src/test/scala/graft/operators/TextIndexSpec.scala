@@ -250,6 +250,18 @@ class TextIndexSpec extends SparkTestBase {
       (1L, 1L, 1L, 2L), // ...one; docs 2 and 5 hold the bag but NOT the phrase
       (2L, 4L, 2L, 1L), // "batch batch" anchors at positions 1 and 2
       (3L, 5L, 1L, 1L)), s"got $got")
+    // the proximity face shares the stored positions: probe ≡ recompute,
+    // and the tighter co-occurrence outranks the looser one
+    val pq = Seq((1L, "alpha gamma")).toDF("query_id", "qtext")
+    def spans(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select("query_id", "doc_id", "span", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    val gotProx = spans(TextIndex.proximityTopK(spark, idx, pq, k = 10))
+    assert(gotProx === spans(Retrieval.proximityTopK(
+      docs, col("doc_id"), col("text"), pq, k = 10)))
+    assert(gotProx === Seq((1L, 1L, 3L, 3L), (1L, 2L, 2L, 1L), (1L, 5L, 2L, 2L)),
+      s"got $gotProx")
   }
 
   test("racing appends cannot lose a stats delta: every write leg touches the " +
