@@ -297,6 +297,54 @@ class TextIndexSpec extends SparkTestBase {
       s"stats diverged after racing appends (okB=$okB okC=$okC)")
   }
 
+  test("randomized convergence: any seeded sequence of appends, re-words, and " +
+      "removals leaves BM25, phrase, AND proximity probes ≡ recomputes over " +
+      "the end-state corpus (stats, postings, and positions all exact)") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def text(): String =
+      Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val idx = s"${tmpDir("text-random")}/idx"
+    val truth = scala.collection.mutable.Map.empty[Long, String]
+    (1L to 6L).foreach(i => truth(i) = text())
+    TextIndex.build(spark, idx, truth.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text")
+    for (_ <- 1 to 10) {
+      rnd.nextInt(3) match {
+        case 0 | 1 => // append 1-3 docs: new ids and/or re-words
+          val batch = Seq.fill(1 + rnd.nextInt(3))(1L + rnd.nextInt(10))
+            .distinct.map(i => (i, text()))
+          batch.foreach { case (i, t) => truth(i) = t }
+          TextIndex.append(spark, idx, batch.toDF("doc_id", "text"),
+            "doc_id", "text")
+        case _ if truth.nonEmpty => // remove 1-2 present docs
+          val present = truth.keys.toSeq.sorted
+          val picks = Seq.fill(1 + rnd.nextInt(2))(
+            present(rnd.nextInt(present.size))).distinct
+          picks.foreach(truth.remove)
+          TextIndex.remove(spark, idx, picks.toDF("doc_id"), "doc_id")
+        case _ => ()
+      }
+    }
+    val docs = truth.toSeq.toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "zeta eta theta"))
+      .toDF("query_id", "qtext")
+    for (ln <- Seq(true, false))
+      assert(rows(TextIndex.probe(spark, idx, qs, k = 10, lnIdf = ln)) ===
+        rows(Retrieval.bm25TopK(docs, col("doc_id"), col("text"), qs,
+          k = 10, lnIdf = ln)), s"BM25 diverged (lnIdf=$ln) after random ops")
+    def ints(df: DataFrame, c: String): Set[(Long, Long, Long, Long)] =
+      df.select("query_id", "doc_id", c, "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ints(TextIndex.phraseTopK(spark, idx, qs, k = 10), "n_occ") ===
+      ints(Retrieval.phraseTopK(docs, col("doc_id"), col("text"), qs, k = 10),
+        "n_occ"), "phrase diverged after random ops")
+    assert(ints(TextIndex.proximityTopK(spark, idx, qs, k = 10), "span") ===
+      ints(Retrieval.proximityTopK(docs, col("doc_id"), col("text"), qs, k = 10),
+        "span"), "proximity diverged after random ops")
+  }
+
   test("a text index registered on its corpus follows publishes hands-off") {
     val dir = tmpDir("text-sync")
     val corpusTbl = s"$dir/corpus"
