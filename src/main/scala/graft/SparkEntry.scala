@@ -80,11 +80,12 @@ object SparkEntry {
     // and BM25 retrieval, the text-search leg: the batch recompute (x72)
     // and the standing inverted index's stored-postings probe (x73)
     "x71_sync_hook", "x72_bm25_topk", "x73_text_index",
-    // round 13: the next three retrieval legs — exact-phrase ranking and
+    // round 13: the next retrieval legs — exact-phrase ranking and
     // minimal-window proximity from the index's positional postings
-    // (x74/x76, share x73's staged index) and field-boosted BM25F-lite
-    // (x75, in-plan recompute)
-    "x74_phrase_topk", "x75_bm25f", "x76_proximity")
+    // (x74/x76, share x73's staged index), field-boosted BM25F-lite
+    // (x75, in-plan recompute), and BM25F from the STANDING fielded
+    // index (x77, staged probe)
+    "x74_phrase_topk", "x75_bm25f", "x76_proximity", "x77_bm25f_index")
 
   /** Bench queries whose FIRST evaluation per sf dir stages standing state
     * (a scaffolded table, a trained index) that later evaluations reuse.
@@ -97,7 +98,8 @@ object SparkEntry {
     "x66_ivf_pq", "q45b_sql_merge_inc", "q31b_key_lookup_inc",
     "q22b_mor_write_inc", "q24b_time_travel_inc", "q26b_global_move_inc",
     "q42b_sql_maintenance_inc", "x71_sync_hook", "x73_text_index",
-    "x74_phrase_topk", "x76_proximity", "q35b_read_optimized_inc")
+    "x74_phrase_topk", "x76_proximity", "x77_bm25f_index",
+    "q35b_read_optimized_inc")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

@@ -80,8 +80,15 @@ object IndexSync {
           PqIndex.append(spark, indexPath, ups, dim, m, p.idCol, p.vecCol)
         }
       case t: SyncRegistry.TextSpec =>
+        // remove is mode-aware internally; the append face dispatches on
+        // the index's OWN text.fields stamp (the derive-from-storage rule:
+        // a fielded index synced through a plain TextSpec must re-index
+        // per-field — the stamp, not the spec, knows the field columns)
         if (!dels.isEmpty) TextIndex.remove(spark, indexPath, dels.select(t.idCol), t.idCol)
-        if (!ups.isEmpty) TextIndex.append(spark, indexPath, ups, t.idCol, t.textCol)
+        if (!ups.isEmpty) TextIndex.storedFields(spark, indexPath) match {
+          case Some(_) => TextIndex.appendFielded(spark, indexPath, ups, t.idCol)
+          case None => TextIndex.append(spark, indexPath, ups, t.idCol, t.textCol)
+        }
     }
   }
 

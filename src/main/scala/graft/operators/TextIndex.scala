@@ -69,6 +69,25 @@ object TextIndex {
 
   private val StatN = "n"
   private val StatSumDl = "sumdl"
+  private val StatSumDlField = "sumdl." // fielded: one row per field
+
+  /** Table property stamping a FIELDED index's (field name → corpus
+    * column) list, `f1=c1,f2=c2`. Its presence IS the mode switch: the
+    * registry sync and the write legs dispatch on it (the "derive from
+    * storage" rule — a spec or parameter can go stale, the stamp cannot),
+    * and the single-field probes refuse fielded tables toward
+    * [[bm25fProbe]].
+    */
+  val FieldsProp = "text.fields"
+
+  /** The stored field list of a FIELDED index, None for single-field. */
+  private[operators] def storedFields(
+      spark: SparkSession, tablePath: String): Option[Seq[(String, String)]] =
+    graft.table.TableProperties.get(spark, tablePath).get(FieldsProp)
+      .map(_.split(",").toSeq.map { kv =>
+        val Array(f, c) = kv.split("=", 2)
+        (f, c)
+      })
 
   /** All index rows for a doc batch — ONE tokenization pass: the positional
     * postings aggregate first (localCheckpointed: doclen/forward-list rows
@@ -153,13 +172,16 @@ object TextIndex {
       .getOrElse(KeyedTable.read(spark, tablePath))
 
   /** The `ids`' stored doclen rows (id, terms = forward list, tf = doc
-    * length) — one kind-pruned scan semi-joined to the id set, materialized
-    * (it feeds both the tombstone keys and the stats delta). Ids never
-    * indexed simply contribute no rows.
+    * length, plus `extra` columns — fielded callers pull `fdl`) — one
+    * kind-pruned scan semi-joined to the id set, materialized (it feeds
+    * both the tombstone keys and the stats delta). Ids never indexed
+    * simply contribute no rows.
     */
-  private def doclenOf(t: DataFrame, ids: DataFrame, idCol: String): DataFrame =
+  private def doclenOf(
+      t: DataFrame, ids: DataFrame, idCol: String,
+      extra: Seq[String] = Seq.empty): DataFrame =
     t.filter(col(KindCol) === DoclenKind)
-      .select(col("id"), col("terms"), col("tf"))
+      .select((Seq("id", "terms", "tf") ++ extra).map(col): _*)
       .join(broadcast(ids.select(col(idCol).as("id")).distinct()), Seq("id"), "left_semi")
       .localCheckpoint()
 
@@ -185,6 +207,10 @@ object TextIndex {
   def append(
       spark: SparkSession, tablePath: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
+    if (storedFields(spark, tablePath).isDefined)
+      throw GraftException.config(
+        s"text index at $tablePath is FIELDED - use appendFielded (the " +
+          "field list rides the text.fields stamp).")
     val t = KeyedTable.read(spark, tablePath)
     val dlRows = doclenOf(t, docs.select(col(idCol)), idCol)
     val (oldN, oldS) = dlTotals(dlRows)
@@ -232,15 +258,210 @@ object TextIndex {
     */
   def remove(
       spark: SparkSession, tablePath: String, ids: DataFrame,
+      idCol: String): Unit = storedFields(spark, tablePath) match {
+    case Some(fs) => // fielded: the stats step is per-field (fdl maps)
+      val names = fs.map(_._1)
+      val t = KeyedTable.read(spark, tablePath)
+      val dlRows = doclenOf(t, ids, idCol, extra = Seq("fdl"))
+      val (remN, remSums) = fieldTotals(dlRows, names)
+      if (remN == 0) return
+      val (n0, sums0) = requireStatsFielded(t, tablePath, names)
+      KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
+        statsRowsFielded(spark, n0 - remN,
+          names.map(f => f -> (sums0(f) - remSums(f)))))
+      ()
+    case None =>
+      val t = KeyedTable.read(spark, tablePath)
+      val dlRows = doclenOf(t, ids, idCol)
+      val (remN, remS) = dlTotals(dlRows)
+      if (remN == 0) return // nothing of these ids is indexed
+      val (n0, s0) = requireStats(t, tablePath)
+      KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
+        statsRows(spark, n0 - remN, s0 - remS))
+      ()
+  }
+
+  // --------------------------------------------------------------- fielded
+
+  /** The single-field probes cannot serve a fielded table (its scoring
+    * needs per-field weights, and it stores no positions) — refuse with a
+    * pointer instead of silently missing stats.
+    */
+  private def requireSingleField(
+      spark: SparkSession, tablePath: String, op: String): Unit =
+    if (storedFields(spark, tablePath).isDefined)
+      throw GraftException.config(
+        s"text index at $tablePath is FIELDED - $op serves single-field " +
+          "indexes; score it with bm25fProbe(weights) (phrase/proximity " +
+          "need single-field positional postings).")
+
+  /** All index rows for a FIELDED doc batch — one tokenization pass per
+    * field: per-(doc, term, field) counts aggregate once
+    * (localCheckpointed), then posting rows carry `ftf` (field → tf) and
+    * `fdl` (field → the doc's length in that field) DENORMALIZED — the
+    * fielded twin of the single-field dl denormalization, so a probe folds
+    * weights over map lookups and joins nothing corpus-sized. Doclen rows
+    * keep the cross-field forward list plus the fdl map (the stats-delta
+    * source for remove/re-index). No positions: fielded retrieval is
+    * BM25F scoring; phrase/proximity stay on single-field indexes.
+    */
+  private def entriesOfFielded(
+      docs: DataFrame, idCol: String, fields: Seq[(String, String)]): DataFrame = {
+    val wtok = fields.map { case (f, c) =>
+      Retrieval.tokens(docs, col(idCol), col(c)).withColumn("field", lit(f))
+    }.reduce(_ unionByName _)
+    val ft = wtok.groupBy("doc_id", "term", "field")
+      .agg(count(lit(1)).as("ftf"))
+      .localCheckpoint()
+    val post0 = ft.groupBy("doc_id", "term")
+      .agg(sum(col("ftf")).as("tf"),
+        map_from_entries(sort_array(collect_list(
+          struct(col("field"), col("ftf"))))).as("ftf"))
+    val fdl = ft.groupBy("doc_id", "field").agg(sum(col("ftf")).as("flen"))
+      .groupBy("doc_id")
+      .agg(sum(col("flen")).as("tf"),
+        map_from_entries(sort_array(collect_list(
+          struct(col("field"), col("flen"))))).as("fdl"))
+      .localCheckpoint()
+    val post = post0.join(fdl.select(col("doc_id"), col("fdl")), Seq("doc_id"))
+      .select(lit(PostingKind).as(KindCol), col("term"),
+        col("doc_id").as("id"), col("tf"),
+        lit(null).cast("array<string>").as("terms"), col("ftf"), col("fdl"))
+    val dl = post0.groupBy("doc_id").agg(collect_set(col("term")).as("terms"))
+      .join(fdl, Seq("doc_id"))
+      .select(lit(DoclenKind).as(KindCol), lit("").as("term"),
+        col("doc_id").as("id"), col("tf"), col("terms"),
+        lit(null).cast("map<string,bigint>").as("ftf"), col("fdl"))
+    post.unionByName(dl)
+  }
+
+  /** The fielded stats rows: 'n' plus one 'sumdl.<field>' per field. */
+  private def statsRowsFielded(
+      spark: SparkSession, n: Long, sums: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    ((StatN, n) +: sums.map { case (f, v) => (StatSumDlField + f, v) })
+      .toDF("term", "tf")
+      .select(lit(StatsKind).as(KindCol), col("term"), lit(0L).as("id"),
+        col("tf"), lit(null).cast("array<string>").as("terms"),
+        lit(null).cast("map<string,bigint>").as("ftf"),
+        lit(null).cast("map<string,bigint>").as("fdl"))
+  }
+
+  /** (#docs, per-field Σ length) of a doclen-row relation carrying fdl. */
+  private def fieldTotals(
+      dlRows: DataFrame, fields: Seq[String]): (Long, Map[String, Long]) = {
+    val r = dlRows.agg(count(lit(1)).as("n"),
+      fields.map(f =>
+        coalesce(sum(element_at(col("fdl"), lit(f))), lit(0L)).as(s"s_$f")): _*)
+      .head()
+    (r.getLong(0),
+      fields.zipWithIndex.map { case (f, i) => f -> r.getLong(i + 1) }.toMap)
+  }
+
+  /** The stored fielded (N, per-field Σdl); refuses a non-fielded or
+    * pre-layout table.
+    */
+  private def requireStatsFielded(
+      t: DataFrame, tablePath: String,
+      fields: Seq[String]): (Long, Map[String, Long]) = {
+    val rows = t.filter(col(KindCol) === StatsKind).select("term", "tf")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def need(k: String): Long = rows.getOrElse(k, throw GraftException.config(
+      s"text index at $tablePath carries no '$k' stats row - not a fielded " +
+        "index of these fields (or pre-layout; rebuild with buildFielded)."))
+    (need(StatN), fields.map(f => f -> need(StatSumDlField + f)).toMap)
+  }
+
+  /** Build a FIELDED standing index: `fields` = (field name → corpus
+    * column), stamped as [[FieldsProp]] so every later leg (append,
+    * remove, registry sync, probe refusals) derives the field list from
+    * STORAGE — a caller-passed list could drift, the stamp cannot.
+    * Serves [[bm25fProbe]]; one tokenization pass per field.
+    */
+  def buildFielded(
+      spark: SparkSession, tablePath: String, corpus: DataFrame,
+      idCol: String, fields: Seq[(String, String)]): Unit = {
+    require(fields.nonEmpty, "buildFielded needs at least one (field, column)")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "field names must be distinct")
+    require(fields.forall { case (f, c) =>
+      !f.contains("=") && !f.contains(",") && !c.contains("=") && !c.contains(",")
+    }, "field/column names must not contain '=' or ','")
+    val names = fields.map(_._1)
+    val entries = entriesOfFielded(corpus, idCol, fields)
+    val (n, sums) = fieldTotals(
+      entries.filter(col(KindCol) === DoclenKind), names)
+    KeyedTable.create(spark, tablePath,
+      entries.unionByName(
+        statsRowsFielded(spark, n, names.map(f => f -> sums(f)))),
+      tableName = "graft_text_index",
+      keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
+      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
+    graft.table.TableProperties.set(spark, tablePath, Map(
+      graft.table.TableProperties.CompactAuto -> "true",
+      FieldsProp -> fields.map { case (f, c) => s"$f=$c" }.mkString(",")))
+  }
+
+  /** Fielded REPLACE-append — [[append]]'s twin with the field list read
+    * from the [[FieldsProp]] stamp (never a parameter: the registry sync
+    * and ad-hoc callers must agree on it) and the per-field stats stepping
+    * in the same single commit.
+    */
+  def appendFielded(
+      spark: SparkSession, tablePath: String, docs: DataFrame,
       idCol: String): Unit = {
+    val fs = storedFields(spark, tablePath).getOrElse(
+      throw GraftException.config(
+        s"text index at $tablePath is single-field - use append."))
+    val names = fs.map(_._1)
     val t = KeyedTable.read(spark, tablePath)
-    val dlRows = doclenOf(t, ids, idCol)
-    val (remN, remS) = dlTotals(dlRows)
-    if (remN == 0) return // nothing of these ids is indexed
-    val (n0, s0) = requireStats(t, tablePath)
+    val dlRows = doclenOf(t, docs.select(col(idCol)), idCol, extra = Seq("fdl"))
+    val (oldN, oldSums) = fieldTotals(dlRows, names)
+    val entries = entriesOfFielded(docs, idCol, fs)
+    val (addN, addSums) = fieldTotals(
+      entries.filter(col(KindCol) === DoclenKind), names)
+    if (oldN == 0 && addN == 0) return
+    val (n0, sums0) = requireStatsFielded(t, tablePath, names)
     KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
-      statsRows(spark, n0 - remN, s0 - remS))
+      entries.unionByName(statsRowsFielded(spark, n0 - oldN + addN,
+        names.map(f => f -> (sums0(f) - oldSums(f) + addSums(f))))))
     ()
+  }
+
+  /** BM25F-lite against the STORED fielded postings —
+    * [[Retrieval.bm25fTopK]]'s exact scoring with every corpus-sized term
+    * removed: weighted tf′/dl′ fold over the denormalized ftf/fdl maps as
+    * integer expressions, (N, per-field Σdl) read from the stats rows, the
+    * query-term IN pushes into the posting scan. Bit-identical to the
+    * recompute over the same corpus and weights (spec-pinned). `weights`
+    * must cover exactly the stored fields — a partial weighting would
+    * break the "df = term in ANY field" idf contract silently.
+    */
+  def bm25fProbe(
+      spark: SparkSession, tablePath: String, queries: DataFrame,
+      weights: Seq[(String, Int)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = true,
+      asOf: Option[String] = None): DataFrame = {
+    val fs = storedFields(spark, tablePath).getOrElse(
+      throw GraftException.config(
+        s"text index at $tablePath is single-field - use probe; bm25fProbe " +
+          "serves buildFielded indexes."))
+    require(weights.forall(_._2 > 0), "field weights must be positive integers")
+    require(weights.map(_._1).toSet == fs.map(_._1).toSet
+        && weights.size == fs.size,
+      s"weights must cover exactly the stored fields: ${fs.map(_._1).mkString(",")}")
+    val t = readIndex(spark, tablePath, asOf)
+    val (n, sums) = requireStatsFielded(t, tablePath, fs.map(_._1))
+    val sumW = weights.map { case (f, w) => w.toLong * sums(f) }.sum
+    def fold(m: String) = weights.map { case (f, w) =>
+      lit(w.toLong) * coalesce(element_at(col(m), lit(f)), lit(0L))
+    }.reduce(_ + _)
+    val post = pushTerms(
+      t.filter(col(KindCol) === PostingKind)
+        .select(col("term"), col("id").as("doc_id"),
+          fold("ftf").as("tf"), fold("fdl").as("dl")),
+      queries)
+    Retrieval.bm25ScoreStored(post, queries, k, k1, b, lnIdf, n, sumW)
   }
 
   /** Cluster the POSTING partition by term ([[KeyedTable.clusterSort]] —
@@ -293,6 +514,7 @@ object TextIndex {
       spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75, lnIdf: Boolean = true,
       asOf: Option[String] = None): DataFrame = {
+    requireSingleField(spark, tablePath, "probe")
     val t = readIndex(spark, tablePath, asOf)
     val (n, sumDl) = requireStats(t, tablePath)
     val post = pushTerms(
@@ -313,6 +535,7 @@ object TextIndex {
   def phraseTopK(
       spark: SparkSession, tablePath: String, phrases: DataFrame, k: Int,
       asOf: Option[String] = None): DataFrame = {
+    requireSingleField(spark, tablePath, "phraseTopK")
     val t = readIndex(spark, tablePath, asOf)
     val post = pushTerms(
       t.filter(col(KindCol) === PostingKind)
@@ -331,6 +554,7 @@ object TextIndex {
   def proximityTopK(
       spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
       asOf: Option[String] = None): DataFrame = {
+    requireSingleField(spark, tablePath, "proximityTopK")
     val t = readIndex(spark, tablePath, asOf)
     val post = pushTerms(
       t.filter(col(KindCol) === PostingKind)

@@ -1441,6 +1441,39 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** BM25F from a STANDING FIELDED index
+    * ([[graft.operators.TextIndex.bm25fProbe]]): per-field tf and length
+    * maps ride each posting denormalized, (N, per-field Σdl) come from the
+    * stats rows, weights fold at probe time as integer expressions — the
+    * x75 recompute's scale leg. The index stages once per sf dir as
+    * buildFielded(half) + appendFielded(half) (the fielded REPLACE path is
+    * inside the oracle-checked surface); probes must match the exhaustive
+    * weighted recompute bit-for-bit.
+    */
+  private val x77Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x77: Q = (s, d) => {
+    import s.implicits._
+    val idx = x77Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x77")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val i = s"$root/idx"
+      graft.operators.TextIndex.buildFielded(s, i,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        Seq("text" -> "text", "source" -> "source"))
+      graft.operators.TextIndex.appendFielded(s, i,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id")
+      graft.operators.TextIndex.optimize(s, i)
+      i
+    })
+    val qs = Seq(
+      (1L, "slow filter src2"), (2L, "join src11 row"),
+      (3L, "src4 batch hash"), (4L, "key src16"),
+      (5L, "window src8 agg value")).toDF("query_id", "qtext")
+    graft.operators.TextIndex.bm25fProbe(s, idx, qs,
+        Seq("text" -> 1, "source" -> 3), k = 10, lnIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_dedup_exact" -> x01,
     "x02_dedup_minhash_lsh" -> x02,
@@ -1514,6 +1547,7 @@ object ExtQueries {
     "x74_phrase_topk" -> x74,
     "x75_bm25f" -> x75,
     "x76_proximity" -> x76,
+    "x77_bm25f_index" -> x77,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2719,6 +2753,44 @@ object ExtQueries {
         |  (1, 'fast join src3'), (2, 'customer src7 scan'),
         |  (3, 'slow src1 merge'), (4, 'src5 window'),
         |  (5, 'spark value src19 row')),
+        |qt AS (SELECT DISTINCT query_id::BIGINT AS query_id,
+        |  unnest(string_split_regex(qtext, '\s+')) AS term FROM q),
+        |dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(((s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))
+        |      AS DECIMAL(38,12)) AS c
+        |  FROM qt JOIN tf USING (term) JOIN dfreq d USING (term)
+        |    JOIN dl USING (doc_id), stats s),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS sc FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (
+        |  SELECT query_id, doc_id, sc::DOUBLE AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sc DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x77_bm25f_index" ->
+      // x75's weighted recompute under the x77 query set: the STORED
+      // fielded postings (built on half the corpus, replace-appended with
+      // the other half) must serve identical weighted rankings
+      """WITH wt AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term,
+        |    1::BIGINT AS w FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, unnest(string_split_regex(source, '\s+')) AS term,
+        |    3::BIGINT AS w FROM documents),
+        |tf AS (SELECT doc_id, term, sum(w)::BIGINT AS tf FROM wt GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(w)::BIGINT AS dl FROM wt GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*)::BIGINT FROM dl) AS n,
+        |  (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE FROM dl) AS avgdl),
+        |q(query_id, qtext) AS (VALUES
+        |  (1, 'slow filter src2'), (2, 'join src11 row'),
+        |  (3, 'src4 batch hash'), (4, 'key src16'),
+        |  (5, 'window src8 agg value')),
         |qt AS (SELECT DISTINCT query_id::BIGINT AS query_id,
         |  unnest(string_split_regex(qtext, '\s+')) AS term FROM q),
         |dfreq AS (

@@ -345,6 +345,103 @@ class TextIndexSpec extends SparkTestBase {
         "span"), "proximity diverged after random ops")
   }
 
+  test("FIELDED index: bm25fProbe ≡ the bm25fTopK recompute (both idf " +
+      "variants) across build+append, remove shifts the per-field stats, " +
+      "and mode guards refuse loudly") {
+    val idx = s"${tmpDir("text-fielded")}/idx"
+    val docs = Seq(
+      (1L, "alpha beta gamma", "news"),
+      (2L, "epsilon zeta eta", "alpha"),
+      (3L, "alpha alpha beta", "web"),
+      (4L, "eta theta iota", "web"),
+      (5L, "beta beta", "news")).toDF("doc_id", "body", "tag")
+    val fields = Seq("body" -> "body", "tag" -> "tag")
+    val weights = Seq("body" -> 1, "tag" -> 3)
+    TextIndex.buildFielded(spark, idx, docs.filter(col("doc_id") <= 3),
+      "doc_id", fields)
+    TextIndex.appendFielded(spark, idx, docs.filter(col("doc_id") > 3), "doc_id")
+    val qs = Seq((1L, "alpha"), (2L, "web beta")).toDF("query_id", "qtext")
+    def recompute(d: DataFrame, ln: Boolean) = rows(Retrieval.bm25fTopK(
+      d, col("doc_id"), Seq(col("body") -> 1, col("tag") -> 3), qs,
+      k = 10, lnIdf = ln))
+    for (ln <- Seq(true, false))
+      assert(rows(TextIndex.bm25fProbe(spark, idx, qs, weights, k = 10,
+        lnIdf = ln)) === recompute(docs, ln),
+        s"lnIdf=$ln: fielded probe diverged from the recompute")
+    // re-worded doc REPLACES (its old terms stop matching) and the
+    // per-field stats step; a removal shifts them again — both must keep
+    // matching the recompute over the logical corpus
+    val docs2 = docs.filter(col("doc_id") =!= 2L)
+      .unionByName(Seq((2L, "kappa", "books")).toDF("doc_id", "body", "tag"))
+    TextIndex.appendFielded(spark, idx,
+      Seq((2L, "kappa", "books")).toDF("doc_id", "body", "tag"), "doc_id")
+    assert(rows(TextIndex.bm25fProbe(spark, idx, qs, weights, k = 10,
+      lnIdf = false)) === recompute(docs2, false), "re-word diverged")
+    TextIndex.remove(spark, idx, Seq(3L).toDF("doc_id"), "doc_id")
+    assert(rows(TextIndex.bm25fProbe(spark, idx, qs, weights, k = 10,
+      lnIdf = false)) === recompute(docs2.filter(col("doc_id") =!= 3L), false),
+      "post-removal fielded stats diverged")
+    // guards: single-field faces refuse a fielded table and vice versa
+    import graft.model.GraftException
+    assert(intercept[GraftException] {
+      TextIndex.probe(spark, idx, qs, k = 10)
+    }.getMessage.contains("FIELDED"))
+    assert(intercept[GraftException] {
+      TextIndex.phraseTopK(spark, idx,
+        Seq((1L, "alpha beta")).toDF("query_id", "phrase"), k = 10)
+    }.getMessage.contains("FIELDED"))
+    assert(intercept[GraftException] {
+      TextIndex.append(spark, idx,
+        Seq((9L, "x", "y")).toDF("doc_id", "body", "tag"), "doc_id", "body")
+    }.getMessage.contains("FIELDED"))
+    val single = s"${tmpDir("text-fielded")}/single"
+    TextIndex.build(spark, single,
+      Seq((1L, "alpha")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(intercept[GraftException] {
+      TextIndex.bm25fProbe(spark, single, qs, weights, k = 10)
+    }.getMessage.contains("single-field"))
+    // weights must cover exactly the stored fields
+    assert(intercept[IllegalArgumentException] {
+      TextIndex.bm25fProbe(spark, idx, qs, Seq("body" -> 1), k = 10)
+    }.getMessage.contains("exactly"))
+  }
+
+  test("a FIELDED index registered on its corpus follows publishes hands-off " +
+      "(the sync dispatches on the text.fields stamp, not the spec)") {
+    val dir = tmpDir("text-fielded-sync")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    val docs = Seq(
+      (1L, "apple banana", "fruit"),
+      (2L, "carrot", "veg"),
+      (3L, "date elder", "fruit")).toDF("doc_id", "body", "tag")
+    KeyedTable.create(spark, corpusTbl, docs,
+      tableName = "fielded_sync_corpus", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    TextIndex.buildFielded(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", Seq("body" -> "body", "tag" -> "tag"))
+    // a plain TextSpec: the apply must still re-index per-field (stamp wins)
+    SyncRegistry.register(spark, corpusTbl, "ft",
+      SyncRegistry.TextSpec(idx, "doc_id", "body"),
+      basis = Some(CommitLog.commits(spark, corpusTbl).last.commitTime))
+    KeyedTable.delete(spark, corpusTbl, Seq(2L).toDF("doc_id"))
+    KeyedTable.upsert(spark, corpusTbl,
+      Seq((4L, "fig grape", "fruit"), (1L, "kiwi", "veg"))
+        .toDF("doc_id", "body", "tag"))
+    val end = Seq(
+      (1L, "kiwi", "veg"), (3L, "date elder", "fruit"),
+      (4L, "fig grape", "fruit")).toDF("doc_id", "body", "tag")
+    val qs = Seq((1L, "fruit"), (2L, "carrot"), (3L, "kiwi"))
+      .toDF("query_id", "qtext")
+    val weights = Seq("body" -> 1, "tag" -> 2)
+    assert(rows(TextIndex.bm25fProbe(spark, idx, qs, weights, k = 10,
+      lnIdf = false)) ===
+      rows(Retrieval.bm25fTopK(end, col("doc_id"),
+        Seq(col("body") -> 1, col("tag") -> 2), qs, k = 10, lnIdf = false)),
+      "fielded index must mirror the corpus end state hands-off")
+  }
+
   test("a text index registered on its corpus follows publishes hands-off") {
     val dir = tmpDir("text-sync")
     val corpusTbl = s"$dir/corpus"
