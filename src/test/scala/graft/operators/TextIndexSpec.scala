@@ -262,6 +262,15 @@ class TextIndexSpec extends SparkTestBase {
       docs, col("doc_id"), col("text"), pq, k = 10)))
     assert(gotProx === Seq((1L, 1L, 3L, 3L), (1L, 2L, 2L, 1L), (1L, 5L, 2L, 2L)),
       s"got $gotProx")
+    // asOf: both positional probes reproduce historical answers — a
+    // re-worded doc 5 shifts the live results, the pre-append snapshot not
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+    TextIndex.append(spark, idx,
+      Seq((5L, "gamma alpha")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(spans(TextIndex.proximityTopK(spark, idx, pq, k = 10,
+      asOf = Some(tip0))) === gotProx, "asOf proximity diverged")
+    assert(occ(TextIndex.phraseTopK(spark, idx, phrases, k = 10,
+      asOf = Some(tip0))) === got, "asOf phrase diverged")
   }
 
   test("racing appends cannot lose a stats delta: every write leg touches the " +
@@ -371,6 +380,7 @@ class TextIndexSpec extends SparkTestBase {
     // re-worded doc REPLACES (its old terms stop matching) and the
     // per-field stats step; a removal shifts them again — both must keep
     // matching the recompute over the logical corpus
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
     val docs2 = docs.filter(col("doc_id") =!= 2L)
       .unionByName(Seq((2L, "kappa", "books")).toDF("doc_id", "body", "tag"))
     TextIndex.appendFielded(spark, idx,
@@ -381,6 +391,11 @@ class TextIndexSpec extends SparkTestBase {
     assert(rows(TextIndex.bm25fProbe(spark, idx, qs, weights, k = 10,
       lnIdf = false)) === recompute(docs2.filter(col("doc_id") =!= 3L), false),
       "post-removal fielded stats diverged")
+    // asOf reproduces the historical WEIGHTED ranking with the historical
+    // per-field stats (the stats rows are table rows, so time travel is free)
+    assert(rows(TextIndex.bm25fProbe(spark, idx, qs, weights, k = 10,
+      lnIdf = false, asOf = Some(tip0))) === recompute(docs, false),
+      "asOf fielded probe must serve the historical ranking")
     // guards: single-field faces refuse a fielded table and vice versa
     import graft.model.GraftException
     assert(intercept[GraftException] {
