@@ -795,6 +795,17 @@ private[sources] object GraftProcedures {
           Seq(s"registry spec(s) refreshed: ${refreshed.mkString(",")}")
         else Seq.empty)
     },
+    proc("index_sync_chain", Seq("table" -> StringType),
+      "Drain a REGISTRY CHAIN (depth > 1): breadth-first over the table's " +
+        "registered indexes, syncing each level's registry once — the " +
+        "publish hook deliberately stops at depth 1; schedule this walk " +
+        "when indexes stack on indexes. One row per walked table") { (s, a) =>
+      graft.operators.SyncRegistry.syncChain(s, a(0).toString).map {
+        case (p, Some((pull, names))) =>
+          s"$p: synced (${pull.sinceExclusive},${pull.upToInclusive}] -> [${names.mkString(",")}]"
+        case (p, None) => s"$p: nothing to sync"
+      }
+    },
     proc("index_optimize", Seq("index" -> StringType, "params" -> StringType),
       "Cluster a standing text index's posting partition by (term, id) — " +
         "a content-neutral layout rewrite that makes probe-side query-term " +

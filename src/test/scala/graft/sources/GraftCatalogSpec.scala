@@ -226,6 +226,12 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(CommitLog.commits(spark, textIdx).last.operation === "cluster")
     assert(tProbe() === tWant, "optimize must be content-neutral")
 
+    // index_sync_chain: the explicit depth>1 drain through SQL — on this
+    // (now-empty) registry it reports the walked root and nothing to sync;
+    // the multi-level semantics are pinned in SyncRegistrySpec
+    assert(callRows(s"CALL graft.system.index_sync_chain('$corpusTbl')")
+      === Seq(s"$corpusTbl: nothing to sync"))
+
     // refusals: unknown kind, malformed ids
     val e2 = intercept[Exception] {
       spark.sql(s"CALL graft.system.index_remove('what', '$annIdx', '1')").collect()
