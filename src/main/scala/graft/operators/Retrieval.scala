@@ -218,36 +218,54 @@ object Retrieval {
     * term (the standard sorted-lists minimal-window semantics), ranked
     * span ASC (tighter co-occurrence = more related), ties by doc_id;
     * docs missing any term are absent. All-integer scoring — exact on any
-    * engine. Shape: a minimal window always starts AT some query-term
-    * occurrence, so candidate starts are exactly those positions; the
-    * per-(start, term) next-occurrence is an equi-join on (doc, term)
-    * with a `pos >= start` band — everything is restricted to query-term
-    * tokens first, so cost tracks the query terms' per-doc position lists
-    * (quadratic in those, never in the corpus).
+    * engine. Shape: the classic ONE-PASS SWEEP — per (query, doc) the
+    * query-term tokens collect into one position-sorted event list, and a
+    * running last-seen position per query-term slot folds over it
+    * (`functions.aggregate`): once every slot has been seen, the minimal
+    * window ENDING at an event is `pos − min(lastSeen) + 1`, and the span
+    * is the minimum over events (every optimal window ends at an
+    * occurrence of its latest term, so sweeping window-ends loses
+    * nothing). O(P·L) per doc — P = the doc's query-term occurrences,
+    * L = distinct query terms — instead of a per-(start, term) band join's
+    * O(P²) row inflation: a long doc dense in one frequent query term
+    * ("the …") stays linear in its postings. Everything is restricted to
+    * query-term tokens first, so cost tracks those position lists, never
+    * the corpus.
     */
   private[operators] def proximityScore(
       tok: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val qterms = queryTerms(queries)
-    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("len"))
-    // query-term tokens only — the sole relation every later step touches
-    val tq = tok.join(broadcast(qterms.select("term").distinct()),
-      Seq("term"), "left_semi")
-    val starts = tq.join(broadcast(qterms), Seq("term"))
-      .select(col("query_id"), col("doc_id"), col("pos").as("p")).distinct()
-    // next occurrence >= p of EACH query term in the doc
-    val t2 = tq.select(col("doc_id").as("t_doc"), col("term").as("t_term"),
-      col("pos").as("t_pos"))
-    val nxt = starts.join(broadcast(qterms), Seq("query_id"))
-      .join(t2, col("t_doc") === col("doc_id") &&
-        col("t_term") === col("term") && col("t_pos") >= col("p"))
-      .groupBy("query_id", "doc_id", "p", "term")
-      .agg(min(col("t_pos")).as("np"))
-    val cover = nxt.groupBy("query_id", "doc_id", "p")
-      .agg((max(col("np")) - col("p") + lit(1L)).as("width"),
-        count(lit(1)).as("nt"))
-    val spans = cover.join(broadcast(qlen), Seq("query_id"))
-      .filter(col("nt") === col("len"))
-      .groupBy("query_id", "doc_id").agg(min(col("width")).as("span"))
+    // dense slot index per (query, term): the sweep state is one
+    // last-seen cell per slot
+    val slots = qterms.withColumn("j",
+      (row_number().over(Window.partitionBy("query_id").orderBy("term")) - lit(1))
+        .cast("int"))
+    val qlen = slots.groupBy("query_id").agg(count(lit(1)).cast("int").as("len"))
+    // per (query, doc): the query-term occurrences as ONE sorted event
+    // list — positions are unique within a doc, so the order is total and
+    // the fold below is deterministic
+    val evs = tok.join(broadcast(slots), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("j")))).as("evs"))
+    // state = (last-seen position per slot, best span so far); -1 = unset.
+    // Positions are 1-based, so min(last) >= 1 ⇔ every slot seen.
+    val sweep = aggregate(
+      col("evs"),
+      struct(array_repeat(lit(-1L), col("len")).as("last"), lit(-1L).as("best")),
+      (st, e) => {
+        val last = transform(st.getField("last"),
+          (v, i) => when(i === e.getField("j"), e.getField("pos")).otherwise(v))
+        val mn = array_min(last)
+        val w = e.getField("pos") - mn + lit(1L)
+        struct(last.as("last"),
+          when(mn >= lit(1L) &&
+              (st.getField("best") === lit(-1L) || w < st.getField("best")), w)
+            .otherwise(st.getField("best")).as("best"))
+      },
+      st => st.getField("best"))
+    val spans = evs.join(broadcast(qlen), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), sweep.as("span"))
+      .filter(col("span") > lit(0L))
     val w = Window.partitionBy("query_id").orderBy(col("span").asc, col("doc_id").asc)
     spans.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

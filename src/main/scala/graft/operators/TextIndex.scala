@@ -491,15 +491,23 @@ object TextIndex {
     * [[optimize]] term-clustered layout pass), where a broadcast join alone
     * would still read every posting row group. The collect is bounded by
     * the QUERY's distinct terms (not the corpus vocabulary) and capped —
-    * past 1000 terms the semi-join path stands alone. Semantics are
-    * unchanged either way: scoring only ever looks at query-term postings.
+    * past 1000 terms the literal IN is dropped (forfeiting row-group
+    * pruning) but a broadcast SEMI-join still restricts the scan output
+    * before anything downstream runs, so the positional probes
+    * ([[phraseTopK]]/[[proximityTopK]]) never explode a non-query
+    * posting's position array. Semantics are unchanged either way: scoring
+    * only ever looks at query-term postings. Probe sets that large
+    * (decontamination-scale) belong on the explode+join recompute twin
+    * (x24's shape, [[graft.operators.Curation.decontaminate]]), not a
+    * point probe.
     */
   private def pushTerms(postAll: DataFrame, queries: DataFrame): DataFrame = {
-    val qterms = queries
+    val qtermsDf = queries
       .select(explode(split(col(queries.columns(1)), "\\s+")).as("term"))
-      .distinct().limit(1001).collect().map(_.getString(0)).toSeq
+      .distinct()
+    val qterms = qtermsDf.limit(1001).collect().map(_.getString(0)).toSeq
     if (qterms.size <= 1000) postAll.filter(col("term").isin(qterms: _*))
-    else postAll
+    else postAll.join(broadcast(qtermsDf), Seq("term"), "left_semi")
   }
 
   /** BM25 top-k against the STORED postings — [[Retrieval.bm25TopK]]'s

@@ -110,6 +110,52 @@ class RetrievalSpec extends SparkTestBase {
     assert(out === q1 ++ q1.map(t => (2L, t._2, t._3, t._4)), s"got $out")
   }
 
+  test("proximity sweep matches an exhaustive brute force on dense repeated " +
+      "terms (the O(P*L) fold vs all O(P^2) windows)") {
+    // docs dense in one frequent term — exactly the shape that made the
+    // old per-(start, term) band join quadratic; the sweep must still
+    // produce the true minimal window
+    val texts = Seq(
+      1L -> "the the the alpha the the beta the the the",
+      2L -> "alpha the the the the the the the the beta",
+      3L -> "the alpha beta the alpha the the beta the alpha",
+      4L -> "beta the the the alpha beta the alpha the the",
+      5L -> "the the the the the the the the the the")
+    val d = texts.toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha beta"), (2L, "the alpha beta")).toDF("query_id", "qtext")
+    // brute force: every (start, end) window over the token list, keep the
+    // tightest containing all query terms
+    def brute(text: String, terms: Set[String]): Option[Long] = {
+      val w = text.split("\\s+")
+      val spans = for {
+        a <- w.indices; b <- a until w.length
+        if terms.subsetOf(w.slice(a, b + 1).toSet)
+      } yield (b - a + 1).toLong
+      if (spans.isEmpty) None else Some(spans.min)
+    }
+    val expect = (for {
+      (q, qt) <- Seq(1L -> Set("alpha", "beta"), 2L -> Set("the", "alpha", "beta"))
+      (id, text) <- texts
+      s <- brute(text, qt)
+    } yield (q, id) -> s).toMap
+    val got = Retrieval.proximityTopK(d, col("doc_id"), col("text"), qs, k = 10)
+      .select("query_id", "doc_id", "span").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect, s"sweep spans diverged from brute force: $got vs $expect")
+  }
+
+  test("proximity sweep semantics on a constructed doc: the window ends at " +
+      "each event, width = pos - min(lastSeen) + 1, min over events") {
+    // alpha@2, beta@5, alpha@7, gamma@8: windows covering all three are
+    // [2..8] (7) and [5..8] (4) — the sweep must find 4, which only a
+    // LAST-seen (not first-seen) fold produces
+    val d = Seq((1L, "x alpha x x beta x alpha gamma")).toDF("doc_id", "text")
+    val out = Retrieval.proximityTopK(d, col("doc_id"), col("text"),
+        Seq((1L, "alpha beta gamma")).toDF("query_id", "qtext"), k = 1)
+      .select("span").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(4L), s"got $out")
+  }
+
   test("phraseTopK ranks by occurrence count of the CONSECUTIVE sequence, " +
       "ties by doc_id; zero-occurrence docs are absent") {
     val d = Seq(
