@@ -52,10 +52,13 @@ import graft.table.KeyedTable
   *    they describe — asOf probes read the historical pair for free, and a
   *    crash can never strand stats out of step with postings. The stats
   *    read-modify-write is also RACE-safe by construction: every write leg
-  *    touches the `kind=stats` partition, and the commit log's OCC aborts
-  *    any commit whose base moved under it on an overlapping partition
-  *    (retryable [[graft.model.CommitConflictException]]) — so two racing
-  *    appends serialize instead of losing one side's (N, Σdl) delta.
+  *    reads its snapshot PINNED ([[KeyedTable.readPinned]]) and passes that
+  *    state to the merge as its OCC base, and every leg touches the
+  *    `kind=stats` partition — so ANY commit landing between the stats
+  *    read and the publish overlaps the base and aborts the stale writer
+  *    (retryable [[graft.model.CommitConflictException]]), no matter how
+  *    the interleaving falls: two racing appends serialize instead of
+  *    losing one side's (N, Σdl) delta.
   * Indexes built before this layout (no dl/pos columns, no stats rows)
   * must be rebuilt with [[build]] — probe and the write legs refuse them
   * loudly rather than serve silently wrong statistics.
@@ -211,7 +214,10 @@ object TextIndex {
       throw GraftException.config(
         s"text index at $tablePath is FIELDED - use appendFielded (the " +
           "field list rides the text.fields stamp).")
-    val t = KeyedTable.read(spark, tablePath)
+    // PINNED read: the stats delta below is a function of this snapshot, so
+    // the same state is the merge's OCC base - a commit racing in between
+    // conflicts retryably instead of silently losing one side's (N, Σdl)
+    val (st, t) = KeyedTable.readPinned(spark, tablePath)
     val dlRows = doclenOf(t, docs.select(col(idCol)), idCol)
     val (oldN, oldS) = dlTotals(dlRows)
     val entries = entriesOf(docs, idCol, textCol)
@@ -220,7 +226,8 @@ object TextIndex {
     val (n0, s0) = requireStats(t, tablePath)
     KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
       entries.unionByName(
-        statsRows(spark, n0 - oldN + addN, s0 - oldS + addS)))
+        statsRows(spark, n0 - oldN + addN, s0 - oldS + addS)),
+      base = Some(st))
     ()
   }
 
@@ -261,23 +268,25 @@ object TextIndex {
       idCol: String): Unit = storedFields(spark, tablePath) match {
     case Some(fs) => // fielded: the stats step is per-field (fdl maps)
       val names = fs.map(_._1)
-      val t = KeyedTable.read(spark, tablePath)
+      val (st, t) = KeyedTable.readPinned(spark, tablePath)
       val dlRows = doclenOf(t, ids, idCol, extra = Seq("fdl"))
       val (remN, remSums) = fieldTotals(dlRows, names)
       if (remN == 0) return
       val (n0, sums0) = requireStatsFielded(t, tablePath, names)
       KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
         statsRowsFielded(spark, n0 - remN,
-          names.map(f => f -> (sums0(f) - remSums(f)))))
+          names.map(f => f -> (sums0(f) - remSums(f)))),
+        base = Some(st))
       ()
     case None =>
-      val t = KeyedTable.read(spark, tablePath)
+      val (st, t) = KeyedTable.readPinned(spark, tablePath)
       val dlRows = doclenOf(t, ids, idCol)
       val (remN, remS) = dlTotals(dlRows)
       if (remN == 0) return // nothing of these ids is indexed
       val (n0, s0) = requireStats(t, tablePath)
       KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
-        statsRows(spark, n0 - remN, s0 - remS))
+        statsRows(spark, n0 - remN, s0 - remS),
+        base = Some(st))
       ()
   }
 
@@ -414,7 +423,7 @@ object TextIndex {
       throw GraftException.config(
         s"text index at $tablePath is single-field - use append."))
     val names = fs.map(_._1)
-    val t = KeyedTable.read(spark, tablePath)
+    val (st, t) = KeyedTable.readPinned(spark, tablePath)
     val dlRows = doclenOf(t, docs.select(col(idCol)), idCol, extra = Seq("fdl"))
     val (oldN, oldSums) = fieldTotals(dlRows, names)
     val entries = entriesOfFielded(docs, idCol, fs)
@@ -424,7 +433,8 @@ object TextIndex {
     val (n0, sums0) = requireStatsFielded(t, tablePath, names)
     KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
       entries.unionByName(statsRowsFielded(spark, n0 - oldN + addN,
-        names.map(f => f -> (sums0(f) - oldSums(f) + addSums(f))))))
+        names.map(f => f -> (sums0(f) - oldSums(f) + addSums(f))))),
+      base = Some(st))
     ()
   }
 

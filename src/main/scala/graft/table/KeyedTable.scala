@@ -342,6 +342,21 @@ object KeyedTable {
     toLogical(snapshot(spark, tablePath, st, restrictTo = None), st.columnMapping)
   }
 
+  /** Snapshot read PINNED to its commit-log state: returns the state the
+    * snapshot resolved against alongside the DataFrame, so a read-modify-
+    * write caller can derive its batch from the read and hand the SAME
+    * state to [[mergeRows]] as the OCC base. Without the pin there is a
+    * TOCTOU window: mergeRows re-reads the state at its own entry, so a
+    * commit landing between the caller's read and the merge is silently
+    * absorbed into the base and its effects overwritten with no conflict
+    * anywhere — exactly the race the standing text index's incremental
+    * (N, Σdl) stats rows must not lose.
+    */
+  def readPinned(spark: SparkSession, tablePath: String): (TableState, DataFrame) = {
+    val st = CommitLog.requireState(spark, tablePath)
+    (st, toLogical(snapshot(spark, tablePath, st, restrictTo = None), st.columnMapping))
+  }
+
   /** Physical snapshot (no drop/rename view applied) — internal machinery
     * (global index scans, compaction, sync staging) works on the physical
     * layout.
@@ -933,13 +948,23 @@ object KeyedTable {
     * ([[graft.ops.Upsert.dedupByKey]]). Merge batches cannot evolve the
     * schema (the statement resolved against the current one, so an unknown
     * column is a bug, not an evolution).
+    *
+    * `base` pins the OCC base to a state the CALLER captured (a
+    * [[readPinned]] the batch was derived from): any commit that landed
+    * after that read and overlaps this merge's partitions then aborts the
+    * publish retryably, instead of being silently absorbed into a fresher
+    * base read here — the read-modify-write race guard for callers whose
+    * images are functions of what they read (the text index's stats rows).
+    * None = read the state at entry (plain merges that derive nothing from
+    * a prior snapshot).
     */
   def mergeRows(
       spark: SparkSession,
       tablePath: String,
       deleteKeys: DataFrame,
-      logicalImages: DataFrame): Seq[String] = {
-    val st = CommitLog.requireState(spark, tablePath)
+      logicalImages: DataFrame,
+      base: Option[TableState] = None): Seq[String] = {
+    val st = base.getOrElse(CommitLog.requireState(spark, tablePath))
     val keyF = st.latest.keyFields
     val partF = st.latest.partitionFields
     val precombine = st.latest.precombineField
@@ -1002,9 +1027,9 @@ object KeyedTable {
       else imgMeta.select(MetaColumns.PartitionPath)
         .unionByName(dels.select(ppCol(partF).as(MetaColumns.PartitionPath)))
         .distinct().collect().map(_.getString(0)).toSeq.sorted // bounded by #touched partitions
-    val base = padToSchema(readPartitions(spark, tablePath, st, touched), schema)
+    val baseRows = padToSchema(readPartitions(spark, tablePath, st, touched), schema)
     val removeIds = img.select(rowId.map(col): _*).unionByName(dels).distinct()
-    val merged = base.join(removeIds, rowId, "left_anti").unionByName(imgMeta)
+    val merged = baseRows.join(removeIds, rowId, "left_anti").unionByName(imgMeta)
     CommitLog.beginInflight(spark, tablePath, ct, "merge", touched,
       baseCommits = st.commits.map(_.commitTime))
     val counts = stageAndSwap(spark, tablePath, merged, schema, partF, touched, ct)

@@ -622,6 +622,31 @@ class ConcurrencySpec extends SparkTestBase {
     (0 until 8).foreach(i => assert(!after.contains(s"writer.$i")))
   }
 
+  test("mergeRows with a PINNED base detects a commit landed after the pinned " +
+      "read; an unpinned merge absorbs it silently - the TOCTOU readPinned closes") {
+    val dir = tmpDir("pinned-merge")
+    val (tbl, _) = bootstrapMor(dir, "pinned_merge")
+    val src = spark.read.parquet(sf("orders"))
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val one = src.orderBy("o_orderkey").limit(1)
+    val noDels = one.filter(lit(false)).select("o_orderkey", "o_month")
+    // the read-modify-write writer pins the snapshot its images derive from...
+    val (st0, _) = KeyedTable.readPinned(spark, tbl)
+    // ...and a rival lands a commit on the same partition before it publishes
+    KeyedTable.upsert(spark, tbl, one)
+    // stale-based merge: the rival's commit is NOT in the pinned base and
+    // overlaps this merge's partition, so the publish aborts retryably -
+    // deterministically, regardless of thread interleavings
+    intercept[CommitConflictException] {
+      KeyedTable.mergeRows(spark, tbl, noDels, one, base = Some(st0))
+    }
+    // contrast: without the pin, mergeRows reads a FRESH base at entry - the
+    // rival is absorbed and the stale images land with no conflict anywhere
+    // (correct for plain merges; fatal for read-derived ones - hence the pin)
+    KeyedTable.mergeRows(spark, tbl, noDels, one)
+    ()
+  }
+
   test("concurrent maintenance hooks for different services both keep their journal rows") {
     val dir = tmpDir("maint-race")
     val (tbl, _) = bootstrapMor(dir, "maint_race")
