@@ -76,14 +76,15 @@ object AnnIndex {
       col("cent_id").cast("long").as("k"), col("cent_id").cast("long").as("cell"),
       col("cv").as("v"))
     val rows = centRows.unionByName(vectorRows(assignCells(vecs, cents)))
+    // born with compact.auto: a standing index LIVES on streamed appends —
+    // the unbounded-delta-chain shape the policy hook exists for; the stamp
+    // is atomic with the create (no crash window without it)
     KeyedTable.create(spark, tablePath, rows,
       tableName = "graft_ann_index",
       keyFields = Seq(KindCol, "k"), precombineField = "k",
-      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
-    // born with compact.auto: a standing index LIVES on streamed appends —
-    // the unbounded-delta-chain shape the policy hook exists for
-    graft.table.TableProperties.set(spark, tablePath,
-      Map(graft.table.TableProperties.CompactAuto -> "true"))
+      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead,
+      properties = Map(graft.table.TableProperties.CompactAuto -> "true"))
+    ()
   }
 
   /** The stored centroid set `(cent_id, cv)` at the live tip (or `asOf`). */

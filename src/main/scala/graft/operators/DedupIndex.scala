@@ -75,10 +75,10 @@ object DedupIndex {
       entriesOf(corpus, idCol, textCol, shingleN, numHashes),
       tableName = "graft_dedup_index",
       keyFields = Seq(idCol), precombineField = idCol,
-      partitionFields = Seq.empty, tableType = TableType.MergeOnRead)
-    graft.table.TableProperties.set(spark, indexPath,
-      Map(graft.table.TableProperties.CompactAuto -> "true",
+      partitionFields = Seq.empty, tableType = TableType.MergeOnRead,
+      properties = Map(graft.table.TableProperties.CompactAuto -> "true",
         ShingleNProp -> shingleN.toString, NumHashesProp -> numHashes.toString))
+    ()
   }
 
   /** Re-parameterize IN PLACE — the [[graft.operators.PqIndex.retrain]]

@@ -153,16 +153,18 @@ object PqIndex {
       trainEncode(vecs0, coarse, residualEnc = coarse.isDefined, dim, m, codebookSize, iters)
     val rows = (Seq(codebookRows(cb)) ++ coarse.map(centroidRows) ++
       Seq(codeRows(codes), vectorRows(vecs))).reduce(_ unionByName _)
+    // born with compact.auto (a standing index LIVES on streamed appends —
+    // the unbounded-delta-chain shape the policy hook exists for) and the
+    // encoding stamp probes read instead of probing the centroid partition —
+    // both atomic with the create (no crash window without the stamps)
     KeyedTable.create(spark, tablePath, rows,
       tableName = "graft_pq_index",
       keyFields = Seq(KindCol, "s", "id"), precombineField = "id",
-      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
-    // born with compact.auto (a standing index LIVES on streamed appends —
-    // the unbounded-delta-chain shape the policy hook exists for) and the
-    // encoding stamp probes read instead of probing the centroid partition
-    graft.table.TableProperties.set(spark, tablePath, Map(
-      graft.table.TableProperties.CompactAuto -> "true",
-      EncodingProp -> (if (nlist > 0) "residual" else "raw")))
+      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead,
+      properties = Map(
+        graft.table.TableProperties.CompactAuto -> "true",
+        EncodingProp -> (if (nlist > 0) "residual" else "raw")))
+    ()
   }
 
   /** The stored coarse IVF centroids (empty in flat-PQ mode). */

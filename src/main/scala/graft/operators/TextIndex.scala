@@ -150,10 +150,14 @@ object TextIndex {
 
   /** Build ONCE from the corpus: one tokenization pass, one table create
     * (postings + doclen/forward lists + the stats pair in the bootstrap
-    * commit). MOR keyed table (appends are delta commits), `compact.auto`
-    * at birth like every standing index. Run [[optimize]] after bulk
-    * builds: the term-clustered posting layout is what makes probe scans
-    * file-prunable.
+    * commit). MOR keyed table (appends are delta commits); `compact.auto`
+    * AND `layout.auto` stamp at birth — atomically with the create — like
+    * every standing index: streamed appends fold into base files hands-off,
+    * and once enough data commits land the posting partition re-clusters by
+    * term on its own ([[graft.table.AutoLayout]]), keeping the row-group
+    * prune the probes depend on without anybody scheduling [[optimize]].
+    * Still run [[optimize]] once after a bulk build: the hook waits for
+    * `layout.auto.commits` commits, the bulk build should not.
     */
   def build(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
@@ -164,9 +168,13 @@ object TextIndex {
       entries.unionByName(statsRows(spark, n, sumDl)),
       tableName = "graft_text_index",
       keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
-      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
-    graft.table.TableProperties.set(spark, tablePath,
-      Map(graft.table.TableProperties.CompactAuto -> "true"))
+      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead,
+      properties = Map(
+        graft.table.TableProperties.CompactAuto -> "true",
+        graft.table.TableProperties.LayoutAuto -> "term,id",
+        graft.table.TableProperties.LayoutAutoPartitions ->
+          s"$KindCol=$PostingKind"))
+    ()
   }
 
   private def readIndex(
@@ -405,10 +413,14 @@ object TextIndex {
         statsRowsFielded(spark, n, names.map(f => f -> sums(f)))),
       tableName = "graft_text_index",
       keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
-      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead)
-    graft.table.TableProperties.set(spark, tablePath, Map(
-      graft.table.TableProperties.CompactAuto -> "true",
-      FieldsProp -> fields.map { case (f, c) => s"$f=$c" }.mkString(",")))
+      partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead,
+      properties = Map(
+        graft.table.TableProperties.CompactAuto -> "true",
+        graft.table.TableProperties.LayoutAuto -> "term,id",
+        graft.table.TableProperties.LayoutAutoPartitions ->
+          s"$KindCol=$PostingKind",
+        FieldsProp -> fields.map { case (f, c) => s"$f=$c" }.mkString(",")))
+    ()
   }
 
   /** Fielded REPLACE-append — [[append]]'s twin with the field list read
@@ -482,8 +494,11 @@ object TextIndex {
     * for retrieval at 100 TB — without it a selective probe still opens
     * the whole posting partition; with it, scan bytes track the query's
     * terms (spec-pinned with a before/after scan-bytes measurement). Run
-    * after bulk builds and periodically under streamed appends (compaction
-    * folds deltas but does not re-sort).
+    * once after bulk builds; under streamed appends the `layout.auto`
+    * birth stamp re-runs this hands-off every `layout.auto.commits` data
+    * commits ([[graft.table.AutoLayout]] — compaction folds deltas but
+    * does not re-sort, so without the hook the clustered layout would
+    * silently degrade).
     */
   def optimize(
       spark: SparkSession, tablePath: String,

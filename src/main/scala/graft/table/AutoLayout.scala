@@ -1,0 +1,97 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+
+/** Policy-driven clustered-layout maintenance (`layout.auto` table
+  * property): after each data publish, re-run [[KeyedTable.clusterSort]]
+  * over the stamped sort columns once enough data commits have accumulated
+  * since the last cluster rewrite — the layout twin of
+  * [[AutoCompact]]. Compaction folds MOR deltas into base files but does
+  * NOT re-sort them, so a sort-clustered layout (the term-clustered posting
+  * partition a text index's row-group pruning depends on, a z-ordered
+  * scan table) silently degrades under continuous ingest until somebody
+  * remembers to re-cluster — exactly the operator-babysitting failure the
+  * policy hooks exist to remove. With the stamp, the layout follows the
+  * write traffic hands-off.
+  *
+  * Properties (stamped at birth by e.g. [[graft.operators.TextIndex.build]]):
+  *  - `layout.auto` — comma-separated sort columns of the rewrite;
+  *  - `layout.auto.partitions` — optional comma-separated partition
+  *    restriction (a text index re-sorts only `kind=posting`);
+  *  - `layout.auto.commits` — data commits since the last cluster rewrite
+  *    (or bootstrap) before the hook fires; default 8. Commits are counted
+  *    from COMMIT METADATA alone (operation + touched partitions) — the
+  *    trigger check reads no data files.
+  *
+  * Failure posture: BEST-EFFORT like every policy hook. An un-re-sorted
+  * layout is always CORRECT (just slower to probe); a cluster rewrite
+  * losing OCC to a concurrent writer logs, journals to `.maintenance`, and
+  * the untouched counter retries on the next publish. A hook failure never
+  * fails the data publish that already landed. The ThreadLocal + operation
+  * filter keep the rewrite's own `cluster` publish from re-triggering the
+  * hook (and from re-counting itself — the rewrite IS the anchor the next
+  * count starts from).
+  */
+private[table] object AutoLayout {
+
+  /** Maintenance / layout operations never count toward the trigger and
+    * never trigger it: they change no logical rows, and `cluster` is the
+    * anchor itself.
+    */
+  private val skipOps = Set(
+    "cluster", "compact", "reclaim", "index_stats", "index_bloom",
+    "alter_schema", "materialize")
+
+  private val inLayout = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def csv(v: String): Seq[String] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  def afterPublish(
+      spark: SparkSession, tablePath: String, operation: String,
+      props: Map[String, String]): Unit = {
+    if (inLayout.get() || skipOps(operation)) return
+    val cols = props.get(TableProperties.LayoutAuto).map(csv).getOrElse(Seq.empty)
+    if (cols.isEmpty) return
+    val parts = props.get(TableProperties.LayoutAutoPartitions).map(csv)
+      .filter(_.nonEmpty)
+    val threshold = props.get(TableProperties.LayoutAutoCommits)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0)
+      .getOrElse(8)
+    val maxRecords = props.get(TableProperties.LayoutAutoMaxRecords)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
+      .getOrElse(0L)
+    inLayout.set(true)
+    try {
+      val cs = CommitLog.requireState(spark, tablePath).commits
+      // anchor = the last layout rewrite (any cluster commit) or, before
+      // one exists, the bootstrap — the counter naturally resets each time
+      // the hook (or a manual optimize/sizeFiles) rewrites the layout
+      val anchor = cs
+        .filter(c => c.operation == "cluster" || c.operation == "bootstrap")
+        .map(_.commitTime)
+        .foldLeft("")((a, b) => if (b > a) b else a)
+      val pending = cs
+        .filter(c => c.commitTime > anchor && !skipOps(c.operation))
+        .filter(c => parts.forall(ps => c.partitions.exists(p => ps.contains(p.path))))
+      if (pending.size >= threshold) {
+        val touched = KeyedTable.clusterSort(spark, tablePath, cols,
+          maxRecordsPerFile = maxRecords, partitions = parts)
+        MaintenanceLog.record(spark, tablePath, TableProperties.LayoutAuto,
+          operation, "ok",
+          s"clustered=[${touched.mkString(",")}] by=[${cols.mkString(",")}] " +
+            s"after ${pending.size} data commits")
+      } // below threshold: quiet no-op — no journal churn on every publish
+    } catch {
+      case e: Exception =>
+        // a degraded layout stays correct; the untouched counter retries on
+        // the next publish
+        System.err.println(
+          s"[graft] layout.auto after $operation at $tablePath skipped: ${e.getMessage}")
+        MaintenanceLog.record(spark, tablePath, TableProperties.LayoutAuto,
+          operation, "skipped", String.valueOf(e.getMessage))
+    } finally inLayout.set(false)
+  }
+}

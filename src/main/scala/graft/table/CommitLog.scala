@@ -478,8 +478,8 @@ object CommitLog {
     finally releaseLease(spark, tablePath, tagged.commitTime)
     // the maintenance hooks below are all best-effort and share the same
     // recursion guards (ThreadLocal + operation filter). They key off table
-    // PROPERTIES, read ONCE here and passed down — five per-hook reads per
-    // publish would be five object-store round-trips on every write at
+    // PROPERTIES, read ONCE here and passed down — six per-hook reads per
+    // publish would be six object-store round-trips on every write at
     // scale. Keys a hook WRITES (campaign cursor/streak, retrain counter)
     // are read only by that same hook on a LATER publish, so the shared
     // snapshot cannot go stale across the hook chain within one publish.
@@ -491,6 +491,10 @@ object CommitLog {
     IndexAutoRefresh.afterPublish(spark, tablePath, tagged.operation, hookProps)
     // compact.auto: fold MOR delta chains the moment they cross thresholds
     AutoCompact.afterPublish(spark, tablePath, tagged.operation, hookProps)
+    // layout.auto: re-establish the stamped cluster-sort layout once enough
+    // data commits have landed since the last cluster rewrite — after
+    // compaction, so the rewrite sorts the folded state
+    AutoLayout.afterPublish(spark, tablePath, tagged.operation, hookProps)
     // campaign.reclaim: one bounded reclamation batch rides each publish
     ReclaimCampaign.afterPublish(spark, tablePath, tagged.operation, hookProps)
     // index.sync.*: one checkpointed CDC pull propagates this publish to

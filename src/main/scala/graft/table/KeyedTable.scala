@@ -96,6 +96,14 @@ object KeyedTable {
     * its file-based bootstrap (pyspark_script.py:294-429), so this is the
     * write-surface twin of [[bootstrap]] for callers that already hold a
     * plan instead of a path.
+    *
+    * `properties` are birth stamps written INTO the staging dir before the
+    * promote rename, so they are atomic with the table itself: there is no
+    * crash window in which a committed table exists without the stamps its
+    * later write legs dispatch on (a fielded text index's `text.fields`,
+    * the standing indexes' `compact.auto`/parameter stamps) — the
+    * create-then-set two-step the standing-index builds used to run had
+    * exactly that window.
     */
   def create(
       spark: SparkSession,
@@ -105,7 +113,8 @@ object KeyedTable {
       keyFields: Seq[String],
       precombineField: String,
       partitionFields: Seq[String] = Seq.empty,
-      tableType: TableType = TableType.CopyOnWrite): Seq[String] = {
+      tableType: TableType = TableType.CopyOnWrite,
+      properties: Map[String, String] = Map.empty): Seq[String] = {
     Validate.fieldsInSchema(df.schema, keyFields, precombineField, partitionFields)
     val partCounts = partitionCounts(spark, df, partitionFields)
     if (partCounts.map(_._2).sum == 0L)
@@ -121,6 +130,7 @@ object KeyedTable {
     fs.delete(staging, true)
     writeData(df, keyFields, partitionFields, ct, staging.toString,
       mode = "overwrite", dynamicOverwrite = false)
+    TableProperties.writeInitial(spark, staging.toString, properties)
     val tp = new Path(tablePath)
     val priorCommits = CommitLog.commits(spark, tablePath)
     if (fs.exists(tp)) {

@@ -60,6 +60,30 @@ object TableProperties {
   /** Override for [[CompactAuto]]'s live-delta-commit-count trigger. */
   val CompactAutoDeltas = "compact.auto.deltas"
 
+  /** Comma-separated sort-column list: after each data publish, once
+    * [[LayoutAutoCommits]] data commits have landed since the last cluster
+    * rewrite, re-run [[KeyedTable.clusterSort]] over these columns
+    * ([[AutoLayout]]) — compaction folds deltas but does not re-SORT them,
+    * so without this a sort-clustered layout (a text index's term-clustered
+    * posting partition) silently degrades under continuous ingest. The
+    * layout twin of [[CompactAuto]].
+    */
+  val LayoutAuto = "layout.auto"
+
+  /** Optional comma-separated partition restriction for [[LayoutAuto]]
+    * (a text index re-sorts only its `kind=posting` partition).
+    */
+  val LayoutAutoPartitions = "layout.auto.partitions"
+
+  /** Data-commit-count trigger for [[LayoutAuto]]; default 8. */
+  val LayoutAutoCommits = "layout.auto.commits"
+
+  /** Optional `maxRecordsPerFile` for [[LayoutAuto]]'s rewrite (0 = let the
+    * range partitioning size the files): bounds each rewritten file's sort-
+    * key range, sharpening min/max pruning on very large partitions.
+    */
+  val LayoutAutoMaxRecords = "layout.auto.maxRecordsPerFile"
+
   /** Prefix of the derived-index SYNC REGISTRY (`index.sync.<name>` = a
     * compact JSON spec): after every data publish on this table, one
     * checkpointed CDC pull propagates its deletes/upserts to every
@@ -127,6 +151,18 @@ object TableProperties {
       write(spark, tablePath, get(spark, tablePath) -- keys)
     }
   }
+
+  /** Direct initial write for a table being STAGED — the atomic birth-stamp
+    * path of [[KeyedTable.create]]: no commit log exists yet and no
+    * concurrent writer can see a private staging dir, so neither the state
+    * check nor the props mutex applies. The file lands inside the staging
+    * dir and travels with the promote rename, so a crash can never produce
+    * a committed table missing the stamps its write legs dispatch on
+    * (`text.fields`, `compact.auto`, the dedup parameter stamps, ...).
+    */
+  private[table] def writeInitial(
+      spark: SparkSession, stagingPath: String, props: Map[String, String]): Unit =
+    if (props.nonEmpty) write(spark, stagingPath, props)
 
   private def write(
       spark: SparkSession, tablePath: String, props: Map[String, String]): Unit = {

@@ -222,6 +222,54 @@ class TextIndexSpec extends SparkTestBase {
         "the layout pass is not pruning row groups")
   }
 
+  test("layout.auto: appends degrade the term-clustered layout, the birth-" +
+      "stamped hook restores the row-group prune hands-off, and a broken " +
+      "stamp never fails a data publish") {
+    import graft.table.{MaintenanceLog, TableProperties}
+    val idx = s"${tmpDir("text-layout-auto")}/idx"
+    val big = docsDf.crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
+    TextIndex.build(spark, idx, big, "doc_id", "text")
+    // spec-scale triggers: fire after 2 data commits, split rewrite files
+    // small enough that min/max pruning has ranges to work with
+    TableProperties.set(spark, idx, Map(
+      TableProperties.LayoutAutoCommits -> "2",
+      TableProperties.LayoutAutoMaxRecords -> "2000"))
+    val q = Seq((1L, "vector")).toDF("query_id", "qtext")
+    def run(): Set[(Long, Long, Long, Double)] =
+      rows(TextIndex.probe(spark, idx, q, k = 10, lnIdf = false))
+    assert(run().nonEmpty)
+    val degraded = recordsRead { run(); () } // unclustered bootstrap layout
+    TextIndex.append(spark, idx,
+      Seq((9000001L, "vector alpha")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(!CommitLog.commits(spark, idx).exists(_.operation == "cluster"),
+      "one data commit is below the threshold - the hook must not fire yet")
+    TextIndex.append(spark, idx,
+      Seq((9000002L, "vector beta")).toDF("doc_id", "text"), "doc_id", "text")
+    // the second append crossed layout.auto.commits: the hook re-clustered
+    // with NOBODY calling optimize
+    assert(CommitLog.commits(spark, idx).exists(_.operation == "cluster"),
+      "the layout hook must have fired a cluster rewrite")
+    val want = run()
+    val after = recordsRead { assert(run() === want); () }
+    assert(after * 5 < degraded,
+      s"hands-off re-clustered probe scanned $after records vs $degraded " +
+        "degraded - the hook is not restoring the prune")
+    // failure posture: a stamp naming a nonexistent column must journal and
+    // leave the data publish standing
+    TableProperties.set(spark, idx, Map(
+      TableProperties.LayoutAuto -> "no_such_column",
+      TableProperties.LayoutAutoCommits -> "1"))
+    TextIndex.append(spark, idx,
+      Seq((9000003L, "gamma")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(MaintenanceLog.read(spark, idx).exists(e =>
+      e.service == TableProperties.LayoutAuto && e.outcome == "skipped"),
+      "hook failure must journal as skipped, not fail the publish")
+    assert(TextIndex.probe(spark, idx,
+      Seq((1L, "gamma")).toDF("query_id", "qtext"), k = 10)
+      .collect().nonEmpty, "the publish under the broken stamp must have landed")
+  }
+
   test("phraseTopK: stored-postings probe ≡ in-plan recompute; phrases match " +
       "CONSECUTIVE words (a bag-of-terms reordering does NOT rank); repeated-" +
       "word phrases need every slot") {

@@ -647,6 +647,27 @@ class ConcurrencySpec extends SparkTestBase {
     ()
   }
 
+  test("create stamps birth properties atomically with the table - fresh AND " +
+      "replace paths, so a create-then-set crash window cannot exist") {
+    val dir = tmpDir("create-props")
+    val tbl = s"$dir/tbl"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    KeyedTable.create(spark, tbl, df, tableName = "birth_props",
+      keyFields = Seq("k"), precombineField = "k",
+      tableType = TableType.MergeOnRead,
+      properties = Map("compact.auto" -> "true", "custom.stamp" -> "x"))
+    assert(TableProperties.get(spark, tbl)
+      === Map("compact.auto" -> "true", "custom.stamp" -> "x"))
+    // replace path: the rebuild's stamps land wholesale (the old table's
+    // properties travel aside with it - a rebuilt index must not inherit
+    // stamps describing retired parameters)
+    KeyedTable.create(spark, tbl, df, tableName = "birth_props",
+      keyFields = Seq("k"), precombineField = "k",
+      tableType = TableType.MergeOnRead,
+      properties = Map("custom.stamp" -> "y"))
+    assert(TableProperties.get(spark, tbl) === Map("custom.stamp" -> "y"))
+  }
+
   test("concurrent maintenance hooks for different services both keep their journal rows") {
     val dir = tmpDir("maint-race")
     val (tbl, _) = bootstrapMor(dir, "maint_race")
