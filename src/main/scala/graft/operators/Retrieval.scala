@@ -189,18 +189,33 @@ object Retrieval {
     * term, anchors = pos − i, and an anchor hit by ALL L DISTINCT slots is
     * one occurrence (count-distinct handles repeated words — "batch batch"
     * needs slots 0 AND 1, which one token row cannot satisfy alone).
+    *
+    * `slop` widens the anchor equality to a band — the "within a few words,
+    * in order" query between exact phrases and free proximity windows: word
+    * i may sit anywhere in `[p+i, p+i+slop]`, i.e. each token supports the
+    * anchors `[pos−i−slop, pos−i]` (one `sequence` explode of slop+1
+    * candidates per token — the same count-distinct-slots rule then applies
+    * unchanged, so slop=0 degenerates to exact adjacency: a 1-element
+    * sequence). Order stays enforced (slot i's band never reaches before
+    * the anchor), anchors below position 1 are discarded, and an
+    * OCCURRENCE is a distinct matching anchor — a deterministic,
+    * all-integer count on any engine.
+    *
     * Ranking is n_occ DESC with doc_id ties — all-integer, exact on any
-    * engine. Cost: |tok restricted to phrase terms| shuffled by (query,
-    * doc, anchor) — never the corpus.
+    * engine. Cost: |tok restricted to phrase terms| × (slop+1), shuffled by
+    * (query, doc, anchor) — never the corpus.
     */
   private[operators] def phraseScore(
-      tok: DataFrame, phrases: DataFrame, k: Int): DataFrame = {
+      tok: DataFrame, phrases: DataFrame, k: Int, slop: Int = 0): DataFrame = {
+    require(slop >= 0, "slop must be >= 0")
     val slots = phrases.select(col(phrases.columns.head).as("query_id"),
       posexplode(split(col(phrases.columns(1)), "\\s+")).as(Seq("i", "term")))
     val qlen = slots.groupBy("query_id").agg(count(lit(1)).as("len"))
     val anchors = tok.join(broadcast(slots), Seq("term"))
       .select(col("query_id"), col("doc_id"),
-        (col("pos") - col("i")).as("anchor"), col("i"))
+        explode(sequence(col("pos") - col("i") - lit(slop),
+          col("pos") - col("i"))).as("anchor"), col("i"))
+      .filter(col("anchor") >= lit(1L))
       .groupBy("query_id", "doc_id", "anchor")
       .agg(countDistinct(col("i")).as("hit"))
     val occ = anchors.join(broadcast(qlen), Seq("query_id"))
@@ -287,12 +302,13 @@ object Retrieval {
   /** Exact-phrase top-k: `phrases` is (query_id, phrase); returns
     * (query_id, doc_id, n_occ, rank) — docs ranked by occurrence count of
     * the CONSECUTIVE word sequence (not the bag of its words), rank ties by
-    * doc_id, docs with zero occurrences absent. The in-plan recompute face;
-    * [[TextIndex.phraseTopK]] answers the same query from stored positional
-    * postings without touching the corpus.
+    * doc_id, docs with zero occurrences absent. `slop > 0` relaxes
+    * adjacency to an in-order ≤slop-gap band per word ([[phraseScore]]).
+    * The in-plan recompute face; [[TextIndex.phraseTopK]] answers the same
+    * query from stored positional postings without touching the corpus.
     */
   def phraseTopK(
       docs: DataFrame, idCol: Column, textCol: Column, phrases: DataFrame,
-      k: Int): DataFrame =
-    phraseScore(tokensWithPos(docs, idCol, textCol), phrases, k)
+      k: Int, slop: Int = 0): DataFrame =
+    phraseScore(tokensWithPos(docs, idCol, textCol), phrases, k, slop)
 }

@@ -564,10 +564,11 @@ object TextIndex {
     * back to (doc, pos, term) rows, and [[Retrieval.phraseScore]] runs the
     * positional intersection — identical to the recompute by construction,
     * at O(phrase terms' postings) cost instead of O(corpus tokens).
+    * `slop > 0` relaxes adjacency to the in-order ≤slop-gap band.
     */
   def phraseTopK(
       spark: SparkSession, tablePath: String, phrases: DataFrame, k: Int,
-      asOf: Option[String] = None): DataFrame = {
+      slop: Int = 0, asOf: Option[String] = None): DataFrame = {
     requireSingleField(spark, tablePath, "phraseTopK")
     val t = readIndex(spark, tablePath, asOf)
     val post = pushTerms(
@@ -576,7 +577,7 @@ object TextIndex {
       phrases)
     Retrieval.phraseScore(
       post.select(col("doc_id"), explode(col("pos")).as("pos"), col("term")),
-      phrases, k)
+      phrases, k, slop)
   }
 
   /** Minimal-window proximity top-k against the STORED positional

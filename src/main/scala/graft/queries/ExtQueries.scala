@@ -1422,6 +1422,25 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Slop-phrase retrieval from the standing index's positional postings
+    * ([[graft.operators.TextIndex.phraseTopK]] with `slop = 1`): in-order
+    * phrase matching tolerating one positional gap per word — the query
+    * between x74's exact adjacency and x76's free proximity window. An
+    * occurrence is a distinct matching anchor; all-integer ranking keeps
+    * the oracle exact, and the phrase terms push into the posting scan as
+    * the shared literal IN.
+    */
+  private val x78: Q = (s, d) => {
+    import s.implicits._
+    val idx = textIdx(s, d)
+    val qs = Seq(
+      (1L, "fast query"), (2L, "merge window"),
+      (3L, "the scan"), (4L, "stream batch"),
+      (5L, "customer sort")).toDF("query_id", "phrase")
+    graft.operators.TextIndex.phraseTopK(s, idx, qs, k = 10, slop = 1)
+      .orderBy("query_id", "rank")
+  }
+
   /** Field-boosted BM25F-lite ([[graft.operators.Retrieval.bm25fTopK]]):
     * body (`text`, weight 1) + tag (`source`, weight 3) — weighted tf/dl
     * stay exact longs, so the x72 oracle discipline (rational idf,
@@ -1548,6 +1567,7 @@ object ExtQueries {
     "x75_bm25f" -> x75,
     "x76_proximity" -> x76,
     "x77_bm25f_index" -> x77,
+    "x78_slop_phrase" -> x78,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2684,6 +2704,42 @@ object ExtQueries {
         |  FROM qs JOIN t USING (term) JOIN ql USING (query_id)
         |  GROUP BY qs.query_id, t.doc_id, t.pos - qs.i, ql.len
         |  HAVING count(DISTINCT qs.i) = ql.len),
+        |occ AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_occ
+        |  FROM anch GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_occ, rank FROM (
+        |  SELECT query_id, doc_id, n_occ,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_occ DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM occ)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x78_slop_phrase" ->
+      // the x74 anchor recompute with the equality widened to a slop-1
+      // band: slot i (0-based) matches at anchor a when its word sits in
+      // [a+i, a+i+1], i.e. each token supports anchors [pos-i-1, pos-i];
+      // an occurrence is a distinct anchor >= 1 hit by EVERY slot
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM d),
+        |t AS (SELECT doc_id, pos::BIGINT AS pos, w[pos] AS term FROM p),
+        |q(query_id, phrase) AS (VALUES
+        |  (1, 'fast query'), (2, 'merge window'),
+        |  (3, 'the scan'), (4, 'stream batch'),
+        |  (5, 'customer sort')),
+        |q2 AS (SELECT query_id::BIGINT AS query_id,
+        |  string_split_regex(phrase, '\s+') AS pw FROM q),
+        |qp AS (SELECT query_id, unnest(generate_series(0, len(pw) - 1)) AS i, pw FROM q2),
+        |qs AS (SELECT query_id, i::BIGINT AS i, pw[i + 1] AS term FROM qp),
+        |ql AS (SELECT query_id, count(*)::BIGINT AS len FROM qs GROUP BY 1),
+        |cand AS (
+        |  SELECT qs.query_id, t.doc_id,
+        |    unnest(generate_series(t.pos - qs.i - 1, t.pos - qs.i)) AS a, qs.i
+        |  FROM qs JOIN t USING (term)),
+        |anch AS (
+        |  SELECT c.query_id, c.doc_id, c.a
+        |  FROM cand c JOIN ql USING (query_id)
+        |  WHERE c.a >= 1
+        |  GROUP BY c.query_id, c.doc_id, c.a, ql.len
+        |  HAVING count(DISTINCT c.i) = ql.len),
         |occ AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_occ
         |  FROM anch GROUP BY 1, 2)
         |SELECT query_id, doc_id, n_occ, rank FROM (

@@ -110,6 +110,30 @@ class RetrievalSpec extends SparkTestBase {
     assert(out === q1 ++ q1.map(t => (2L, t._2, t._3, t._4)), s"got $out")
   }
 
+  test("phrase slop: slop=0 is exact adjacency, each extra slop admits one " +
+      "more in-order gap, reordering never matches, and occurrences stay " +
+      "distinct-anchor counts") {
+    val d = Seq(
+      (1L, "alpha beta"), // exact
+      (2L, "alpha x beta"), // one gap: slop >= 1 only
+      (3L, "beta alpha"), // reordered: never, at any slop
+      (4L, "alpha x x beta"), // two gaps: slop >= 2 only
+      (5L, "alpha beta alpha x beta")).toDF("doc_id", "text") // 2 exact+gapped mixes
+    val q = Seq((1L, "alpha beta")).toDF("query_id", "phrase")
+    def hits(slop: Int): Map[Long, Long] =
+      Retrieval.phraseTopK(d, col("doc_id"), col("text"), q, k = 10, slop = slop)
+        .select("doc_id", "n_occ").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(0) === Map(1L -> 1L, 5L -> 1L), "slop=0 must be exact adjacency")
+    // slop=1: doc 5 gains the (alpha@3, beta@5) gapped pair — anchors 1 and 3
+    assert(hits(1) === Map(1L -> 1L, 2L -> 1L, 5L -> 2L))
+    // slop=2: doc 5's gapped pair validates anchors 2 AND 3 (an occurrence
+    // is a distinct matching anchor BY DEFINITION — wider slop can admit
+    // more anchors per physical co-occurrence, deterministically)
+    assert(hits(2) === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 3L))
+    assert(!hits(2).contains(3L), "reordered words must never match (order is enforced)")
+  }
+
   test("proximity sweep matches an exhaustive brute force on dense repeated " +
       "terms (the O(P*L) fold vs all O(P^2) windows)") {
     // docs dense in one frequent term — exactly the shape that made the

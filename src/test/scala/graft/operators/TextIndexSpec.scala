@@ -293,6 +293,17 @@ class TextIndexSpec extends SparkTestBase {
     assert(got === occ(Retrieval.phraseTopK(
       docs, col("doc_id"), col("text"), phrases, k = 10)),
       "stored positional postings diverge from the recompute")
+    // the slop face shares the stored positions too: probe ≡ recompute, and
+    // slop=1 admits the in-order gapped match exact adjacency rejects
+    // (doc 5 "alpha gamma beta" for phrase "alpha beta")
+    val slopped = occ(TextIndex.phraseTopK(spark, idx, phrases, k = 10, slop = 1))
+    assert(slopped === occ(Retrieval.phraseTopK(
+      docs, col("doc_id"), col("text"), phrases, k = 10, slop = 1)),
+      "stored slop-phrase probe diverges from the recompute")
+    assert(slopped.exists(t => t._1 == 1L && t._2 == 5L),
+      s"slop=1 must admit the gapped alpha-gamma-beta match: $slopped")
+    assert(!got.exists(t => t._1 == 1L && t._2 == 5L),
+      "exact adjacency must NOT admit the gapped match")
     assert(got === Set(
       (1L, 3L, 2L, 1L), // two occurrences outrank...
       (1L, 1L, 1L, 2L), // ...one; docs 2 and 5 hold the bag but NOT the phrase
