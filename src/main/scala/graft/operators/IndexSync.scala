@@ -116,6 +116,15 @@ object IndexSync {
   private def identityOf(corpusPath: String, spec: SyncRegistry.Spec): String =
     s"indexsync ${new Path(corpusPath)} -> ${spec.describe}"
 
+  /** Pre-normalization raw-path renderings (corpus and/or index path raw)
+    * — the adoption keys that upgrade old stamped checkpoints in place.
+    */
+  private def identityLegacyOf(
+      corpusPath: String, spec: SyncRegistry.Spec): Seq[String] = Seq(
+    s"indexsync $corpusPath -> ${spec.describeLegacy}",
+    s"indexsync $corpusPath -> ${spec.describe}",
+    s"indexsync ${new Path(corpusPath)} -> ${spec.describeLegacy}")
+
   /** Apply one corpus CDC interval to a standing [[DedupIndex]]. Returns
     * the applied interval, or None when the corpus has no new commits.
     */
@@ -126,7 +135,8 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.DedupSpec(indexPath, idCol, textCol, shingleN, numHashes)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec)),
+      legacyIdentities = identityLegacyOf(corpusPath, spec)) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }
@@ -138,7 +148,8 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.AnnSpec(indexPath, idCol, vecCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec)),
+      legacyIdentities = identityLegacyOf(corpusPath, spec)) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }
@@ -150,7 +161,8 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.TextSpec(indexPath, idCol, textCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec)),
+      legacyIdentities = identityLegacyOf(corpusPath, spec)) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }
@@ -166,7 +178,8 @@ object IndexSync {
       startAt: Option[String] = None): Option[ChangeStream.Pull] = {
     val spec = SyncRegistry.PqSpec(indexPath, idCol, vecCol)
     ChangeStream.pull(spark, corpusPath, checkpointDir, startAt,
-      identity = Some(identityOf(corpusPath, spec))) { (changes, _) =>
+      identity = Some(identityOf(corpusPath, spec)),
+      legacyIdentities = identityLegacyOf(corpusPath, spec)) { (changes, _) =>
       applyPersisted(spark, indexPath, changes, spec)
     }
   }

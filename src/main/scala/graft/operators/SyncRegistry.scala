@@ -64,25 +64,35 @@ object SyncRegistry {
   sealed trait Spec {
     def indexPath: String
     def kind: String
-    def describe: String
+    /** The describe rendering with `p` as the index path — one template
+      * serving both the canonical [[describe]] and the pre-normalization
+      * [[describeLegacy]] adoption key.
+      */
+    protected def describeWith(p: String): String
     /** `indexPath` normalized ([[identityOf]]'s rule) — `describe` embeds it
       * so checkpoint identities built from a describe agree across slash /
       * relative respellings of the same index path.
       */
     protected def normPath: String = new Path(indexPath).toString
+    def describe: String = describeWith(normPath)
+    /** The superseded raw-path rendering: checkpoints identity-stamped
+      * before the normalization adopt the canonical form on their next pull
+      * instead of refusing ([[graft.streaming.ChangeStream]]'s legacy set).
+      */
+    private[operators] def describeLegacy: String = describeWith(indexPath)
   }
   final case class DedupSpec(
       indexPath: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16) extends Spec {
     def kind = "dedup"
-    def describe =
-      s"dedup $normPath id=$idCol text=$textCol shingleN=$shingleN numHashes=$numHashes"
+    protected def describeWith(p: String) =
+      s"dedup $p id=$idCol text=$textCol shingleN=$shingleN numHashes=$numHashes"
   }
   final case class AnnSpec(
       indexPath: String, idCol: String = "vec_id",
       vecCol: String = "embedding") extends Spec {
     def kind = "ann"
-    def describe = s"ann $normPath id=$idCol vec=$vecCol"
+    protected def describeWith(p: String) = s"ann $p id=$idCol vec=$vecCol"
   }
   /** No (dim, m) here ON PURPOSE: a reshaping `PqIndex.retrain` (m /
     * codebookSize may change) would silently strand a configured copy, and
@@ -94,12 +104,12 @@ object SyncRegistry {
       indexPath: String, idCol: String = "vec_id",
       vecCol: String = "embedding") extends Spec {
     def kind = "pq"
-    def describe = s"pq $normPath id=$idCol vec=$vecCol"
+    protected def describeWith(p: String) = s"pq $p id=$idCol vec=$vecCol"
   }
   final case class TextSpec(
       indexPath: String, idCol: String, textCol: String) extends Spec {
     def kind = "text"
-    def describe = s"text $normPath id=$idCol text=$textCol"
+    protected def describeWith(p: String) = s"text $p id=$idCol text=$textCol"
   }
 
   private def toJson(spec: Spec): String = {
@@ -162,6 +172,12 @@ object SyncRegistry {
   private def identityOf(corpusPath: String): String =
     s"indexsync.registry ${new Path(corpusPath).toString}"
 
+  /** The pre-normalization raw-path rendering — the adoption key for
+    * checkpoints stamped before round 14's path normalization.
+    */
+  private def identityLegacyOf(corpusPath: String): Seq[String] =
+    Seq(s"indexsync.registry $corpusPath")
+
   /** Register `spec` under `name` and make the index CONSISTENT with the
     * registry's watermark: ensures the shared checkpoint exists (initialized
     * at the corpus tip — never consuming an interval other registered
@@ -187,7 +203,8 @@ object SyncRegistry {
     // the spec becomes visible), spec SECOND (a publish racing the
     // catch-up then syncs the new index too — idempotent), catch-up LAST
     ChangeStream.initialize(spark, corpusPath, checkpointDir(corpusPath),
-      identity = Some(identityOf(corpusPath)))
+      identity = Some(identityOf(corpusPath)),
+      legacyIdentities = identityLegacyOf(corpusPath))
     val w0 = ChangeStream.readWatermark(
       CommitLog.fs(spark, corpusPath), checkpointDir(corpusPath))
     // capture the prior spec BEFORE overwriting: a failed catch-up of a
@@ -261,7 +278,8 @@ object SyncRegistry {
       regs: Seq[(String, Spec)]): Option[(ChangeStream.Pull, Seq[String])] = {
     if (regs.isEmpty) return None
     ChangeStream.pull(spark, corpusPath, checkpointDir(corpusPath),
-      identity = Some(identityOf(corpusPath))) { (changes, _) =>
+      identity = Some(identityOf(corpusPath)),
+      legacyIdentities = identityLegacyOf(corpusPath)) { (changes, _) =>
       // materialize the interval ONCE: each apply runs several actions
       // (split isEmpty probes + the writes) over it, and N indexes multiply
       // that — without the persist the "one CDC read per publish" the class
@@ -288,6 +306,12 @@ object SyncRegistry {
     * registration converges instead of looping. Returns the per-table
     * results in walk order (None = that table had nothing new or nothing
     * registered).
+    *
+    * `maxDepth` is the deepest DESCENDANT LEVEL pulled, with the root at
+    * level 0 — so a walk visits up to `maxDepth + 1` levels total (the
+    * default 8 means the root plus chains up to 8 indexes deep, far beyond
+    * any real stack; the visited set, not this bound, is what terminates
+    * cyclic registrations).
     */
   def syncChain(
       spark: SparkSession, corpusPath: String,

@@ -55,7 +55,8 @@ object ChangeStream {
   }
 
   private def checkIdentity(
-      fs: FileSystem, checkpointDir: String, identity: String): Unit = {
+      fs: FileSystem, checkpointDir: String, identity: String,
+      legacy: Seq[String] = Seq.empty): Unit = {
     val f = identityFile(checkpointDir)
     def mismatch(stored: String): Nothing =
       throw graft.model.GraftException.config(
@@ -64,8 +65,23 @@ object ChangeStream {
           "against a different consumer/parameters would silently skip " +
           "every interval already pulled — use a fresh checkpoint dir " +
           "(and backfill the new consumer from its own basis).")
+    def restamp(): Unit = {
+      val tmp = new Path(checkpointDir, ".graft-change-identity.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(identity.getBytes("UTF-8")) finally out.close()
+      fs.delete(f, false)
+      if (!fs.rename(tmp, f))
+        throw graft.model.GraftException.unexpected(
+          s"could not adopt change-stream identity under $checkpointDir")
+    }
     readIdentity(fs, f) match {
-      case Some(stored) => if (stored != identity) mismatch(stored)
+      case Some(stored) if stored == identity => ()
+      // one-time ADOPTION: a checkpoint stamped under a superseded rendering
+      // of the SAME consumer (the pre-normalization raw-path spellings)
+      // upgrades in place — refusing it would push the operator to a fresh
+      // checkpoint dir, which silently skips every already-pulled interval
+      case Some(stored) if legacy.contains(stored) => restamp()
+      case Some(stored) => mismatch(stored)
       case None =>
         val dir = new Path(checkpointDir)
         if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -123,9 +139,10 @@ object ChangeStream {
       tablePath: String,
       checkpointDir: String,
       at: Option[String] = None,
-      identity: Option[String] = None): Unit = {
+      identity: Option[String] = None,
+      legacyIdentities: Seq[String] = Seq.empty): Unit = {
     val fs = CommitLog.fs(spark, checkpointDir)
-    identity.foreach(checkIdentity(fs, checkpointDir, _))
+    identity.foreach(checkIdentity(fs, checkpointDir, _, legacyIdentities))
     if (readWatermark(fs, checkpointDir).isEmpty) {
       val tip = CommitLog.requireState(spark, tablePath).latest.commitTime
       writeWatermark(fs, checkpointDir, at.getOrElse(tip))
@@ -144,12 +161,13 @@ object ChangeStream {
       tablePath: String,
       checkpointDir: String,
       startAt: Option[String] = None,
-      identity: Option[String] = None)(
+      identity: Option[String] = None,
+      legacyIdentities: Seq[String] = Seq.empty)(
       handler: (DataFrame, Pull) => Unit): Option[Pull] = {
     val st = CommitLog.requireState(spark, tablePath)
     val tip = st.latest.commitTime
     val fs = CommitLog.fs(spark, checkpointDir)
-    identity.foreach(checkIdentity(fs, checkpointDir, _))
+    identity.foreach(checkIdentity(fs, checkpointDir, _, legacyIdentities))
     readWatermark(fs, checkpointDir) match {
       case None =>
         startAt match {
@@ -188,7 +206,10 @@ object ChangeStream {
     // every spelling but one, and the "fresh checkpoint dir" remedy would
     // silently skip already-pulled intervals
     pull(spark, srcPath, checkpointDir, startAt,
-      identity = Some(s"tablesync ${new Path(srcPath)} -> ${new Path(dstPath)}")) { (_, interval) =>
+      identity = Some(s"tablesync ${new Path(srcPath)} -> ${new Path(dstPath)}"),
+      // checkpoints stamped before the normalization (raw spellings of the
+      // same pair) adopt the normalized identity on their next pull
+      legacyIdentities = Seq(s"tablesync $srcPath -> $dstPath")) { (_, interval) =>
       TableSync.sync(spark, srcPath, dstPath, interval.sinceExclusive)
       ()
     }

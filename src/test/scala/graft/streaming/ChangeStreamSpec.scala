@@ -134,6 +134,50 @@ class ChangeStreamSpec extends SparkTestBase {
     assert(state(dst) === state(src))
   }
 
+  test("a checkpoint stamped under a superseded identity rendering ADOPTS the " +
+      "canonical one in place - previously-pulled intervals are never skipped") {
+    val tmp = tmpDir("adopt"); val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    val cp = s"$tmp/cp"
+    val bootSrc = boot(src, TableType.MergeOnRead)
+    boot(dst)
+    KeyedTable.upsert(spark, src, KeyedTable.read(spark, src)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(dataCols(src): _*).withColumn("o_orderstatus", lit("R1")))
+    assert(ChangeStream.syncTo(spark, src, dst, cp,
+      startAt = Some(bootSrc.commitTime)).nonEmpty)
+    // rewrite the stamp to the pre-normalization RAW-path rendering of a
+    // respelled (trailing-slash) source - the shape round-13 checkpoints
+    // hold after the identity strings were path-normalized (through the
+    // Hadoop FS so the checksum sidecar follows)
+    val hfs = graft.table.CommitLog.fs(spark, cp)
+    val idFile = new org.apache.hadoop.fs.Path(cp, "graft-change-identity")
+    def stamp(v: String): Unit = {
+      val out = hfs.create(idFile, true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    def stamped(): String = {
+      val in = hfs.open(idFile)
+      try new String(
+        Array.fill(hfs.getFileStatus(idFile).getLen.toInt)(in.read().toByte),
+        "UTF-8").trim
+      finally in.close()
+    }
+    stamp(s"tablesync $src/ -> $dst")
+    // next sync under the respelled source: must ADOPT (not refuse, not
+    // re-deliver) and restamp canonically
+    KeyedTable.delete(spark, src, KeyedTable.read(spark, src)
+      .filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_month"))
+    assert(ChangeStream.syncTo(spark, src + "/", dst, cp).nonEmpty,
+      "the legacy-stamped checkpoint must adopt, not refuse")
+    assert(stamped() === s"tablesync $src -> $dst",
+      "the stamp must upgrade to the canonical rendering")
+    // a genuinely DIFFERENT consumer still refuses
+    stamp("tablesync /elsewhere -> /other")
+    assertThrows[graft.model.GraftException] {
+      ChangeStream.syncTo(spark, src, dst, cp)
+    }
+  }
+
   test("follow drains pending commits within its poll budget") {
     val table = tmpDir("tbl"); val cp = tmpDir("cp")
     val b = boot(table)
