@@ -73,6 +73,7 @@ object TextIndex {
   private val StatN = "n"
   private val StatSumDl = "sumdl"
   private val StatSumDlField = "sumdl." // fielded: one row per field
+  private val StatNGroup = "n." // grouped: one per-group doc-count row
 
   /** Table property stamping a FIELDED index's (field name → corpus
     * column) list, `f1=c1,f2=c2`. Its presence IS the mode switch: the
@@ -82,6 +83,22 @@ object TextIndex {
     * [[bm25fProbe]].
     */
   val FieldsProp = "text.fields"
+
+  /** Table property stamping a GROUPED index's corpus group column (a
+    * low-cardinality source/domain tag): doclen rows then carry the doc's
+    * group and the stats partition holds one `n.<group>` doc-count row per
+    * group value, stepped in the SAME commit as every build/append/remove —
+    * the (N, Σdl) stats-row pattern generalized to its second consumer, so
+    * [[groupCounts]] serves per-source quota decisions reading NOTHING
+    * sized by the corpus. Like [[FieldsProp]], the stamp is the mode
+    * switch: the write legs dispatch on it, never on a parameter.
+    */
+  val GroupProp = "text.group"
+
+  /** The stored group column of a GROUPED index, None otherwise. */
+  private[operators] def storedGroup(
+      spark: SparkSession, tablePath: String): Option[String] =
+    graft.table.TableProperties.get(spark, tablePath).get(GroupProp)
 
   /** The stored field list of a FIELDED index, None for single-field. */
   private[operators] def storedFields(
@@ -98,7 +115,9 @@ object TextIndex {
     * of re-exploding the corpus per branch), dl denormalizes onto each
     * posting via one per-doc window sum.
     */
-  private def entriesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private def entriesOf(
+      docs: DataFrame, idCol: String, textCol: String,
+      groupCol: Option[String] = None): DataFrame = {
     val post0 = Retrieval.tokensWithPos(docs, col(idCol), col(textCol))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("pos"))
@@ -108,13 +127,24 @@ object TextIndex {
       .select(lit(PostingKind).as(KindCol), col("term"),
         col("doc_id").as("id"), col("tf"),
         lit(null).cast("array<string>").as("terms"), col("dl"), col("pos"))
-    val dl = post0.groupBy("doc_id")
+    val dl0 = post0.groupBy("doc_id")
       .agg(sum(col("tf")).as("tf"), collect_set(col("term")).as("terms"))
       .select(lit(DoclenKind).as(KindCol), lit("").as("term"),
         col("doc_id").as("id"), col("tf"), col("terms"),
         lit(null).cast("long").as("dl"),
         lit(null).cast("array<long>").as("pos"))
-    post.unionByName(dl)
+    groupCol match {
+      case None => post.unionByName(dl0)
+      case Some(g) =>
+        // grouped layout: doclen rows carry the doc's group (the stats-
+        // delta source for append/remove); posting rows carry null
+        val grp = docs
+          .select(col(idCol).as("id"), col(g).cast("string").as("grp"))
+          .dropDuplicates("id")
+        post.withColumn("grp", lit(null).cast("string"))
+          .unionByName(dl0.join(grp, Seq("id"), "left")
+            .select((dl0.columns.map(col) :+ col("grp")): _*))
+    }
   }
 
   /** The two stats rows for (N, Σdl) — keyed (stats, 'n'|'sumdl', 0), so a
@@ -128,6 +158,35 @@ object TextIndex {
         lit(null).cast("long").as("dl"),
         lit(null).cast("array<long>").as("pos"))
   }
+
+  /** Stats rows for a GROUPED index: arbitrary (key, value) pairs with the
+    * schema's `grp` column (null — stats rows have no group of their own).
+    */
+  private def statsRowsGrouped(
+      spark: SparkSession, pairs: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("term", "tf")
+      .select(lit(StatsKind).as(KindCol), col("term"), lit(0L).as("id"),
+        col("tf"), lit(null).cast("array<string>").as("terms"),
+        lit(null).cast("long").as("dl"),
+        lit(null).cast("array<long>").as("pos"),
+        lit(null).cast("string").as("grp"))
+  }
+
+  /** Per-group doc counts of a doclen-row relation carrying `grp` — the
+    * collect is bounded by the number of DISTINCT group values (the stamp's
+    * contract: a low-cardinality source/domain tag, never a per-doc id).
+    */
+  private def groupTotals(dlRows: DataFrame): Map[String, Long] =
+    dlRows.groupBy("grp").agg(count(lit(1)).as("c"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+
+  /** The stored per-group doc counts — stats rows only, prefix-keyed. */
+  private def storedGroupCounts(t: DataFrame): Map[String, Long] =
+    t.filter(col(KindCol) === StatsKind && col("term").startsWith(StatNGroup))
+      .select("term", "tf").collect()
+      .map(r => r.getString(0).substring(StatNGroup.length) -> r.getLong(1))
+      .toMap
 
   /** (#docs, Σ token count) of a doclen-row relation — exact longs. */
   private def dlTotals(dlRows: DataFrame): (Long, Long) = {
@@ -161,11 +220,23 @@ object TextIndex {
     */
   def build(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
-      idCol: String, textCol: String): Unit = {
-    val entries = entriesOf(corpus, idCol, textCol)
-    val (n, sumDl) = dlTotals(entries.filter(col(KindCol) === DoclenKind))
+      idCol: String, textCol: String,
+      groupCol: Option[String] = None): Unit = {
+    groupCol.foreach(g => require(corpus.columns.contains(g),
+      s"groupCol '$g' is not a corpus column"))
+    val entries = entriesOf(corpus, idCol, textCol, groupCol).localCheckpoint()
+    val dlRows = entries.filter(col(KindCol) === DoclenKind)
+    val (n, sumDl) = dlTotals(dlRows)
+    val stats = groupCol match {
+      case None => statsRows(spark, n, sumDl)
+      case Some(_) => statsRowsGrouped(spark,
+        Seq(StatN -> n, StatSumDl -> sumDl) ++
+          groupTotals(dlRows).toSeq.sorted.map { case (g, c) =>
+            (StatNGroup + g) -> c
+          })
+    }
     KeyedTable.create(spark, tablePath,
-      entries.unionByName(statsRows(spark, n, sumDl)),
+      entries.unionByName(stats),
       tableName = "graft_text_index",
       keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead,
@@ -173,7 +244,8 @@ object TextIndex {
         graft.table.TableProperties.CompactAuto -> "true",
         graft.table.TableProperties.LayoutAuto -> "term,id",
         graft.table.TableProperties.LayoutAutoPartitions ->
-          s"$KindCol=$PostingKind"))
+          s"$KindCol=$PostingKind") ++
+        groupCol.map(GroupProp -> _))
     ()
   }
 
@@ -222,19 +294,41 @@ object TextIndex {
       throw GraftException.config(
         s"text index at $tablePath is FIELDED - use appendFielded (the " +
           "field list rides the text.fields stamp).")
+    val grouped = storedGroup(spark, tablePath)
+    grouped.foreach(g => if (!docs.columns.contains(g))
+      throw GraftException.config(
+        s"text index at $tablePath is GROUPED by corpus column '$g' " +
+          s"($GroupProp stamp) - the batch must carry it."))
     // PINNED read: the stats delta below is a function of this snapshot, so
     // the same state is the merge's OCC base - a commit racing in between
     // conflicts retryably instead of silently losing one side's (N, Σdl)
     val (st, t) = KeyedTable.readPinned(spark, tablePath)
-    val dlRows = doclenOf(t, docs.select(col(idCol)), idCol)
+    val dlRows = doclenOf(t, docs.select(col(idCol)), idCol,
+      extra = grouped.map(_ => "grp").toSeq)
     val (oldN, oldS) = dlTotals(dlRows)
-    val entries = entriesOf(docs, idCol, textCol)
-    val (addN, addS) = dlTotals(entries.filter(col(KindCol) === DoclenKind))
+    val entries = entriesOf(docs, idCol, textCol, grouped).localCheckpoint()
+    val newDl = entries.filter(col(KindCol) === DoclenKind)
+    val (addN, addS) = dlTotals(newDl)
     if (oldN == 0 && addN == 0) return // empty batch against nothing indexed
     val (n0, s0) = requireStats(t, tablePath)
+    val stats = grouped match {
+      case None => statsRows(spark, n0 - oldN + addN, s0 - oldS + addS)
+      case Some(_) =>
+        // per-group counts step with the same commit: the batch ids' OLD
+        // groups decrement, the batch's NEW groups increment (a re-worded
+        // doc that changed source moves between the two rows)
+        val cur = storedGroupCounts(t)
+        val oldG = groupTotals(dlRows)
+        val addG = groupTotals(newDl)
+        statsRowsGrouped(spark,
+          Seq(StatN -> (n0 - oldN + addN), StatSumDl -> (s0 - oldS + addS)) ++
+            (oldG.keySet ++ addG.keySet).toSeq.sorted.map { g =>
+              (StatNGroup + g) -> (cur.getOrElse(g, 0L) -
+                oldG.getOrElse(g, 0L) + addG.getOrElse(g, 0L))
+            })
+    }
     KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
-      entries.unionByName(
-        statsRows(spark, n0 - oldN + addN, s0 - oldS + addS)),
+      entries.unionByName(stats),
       base = Some(st))
     ()
   }
@@ -287,13 +381,25 @@ object TextIndex {
         base = Some(st))
       ()
     case None =>
+      val grouped = storedGroup(spark, tablePath)
       val (st, t) = KeyedTable.readPinned(spark, tablePath)
-      val dlRows = doclenOf(t, ids, idCol)
+      val dlRows = doclenOf(t, ids, idCol,
+        extra = grouped.map(_ => "grp").toSeq)
       val (remN, remS) = dlTotals(dlRows)
       if (remN == 0) return // nothing of these ids is indexed
       val (n0, s0) = requireStats(t, tablePath)
-      KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
-        statsRows(spark, n0 - remN, s0 - remS),
+      val stats = grouped match {
+        case None => statsRows(spark, n0 - remN, s0 - remS)
+        case Some(_) =>
+          val cur = storedGroupCounts(t)
+          val remG = groupTotals(dlRows)
+          statsRowsGrouped(spark,
+            Seq(StatN -> (n0 - remN), StatSumDl -> (s0 - remS)) ++
+              remG.toSeq.sorted.map { case (g, c) =>
+                (StatNGroup + g) -> (cur.getOrElse(g, 0L) - c)
+              })
+      }
+      KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows), stats,
         base = Some(st))
       ()
   }
@@ -484,6 +590,35 @@ object TextIndex {
           fold("ftf").as("tf"), fold("fdl").as("dl")),
       queries)
     Retrieval.bm25ScoreStored(post, queries, k, k1, b, lnIdf, n, sumW)
+  }
+
+  /** Per-group doc counts of a GROUPED index, served from the STATS rows
+    * alone — (group, n_docs), group column named after the stamped corpus
+    * column. The probe's plan touches NOTHING sized by the corpus: no
+    * posting scan, no doclen scan, no tokenization — a kind-pruned read of
+    * the per-group stats rows maintained transactionally with every
+    * build/append/remove (spec-proven by vandalizing both data partitions).
+    * The x18-style per-source quota decision (how much of each source do I
+    * have / may I keep) then costs O(groups) at probe time instead of a
+    * corpus aggregate. `asOf` serves the historical counts for free (stats
+    * rows are table rows). Refuses a non-grouped index loudly.
+    */
+  def groupCounts(
+      spark: SparkSession, tablePath: String,
+      asOf: Option[String] = None): DataFrame = {
+    val g = storedGroup(spark, tablePath).getOrElse(
+      throw GraftException.config(
+        s"text index at $tablePath is not GROUPED - build it with " +
+          "groupCol to maintain per-group stats rows."))
+    readIndex(spark, tablePath, asOf)
+      .filter(col(KindCol) === StatsKind && col("term").startsWith(StatNGroup))
+      // a group whose last doc was removed keeps its stats row at 0 (keyed
+      // rows persist for later deltas) - "none present" is absence here,
+      // matching a GROUP BY over the live membership
+      .filter(col("tf") > 0)
+      .select(
+        substring(col("term"), StatNGroup.length + 1, Int.MaxValue).as(g),
+        col("tf").as("n_docs"))
   }
 
   /** Cluster the POSTING partition by term ([[KeyedTable.clusterSort]] —

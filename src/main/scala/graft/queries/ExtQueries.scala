@@ -1441,6 +1441,35 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-source doc counts from a GROUPED standing text index
+    * ([[graft.operators.TextIndex.groupCounts]]): the (N, Σdl) stats-row
+    * pattern generalized — one `n.<source>` doc-count row per source,
+    * stepped in the SAME commit as every build/append/remove, so the
+    * x18-style quota decision reads O(sources) stats rows at probe time
+    * and NOTHING sized by the corpus. Staged as build(half, grouped) +
+    * append(half) + remove(every 10th doc), so all three stepping legs are
+    * inside the oracle-checked surface.
+    */
+  private val x79Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x79: Q = (s, d) => {
+    val idx = x79Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x79")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val i = s"$root/idx"
+      graft.operators.TextIndex.build(s, i,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        groupCol = Some("source"))
+      graft.operators.TextIndex.append(s, i,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.operators.TextIndex.remove(s, i,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id")
+      i
+    })
+    graft.operators.TextIndex.groupCounts(s, idx)
+      .withColumn("quota_keep", least(col("n_docs"), lit(25L)))
+      .orderBy("source")
+  }
+
   /** Field-boosted BM25F-lite ([[graft.operators.Retrieval.bm25fTopK]]):
     * body (`text`, weight 1) + tag (`source`, weight 3) — weighted tf/dl
     * stay exact longs, so the x72 oracle discipline (rational idf,
@@ -1568,6 +1597,7 @@ object ExtQueries {
     "x76_proximity" -> x76,
     "x77_bm25f_index" -> x77,
     "x78_slop_phrase" -> x78,
+    "x79_group_stats" -> x79,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2748,6 +2778,14 @@ object ExtQueries {
         |      ORDER BY n_occ DESC, doc_id ASC)::BIGINT AS rank
         |  FROM occ)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "x79_group_stats" ->
+      // per-source doc counts over the LIVE membership (all docs built +
+      // appended, every 10th removed) with the x18-style quota cap - the
+      // stats rows must reproduce the corpus aggregate exactly
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  LEAST(count(*), 25)::BIGINT AS quota_keep
+        |FROM documents WHERE doc_id % 10 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     "x76_proximity" ->
       // minimal-window recompute with integer positions: a window is
       // optimal only if it starts AT a query-term occurrence, so candidate

@@ -480,6 +480,68 @@ class TextIndexSpec extends SparkTestBase {
     }.getMessage.contains("exactly"))
   }
 
+  test("GROUPED index: per-group doc counts ride the stats rows - append " +
+      "steps them (including a source MOVE on re-word), remove steps down, " +
+      "the probe serves with BOTH data partitions vandalized, asOf sees " +
+      "history, and mode guards refuse loudly") {
+    import graft.model.GraftException
+    val dir = tmpDir("text-grouped")
+    val idx = s"$dir/idx"
+    val v1 = Seq(
+      (1L, "alpha beta", "web"), (2L, "gamma", "web"),
+      (3L, "delta epsilon", "news")).toDF("doc_id", "text", "source")
+    TextIndex.build(spark, idx, v1, "doc_id", "text", groupCol = Some("source"))
+    def counts(asOf: Option[String] = None): Map[String, Long] =
+      TextIndex.groupCounts(spark, idx, asOf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts() === Map("web" -> 2L, "news" -> 1L))
+    val tip0 = CommitLog.commits(spark, idx).last.commitTime
+    // append: a new doc in news + doc 1 MOVES web -> books in one commit
+    TextIndex.append(spark, idx,
+      Seq((4L, "zeta", "news"), (1L, "eta", "books"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text")
+    assert(counts() === Map("web" -> 1L, "news" -> 2L, "books" -> 1L),
+      "a re-worded doc that changed source must move between group rows")
+    // remove web's last doc: the group leaves the live view entirely
+    TextIndex.remove(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(counts() === Map("news" -> 2L, "books" -> 1L))
+    // the BM25 probe is undisturbed by the grouped layout
+    val q = Seq((1L, "zeta eta")).toDF("query_id", "qtext")
+    val live = Seq((1L, "eta", "books"), (3L, "delta epsilon", "news"),
+      (4L, "zeta", "news")).toDF("doc_id", "text", "source")
+    assert(rows(TextIndex.probe(spark, idx, q, k = 10, lnIdf = false)) ===
+      rows(Retrieval.bm25TopK(live, col("doc_id"), col("text"), q,
+        k = 10, lnIdf = false)),
+      "BM25 on a grouped index must equal the recompute")
+    assert(counts(Some(tip0)) === Map("web" -> 2L, "news" -> 1L),
+      "asOf must serve the historical group counts")
+    // the probe reads ONLY stats rows: vandalize EVERY posting and doclen
+    // parquet file - any read opening one dies on the magic bytes
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val vandalized = Files.walk(Paths.get(idx)).iterator().asScala
+      .filter(p => (p.toString.contains(s"${TextIndex.KindCol}=${TextIndex.PostingKind}")
+          || p.toString.contains(s"${TextIndex.KindCol}=${TextIndex.DoclenKind}"))
+        && p.toString.endsWith(".parquet"))
+      .map { p => Files.write(p, "not a parquet file".getBytes); p }
+      .size
+    assert(vandalized > 0, "fixture: no data files found to vandalize")
+    assert(counts() === Map("news" -> 2L, "books" -> 1L),
+      "groupCounts must not depend on posting/doclen files")
+    // guards: a grouped index refuses a group-less batch; a plain index
+    // refuses groupCounts
+    assert(intercept[GraftException] {
+      TextIndex.append(spark, idx,
+        Seq((9L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+    }.getMessage.contains("GROUPED"))
+    val plain = s"$dir/plain"
+    TextIndex.build(spark, plain,
+      Seq((1L, "alpha")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(intercept[GraftException] {
+      TextIndex.groupCounts(spark, plain)
+    }.getMessage.contains("not GROUPED"))
+  }
+
   test("a FIELDED index registered on its corpus follows publishes hands-off " +
       "(the sync dispatches on the text.fields stamp, not the spec)") {
     val dir = tmpDir("text-fielded-sync")
