@@ -500,6 +500,13 @@ object TextIndex {
     * remove, registry sync, probe refusals) derives the field list from
     * STORAGE — a caller-passed list could drift, the stamp cannot.
     * Serves [[bm25fProbe]]; one tokenization pass per field.
+    *
+    * Fielded indexes store NO positions (BM25F needs none). To
+    * phrase/proximity-search a fielded corpus, use the TWO-INDEX recipe
+    * (README "two-index recipe"): this index for scoring plus a
+    * single-field positional [[build]] over the phrase-searched column,
+    * both registered on the corpus — the shared registry pull keeps them
+    * consistent from the same CDC interval.
     */
   def buildFielded(
       spark: SparkSession, tablePath: String, corpus: DataFrame,

@@ -818,6 +818,15 @@ private[sources] object GraftProcedures {
       graft.operators.TextIndex.optimize(s, a(0).toString, maxRec)
       Seq("optimized: posting partition clustered by (term, id)")
     },
+    proc("index_group_counts", Seq("index" -> StringType),
+      "Per-group doc counts of a GROUPED standing text index, served from " +
+        "its stats rows alone (O(groups) probe, zero corpus reads) — the " +
+        "per-source quota primitive. One '<group> = <n_docs>' row per live " +
+        "group, group-sorted") { (s, a) =>
+      val gc = graft.operators.TextIndex.groupCounts(s, a(0).toString)
+      gc.orderBy(gc.columns.head).collect()
+        .map(r => s"${r.getString(0)} = ${r.getLong(1)}").toSeq
+    },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +
         "or 'no lock held'") { (s, a) =>

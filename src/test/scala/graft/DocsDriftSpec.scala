@@ -25,6 +25,19 @@ class DocsDriftSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 
+  test("README documents the fielded phrase/proximity two-index recipe " +
+      "(fielded indexes store no positions - the documented pairing IS the " +
+      "supported path, so its doc must not drift away)") {
+    val readme = Files.readString(Paths.get("README.md"))
+    assert(readme.contains("two-index recipe"),
+      "README.md lost the 'two-index recipe' section for phrase/proximity " +
+        "on fielded corpora")
+    for (term <- Seq("bm25fProbe", "phraseTopK", "proximityTopK"))
+      assert(readme.contains(term),
+        s"the two-index recipe must name $term so a fielded-index user " +
+          "finds the right probe face")
+  }
+
   test("README's claimed bench-subset size matches SparkEntry.benchQueries") {
     val readme = Files.readString(Paths.get("README.md"))
     val m = raw"a (\d+)-query headline subset".r.findFirstMatchIn(readme)

@@ -226,6 +226,20 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(CommitLog.commits(spark, textIdx).last.operation === "cluster")
     assert(tProbe() === tWant, "optimize must be content-neutral")
 
+    // index_group_counts: the per-source quota probe through SQL — a
+    // grouped index serves its live group tallies from stats rows alone
+    val groupedIdx = s"$dir/grouped"
+    graft.operators.TextIndex.build(spark, groupedIdx,
+      Seq((1L, "alpha", "web"), (2L, "beta", "web"), (3L, "gamma", "news"))
+        .toDF("doc_id", "text", "source"),
+      "doc_id", "text", groupCol = Some("source"))
+    assert(callRows(s"CALL graft.system.index_group_counts('$groupedIdx')")
+      === Seq("news = 1", "web = 2"))
+    val eg = intercept[Exception] {
+      spark.sql(s"CALL graft.system.index_group_counts('$textIdx')").collect()
+    }
+    assert(message(eg).contains("not GROUPED"), message(eg))
+
     // index_sync_chain: the explicit depth>1 drain through SQL — on this
     // (now-empty) registry it reports the walked root and nothing to sync;
     // the multi-level semantics are pinned in SyncRegistrySpec
