@@ -74,6 +74,7 @@ object TextIndex {
   private val StatSumDl = "sumdl"
   private val StatSumDlField = "sumdl." // fielded: one row per field
   private val StatNGroup = "n." // grouped: one per-group doc-count row
+  private val StatTGroup = "nt." // grouped: one per-group token-count row
 
   /** Table property stamping a FIELDED index's (field name → corpus
     * column) list, `f1=c1,f2=c2`. Its presence IS the mode switch: the
@@ -173,20 +174,37 @@ object TextIndex {
         lit(null).cast("string").as("grp"))
   }
 
-  /** Per-group doc counts of a doclen-row relation carrying `grp` — the
-    * collect is bounded by the number of DISTINCT group values (the stamp's
-    * contract: a low-cardinality source/domain tag, never a per-doc id).
+  /** Per-group (doc count, Σ token count) of a doclen-row relation carrying
+    * `grp` (a doclen row's tf IS its doc's token count) — the collect is
+    * bounded by the number of DISTINCT group values (the stamp's contract:
+    * a low-cardinality source/domain tag, never a per-doc id).
     */
-  private def groupTotals(dlRows: DataFrame): Map[String, Long] =
-    dlRows.groupBy("grp").agg(count(lit(1)).as("c"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+  private def groupTotals(dlRows: DataFrame): Map[String, (Long, Long)] =
+    dlRows.groupBy("grp")
+      .agg(count(lit(1)).as("c"), coalesce(sum(col("tf")), lit(0L)).as("t"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> (r.getLong(1), r.getLong(2))).toMap
 
-  /** The stored per-group doc counts — stats rows only, prefix-keyed. */
-  private def storedGroupCounts(t: DataFrame): Map[String, Long] =
-    t.filter(col(KindCol) === StatsKind && col("term").startsWith(StatNGroup))
-      .select("term", "tf").collect()
-      .map(r => r.getString(0).substring(StatNGroup.length) -> r.getLong(1))
-      .toMap
+  /** The stored per-group (doc, token) counts — stats rows only. */
+  private def storedGroupCounts(t: DataFrame): Map[String, (Long, Long)] = {
+    val rows = t.filter(col(KindCol) === StatsKind &&
+        (col("term").startsWith(StatNGroup) || col("term").startsWith(StatTGroup)))
+      .select("term", "tf").collect().map(r => r.getString(0) -> r.getLong(1))
+    val docs = rows.collect { case (k, v) if k.startsWith(StatNGroup) =>
+      k.substring(StatNGroup.length) -> v }.toMap
+    val toks = rows.collect { case (k, v) if k.startsWith(StatTGroup) =>
+      k.substring(StatTGroup.length) -> v }.toMap
+    (docs.keySet ++ toks.keySet).map(g =>
+      g -> (docs.getOrElse(g, 0L), toks.getOrElse(g, 0L))).toMap
+  }
+
+  /** The per-group stats rows for a delta: one `n.<g>` doc-count and one
+    * `nt.<g>` token-count pair per affected group.
+    */
+  private def groupPairs(totals: Map[String, (Long, Long)]): Seq[(String, Long)] =
+    totals.toSeq.sortBy(_._1).flatMap { case (g, (c, t)) =>
+      Seq((StatNGroup + g) -> c, (StatTGroup + g) -> t)
+    }
 
   /** (#docs, Σ token count) of a doclen-row relation — exact longs. */
   private def dlTotals(dlRows: DataFrame): (Long, Long) = {
@@ -230,10 +248,7 @@ object TextIndex {
     val stats = groupCol match {
       case None => statsRows(spark, n, sumDl)
       case Some(_) => statsRowsGrouped(spark,
-        Seq(StatN -> n, StatSumDl -> sumDl) ++
-          groupTotals(dlRows).toSeq.sorted.map { case (g, c) =>
-            (StatNGroup + g) -> c
-          })
+        Seq(StatN -> n, StatSumDl -> sumDl) ++ groupPairs(groupTotals(dlRows)))
     }
     KeyedTable.create(spark, tablePath,
       entries.unionByName(stats),
@@ -320,12 +335,15 @@ object TextIndex {
         val cur = storedGroupCounts(t)
         val oldG = groupTotals(dlRows)
         val addG = groupTotals(newDl)
+        val zero = (0L, 0L)
         statsRowsGrouped(spark,
           Seq(StatN -> (n0 - oldN + addN), StatSumDl -> (s0 - oldS + addS)) ++
-            (oldG.keySet ++ addG.keySet).toSeq.sorted.map { g =>
-              (StatNGroup + g) -> (cur.getOrElse(g, 0L) -
-                oldG.getOrElse(g, 0L) + addG.getOrElse(g, 0L))
-            })
+            groupPairs((oldG.keySet ++ addG.keySet).map { g =>
+              val (c0, t0) = cur.getOrElse(g, zero)
+              val (co, to) = oldG.getOrElse(g, zero)
+              val (ca, ta) = addG.getOrElse(g, zero)
+              g -> (c0 - co + ca, t0 - to + ta)
+            }.toMap))
     }
     KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
       entries.unionByName(stats),
@@ -395,9 +413,10 @@ object TextIndex {
           val remG = groupTotals(dlRows)
           statsRowsGrouped(spark,
             Seq(StatN -> (n0 - remN), StatSumDl -> (s0 - remS)) ++
-              remG.toSeq.sorted.map { case (g, c) =>
-                (StatNGroup + g) -> (cur.getOrElse(g, 0L) - c)
-              })
+              groupPairs(remG.map { case (g, (c, tk)) =>
+                val (c0, t0) = cur.getOrElse(g, (0L, 0L))
+                g -> (c0 - c, t0 - tk)
+              }))
       }
       KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows), stats,
         base = Some(st))
@@ -599,16 +618,18 @@ object TextIndex {
     Retrieval.bm25ScoreStored(post, queries, k, k1, b, lnIdf, n, sumW)
   }
 
-  /** Per-group doc counts of a GROUPED index, served from the STATS rows
-    * alone — (group, n_docs), group column named after the stamped corpus
-    * column. The probe's plan touches NOTHING sized by the corpus: no
-    * posting scan, no doclen scan, no tokenization — a kind-pruned read of
-    * the per-group stats rows maintained transactionally with every
-    * build/append/remove (spec-proven by vandalizing both data partitions).
-    * The x18-style per-source quota decision (how much of each source do I
-    * have / may I keep) then costs O(groups) at probe time instead of a
-    * corpus aggregate. `asOf` serves the historical counts for free (stats
-    * rows are table rows). Refuses a non-grouped index loudly.
+  /** Per-group doc AND token counts of a GROUPED index, served from the
+    * STATS rows alone — (group, n_docs, n_tokens), group column named
+    * after the stamped corpus column. The probe's plan touches NOTHING
+    * sized by the corpus: no posting scan, no doclen scan, no tokenization
+    * — a kind-pruned read of the per-group stats rows maintained
+    * transactionally with every build/append/remove (spec-proven by
+    * vandalizing both data partitions). The x18-style per-source quota
+    * decision (how much of each source do I hold / may I keep) AND the
+    * x52-style token-budget mixture (how many tokens does each source
+    * contribute) then cost O(groups) at probe time instead of a corpus
+    * aggregate. `asOf` serves the historical counts for free (stats rows
+    * are table rows). Refuses a non-grouped index loudly.
     */
   def groupCounts(
       spark: SparkSession, tablePath: String,
@@ -617,8 +638,9 @@ object TextIndex {
       throw GraftException.config(
         s"text index at $tablePath is not GROUPED - build it with " +
           "groupCol to maintain per-group stats rows."))
-    readIndex(spark, tablePath, asOf)
-      .filter(col(KindCol) === StatsKind && col("term").startsWith(StatNGroup))
+    val stats = readIndex(spark, tablePath, asOf)
+      .filter(col(KindCol) === StatsKind)
+    val docs = stats.filter(col("term").startsWith(StatNGroup))
       // a group whose last doc was removed keeps its stats row at 0 (keyed
       // rows persist for later deltas) - "none present" is absence here,
       // matching a GROUP BY over the live membership
@@ -626,6 +648,11 @@ object TextIndex {
       .select(
         substring(col("term"), StatNGroup.length + 1, Int.MaxValue).as(g),
         col("tf").as("n_docs"))
+    val toks = stats.filter(col("term").startsWith(StatTGroup))
+      .select(
+        substring(col("term"), StatTGroup.length + 1, Int.MaxValue).as(g),
+        col("tf").as("n_tokens"))
+    docs.join(toks, Seq(g)) // both O(groups) stats reads - a trivial join
   }
 
   /** Cluster the POSTING partition by term ([[KeyedTable.clusterSort]] —

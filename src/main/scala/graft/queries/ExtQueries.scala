@@ -1467,6 +1467,7 @@ object ExtQueries {
     })
     graft.operators.TextIndex.groupCounts(s, idx)
       .withColumn("quota_keep", least(col("n_docs"), lit(25L)))
+      .select("source", "n_docs", "n_tokens", "quota_keep")
       .orderBy("source")
   }
 
@@ -2783,6 +2784,7 @@ object ExtQueries {
       // appended, every 10th removed) with the x18-style quota cap - the
       // stats rows must reproduce the corpus aggregate exactly
       """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split_regex(text, '\s+')))::BIGINT AS n_tokens,
         |  LEAST(count(*), 25)::BIGINT AS quota_keep
         |FROM documents WHERE doc_id % 10 <> 0
         |GROUP BY source ORDER BY source""".stripMargin,

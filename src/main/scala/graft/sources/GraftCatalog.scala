@@ -819,13 +819,15 @@ private[sources] object GraftProcedures {
       Seq("optimized: posting partition clustered by (term, id)")
     },
     proc("index_group_counts", Seq("index" -> StringType),
-      "Per-group doc counts of a GROUPED standing text index, served from " +
-        "its stats rows alone (O(groups) probe, zero corpus reads) — the " +
-        "per-source quota primitive. One '<group> = <n_docs>' row per live " +
-        "group, group-sorted") { (s, a) =>
+      "Per-group doc AND token counts of a GROUPED standing text index, " +
+        "served from its stats rows alone (O(groups) probe, zero corpus " +
+        "reads) — the per-source quota / token-budget primitive. One " +
+        "'<group> = <n_docs> docs, <n_tokens> tokens' row per live group, " +
+        "group-sorted") { (s, a) =>
       val gc = graft.operators.TextIndex.groupCounts(s, a(0).toString)
       gc.orderBy(gc.columns.head).collect()
-        .map(r => s"${r.getString(0)} = ${r.getLong(1)}").toSeq
+        .map(r => s"${r.getString(0)} = ${r.getLong(1)} docs, ${r.getLong(2)} tokens")
+        .toSeq
     },
     proc("show_lock", Seq("table" -> StringType),
       "The table's current writer lease (owner = the writer's commit instant), " +

@@ -491,20 +491,23 @@ class TextIndexSpec extends SparkTestBase {
       (1L, "alpha beta", "web"), (2L, "gamma", "web"),
       (3L, "delta epsilon", "news")).toDF("doc_id", "text", "source")
     TextIndex.build(spark, idx, v1, "doc_id", "text", groupCol = Some("source"))
-    def counts(asOf: Option[String] = None): Map[String, Long] =
+    def counts(asOf: Option[String] = None): Map[String, (Long, Long)] =
       TextIndex.groupCounts(spark, idx, asOf).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts() === Map("web" -> 2L, "news" -> 1L))
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // (doc count, token count) per group: web = docs 1+2 (2+1 tokens)
+    assert(counts() === Map("web" -> (2L, 3L), "news" -> (1L, 2L)))
     val tip0 = CommitLog.commits(spark, idx).last.commitTime
     // append: a new doc in news + doc 1 MOVES web -> books in one commit
+    // (its 2 tokens leave web, its NEW 1-token body lands in books)
     TextIndex.append(spark, idx,
       Seq((4L, "zeta", "news"), (1L, "eta", "books"))
         .toDF("doc_id", "text", "source"), "doc_id", "text")
-    assert(counts() === Map("web" -> 1L, "news" -> 2L, "books" -> 1L),
+    assert(counts() === Map(
+      "web" -> (1L, 1L), "news" -> (2L, 3L), "books" -> (1L, 1L)),
       "a re-worded doc that changed source must move between group rows")
     // remove web's last doc: the group leaves the live view entirely
     TextIndex.remove(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
-    assert(counts() === Map("news" -> 2L, "books" -> 1L))
+    assert(counts() === Map("news" -> (2L, 3L), "books" -> (1L, 1L)))
     // the BM25 probe is undisturbed by the grouped layout
     val q = Seq((1L, "zeta eta")).toDF("query_id", "qtext")
     val live = Seq((1L, "eta", "books"), (3L, "delta epsilon", "news"),
@@ -513,7 +516,7 @@ class TextIndexSpec extends SparkTestBase {
       rows(Retrieval.bm25TopK(live, col("doc_id"), col("text"), q,
         k = 10, lnIdf = false)),
       "BM25 on a grouped index must equal the recompute")
-    assert(counts(Some(tip0)) === Map("web" -> 2L, "news" -> 1L),
+    assert(counts(Some(tip0)) === Map("web" -> (2L, 3L), "news" -> (1L, 2L)),
       "asOf must serve the historical group counts")
     // the probe reads ONLY stats rows: vandalize EVERY posting and doclen
     // parquet file - any read opening one dies on the magic bytes
@@ -526,7 +529,7 @@ class TextIndexSpec extends SparkTestBase {
       .map { p => Files.write(p, "not a parquet file".getBytes); p }
       .size
     assert(vandalized > 0, "fixture: no data files found to vandalize")
-    assert(counts() === Map("news" -> 2L, "books" -> 1L),
+    assert(counts() === Map("news" -> (2L, 3L), "books" -> (1L, 1L)),
       "groupCounts must not depend on posting/doclen files")
     // guards: a grouped index refuses a group-less batch; a plain index
     // refuses groupCounts

@@ -234,7 +234,7 @@ class GraftCatalogSpec extends SparkTestBase {
         .toDF("doc_id", "text", "source"),
       "doc_id", "text", groupCol = Some("source"))
     assert(callRows(s"CALL graft.system.index_group_counts('$groupedIdx')")
-      === Seq("news = 1", "web = 2"))
+      === Seq("news = 1 docs, 1 tokens", "web = 2 docs, 2 tokens"))
     val eg = intercept[Exception] {
       spark.sql(s"CALL graft.system.index_group_counts('$textIdx')").collect()
     }
