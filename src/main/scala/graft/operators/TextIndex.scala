@@ -388,14 +388,24 @@ object TextIndex {
       idCol: String): Unit = storedFields(spark, tablePath) match {
     case Some(fs) => // fielded: the stats step is per-field (fdl maps)
       val names = fs.map(_._1)
+      val grouped = storedGroup(spark, tablePath)
       val (st, t) = KeyedTable.readPinned(spark, tablePath)
-      val dlRows = doclenOf(t, ids, idCol, extra = Seq("fdl"))
+      val dlRows = doclenOf(t, ids, idCol,
+        extra = Seq("fdl") ++ grouped.map(_ => "grp"))
       val (remN, remSums) = fieldTotals(dlRows, names)
       if (remN == 0) return
       val (n0, sums0) = requireStatsFielded(t, tablePath, names)
+      val extraPairs = grouped.map { _ =>
+        val cur = storedGroupCounts(t)
+        groupPairs(groupTotals(dlRows).map { case (g, (c, tk)) =>
+          val (c0, t0) = cur.getOrElse(g, (0L, 0L))
+          g -> (c0 - c, t0 - tk)
+        })
+      }.getOrElse(Seq.empty)
       KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
         statsRowsFielded(spark, n0 - remN,
-          names.map(f => f -> (sums0(f) - remSums(f)))),
+          names.map(f => f -> (sums0(f) - remSums(f))),
+          extra = extraPairs, withGrp = grouped.isDefined),
         base = Some(st))
       ()
     case None =>
@@ -448,7 +458,8 @@ object TextIndex {
     * BM25F scoring; phrase/proximity stay on single-field indexes.
     */
   private def entriesOfFielded(
-      docs: DataFrame, idCol: String, fields: Seq[(String, String)]): DataFrame = {
+      docs: DataFrame, idCol: String, fields: Seq[(String, String)],
+      groupCol: Option[String] = None): DataFrame = {
     val wtok = fields.map { case (f, c) =>
       Retrieval.tokens(docs, col(idCol), col(c)).withColumn("field", lit(f))
     }.reduce(_ unionByName _)
@@ -469,24 +480,42 @@ object TextIndex {
       .select(lit(PostingKind).as(KindCol), col("term"),
         col("doc_id").as("id"), col("tf"),
         lit(null).cast("array<string>").as("terms"), col("ftf"), col("fdl"))
-    val dl = post0.groupBy("doc_id").agg(collect_set(col("term")).as("terms"))
+    val dl0 = post0.groupBy("doc_id").agg(collect_set(col("term")).as("terms"))
       .join(fdl, Seq("doc_id"))
       .select(lit(DoclenKind).as(KindCol), lit("").as("term"),
         col("doc_id").as("id"), col("tf"), col("terms"),
         lit(null).cast("map<string,bigint>").as("ftf"), col("fdl"))
-    post.unionByName(dl)
+    groupCol match {
+      case None => post.unionByName(dl0)
+      case Some(g) =>
+        // grouped + fielded compose: the doclen row carries the group like
+        // the single-field layout (the per-group stats-delta source)
+        val grp = docs
+          .select(col(idCol).as("id"), col(g).cast("string").as("grp"))
+          .dropDuplicates("id")
+        post.withColumn("grp", lit(null).cast("string"))
+          .unionByName(dl0.join(grp, Seq("id"), "left")
+            .select((dl0.columns.map(col) :+ col("grp")): _*))
+    }
   }
 
-  /** The fielded stats rows: 'n' plus one 'sumdl.<field>' per field. */
+  /** The fielded stats rows: 'n' plus one 'sumdl.<field>' per field, plus
+    * `extra` pairs (a grouped-fielded index's per-group doc/token counts);
+    * `withGrp` emits the grouped schema's null `grp` column.
+    */
   private def statsRowsFielded(
-      spark: SparkSession, n: Long, sums: Seq[(String, Long)]): DataFrame = {
+      spark: SparkSession, n: Long, sums: Seq[(String, Long)],
+      extra: Seq[(String, Long)] = Seq.empty,
+      withGrp: Boolean = false): DataFrame = {
     import spark.implicits._
-    ((StatN, n) +: sums.map { case (f, v) => (StatSumDlField + f, v) })
+    val base = (((StatN, n) +: sums.map { case (f, v) => (StatSumDlField + f, v) })
+      ++ extra)
       .toDF("term", "tf")
       .select(lit(StatsKind).as(KindCol), col("term"), lit(0L).as("id"),
         col("tf"), lit(null).cast("array<string>").as("terms"),
         lit(null).cast("map<string,bigint>").as("ftf"),
         lit(null).cast("map<string,bigint>").as("fdl"))
+    if (withGrp) base.withColumn("grp", lit(null).cast("string")) else base
   }
 
   /** (#docs, per-field Σ length) of a doclen-row relation carrying fdl. */
@@ -518,7 +547,10 @@ object TextIndex {
     * column), stamped as [[FieldsProp]] so every later leg (append,
     * remove, registry sync, probe refusals) derives the field list from
     * STORAGE — a caller-passed list could drift, the stamp cannot.
-    * Serves [[bm25fProbe]]; one tokenization pass per field.
+    * Serves [[bm25fProbe]]; one tokenization pass per field. `groupCol`
+    * composes the GROUPED mode ([[GroupProp]]) with the fielded layout:
+    * per-group doc/token stats rows step through every fielded write leg
+    * and [[groupCounts]] serves them — token counts span all fields.
     *
     * Fielded indexes store NO positions (BM25F needs none). To
     * phrase/proximity-search a fielded corpus, use the TWO-INDEX recipe
@@ -529,20 +561,27 @@ object TextIndex {
     */
   def buildFielded(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
-      idCol: String, fields: Seq[(String, String)]): Unit = {
+      idCol: String, fields: Seq[(String, String)],
+      groupCol: Option[String] = None): Unit = {
     require(fields.nonEmpty, "buildFielded needs at least one (field, column)")
     require(fields.map(_._1).distinct.size == fields.size,
       "field names must be distinct")
     require(fields.forall { case (f, c) =>
       !f.contains("=") && !f.contains(",") && !c.contains("=") && !c.contains(",")
     }, "field/column names must not contain '=' or ','")
+    groupCol.foreach(g => require(corpus.columns.contains(g),
+      s"groupCol '$g' is not a corpus column"))
     val names = fields.map(_._1)
-    val entries = entriesOfFielded(corpus, idCol, fields)
-    val (n, sums) = fieldTotals(
-      entries.filter(col(KindCol) === DoclenKind), names)
+    val entries = entriesOfFielded(corpus, idCol, fields, groupCol)
+      .localCheckpoint()
+    val dlRows = entries.filter(col(KindCol) === DoclenKind)
+    val (n, sums) = fieldTotals(dlRows, names)
     KeyedTable.create(spark, tablePath,
       entries.unionByName(
-        statsRowsFielded(spark, n, names.map(f => f -> sums(f)))),
+        statsRowsFielded(spark, n, names.map(f => f -> sums(f)),
+          extra = groupCol.map(_ => groupPairs(groupTotals(dlRows)))
+            .getOrElse(Seq.empty),
+          withGrp = groupCol.isDefined)),
       tableName = "graft_text_index",
       keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead,
@@ -551,7 +590,8 @@ object TextIndex {
         graft.table.TableProperties.LayoutAuto -> "term,id",
         graft.table.TableProperties.LayoutAutoPartitions ->
           s"$KindCol=$PostingKind",
-        FieldsProp -> fields.map { case (f, c) => s"$f=$c" }.mkString(",")))
+        FieldsProp -> fields.map { case (f, c) => s"$f=$c" }.mkString(",")) ++
+        groupCol.map(GroupProp -> _))
     ()
   }
 
@@ -567,17 +607,36 @@ object TextIndex {
       throw GraftException.config(
         s"text index at $tablePath is single-field - use append."))
     val names = fs.map(_._1)
+    val grouped = storedGroup(spark, tablePath)
+    grouped.foreach(g => if (!docs.columns.contains(g))
+      throw GraftException.config(
+        s"text index at $tablePath is GROUPED by corpus column '$g' " +
+          s"($GroupProp stamp) - the batch must carry it."))
     val (st, t) = KeyedTable.readPinned(spark, tablePath)
-    val dlRows = doclenOf(t, docs.select(col(idCol)), idCol, extra = Seq("fdl"))
+    val dlRows = doclenOf(t, docs.select(col(idCol)), idCol,
+      extra = Seq("fdl") ++ grouped.map(_ => "grp"))
     val (oldN, oldSums) = fieldTotals(dlRows, names)
-    val entries = entriesOfFielded(docs, idCol, fs)
-    val (addN, addSums) = fieldTotals(
-      entries.filter(col(KindCol) === DoclenKind), names)
+    val entries = entriesOfFielded(docs, idCol, fs, grouped).localCheckpoint()
+    val newDl = entries.filter(col(KindCol) === DoclenKind)
+    val (addN, addSums) = fieldTotals(newDl, names)
     if (oldN == 0 && addN == 0) return
     val (n0, sums0) = requireStatsFielded(t, tablePath, names)
+    val extraPairs = grouped.map { _ =>
+      val cur = storedGroupCounts(t)
+      val oldG = groupTotals(dlRows)
+      val addG = groupTotals(newDl)
+      val zero = (0L, 0L)
+      groupPairs((oldG.keySet ++ addG.keySet).map { g =>
+        val (c0, t0) = cur.getOrElse(g, zero)
+        val (co, to) = oldG.getOrElse(g, zero)
+        val (ca, ta) = addG.getOrElse(g, zero)
+        g -> (c0 - co + ca, t0 - to + ta)
+      }.toMap)
+    }.getOrElse(Seq.empty)
     KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
       entries.unionByName(statsRowsFielded(spark, n0 - oldN + addN,
-        names.map(f => f -> (sums0(f) - oldSums(f) + addSums(f))))),
+        names.map(f => f -> (sums0(f) - oldSums(f) + addSums(f))),
+        extra = extraPairs, withGrp = grouped.isDefined)),
       base = Some(st))
     ()
   }

@@ -1471,6 +1471,35 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Per-source doc AND token counts from a GROUPED + FIELDED standing
+    * index: the two mode stamps compose — `text.fields` drives BM25F
+    * scoring, `text.group` maintains the per-source stats rows (token
+    * counts span ALL fields: a doclen row's tf is the doc's total length
+    * across fields), both stepped in the same commits through
+    * buildFielded/appendFielded/remove. Same O(groups) zero-corpus-read
+    * probe as x79.
+    */
+  private val x80Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x80: Q = (s, d) => {
+    val idx = x80Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x80")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val i = s"$root/idx"
+      graft.operators.TextIndex.buildFielded(s, i,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        Seq("text" -> "text", "source" -> "source"),
+        groupCol = Some("source"))
+      graft.operators.TextIndex.appendFielded(s, i,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id")
+      graft.operators.TextIndex.remove(s, i,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id")
+      i
+    })
+    graft.operators.TextIndex.groupCounts(s, idx)
+      .select("source", "n_docs", "n_tokens")
+      .orderBy("source")
+  }
+
   /** Field-boosted BM25F-lite ([[graft.operators.Retrieval.bm25fTopK]]):
     * body (`text`, weight 1) + tag (`source`, weight 3) — weighted tf/dl
     * stay exact longs, so the x72 oracle discipline (rational idf,
@@ -1599,6 +1628,7 @@ object ExtQueries {
     "x77_bm25f_index" -> x77,
     "x78_slop_phrase" -> x78,
     "x79_group_stats" -> x79,
+    "x80_fielded_groups" -> x80,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2786,6 +2816,15 @@ object ExtQueries {
       """SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(len(string_split_regex(text, '\s+')))::BIGINT AS n_tokens,
         |  LEAST(count(*), 25)::BIGINT AS quota_keep
+        |FROM documents WHERE doc_id % 10 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "x80_fielded_groups" ->
+      // per-source doc + token counts over the live membership of a
+      // FIELDED grouped index: tokens span BOTH fields (text + the
+      // one-token source tag)
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split_regex(text, '\s+'))
+        |    + len(string_split_regex(source, '\s+')))::BIGINT AS n_tokens
         |FROM documents WHERE doc_id % 10 <> 0
         |GROUP BY source ORDER BY source""".stripMargin,
     "x76_proximity" ->

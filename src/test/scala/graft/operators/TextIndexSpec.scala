@@ -545,6 +545,49 @@ class TextIndexSpec extends SparkTestBase {
     }.getMessage.contains("not GROUPED"))
   }
 
+  test("GROUPED + FIELDED compose: per-group doc/token counts step through " +
+      "buildFielded/appendFielded/remove, tokens span ALL fields, and " +
+      "BM25F scoring is undisturbed") {
+    val idx = s"${tmpDir("text-grouped-fielded")}/idx"
+    val docs = Seq(
+      (1L, "alpha beta", "x", "web"), // 3 tokens across fields
+      (2L, "gamma", "y", "web"), // 2
+      (3L, "delta epsilon", "z", "news")). // 3
+      toDF("doc_id", "body", "tag", "src")
+    TextIndex.buildFielded(spark, idx, docs, "doc_id",
+      Seq("body" -> "body", "tag" -> "tag"), groupCol = Some("src"))
+    def counts(): Map[String, (Long, Long)] =
+      TextIndex.groupCounts(spark, idx).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts() === Map("web" -> (2L, 5L), "news" -> (1L, 3L)))
+    // append: new doc in news + doc 1 MOVES web -> books (tokens follow)
+    TextIndex.appendFielded(spark, idx,
+      Seq((4L, "zeta", "w", "news"), (1L, "eta", "q", "books"))
+        .toDF("doc_id", "body", "tag", "src"), "doc_id")
+    assert(counts() === Map(
+      "web" -> (1L, 2L), "news" -> (2L, 5L), "books" -> (1L, 2L)),
+      "fielded group counts must move with a source-changing re-word")
+    TextIndex.remove(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(counts() === Map("news" -> (2L, 5L), "books" -> (1L, 2L)))
+    // scoring face untouched by the composed mode
+    val live = Seq(
+      (1L, "eta", "q", "books"), (3L, "delta epsilon", "z", "news"),
+      (4L, "zeta", "w", "news")).toDF("doc_id", "body", "tag", "src")
+    val qs = Seq((1L, "zeta q")).toDF("query_id", "qtext")
+    val weights = Seq("body" -> 1, "tag" -> 2)
+    assert(rows(TextIndex.bm25fProbe(spark, idx, qs, weights, k = 10,
+      lnIdf = false)) ===
+      rows(Retrieval.bm25fTopK(live, col("doc_id"),
+        Seq(col("body") -> 1, col("tag") -> 2), qs, k = 10, lnIdf = false)),
+      "BM25F on a grouped fielded index must equal the recompute")
+    // a grouped fielded index refuses a group-less batch
+    import graft.model.GraftException
+    assert(intercept[GraftException] {
+      TextIndex.appendFielded(spark, idx,
+        Seq((9L, "x", "y")).toDF("doc_id", "body", "tag"), "doc_id")
+    }.getMessage.contains("GROUPED"))
+  }
+
   test("a FIELDED index registered on its corpus follows publishes hands-off " +
       "(the sync dispatches on the text.fields stamp, not the spec)") {
     val dir = tmpDir("text-fielded-sync")
