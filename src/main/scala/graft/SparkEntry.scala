@@ -89,7 +89,8 @@ object SparkEntry {
     // round 14: slop phrases — in-order matching with bounded gaps (shares
     // x73's staged index) — and per-source doc counts from the grouped
     // index's stats rows (O(sources) probe, zero corpus reads)
-    "x78_slop_phrase", "x79_group_stats", "x80_fielded_groups")
+    "x78_slop_phrase", "x79_group_stats", "x80_fielded_groups",
+    "x81_fielded_phrase")
 
   /** Bench queries whose FIRST evaluation per sf dir stages standing state
     * (a scaffolded table, a trained index) that later evaluations reuse.
@@ -104,7 +105,7 @@ object SparkEntry {
     "q42b_sql_maintenance_inc", "x71_sync_hook", "x73_text_index",
     "x74_phrase_topk", "x76_proximity", "x77_bm25f_index",
     "q35b_read_optimized_inc", "x78_slop_phrase", "x79_group_stats",
-    "x80_fielded_groups")
+    "x80_fielded_groups", "x81_fielded_phrase")
 
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++ graft.queries.ExtQueries.oracle

@@ -96,6 +96,23 @@ object TextIndex {
     */
   val GroupProp = "text.group"
 
+  /** Table property naming the ONE field of a FIELDED index that stores
+    * positional postings (`buildFielded(positionsFor)`): phrase/proximity
+    * probes then serve that field's token stream from the same standing
+    * index instead of requiring a second single-field index (the README
+    * two-index recipe remains the path for phrase search over SEVERAL
+    * fields — per-field positional payloads for all fields would roughly
+    * double the posting layout for a query class that targets one field).
+    * Derive-from-storage like every mode stamp: append legs read it, the
+    * probes dispatch on it.
+    */
+  val PositionsProp = "text.positions"
+
+  /** The positional field of a FIELDED index, None when it stores none. */
+  private[operators] def storedPositions(
+      spark: SparkSession, tablePath: String): Option[String] =
+    graft.table.TableProperties.get(spark, tablePath).get(PositionsProp)
+
   /** The stored group column of a GROUPED index, None otherwise. */
   private[operators] def storedGroup(
       spark: SparkSession, tablePath: String): Option[String] =
@@ -405,7 +422,8 @@ object TextIndex {
       KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
         statsRowsFielded(spark, n0 - remN,
           names.map(f => f -> (sums0(f) - remSums(f))),
-          extra = extraPairs, withGrp = grouped.isDefined),
+          extra = extraPairs, withGrp = grouped.isDefined,
+          withPos = storedPositions(spark, tablePath).isDefined),
         base = Some(st))
       ()
     case None =>
@@ -447,6 +465,23 @@ object TextIndex {
           "indexes; score it with bm25fProbe(weights) (phrase/proximity " +
           "need single-field positional postings).")
 
+  /** The POSITIONAL faces (phrase/proximity) serve single-field indexes
+    * always, and fielded indexes IF built with `positionsFor` — a fielded
+    * index without the stamp refuses with both remedies named.
+    */
+  private def requirePositional(
+      spark: SparkSession, tablePath: String, op: String): Unit =
+    storedFields(spark, tablePath) match {
+      case None => ()
+      case Some(_) =>
+        if (storedPositions(spark, tablePath).isEmpty)
+          throw GraftException.config(
+            s"text index at $tablePath is FIELDED without positional " +
+              s"postings - $op needs positions: rebuild with " +
+              "buildFielded(positionsFor = <field>) or keep a single-field " +
+              "positional index beside it (README two-index recipe).")
+    }
+
   /** All index rows for a FIELDED doc batch — one tokenization pass per
     * field: per-(doc, term, field) counts aggregate once
     * (localCheckpointed), then posting rows carry `ftf` (field → tf) and
@@ -459,7 +494,8 @@ object TextIndex {
     */
   private def entriesOfFielded(
       docs: DataFrame, idCol: String, fields: Seq[(String, String)],
-      groupCol: Option[String] = None): DataFrame = {
+      groupCol: Option[String] = None,
+      posFor: Option[String] = None): DataFrame = {
     val wtok = fields.map { case (f, c) =>
       Retrieval.tokens(docs, col(idCol), col(c)).withColumn("field", lit(f))
     }.reduce(_ unionByName _)
@@ -476,17 +512,35 @@ object TextIndex {
         map_from_entries(sort_array(collect_list(
           struct(col("field"), col("flen"))))).as("fdl"))
       .localCheckpoint()
-    val post = post0.join(fdl.select(col("doc_id"), col("fdl")), Seq("doc_id"))
+    val post1 = post0.join(fdl.select(col("doc_id"), col("fdl")), Seq("doc_id"))
       .select(lit(PostingKind).as(KindCol), col("term"),
         col("doc_id").as("id"), col("tf"),
         lit(null).cast("array<string>").as("terms"), col("ftf"), col("fdl"))
+    val post = posFor match {
+      case None => post1
+      case Some(f) =>
+        // positions of the ONE positional field ride the posting row —
+        // 1-based within THAT field's token stream, so the fielded phrase
+        // probe is bit-identical to a single-field recompute over the
+        // field's column; terms absent from the field carry null (their
+        // explode yields nothing)
+        val c = fields.toMap.apply(f)
+        val pa = Retrieval.tokensWithPos(docs, col(idCol), col(c))
+          .groupBy("doc_id", "term")
+          .agg(sort_array(collect_list(col("pos"))).as("pos"))
+          .withColumnRenamed("doc_id", "id")
+        post1.join(pa, Seq("id", "term"), "left")
+          .select((post1.columns.map(col) :+ col("pos")): _*)
+    }
     val dl0 = post0.groupBy("doc_id").agg(collect_set(col("term")).as("terms"))
       .join(fdl, Seq("doc_id"))
       .select(lit(DoclenKind).as(KindCol), lit("").as("term"),
         col("doc_id").as("id"), col("tf"), col("terms"),
         lit(null).cast("map<string,bigint>").as("ftf"), col("fdl"))
+    val dl1 = if (posFor.isEmpty) dl0
+      else dl0.withColumn("pos", lit(null).cast("array<long>"))
     groupCol match {
-      case None => post.unionByName(dl0)
+      case None => post.unionByName(dl1)
       case Some(g) =>
         // grouped + fielded compose: the doclen row carries the group like
         // the single-field layout (the per-group stats-delta source)
@@ -494,8 +548,8 @@ object TextIndex {
           .select(col(idCol).as("id"), col(g).cast("string").as("grp"))
           .dropDuplicates("id")
         post.withColumn("grp", lit(null).cast("string"))
-          .unionByName(dl0.join(grp, Seq("id"), "left")
-            .select((dl0.columns.map(col) :+ col("grp")): _*))
+          .unionByName(dl1.join(grp, Seq("id"), "left")
+            .select((dl1.columns.map(col) :+ col("grp")): _*))
     }
   }
 
@@ -506,7 +560,8 @@ object TextIndex {
   private def statsRowsFielded(
       spark: SparkSession, n: Long, sums: Seq[(String, Long)],
       extra: Seq[(String, Long)] = Seq.empty,
-      withGrp: Boolean = false): DataFrame = {
+      withGrp: Boolean = false,
+      withPos: Boolean = false): DataFrame = {
     import spark.implicits._
     val base = (((StatN, n) +: sums.map { case (f, v) => (StatSumDlField + f, v) })
       ++ extra)
@@ -515,7 +570,9 @@ object TextIndex {
         col("tf"), lit(null).cast("array<string>").as("terms"),
         lit(null).cast("map<string,bigint>").as("ftf"),
         lit(null).cast("map<string,bigint>").as("fdl"))
-    if (withGrp) base.withColumn("grp", lit(null).cast("string")) else base
+    val withP = if (withPos) base.withColumn("pos", lit(null).cast("array<long>"))
+      else base
+    if (withGrp) withP.withColumn("grp", lit(null).cast("string")) else withP
   }
 
   /** (#docs, per-field Σ length) of a doclen-row relation carrying fdl. */
@@ -562,7 +619,8 @@ object TextIndex {
   def buildFielded(
       spark: SparkSession, tablePath: String, corpus: DataFrame,
       idCol: String, fields: Seq[(String, String)],
-      groupCol: Option[String] = None): Unit = {
+      groupCol: Option[String] = None,
+      positionsFor: Option[String] = None): Unit = {
     require(fields.nonEmpty, "buildFielded needs at least one (field, column)")
     require(fields.map(_._1).distinct.size == fields.size,
       "field names must be distinct")
@@ -571,8 +629,10 @@ object TextIndex {
     }, "field/column names must not contain '=' or ','")
     groupCol.foreach(g => require(corpus.columns.contains(g),
       s"groupCol '$g' is not a corpus column"))
+    positionsFor.foreach(f => require(fields.exists(_._1 == f),
+      s"positionsFor '$f' is not one of the declared fields"))
     val names = fields.map(_._1)
-    val entries = entriesOfFielded(corpus, idCol, fields, groupCol)
+    val entries = entriesOfFielded(corpus, idCol, fields, groupCol, positionsFor)
       .localCheckpoint()
     val dlRows = entries.filter(col(KindCol) === DoclenKind)
     val (n, sums) = fieldTotals(dlRows, names)
@@ -581,7 +641,8 @@ object TextIndex {
         statsRowsFielded(spark, n, names.map(f => f -> sums(f)),
           extra = groupCol.map(_ => groupPairs(groupTotals(dlRows)))
             .getOrElse(Seq.empty),
-          withGrp = groupCol.isDefined)),
+          withGrp = groupCol.isDefined,
+          withPos = positionsFor.isDefined)),
       tableName = "graft_text_index",
       keyFields = Seq(KindCol, "term", "id"), precombineField = "id",
       partitionFields = Seq(KindCol), tableType = TableType.MergeOnRead,
@@ -591,7 +652,8 @@ object TextIndex {
         graft.table.TableProperties.LayoutAutoPartitions ->
           s"$KindCol=$PostingKind",
         FieldsProp -> fields.map { case (f, c) => s"$f=$c" }.mkString(",")) ++
-        groupCol.map(GroupProp -> _))
+        groupCol.map(GroupProp -> _) ++
+        positionsFor.map(PositionsProp -> _))
     ()
   }
 
@@ -616,7 +678,8 @@ object TextIndex {
     val dlRows = doclenOf(t, docs.select(col(idCol)), idCol,
       extra = Seq("fdl") ++ grouped.map(_ => "grp"))
     val (oldN, oldSums) = fieldTotals(dlRows, names)
-    val entries = entriesOfFielded(docs, idCol, fs, grouped).localCheckpoint()
+    val entries = entriesOfFielded(docs, idCol, fs, grouped,
+      storedPositions(spark, tablePath)).localCheckpoint()
     val newDl = entries.filter(col(KindCol) === DoclenKind)
     val (addN, addSums) = fieldTotals(newDl, names)
     if (oldN == 0 && addN == 0) return
@@ -636,7 +699,8 @@ object TextIndex {
     KeyedTable.mergeRows(spark, tablePath, keysOf(dlRows),
       entries.unionByName(statsRowsFielded(spark, n0 - oldN + addN,
         names.map(f => f -> (sums0(f) - oldSums(f) + addSums(f))),
-        extra = extraPairs, withGrp = grouped.isDefined)),
+        extra = extraPairs, withGrp = grouped.isDefined,
+        withPos = storedPositions(spark, tablePath).isDefined)),
       base = Some(st))
     ()
   }
@@ -797,7 +861,7 @@ object TextIndex {
   def phraseTopK(
       spark: SparkSession, tablePath: String, phrases: DataFrame, k: Int,
       slop: Int = 0, asOf: Option[String] = None): DataFrame = {
-    requireSingleField(spark, tablePath, "phraseTopK")
+    requirePositional(spark, tablePath, "phraseTopK")
     val t = readIndex(spark, tablePath, asOf)
     val post = pushTerms(
       t.filter(col(KindCol) === PostingKind)
@@ -816,7 +880,7 @@ object TextIndex {
   def proximityTopK(
       spark: SparkSession, tablePath: String, queries: DataFrame, k: Int,
       asOf: Option[String] = None): DataFrame = {
-    requireSingleField(spark, tablePath, "proximityTopK")
+    requirePositional(spark, tablePath, "proximityTopK")
     val t = readIndex(spark, tablePath, asOf)
     val post = pushTerms(
       t.filter(col(KindCol) === PostingKind)

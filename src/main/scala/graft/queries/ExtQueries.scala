@@ -1500,6 +1500,38 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Exact-phrase retrieval from a FIELDED index's positional postings
+    * (`buildFielded(positionsFor = "text")`): the positions of the ONE
+    * stamped field ride its posting rows, so phrase/proximity serve that
+    * field's token stream from the SAME standing index that answers BM25F
+    * — no second single-field index needed for the dominant
+    * phrase-search-the-body case. Ranking must be bit-identical to the
+    * single-field anchor recompute over the text column.
+    */
+  private val x81Cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val x81: Q = (s, d) => {
+    import s.implicits._
+    val idx = x81Cache.getOrElseUpdate(d, {
+      val root = CoreQueries.scratchDir("graft-x81")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val i = s"$root/idx"
+      graft.operators.TextIndex.buildFielded(s, i,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id",
+        Seq("text" -> "text", "source" -> "source"),
+        positionsFor = Some("text"))
+      graft.operators.TextIndex.appendFielded(s, i,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id")
+      graft.operators.TextIndex.optimize(s, i)
+      i
+    })
+    val qs = Seq(
+      (1L, "customer table"), (2L, "window batch"),
+      (3L, "the slow"), (4L, "join query"),
+      (5L, "merge sort")).toDF("query_id", "phrase")
+    graft.operators.TextIndex.phraseTopK(s, idx, qs, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Field-boosted BM25F-lite ([[graft.operators.Retrieval.bm25fTopK]]):
     * body (`text`, weight 1) + tag (`source`, weight 3) — weighted tf/dl
     * stay exact longs, so the x72 oracle discipline (rational idf,
@@ -1629,6 +1661,7 @@ object ExtQueries {
     "x78_slop_phrase" -> x78,
     "x79_group_stats" -> x79,
     "x80_fielded_groups" -> x80,
+    "x81_fielded_phrase" -> x81,
     "x63_audio_quality" -> x63,
     "x64_pq_index" -> x64,
     "x65_audio_gate" -> x65,
@@ -2827,6 +2860,36 @@ object ExtQueries {
         |    + len(string_split_regex(source, '\s+')))::BIGINT AS n_tokens
         |FROM documents WHERE doc_id % 10 <> 0
         |GROUP BY source ORDER BY source""".stripMargin,
+    "x81_fielded_phrase" ->
+      // the x74 anchor recompute over the TEXT column: the fielded index's
+      // stamped positional field must reproduce the single-field phrase
+      // ranking exactly
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM d),
+        |t AS (SELECT doc_id, pos::BIGINT AS pos, w[pos] AS term FROM p),
+        |q(query_id, phrase) AS (VALUES
+        |  (1, 'customer table'), (2, 'window batch'),
+        |  (3, 'the slow'), (4, 'join query'),
+        |  (5, 'merge sort')),
+        |q2 AS (SELECT query_id::BIGINT AS query_id,
+        |  string_split_regex(phrase, '\s+') AS pw FROM q),
+        |qp AS (SELECT query_id, unnest(generate_series(1, len(pw))) AS i, pw FROM q2),
+        |qs AS (SELECT query_id, i::BIGINT AS i, pw[i] AS term FROM qp),
+        |ql AS (SELECT query_id, count(*)::BIGINT AS len FROM qs GROUP BY 1),
+        |anch AS (
+        |  SELECT qs.query_id, t.doc_id, t.pos - qs.i AS a
+        |  FROM qs JOIN t USING (term) JOIN ql USING (query_id)
+        |  GROUP BY qs.query_id, t.doc_id, t.pos - qs.i, ql.len
+        |  HAVING count(DISTINCT qs.i) = ql.len),
+        |occ AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_occ
+        |  FROM anch GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_occ, rank FROM (
+        |  SELECT query_id, doc_id, n_occ,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_occ DESC, doc_id ASC)::BIGINT AS rank
+        |  FROM occ)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "x76_proximity" ->
       // minimal-window recompute with integer positions: a window is
       // optimal only if it starts AT a query-term occurrence, so candidate

@@ -588,6 +588,66 @@ class TextIndexSpec extends SparkTestBase {
     }.getMessage.contains("GROUPED"))
   }
 
+  test("FIELDED index with positionsFor: phrase AND proximity serve the " +
+      "stamped field's token stream (≡ single-field recompute over that " +
+      "column) across build+append+re-word, BM25F is undisturbed, and a " +
+      "positionless fielded index refuses with both remedies") {
+    import graft.model.GraftException
+    val dir = tmpDir("text-fielded-pos")
+    val idx = s"$dir/idx"
+    val docs = Seq(
+      (1L, "alpha beta gamma", "news"),
+      (2L, "beta alpha", "alpha"), // tag holds a phrase word: must NOT count
+      (3L, "alpha beta alpha beta", "web"),
+      (4L, "gamma alpha beta", "web")).toDF("doc_id", "body", "tag")
+    TextIndex.buildFielded(spark, idx, docs.filter(col("doc_id") <= 2),
+      "doc_id", Seq("body" -> "body", "tag" -> "tag"),
+      positionsFor = Some("body"))
+    TextIndex.appendFielded(spark, idx, docs.filter(col("doc_id") > 2), "doc_id")
+    val phrases = Seq((1L, "alpha beta")).toDF("query_id", "phrase")
+    def occ(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select("query_id", "doc_id", "n_occ", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // phrase over the BODY token stream only - doc 2's tag 'alpha' adds
+    // nothing, its body "beta alpha" is the reordered bag
+    val got = occ(TextIndex.phraseTopK(spark, idx, phrases, k = 10))
+    assert(got === occ(Retrieval.phraseTopK(
+      docs, col("doc_id"), col("body"), phrases, k = 10)),
+      "fielded positional phrase must equal the single-field body recompute")
+    assert(got.map(_._2) === Set(1L, 3L, 4L), s"got $got")
+    // proximity face shares the stored field positions
+    val pq = Seq((1L, "alpha gamma")).toDF("query_id", "qtext")
+    def spans(df: DataFrame) =
+      df.select("query_id", "doc_id", "span", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans(TextIndex.proximityTopK(spark, idx, pq, k = 10)) ===
+      spans(Retrieval.proximityTopK(docs, col("doc_id"), col("body"), pq, k = 10)))
+    // a re-word through the fielded append keeps positions fresh
+    TextIndex.appendFielded(spark, idx,
+      Seq((1L, "beta alpha gamma", "news")).toDF("doc_id", "body", "tag"), "doc_id")
+    val docs2 = docs.filter(col("doc_id") =!= 1L).unionByName(
+      Seq((1L, "beta alpha gamma", "news")).toDF("doc_id", "body", "tag"))
+    assert(occ(TextIndex.phraseTopK(spark, idx, phrases, k = 10)) ===
+      occ(Retrieval.phraseTopK(docs2, col("doc_id"), col("body"), phrases, k = 10)),
+      "re-worded positions must serve the new body stream")
+    // BM25F scoring is undisturbed by the positional payload
+    val qs = Seq((1L, "alpha"), (2L, "web beta")).toDF("query_id", "qtext")
+    assert(rows(TextIndex.bm25fProbe(spark, idx, qs,
+      Seq("body" -> 1, "tag" -> 3), k = 10, lnIdf = false)) ===
+      rows(Retrieval.bm25fTopK(docs2, col("doc_id"),
+        Seq(col("body") -> 1, col("tag") -> 3), qs, k = 10, lnIdf = false)))
+    // a fielded index WITHOUT the stamp refuses the positional faces with
+    // both remedies named
+    val bare = s"$dir/bare"
+    TextIndex.buildFielded(spark, bare, docs, "doc_id",
+      Seq("body" -> "body", "tag" -> "tag"))
+    val e = intercept[GraftException] {
+      TextIndex.phraseTopK(spark, bare, phrases, k = 10)
+    }
+    assert(e.getMessage.contains("positionsFor")
+      && e.getMessage.contains("two-index"), e.getMessage)
+  }
+
   test("a FIELDED index registered on its corpus follows publishes hands-off " +
       "(the sync dispatches on the text.fields stamp, not the spec)") {
     val dir = tmpDir("text-fielded-sync")
