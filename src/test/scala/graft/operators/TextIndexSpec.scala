@@ -684,6 +684,44 @@ class TextIndexSpec extends SparkTestBase {
       "fielded index must mirror the corpus end state hands-off")
   }
 
+  test("a GROUPED text index registered on its corpus steps its per-group " +
+      "doc/token stats hands-off through the CDC sync (the apply derives " +
+      "the group column from the text.group stamp, not the spec)") {
+    val dir = tmpDir("text-grouped-sync")
+    val corpusTbl = s"$dir/corpus"
+    val idx = s"$dir/idx"
+    val docs = Seq(
+      (1L, "apple banana", "fruit"), (2L, "carrot", "veg"),
+      (3L, "date elder", "fruit")).toDF("doc_id", "text", "source")
+    KeyedTable.create(spark, corpusTbl, docs,
+      tableName = "grouped_sync_corpus", keyFields = Seq("doc_id"),
+      precombineField = "doc_id", partitionFields = Seq.empty,
+      tableType = TableType.MergeOnRead)
+    TextIndex.build(spark, idx, KeyedTable.read(spark, corpusTbl),
+      "doc_id", "text", groupCol = Some("source"))
+    SyncRegistry.register(spark, corpusTbl, "gt",
+      SyncRegistry.TextSpec(idx, "doc_id", "text"),
+      basis = Some(CommitLog.commits(spark, corpusTbl).last.commitTime))
+    // corpus: delete the only veg doc, re-word doc 1 MOVING it to veg,
+    // insert doc 4 - NO sync call anywhere
+    KeyedTable.delete(spark, corpusTbl, Seq(2L).toDF("doc_id"))
+    KeyedTable.upsert(spark, corpusTbl,
+      Seq((1L, "grape kiwi melon", "veg"), (4L, "banana lemon", "fruit"))
+        .toDF("doc_id", "text", "source"))
+    val counts = TextIndex.groupCounts(spark, idx).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // live membership: fruit = docs 3 (2 tokens) + 4 (2); veg = doc 1 (3)
+    assert(counts === Map("fruit" -> (2L, 4L), "veg" -> (1L, 3L)),
+      s"grouped stats must mirror the corpus end state hands-off: $counts")
+    // the scoring face mirrors the end state too
+    val q = Seq((1L, "banana"), (2L, "carrot"), (3L, "grape"))
+      .toDF("query_id", "qtext")
+    val got = TextIndex.probe(spark, idx, q, k = 10)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 4L), (3L, 1L)), s"got $got")
+  }
+
   test("a text index registered on its corpus follows publishes hands-off") {
     val dir = tmpDir("text-sync")
     val corpusTbl = s"$dir/corpus"
