@@ -38,8 +38,14 @@ import graft.table.KeyedTable
   *     stays `asOf`-able (the x67/x68 compliance posture).
   *
   * Registered as `kind = text` in the [[SyncRegistry]], the index follows
-  * its corpus hands-off like the other three. Layout — one table,
-  * hive-partitioned by `kind`, keyed (kind, term, id):
+  * its corpus hands-off like the other three. Three OPTIONAL modes stamp
+  * at build time and compose (write legs and probes dispatch on the
+  * stamps, never on parameters): FIELDED ([[FieldsProp]], BM25F scoring
+  * via [[bm25fProbe]]), GROUPED ([[GroupProp]], per-source doc/token
+  * stats rows served by [[groupCounts]]), and fielded POSITIONAL
+  * ([[PositionsProp]], phrase/proximity over one stamped field).
+  * Layout — one table, hive-partitioned by `kind`, keyed (kind, term,
+  * id):
   *  - `kind='posting'` rows (term, id = doc id, tf, dl = doc length,
   *    pos = sorted 1-based positions of the term in the doc);
   *  - `kind='doclen'` rows (term = '', id, tf = token count, terms = the
@@ -378,6 +384,8 @@ object TextIndex {
     * deterministically from the batch, so a crash-replay re-lands the same
     * state.
     */
+  /* (grouped indexes: each micro-batch must carry the stamped group
+   * column, like any [[append]] batch) */
   def ingestStream(
       docs: DataFrame,
       indexPath: String,

@@ -45,6 +45,11 @@ class PlanAuditSpec extends SparkTestBase {
     *  - x73: the stored-postings probe reads (N, Σdl) from 2 keyed stats
     *    rows instead (no crossJoin since round 13); kept on the list for
     *    the legacy recompute shapes shared with x72
+    *  - x74/x76–x81 (the positional / slop / grouped / fielded retrieval
+    *    probes, rounds 13–14) appear NOWHERE on this list ON PURPOSE:
+    *    their corpus stats land as driver-read literals (bounded 2-row /
+    *    O(groups) stats reads) and their joins are all broadcast
+    *    equi-joins on query-bounded sides — no nested loop to exempt
     */
   private val boundedBroadcastOk =
     Set("q13_runaway_sweep", "x28_tfidf_keywords", "x06_ann_topk_brute", "x07_ann_ivf",
