@@ -19,9 +19,14 @@ import org.apache.spark.sql.SparkSession
   *  - `layout.auto.partitions` — optional comma-separated partition
   *    restriction (a text index re-sorts only `kind=posting`);
   *  - `layout.auto.commits` — data commits since the last cluster rewrite
-  *    (or bootstrap) before the hook fires; default 8. Commits are counted
-  *    from COMMIT METADATA alone (operation + touched partitions) — the
-  *    trigger check reads no data files.
+  *    (or bootstrap) before the hook fires; default 8;
+  *  - `layout.auto.ratio` — minimum pending-rows / all-rows fraction in
+  *    the target partitions (default 0.02): the rewrite costs a full
+  *    partition pass, so it must be amortized against how much of the
+  *    layout actually degraded — N tiny streamed batches stay below the
+  *    ratio and the probes' unpruned tail stays proportionally tiny.
+  *    Both triggers are computed from COMMIT METADATA alone (operation +
+  *    per-partition record counts) — the check reads no data files.
   *
   * Failure posture: BEST-EFFORT like every policy hook. An un-re-sorted
   * layout is always CORRECT (just slower to probe); a cluster rewrite
@@ -63,6 +68,9 @@ private[table] object AutoLayout {
     val maxRecords = props.get(TableProperties.LayoutAutoMaxRecords)
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).filter(_ > 0)
       .getOrElse(0L)
+    val ratio = props.get(TableProperties.LayoutAutoRatio)
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).filter(_ >= 0)
+      .getOrElse(0.02)
     inLayout.set(true)
     try {
       val cs = CommitLog.requireState(spark, tablePath).commits
@@ -76,13 +84,23 @@ private[table] object AutoLayout {
       val pending = cs
         .filter(c => c.commitTime > anchor && !skipOps(c.operation))
         .filter(c => parts.forall(ps => c.partitions.exists(p => ps.contains(p.path))))
-      if (pending.size >= threshold) {
+      // rows this commit wrote into the TARGET partitions — the metadata
+      // proxy both trigger fractions are computed from
+      def rowsIn(c: CommitLog.CommitInfo): Long = parts match {
+        case Some(ps) =>
+          c.partitions.filter(p => ps.contains(p.path)).map(_.recordCount).sum
+        case None => c.recordCount
+      }
+      val pendingRows = pending.map(rowsIn).sum
+      val allRows = cs.filterNot(c => skipOps(c.operation)).map(rowsIn).sum
+      if (pending.size >= threshold &&
+          (allRows == 0L || pendingRows.toDouble >= ratio * allRows.toDouble)) {
         val touched = KeyedTable.clusterSort(spark, tablePath, cols,
           maxRecordsPerFile = maxRecords, partitions = parts)
         MaintenanceLog.record(spark, tablePath, TableProperties.LayoutAuto,
           operation, "ok",
           s"clustered=[${touched.mkString(",")}] by=[${cols.mkString(",")}] " +
-            s"after ${pending.size} data commits")
+            s"after ${pending.size} data commits / $pendingRows pending rows")
       } // below threshold: quiet no-op — no journal churn on every publish
     } catch {
       case e: Exception =>

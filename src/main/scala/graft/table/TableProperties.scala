@@ -75,8 +75,22 @@ object TableProperties {
     */
   val LayoutAutoPartitions = "layout.auto.partitions"
 
-  /** Data-commit-count trigger for [[LayoutAuto]]; default 8. */
+  /** Data-commit-count trigger for [[LayoutAuto]]; default 8. Both this
+    * AND [[LayoutAutoRatio]] must be met before the hook rewrites.
+    */
   val LayoutAutoCommits = "layout.auto.commits"
+
+  /** Minimum unsorted fraction before [[LayoutAuto]] rewrites: pending
+    * data-commit rows over all-commit rows in the target partitions (a
+    * metadata-only proxy for how much of the layout has degraded);
+    * default 0.02. A re-cluster costs a FULL partition rewrite, so firing
+    * on commit count alone would pay that 100 TB cost every N tiny
+    * streamed batches for negligible prune benefit — the unsorted tail a
+    * probe reads unpruned is proportional to this fraction, so below the
+    * ratio the degradation is cheaper than the rewrite. 0 = fire on
+    * commit count alone (small tables / tests).
+    */
+  val LayoutAutoRatio = "layout.auto.ratio"
 
   /** Optional `maxRecordsPerFile` for [[LayoutAuto]]'s rewrite (0 = let the
     * range partitioning size the files): bounds each rewritten file's sort-

@@ -246,8 +246,17 @@ class TextIndexSpec extends SparkTestBase {
       "one data commit is below the threshold - the hook must not fire yet")
     TextIndex.append(spark, idx,
       Seq((9000002L, "vector beta")).toDF("doc_id", "text"), "doc_id", "text")
-    // the second append crossed layout.auto.commits: the hook re-clustered
-    // with NOBODY calling optimize
+    // commit count met, but the two tiny appends are a negligible fraction
+    // of the big posting partition: the DEFAULT ratio guard (0.02) blocks
+    // the full-partition rewrite - the 100 TB posture (a probe's unpruned
+    // tail is proportional to the pending fraction, so below the ratio the
+    // degradation is cheaper than the rewrite)
+    assert(!CommitLog.commits(spark, idx).exists(_.operation == "cluster"),
+      "tiny pending rows must not trigger a full partition rewrite")
+    TableProperties.set(spark, idx, Map(TableProperties.LayoutAutoRatio -> "0"))
+    TextIndex.append(spark, idx,
+      Seq((9000003L, "vector delta")).toDF("doc_id", "text"), "doc_id", "text")
+    // ratio lifted: the next publish re-clusters with NOBODY calling optimize
     assert(CommitLog.commits(spark, idx).exists(_.operation == "cluster"),
       "the layout hook must have fired a cluster rewrite")
     val want = run()
@@ -261,7 +270,7 @@ class TextIndexSpec extends SparkTestBase {
       TableProperties.LayoutAuto -> "no_such_column",
       TableProperties.LayoutAutoCommits -> "1"))
     TextIndex.append(spark, idx,
-      Seq((9000003L, "gamma")).toDF("doc_id", "text"), "doc_id", "text")
+      Seq((9000004L, "gamma")).toDF("doc_id", "text"), "doc_id", "text")
     assert(MaintenanceLog.read(spark, idx).exists(e =>
       e.service == TableProperties.LayoutAuto && e.outcome == "skipped"),
       "hook failure must journal as skipped, not fail the publish")
