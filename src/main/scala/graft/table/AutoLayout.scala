@@ -77,24 +77,28 @@ private[table] object AutoLayout {
       // anchor = the last layout rewrite (any cluster commit) or, before
       // one exists, the bootstrap — the counter naturally resets each time
       // the hook (or a manual optimize/sizeFiles) rewrites the layout
-      val anchor = cs
+      val anchorC = cs
         .filter(c => c.operation == "cluster" || c.operation == "bootstrap")
-        .map(_.commitTime)
-        .foldLeft("")((a, b) => if (b > a) b else a)
+        .maxBy(_.commitTime)
       val pending = cs
-        .filter(c => c.commitTime > anchor && !skipOps(c.operation))
+        .filter(c => c.commitTime > anchorC.commitTime && !skipOps(c.operation))
         .filter(c => parts.forall(ps => c.partitions.exists(p => ps.contains(p.path))))
-      // rows this commit wrote into the TARGET partitions — the metadata
-      // proxy both trigger fractions are computed from
+      // rows a commit wrote into the TARGET partitions — the metadata proxy
+      // the ratio is computed from
       def rowsIn(c: CommitLog.CommitInfo): Long = parts match {
         case Some(ps) =>
           c.partitions.filter(p => ps.contains(p.path)).map(_.recordCount).sum
         case None => c.recordCount
       }
       val pendingRows = pending.map(rowsIn).sum
-      val allRows = cs.filterNot(c => skipOps(c.operation)).map(rowsIn).sum
+      // denominator = the partition size RECORDED BY the anchor commit (a
+      // cluster rewrite logs the rewritten counts; so does the bootstrap):
+      // the unsorted fraction is pending over the last-clustered layout.
+      // Summing every historical commit instead would drift upward with
+      // replace-append churn and eventually starve the trigger for good.
+      val baseRows = rowsIn(anchorC)
       if (pending.size >= threshold &&
-          (allRows == 0L || pendingRows.toDouble >= ratio * allRows.toDouble)) {
+          (baseRows == 0L || pendingRows.toDouble >= ratio * baseRows.toDouble)) {
         val touched = KeyedTable.clusterSort(spark, tablePath, cols,
           maxRecordsPerFile = maxRecords, partitions = parts)
         MaintenanceLog.record(spark, tablePath, TableProperties.LayoutAuto,
