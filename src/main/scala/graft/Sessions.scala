@@ -24,6 +24,18 @@ object Sessions {
         classOf[graft.sources.GraftSessionCatalog].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // File-listing placement (guide §2.1/§6): above this many paths Spark
+      // runs a distributed listing JOB whose results ship as serialized
+      // FileStatus rows — and Hadoop's local FS, lacking native IO, answers
+      // each status's permission field by FORKING `ls -ld` per file (the
+      // measured r14 driver-gap hotspot: Shell.runCommand owned ~30% of the
+      // q42b wall). Driver-side listing of a few hundred local dirs is
+      // microseconds and forks nothing. Overridable for deployments whose
+      // FS is remote (HDFS/S3), where distributed listing is the right
+      // trade again (SPARK_GRAFT_LIST_PAR_THRESHOLD=32 restores the Spark
+      // default).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "512"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark only reads it as long

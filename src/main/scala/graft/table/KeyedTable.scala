@@ -1729,8 +1729,8 @@ object KeyedTable {
     if (live.size >= maxDeltaCommits) return Some(compact(spark, tablePath))
     val deltaBytes = live.map(c =>
       fs.getContentSummary(Deltas.dir(tablePath, c)).getLength).sum
-    val baseBytes = StatsIndex.listBaseFiles(fs, tablePath)
-      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val baseBytes = StatsIndex.listBaseFileStatuses(fs, tablePath)
+      .map(_.getLen).sum
     if (deltaBytes >= maxDeltaRatio * math.max(1L, baseBytes))
       Some(compact(spark, tablePath))
     else None

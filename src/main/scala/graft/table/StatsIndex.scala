@@ -69,18 +69,32 @@ object StatsIndex {
     * `.graft/`). O(#files) namenode metadata; the same listing a snapshot
     * read's file index performs.
     */
-  def listBaseFiles(fs: FileSystem, tablePath: String): Seq[String] = {
+  def listBaseFiles(fs: FileSystem, tablePath: String): Seq[String] =
+    listBaseFileStatuses(fs, tablePath).map(_.getPath.toString)
+
+  /** [[listBaseFiles]] with the FileStatus kept (size-policy callers avoid a
+    * second per-file stat). Implemented as a manual listStatus walk, NOT
+    * `fs.listFiles(root, recursive = true)`: that returns LocatedFileStatus,
+    * whose construction materializes permission/owner fields — and Hadoop's
+    * local FS without native IO answers those by FORKING `ls -ld` per file
+    * (the measured r14 driver hotspot: ~30% of a maintenance-loop query's
+    * wall went to these forks). listStatus keeps permissions lazy and is
+    * never asked for them; the walk also prunes the commit-log subtree
+    * instead of listing it and filtering after.
+    */
+  def listBaseFileStatuses(
+      fs: FileSystem, tablePath: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val root = new Path(tablePath)
     if (!fs.exists(root)) return Seq.empty
-    val out = Seq.newBuilder[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath.toString
-      if (f.getPath.getName.endsWith(".parquet") &&
-        !p.contains(s"/${CommitLog.LogDirName}/")) out += p
-    }
-    out.result().sorted
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { s =>
+        if (s.isDirectory) {
+          if (s.getPath.getName != CommitLog.LogDirName) walk(s.getPath)
+        } else if (s.getPath.getName.endsWith(".parquet")) out += s
+      }
+    walk(root)
+    out.result().sortBy(_.getPath.toString)
   }
 
   private val indexableTypes: PartialFunction[DataType, Unit] = {
