@@ -28,35 +28,38 @@ object ProfileQuery {
   }
 
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 3
-    val sfDir = if (args.length > 2) args(2) else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "3").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    val fn = SparkEntry.queries(name)
-    // warmup (JIT + any per-sf staging)
-    fn(spark, sfDir).count()
     val l = new JobSpans
     spark.sparkContext.addSparkListener(l)
-    for (r <- 1 to reps) {
-      l.jobs.clear(); l.stages.set(0); l.taskMs.set(0)
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val wallMs = (System.nanoTime() - t0) / 1e6
-      // flush listener bus so job ends land
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").map(_.invoke(sc)).orNull
-        if (bus != null) bus.getClass.getMethods
-          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-          .foreach(_.invoke(bus))
-      } catch { case _: Throwable => () }
-      import scala.jdk.CollectionConverters._
-      val spans = l.jobs.values.asScala.toSeq.filter(_.end > 0)
-      val jobMs = spans.map(j => j.end - j.start).sum
-      println(f"[profile] $name rep $r: wall ${wallMs}%.0f ms, jobs ${spans.size}, " +
-        f"job-span sum $jobMs ms, stages ${l.stages.get}, task time ${l.taskMs.get} ms, " +
-        f"driver gap ${wallMs - jobMs}%.0f ms")
+    for (name <- args) {
+      val fn = SparkEntry.queries(name)
+      // warmup (JIT + any per-sf staging)
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        println(s"[profile] $name warmup FAILED: ${e.getMessage}") }
       spark.catalog.clearCache()
+      for (r <- 1 to reps) {
+        l.jobs.clear(); l.stages.set(0); l.taskMs.set(0)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        // flush listener bus so job ends land
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").map(_.invoke(sc)).orNull
+          if (bus != null) bus.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+            .foreach(_.invoke(bus))
+        } catch { case _: Throwable => () }
+        import scala.jdk.CollectionConverters._
+        val spans = l.jobs.values.asScala.toSeq.filter(_.end > 0)
+        val jobMs = spans.map(j => j.end - j.start).sum
+        println(f"[profile] $name rep $r: wall ${wallMs}%.0f ms, jobs ${spans.size}, " +
+          f"job-span sum $jobMs ms, stages ${l.stages.get}, task time ${l.taskMs.get} ms, " +
+          f"driver gap ${wallMs - jobMs}%.0f ms")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -54,7 +54,17 @@ object Bpe {
     */
   def train(vocab: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
     require(k >= 1, s"BPE needs at least one merge round, got $k")
-    var v = vocab.localCheckpoint()
+    // Right-size the loop frame once (guide §2.2): the vocabulary is the
+    // bounded distinct-word table, but it arrives partitioned like the
+    // corpus scan that built it, so every merge round would pay full-width
+    // task overhead twice (pair-stats agg + checkpoint) on near-empty
+    // partitions — measured 42 jobs / 1.6 s at bench scale with ~350 ms of
+    // task time. Scale-adaptive: ~64k words per partition, never above the
+    // session's parallelism, never repartitioned up (coalesce only).
+    val parts = math.max(1L, math.min(
+      vocab.sparkSession.sparkContext.defaultParallelism.toLong,
+      vocab.count() / 65536L + 1L)).toInt
+    var v = vocab.coalesce(parts).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false

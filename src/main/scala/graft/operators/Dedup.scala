@@ -62,7 +62,14 @@ object Dedup {
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     graft.functions.NativeExpressions.minhash_sig(shinglesCol, k)
 
-  /** Banded view of a signature column: one row per (id, band, band key). */
+  /** Banded view of a signature column: one row per (id, band, band key).
+    * The band key is `xxhash64` of the band's signature slice — 8 bytes on
+    * the bucket-join shuffle where the old comma-joined string rendering
+    * shuffled ~10 bytes per signature member and paid per-row string
+    * assembly (guide §2.3 "narrower types"). A 64-bit hash collision
+    * between different slices can only ADD a candidate pair, and every
+    * candidate is exact-verified downstream, so outputs are unchanged.
+    */
   private def bandedSig(
       df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
@@ -72,9 +79,8 @@ object Dedup {
       col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
         b.as("band"),
-        concat_ws(",",
-          transform(slice(col(sigCol), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
-            _.cast("string"))).as("bkey")))).as("bk"))
+        xxhash64(slice(col(sigCol), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+          .as("bkey")))).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
@@ -419,12 +425,11 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), block.as("blk"),
         shingles(split(col(textCol), "\\s+"), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val tokDf = sh.select(explode(col("sh")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    // contained side: rarest-token prefix, same ordering rationale as the
-    // Jaccard prefix join
+    // contained side: rarest-token prefix, same ordering rationale (and the
+    // same one-exchange window-df formulation) as the Jaccard prefix join
     val aPref = sh.select(col("id"), col("blk"), col("sz"), explode(col("sh")).as("tok"))
-      .join(tokDf, "tok")
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("tok")))
       .groupBy("id", "blk", "sz")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("id").as("a_id"), col("blk"), col("sz").as("a_sz"),
@@ -501,11 +506,13 @@ object Dedup {
     // global order = ascending document frequency (ties by token): prefixes
     // then hold each set's RAREST tokens, so inverted-index buckets stay
     // small — a lexicographic order leaves frequent tokens in prefixes and
-    // recreates the quadratic blowup inside hot buckets
-    val tokDf = sh.select(explode(col("sh")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // recreates the quadratic blowup inside hot buckets. df is a count
+    // window over the one exploded token stream: the former separate
+    // groupBy + equi-join shuffled the same stream on `tok` twice (guide
+    // §2.4 — two operations keyed the same way share one exchange)
     val pref = sh.select(col("id"), col("blk"), col("sz"), explode(col("sh")).as("tok"))
-      .join(tokDf, "tok")
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("tok")))
       .groupBy("id", "blk", "sz")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("id"), col("blk"), col("sz"),

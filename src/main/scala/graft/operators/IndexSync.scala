@@ -51,10 +51,17 @@ object IndexSync {
       spark: SparkSession, indexPath: String, changes: DataFrame,
       spec: SyncRegistry.Spec): Unit = {
     val (dels, ups) = split(changes)
+    // one grouped count instead of two isEmpty probes: each probe is its
+    // own action over the (persisted) interval, and the registry multiplies
+    // them by N indexes — the op histogram answers both legs in one job
+    val ops = changes.groupBy(col(KeyedTable.ChangeOp)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hasDels = ops.getOrElse("delete", 0L) > 0L
+    val hasUps = ops.getOrElse("upsert", 0L) > 0L
     spec match {
       case d: SyncRegistry.DedupSpec =>
-        if (!dels.isEmpty) DedupIndex.remove(spark, indexPath, dels.select(d.idCol), d.idCol)
-        if (!ups.isEmpty) {
+        if (hasDels) DedupIndex.remove(spark, indexPath, dels.select(d.idCol), d.idCol)
+        if (hasUps) {
           // parameters from the index's own STAMPS when present (written by
           // bootstrap/rebuild/cutover): a library-level rebuild under new
           // (shingleN, numHashes) must not strand the sync on the
@@ -69,11 +76,11 @@ object IndexSync {
           DedupIndex.append(spark, indexPath, ups, d.idCol, d.textCol, shingleN, numHashes)
         }
       case a: SyncRegistry.AnnSpec =>
-        if (!dels.isEmpty) AnnIndex.remove(spark, indexPath, dels.select(a.idCol), a.idCol)
-        if (!ups.isEmpty) AnnIndex.append(spark, indexPath, ups, a.idCol, a.vecCol)
+        if (hasDels) AnnIndex.remove(spark, indexPath, dels.select(a.idCol), a.idCol)
+        if (hasUps) AnnIndex.append(spark, indexPath, ups, a.idCol, a.vecCol)
       case p: SyncRegistry.PqSpec =>
-        if (!dels.isEmpty) PqIndex.remove(spark, indexPath, dels.select(p.idCol), p.idCol)
-        if (!ups.isEmpty) {
+        if (hasDels) PqIndex.remove(spark, indexPath, dels.select(p.idCol), p.idCol)
+        if (hasUps) {
           // geometry from STORAGE, never from configuration: a reshaping
           // retrain (m may change) must not strand the sync on stale (dim, m)
           val (dim, m) = PqIndex.storedGeometry(spark, indexPath)
@@ -84,8 +91,8 @@ object IndexSync {
         // the index's OWN text.fields stamp (the derive-from-storage rule:
         // a fielded index synced through a plain TextSpec must re-index
         // per-field — the stamp, not the spec, knows the field columns)
-        if (!dels.isEmpty) TextIndex.remove(spark, indexPath, dels.select(t.idCol), t.idCol)
-        if (!ups.isEmpty) TextIndex.storedFields(spark, indexPath) match {
+        if (hasDels) TextIndex.remove(spark, indexPath, dels.select(t.idCol), t.idCol)
+        if (hasUps) TextIndex.storedFields(spark, indexPath) match {
           case Some(_) => TextIndex.appendFielded(spark, indexPath, ups, t.idCol)
           case None => TextIndex.append(spark, indexPath, ups, t.idCol, t.textCol)
         }
@@ -93,7 +100,7 @@ object IndexSync {
   }
 
   /** [[applyInterval]] with the interval materialized once: a single apply
-    * still runs several actions over it (split isEmpty probes + writes),
+    * still runs several actions over it (the op-histogram count + writes),
     * each re-executing the CDC read from storage without the persist.
     * Single-index call sites use this; [[SyncRegistry]]'s multi-index pull
     * persists once around its whole loop instead.

@@ -670,6 +670,19 @@ object CommitLog {
 
   // ------------------------------------------------------------------- read
 
+  /** Parsed-commit cache: commit JSONs are IMMUTABLE once written (the
+    * no-overwrite create below), so a successful parse can be reused for
+    * the life of the process — without it every state read re-parses the
+    * table's whole history, O(commits) driver work on EVERY engine
+    * operation, growing with table age. Entries key on (len, mtime) from
+    * the directory listing we already hold, so a deleted-and-recreated
+    * file (rollback) can never serve a stale parse; only successful,
+    * fully-written parses are ever cached. Bounded by wholesale clear —
+    * cheap, and a refill is just one history re-parse.
+    */
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, CommitInfo)]()
+
   def commits(spark: SparkSession, tablePath: String): Seq[CommitInfo] = {
     val f = fs(spark, tablePath)
     val dir = logDir(tablePath)
@@ -677,7 +690,17 @@ object CommitLog {
     f.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".commit.json"))
       .sortBy(_.getPath.getName)
-      .map(st => readCommit(f, st.getPath))
+      .map { st =>
+        val key = st.getPath.toString
+        val hit = commitCache.get(key)
+        if (hit != null && hit._1 == st.getLen && hit._2 == st.getModificationTime) hit._3
+        else {
+          val info = readCommit(f, st.getPath)
+          if (commitCache.size > 65536) commitCache.clear()
+          commitCache.put(key, (st.getLen, st.getModificationTime, info))
+          info
+        }
+      }
   }
 
   /** A concurrent reader (e.g. the streaming CDC source polling its tip)

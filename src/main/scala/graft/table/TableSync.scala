@@ -39,8 +39,12 @@ object TableSync {
         .select((keyF ++ partF).map(col): _*)
       val upserts = changes.filter(col(KeyedTable.ChangeOp) === "upsert")
         .drop(KeyedTable.ChangeOp).drop(MetaColumns.all: _*)
-      if (!deletes.isEmpty) KeyedTable.delete(spark, dstPath, deletes)
-      if (!upserts.isEmpty) KeyedTable.upsert(spark, dstPath, upserts)
+      // one grouped count instead of two isEmpty probes over the persisted
+      // interval (IndexSync.applyInterval's op-histogram pattern)
+      val ops = changes.groupBy(col(KeyedTable.ChangeOp)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (ops.getOrElse("delete", 0L) > 0L) KeyedTable.delete(spark, dstPath, deletes)
+      if (ops.getOrElse("upsert", 0L) > 0L) KeyedTable.upsert(spark, dstPath, upserts)
     } finally changes.unpersist()
     highWater
   }
