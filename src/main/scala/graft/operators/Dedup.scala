@@ -566,15 +566,19 @@ object Dedup {
     // self-join references the running labels TWICE, so an un-truncated
     // lineage would double per iteration — checkpointing keeps each round's
     // plan flat and the final result free of the loop's history
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labelsCp = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint(true)
+    var labels = labelsCp
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("cluster_id").as("nbr_min"))
+      // the pre-round label rides along as `prev`, so the convergence test
+      // below is a scan of the checkpointed rows instead of a second join
+      // of `next` back against the previous labels
       val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
       // pointer doubling: follow the label's own label. l(l(u)) <= l(u)
       // because labels shrink monotonically, so compression is always safe
@@ -582,14 +586,13 @@ object Dedup {
       val next = propagated.join(
           propagated.select(col("id").as("cluster_id"), col("cluster_id").as("parent_label")),
           Seq("cluster_id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("prev"),
           least(col("cluster_id"), coalesce(col("parent_label"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(
-          labels.select(col("id"), col("cluster_id").as("prev")), "id")
-        .filter(col("cluster_id") < col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("cluster_id") < col("prev")).count()
+      labelsCp.unpersist()
+      labelsCp = next
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
     edges.unpersist()

@@ -1018,9 +1018,7 @@ object KeyedTable {
       val rows = imgMeta.withColumn(Deltas.DeletedCol, lit(false)).unionByName(tombMeta)
       CommitLog.beginInflight(spark, tablePath, ct, "merge", Seq.empty,
         baseCommits = st.commits.map(_.commitTime))
-      Deltas.write(rows, tablePath, ct, partF)
-      val counts = partitionCountsOf(
-        spark.read.schema(Deltas.schemaOf(schema)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+      val counts = writeDeltaCounted(spark, rows, tablePath, ct, partF, schema)
       val touched = counts.keys.toSeq.sorted
       publishRewrite(spark, tablePath, CommitInfo(
         commitTime = ct, operation = "merge",
@@ -1383,6 +1381,33 @@ object KeyedTable {
     * write costs O(|batch|) regardless of table size. Readers merge
     * ([[Deltas.merge]]); [[compact]] folds deltas back into base files.
     */
+  /** Write one delta batch and return its per-partition counts for the
+    * commit log. Unpartitioned tables need only the batch total, which an
+    * `observe` collects from the WRITE JOB itself — the former read-back
+    * count was a second job re-reading the just-written files, paid on
+    * every MOR upsert/delete/merge (the standing indexes are all
+    * unpartitioned, so every index append in a sync-hook loop paid it).
+    * Partitioned tables keep the read-back (per-partition-path counts
+    * cannot ride a global observe); it is column-pruned to the partition
+    * path alone.
+    */
+  private def writeDeltaCounted(
+      spark: SparkSession,
+      rows: DataFrame,
+      tablePath: String,
+      ct: String,
+      partF: Seq[String],
+      evolved: StructType): Map[String, Long] =
+    if (partF.isEmpty) {
+      val obs = org.apache.spark.sql.Observation()
+      Deltas.write(rows.observe(obs, count(lit(1)).as("n")), tablePath, ct, partF)
+      Map("" -> obs.get("n").asInstanceOf[Long])
+    } else {
+      Deltas.write(rows, tablePath, ct, partF)
+      partitionCountsOf(
+        spark.read.schema(Deltas.schemaOf(evolved)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+    }
+
   private def deltaCommit(
       spark: SparkSession,
       tablePath: String,
@@ -1413,10 +1438,7 @@ object KeyedTable {
     CommitLog.beginInflight(spark, tablePath, ct,
       if (delete) "delete" else "delta_commit", Seq.empty,
       baseCommits = st.commits.map(_.commitTime))
-    Deltas.write(rows, tablePath, ct, partF)
-
-    val counts = partitionCountsOf(
-      spark.read.schema(Deltas.schemaOf(evolved)).parquet(Deltas.dir(tablePath, ct).toString), partF)
+    val counts = writeDeltaCounted(spark, rows, tablePath, ct, partF, evolved)
     val touched = counts.keys.toSeq.sorted
     try CommitLog.write(spark, tablePath, CommitInfo(
       commitTime = ct, operation = if (delete) "delete" else "delta_commit",
