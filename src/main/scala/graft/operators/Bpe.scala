@@ -56,14 +56,17 @@ object Bpe {
     require(k >= 1, s"BPE needs at least one merge round, got $k")
     // Right-size the loop frame once (guide §2.2): the vocabulary is the
     // bounded distinct-word table, but it arrives partitioned like the
-    // corpus scan that built it, so every merge round would pay full-width
-    // task overhead twice (pair-stats agg + checkpoint) on near-empty
-    // partitions — measured 42 jobs / 1.6 s at bench scale with ~350 ms of
-    // task time. Scale-adaptive: ~64k words per partition, never above the
-    // session's parallelism, never repartitioned up (coalesce only).
+    // corpus scan that built it, so every merge round pays task overhead
+    // on near-empty partitions twice (pair-stats agg + checkpoint). Sized
+    // from the optimizer's free size estimate (~64 KB/partition — the
+    // applyMerge fold is CPU-heavy per row, so the frame must stay wide
+    // enough to parallelize it; a first cut at 1 partition serialized the
+    // fold and LOST 0.8 s), capped by the session's parallelism, never
+    // repartitioned up (coalesce only), no extra job.
+    val estBytes = vocab.queryExecution.optimizedPlan.stats.sizeInBytes
     val parts = math.max(1L, math.min(
       vocab.sparkSession.sparkContext.defaultParallelism.toLong,
-      vocab.count() / 65536L + 1L)).toInt
+      (estBytes / 65536L).toLong + 1L)).toInt
     var v = vocab.coalesce(parts).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 1

@@ -51,7 +51,7 @@ object KeyedTable {
   def bootstrap(spark: SparkSession, cfg: BootstrapConfig): BootstrapResult = {
     cfg.validate()
     val fmt = SourceSniffer.sniff(spark, cfg.dataFilePath)
-    val input = spark.read.option("mergeSchema", "true").format(fmt).load(cfg.dataFilePath)
+    val input = loadBootstrapInput(spark, fmt, cfg.dataFilePath)
     Validate.fieldsInSchema(input.schema, cfg)
 
     // one grouped agg gives the empty-check, the per-partition counts for
@@ -87,6 +87,42 @@ object KeyedTable {
       throw GraftException.config(
         "ERROR - Post-bootstrap validation failed: " + report.issues.mkString(" "))
     BootstrapResult(ct, report.inputCount, report.tableCount, written, report)
+  }
+
+  /** Merged-schema cache for bootstrap inputs, keyed on the input's full
+    * file listing (path, length, mtime — any file change invalidates):
+    * schema-merge inference reads every file's footer in its own Spark
+    * job, and repeated bootstraps from the same immutable input (retries,
+    * re-runs, resume chains) re-paid that job each time. Only the
+    * footer-bearing columnar formats participate — csv/json inference
+    * samples data rows, which `.schema(...)` would skip with different
+    * option semantics.
+    */
+  private val inputSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def loadBootstrapInput(
+      spark: SparkSession, fmt: String, path: String): DataFrame = {
+    if (fmt != "parquet" && fmt != "orc")
+      return spark.read.option("mergeSchema", "true").format(fmt).load(path)
+    val fs = CommitLog.fs(spark, path)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath) else Seq(s))
+    }
+    val key = fmt + "|" + path + "|" + walk(new Path(path))
+      .map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(";")
+    val hit = inputSchemaCache.get(key)
+    if (hit != null) spark.read.schema(hit).format(fmt).load(path)
+    else {
+      val df = spark.read.option("mergeSchema", "true").format(fmt).load(path)
+      if (inputSchemaCache.size > 1024) inputSchemaCache.clear()
+      inputSchemaCache.put(key, df.schema)
+      df
+    }
   }
 
   /** Create a keyed table directly from a DataFrame — the CTAS /
