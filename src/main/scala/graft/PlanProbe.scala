@@ -125,6 +125,28 @@ object PlanProbe {
         "x02_dedup_minhash_lsh — LSH candidate join (pre-verify), CURRENT " +
           "band key: xxhash64 of the signature slice (8-byte join key).")
     }
+    // ---- CDC pull plan on an unpartitioned MOR corpus (the sync-hook
+    // steady state, x71/q28b/x69–x71): readChanges since the pre-upsert
+    // tip after one delta commit. The interesting diff is the upserts leg:
+    // full-snapshot merge + commit-time filter vs the interval-delta-only
+    // winner resolution.
+    {
+      val root = java.nio.file.Files.createTempDirectory("graft-planprobe-cdc").toString
+      val corpusTbl = s"$root/corpus"
+      graft.table.KeyedTable.create(s, corpusTbl,
+        docs.select("doc_id", "source", "text").filter(col("doc_id") % 5 =!= 2),
+        tableName = "planprobe_corpus", keyFields = Seq("doc_id"),
+        precombineField = "doc_id", partitionFields = Seq.empty,
+        tableType = graft.model.TableType.MergeOnRead)
+      val tip0 = graft.table.CommitLog.commits(s, corpusTbl).last.commitTime
+      graft.table.KeyedTable.upsert(s, corpusTbl,
+        docs.select("doc_id", "source", "text").filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("source"), col("text")))
+      dump(s"readchanges_${if (args.length > 1) args(1) else "current"}",
+        graft.table.KeyedTable.readChanges(s, corpusTbl, tip0),
+        "KeyedTable.readChanges on an unpartitioned MOR corpus, one delta " +
+          "commit since the watermark (the sync-hook steady state).")
+    }
     s.stop()
   }
 }

@@ -598,8 +598,43 @@ object KeyedTable {
   private def readIncrementalPhysical(
       spark: SparkSession, tablePath: String, st: TableState,
       sinceCommitTime: String): DataFrame = {
-    val touchedSince = st.commits.filter(_.commitTime > sinceCommitTime)
-      .flatMap(_.partitions.map(_.path)).distinct
+    val interval = st.commits.filter(_.commitTime > sinceCommitTime)
+    // FAST PATH — the steady-state CDC/incremental shape (a follower
+    // polling a streaming-ingest MOR table): when every data commit in
+    // the interval is a LIVE MOR delta batch, rows with a newer commit
+    // time exist ONLY in those delta dirs, and the winner for any key
+    // they touch is the newest interval row — commit times are strictly
+    // monotonic, so interval rows beat every pre-interval row of the same
+    // key, and the (commit time DESC, precombine DESC) order within the
+    // interval matches [[Deltas.merge]] exactly. A deleted winner
+    // suppresses its key (the key is absent from the snapshot), never
+    // falls through to an older image. The general path below pays a full
+    // snapshot merge of every touched partition to re-derive exactly
+    // this — O(touched partitions) scan per pull where the interval is
+    // O(changes); on an unpartitioned corpus that was a full-table scan
+    // per sync-hook pull. Conservative guard: any interval commit with a
+    // non-delta partition entry (COW rewrites, compaction, bulk inserts,
+    // partition drops) or a missing delta dir falls back.
+    val live = Deltas.committedLive(spark, tablePath, st).toSet
+    val deltaOnly = st.latest.tableType == TableType.MergeOnRead.name &&
+      interval.nonEmpty &&
+      interval.forall(c => c.partitions.isEmpty ||
+        (c.partitions.forall(_.mode == "delta") && live.contains(c.commitTime)))
+    if (deltaOnly) {
+      val schema = StructType.fromDDL(st.latest.schemaDdl)
+      val dirs = interval.filter(_.partitions.nonEmpty)
+        .map(c => Deltas.dir(tablePath, c.commitTime).toString)
+      if (dirs.isEmpty)
+        return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(MetaColumns.PartitionPath), col(MetaColumns.RecordKey))
+        .orderBy(col(MetaColumns.CommitTime).desc, col(st.latest.precombineField).desc)
+      return Deltas.readDirs(spark, schema, dirs)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col(Deltas.DeletedCol))
+        .drop("__rn", Deltas.DeletedCol)
+    }
+    val touchedSince = interval.flatMap(_.partitions.map(_.path)).distinct
     val restrict = if (st.latest.partitionFields.isEmpty) None else Some(touchedSince.toSet)
     snapshot(spark, tablePath, st, restrict)
       .filter(col(MetaColumns.CommitTime) > sinceCommitTime)
